@@ -1,0 +1,401 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Det._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StringType}
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Data-quality profiling suite.
+  *
+  * Re-expresses the reference's analyzers
+  * (src/analysis/data_quality_analyzer.py, src/analysis/deep_analysis.py)
+  * as single-pass distributed aggregations: completeness profiles, moment
+  * statistics, exact percentiles, histograms, duplicate detection, temporal
+  * patterns, text-quality flags and script detection. Everything is one
+  * groupBy/agg pass over the scan — no driver-side loops — so the same plan
+  * profiles a 100 TB table.
+  */
+object Profiling {
+
+  /** Word count matching Python's str.split() (empty → 0). */
+  private def wordCount(c: Column): Column =
+    when(trim(c) === "", 0).otherwise(size(split(trim(c), "\\s+")))
+
+  private val wordCountSql =
+    "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+
+  /** Per-column completeness profile (analyzer.analyze_missing_values:83,
+    * deep_analysis 5c "field completeness"): one output row per column with
+    * present/null/empty counts. Computed as a single aggregate pass then
+    * unpivoted with stack() — one scan regardless of column count.
+    */
+  val qProfileCompleteness: Q = {
+    val fields = Seq( // documents schema: (name, isString)
+      ("doc_id", false), ("text", true), ("lang", true),
+      ("source", true), ("n_chars", false))
+    val oracle = fields.map { case (f, isStr) =>
+      val present =
+        if (isStr) s"COUNT(CASE WHEN $f IS NOT NULL AND $f <> '' THEN 1 END)"
+        else s"COUNT($f)"
+      val empty =
+        if (isStr) s"CAST(SUM(CASE WHEN $f = '' THEN 1 ELSE 0 END) AS BIGINT)"
+        else "CAST(0 AS BIGINT)"
+      s"""SELECT '$f' AS field, $present AS n_present,
+         |  COUNT(*) - COUNT($f) AS n_null, COALESCE($empty, 0) AS n_empty
+         |FROM documents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY field")
+
+    Q("q_profile_completeness", oracle) { (s, d) =>
+      val df = Tables.documents(s, d)
+      val aggs = fields.flatMap { case (f, isStr) =>
+        val c = col(f)
+        val present =
+          if (isStr) count(when(c.isNotNull && c =!= "", 1))
+          else count(c)
+        val empty =
+          if (isStr) coalesce(sum(when(c === "", 1).otherwise(0)), lit(0L))
+          else lit(0L)
+        Seq(present.as(s"${f}__p"),
+          (count(lit(1)) - count(c)).as(s"${f}__n"),
+          empty.cast("long").as(s"${f}__e"))
+      }
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      val stackExpr = fields.map { case (f, _) => s"'$f', ${f}__p, ${f}__n, ${f}__e" }
+        .mkString(s"stack(${fields.size}, ", ", ", ") as (field, n_present, n_null, n_empty)")
+      wide.selectExpr(stackExpr).orderBy("field")
+    }
+  }
+
+  /** Distribution moments (deep_analysis §1: mean/median/stdev/skewness/
+    * kurtosis with the reference's exact formulas — population 3rd/4th
+    * moments over the SAMPLE stdev). Two distributed passes: deterministic
+    * mean, then exact-decimal central-moment sums; no approximations.
+    */
+  val qMoments: Q = Q(
+    "q_moments",
+    s"""WITH s AS (
+       |  SELECT ${exactSumSql("value", 4)} / COUNT(*) AS m FROM events
+       |), dd AS (
+       |  SELECT value, value - (SELECT m FROM s) AS d FROM events
+       |), agg AS (
+       |  SELECT COUNT(*) AS n,
+       |    quantile_cont(value, 0.5) AS med,
+       |    ${exactSumSql("d*d", 4)} AS m2,
+       |    ${exactSumSql("d*d*d", 2)} AS m3,
+       |    ${exactSumSql("d*d*d*d", 0)} AS m4
+       |  FROM dd
+       |)
+       |SELECT n AS n_values,
+       |  ROUND((SELECT m FROM s), 4) AS mean_value,
+       |  ROUND(med, 4) AS median_value,
+       |  ROUND(SQRT(m2 / (n - 1)), 4) AS stdev_value,
+       |  ROUND((m3 / n) / (SQRT(m2/(n-1)) * SQRT(m2/(n-1)) * SQRT(m2/(n-1))), 4) AS skewness,
+       |  ROUND((m4 / n) / ((m2/(n-1)) * (m2/(n-1))) - 3, 4) AS kurtosis
+       |FROM agg""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val mdf = ev.agg((exactSum(col("value"), 4) / count(lit(1))).as("m"))
+    val dd = ev.crossJoin(broadcast(mdf)).withColumn("d", col("value") - col("m"))
+    dd.agg(
+      count(lit(1)).as("n"),
+      max(col("m")).as("m"),
+      expr("percentile(value, 0.5)").as("med"),
+      exactSum(col("d") * col("d"), 4).as("m2"),
+      exactSum(col("d") * col("d") * col("d"), 2).as("m3"),
+      exactSum(col("d") * col("d") * col("d") * col("d"), 0).as("m4"))
+      .select(
+        col("n").as("n_values"),
+        round(col("m"), 4).as("mean_value"),
+        round(col("med"), 4).as("median_value"),
+        round(sqrt(col("m2") / (col("n") - 1)), 4).as("stdev_value"),
+        round((col("m3") / col("n")) /
+          (sqrt(col("m2") / (col("n") - 1)) * sqrt(col("m2") / (col("n") - 1)) * sqrt(col("m2") / (col("n") - 1))), 4)
+          .as("skewness"),
+        round((col("m4") / col("n")) /
+          ((col("m2") / (col("n") - 1)) * (col("m2") / (col("n") - 1))) - 3, 4)
+          .as("kurtosis"))
+  }
+
+  /** Exact percentiles P5..P99 + IQR for char length and word count
+    * (deep_analysis percentile():24 and §2). Spark `percentile` is the
+    * exact linear-interpolation aggregate — same definition as DuckDB's
+    * quantile_cont.
+    */
+  val qLengthPercentiles: Q = {
+    def duck(metric: String, ex: String) =
+      s"""SELECT '$metric' AS metric, COUNT(*) AS n,
+         |  ROUND(quantile_cont($ex, 0.05), 4) AS p5,
+         |  ROUND(quantile_cont($ex, 0.25), 4) AS p25,
+         |  ROUND(quantile_cont($ex, 0.50), 4) AS p50,
+         |  ROUND(quantile_cont($ex, 0.75), 4) AS p75,
+         |  ROUND(quantile_cont($ex, 0.95), 4) AS p95,
+         |  ROUND(quantile_cont($ex, 0.99), 4) AS p99,
+         |  ROUND(quantile_cont($ex, 0.75) - quantile_cont($ex, 0.25), 4) AS iqr
+         |FROM documents""".stripMargin
+    Q("q_length_percentiles",
+      duck("char_len", "length(text)") + "\nUNION ALL\n" +
+        duck("word_count", wordCountSql) + "\nORDER BY metric") { (s, d) =>
+      val df = Tables.documents(s, d)
+        .select(length(col("text")).as("char_len"), wordCount(col("text")).as("word_count"))
+      def side(metric: String, c: String): DataFrame =
+        df.agg(
+          count(lit(1)).as("n"),
+          expr(s"percentile($c, array(0.05, 0.25, 0.5, 0.75, 0.95, 0.99))").as("ps"))
+          .select(
+            lit(metric).as("metric"), col("n"),
+            round(col("ps").getItem(0), 4).as("p5"),
+            round(col("ps").getItem(1), 4).as("p25"),
+            round(col("ps").getItem(2), 4).as("p50"),
+            round(col("ps").getItem(3), 4).as("p75"),
+            round(col("ps").getItem(4), 4).as("p95"),
+            round(col("ps").getItem(5), 4).as("p99"),
+            round(col("ps").getItem(3) - col("ps").getItem(1), 4).as("iqr"))
+      side("char_len", "char_len").unionAll(side("word_count", "word_count"))
+        .orderBy("metric")
+    }
+  }
+
+  /** Bucketized char-length histogram (deep_analysis §2, analyzer
+    * length_distribution) with share-of-total via a window over the tiny
+    * grouped result.
+    */
+  val qLengthHistogram: Q = {
+    val edges = Seq( // (bucket_id, label, lo, hi) — hi inclusive, -1 = open
+      (0, "empty", 0, 0), (1, "1-10", 1, 10), (2, "11-25", 11, 25),
+      (3, "26-50", 26, 50), (4, "51-100", 51, 100), (5, "101-200", 101, 200),
+      (6, "201-350", 201, 350), (7, "351-500", 351, 500), (8, "500+", 501, -1))
+    val sqlCaseId = edges.map { case (id, _, lo, hi) =>
+      if (hi < 0) s"WHEN length(text) >= $lo THEN $id"
+      else s"WHEN length(text) BETWEEN $lo AND $hi THEN $id"
+    }.mkString("CASE ", " ", " END")
+    val sqlCaseLabel = edges.map { case (id, label, _, _) =>
+      s"WHEN $id THEN '$label'"
+    }.mkString("CASE bucket_id ", " ", " END")
+    Q("q_length_histogram",
+      s"""WITH b AS (SELECT $sqlCaseId AS bucket_id FROM documents)
+         |SELECT CAST(bucket_id AS INTEGER) AS bucket_id,
+         |  $sqlCaseLabel AS bucket,
+         |  COUNT(*) AS n_docs,
+         |  ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM documents), 2) AS pct
+         |FROM b GROUP BY bucket_id ORDER BY bucket_id""".stripMargin) { (s, d) =>
+      val len = length(col("text"))
+      val id = edges.foldLeft(lit(null).cast("int")) { case (acc, (bid, _, lo, hi)) =>
+        if (hi < 0) when(len >= lo, bid).otherwise(acc)
+        else when(len.between(lo, hi), bid).otherwise(acc)
+      }
+      val label = edges.foldLeft(lit(null).cast(StringType)) { case (acc, (bid, lbl, _, _)) =>
+        when(col("bucket_id") === bid, lbl).otherwise(acc)
+      }
+      val grouped = Tables.documents(s, d)
+        .select(id.as("bucket_id"))
+        .groupBy("bucket_id").agg(count(lit(1)).as("n_docs"))
+      grouped
+        .withColumn("bucket", label)
+        .withColumn("pct",
+          round(col("n_docs") * lit(100.0) / sum(col("n_docs")).over(Window.partitionBy()), 2))
+        .select("bucket_id", "bucket", "n_docs", "pct")
+        .orderBy("bucket_id")
+    }
+  }
+
+  /** Per-group length stats (deep_analysis "length by rating", 5e) keyed on
+    * document language.
+    */
+  val qLengthByGroup: Q = Q(
+    "q_length_by_group",
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  ${intAvgSql("length(text)", 2)} AS avg_chars,
+       |  ROUND(quantile_cont(length(text), 0.5), 4) AS median_chars,
+       |  ROUND(quantile_cont(length(text), 0.95), 4) AS p95_chars,
+       |  ${intAvgSql(wordCountSql, 2)} AS avg_words,
+       |  CAST(SUM(CASE WHEN length(text) <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS short_cnt
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), length(col("text")).as("cl"), wordCount(col("text")).as("wc"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        intAvg(col("cl"), 2).as("avg_chars"),
+        round(expr("percentile(cl, 0.5)"), 4).as("median_chars"),
+        round(expr("percentile(cl, 0.95)"), 4).as("p95_chars"),
+        intAvg(col("wc"), 2).as("avg_words"),
+        sum(when(col("cl") <= 10, 1).otherwise(0)).as("short_cnt"))
+      .orderBy("lang")
+  }
+
+  /** Duplicate-key detection (analyzer.analyze_duplicates:345, deep 5a):
+    * keys with more than one row.
+    */
+  val qDupKeys: Q = Q(
+    "q_dup_keys",
+    """SELECT user_id, event_type, COUNT(*) AS dup_count
+      |FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 1
+      |ORDER BY user_id, event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Repeated-content detection (deep 5b "top repeated texts") on the
+    * 2-word opening phrase — duplicate-content grouping that still
+    * aggregates (never collects) at scale.
+    */
+  val qDupContent: Q = Q(
+    "q_dup_content",
+    """SELECT prefix, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      |FROM (SELECT array_to_string(string_split(text, ' ')[1:2], ' ') AS prefix,
+      |             doc_id FROM documents) t
+      |GROUP BY prefix HAVING COUNT(*) > 1
+      |ORDER BY n_docs DESC, prefix""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("prefix"), col("doc_id"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("prefix"))
+  }
+
+  /** Day-of-week / hour-of-day histograms (deep_analysis §3). */
+  val qTemporalHistogram: Q = Q(
+    "q_temporal_histogram",
+    """SELECT 'dow' AS dim, dayname(ts) AS bucket, COUNT(*) AS n_events
+      |FROM events GROUP BY bucket
+      |UNION ALL
+      |SELECT 'hour' AS dim, lpad(CAST(hour(ts) AS VARCHAR), 2, '0') AS bucket, COUNT(*) AS n_events
+      |FROM events GROUP BY bucket
+      |ORDER BY dim, bucket""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val dow = ev.groupBy(date_format(col("ts"), "EEEE").as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(lit("dow").as("dim"), col("bucket"), col("n_events"))
+    val hr = ev.groupBy(lpad(hour(col("ts")).cast("string"), 2, "0").as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(lit("hour").as("dim"), col("bucket"), col("n_events"))
+    dow.unionAll(hr).orderBy("dim", "bucket")
+  }
+
+  /** Suspicious / low-quality text flags (deep_analysis 5f). The
+    * repeated-chars flag needs a regex backreference (Java-only; RE2 used
+    * by the oracle lacks it) so it lives in the spec-tested rows-only
+    * variant below.
+    */
+  val qQualityFlags: Q = Q(
+    "q_quality_flags",
+    """SELECT COUNT(*) AS total_docs,
+      |  CAST(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_cnt,
+      |  CAST(SUM(CASE WHEN trim(text) <> '' AND len(string_split_regex(trim(text), '\s+')) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS single_word_cnt,
+      |  CAST(SUM(CASE WHEN trim(text) <> '' AND len(string_split_regex(trim(text), '\s+')) BETWEEN 2 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS two_three_word_cnt,
+      |  CAST(SUM(CASE WHEN length(text) > 5 AND upper(text) = text AND lower(text) <> text THEN 1 ELSE 0 END) AS BIGINT) AS all_caps_cnt,
+      |  CAST(SUM(CASE WHEN text <> '' AND NOT regexp_matches(text, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS no_latin_cnt,
+      |  CAST(SUM(CASE WHEN length(text) > 5 AND length(regexp_replace(text, '[^!?.,:;]', '', 'g')) * 1.0 / length(text) > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS punct_heavy_cnt,
+      |  CAST(SUM(CASE WHEN regexp_matches(text, 'https?://|www\.') THEN 1 ELSE 0 END) AS BIGINT) AS url_cnt
+      |FROM documents""".stripMargin
+  ) { (s, d) =>
+    val t = col("text")
+    val wc = wordCount(t)
+    Tables.documents(s, d).agg(
+      count(lit(1)).as("total_docs"),
+      sum(when(trim(t) === "", 1).otherwise(0)).as("empty_cnt"),
+      sum(when(trim(t) =!= "" && wc === 1, 1).otherwise(0)).as("single_word_cnt"),
+      sum(when(trim(t) =!= "" && wc.between(2, 3), 1).otherwise(0)).as("two_three_word_cnt"),
+      sum(when(length(t) > 5 && upper(t) === t && lower(t) =!= t, 1).otherwise(0)).as("all_caps_cnt"),
+      sum(when(t =!= "" && !t.rlike("[a-zA-Z]"), 1).otherwise(0)).as("no_latin_cnt"),
+      sum(when(length(t) > 5 &&
+        length(regexp_replace(t, "[^!?.,:;]", "")) * lit(1.0) / length(t) > 0.3, 1).otherwise(0))
+        .as("punct_heavy_cnt"),
+      sum(when(t.rlike("https?://|www\\."), 1).otherwise(0)).as("url_cnt"))
+  }
+
+  /** Spam-style repeated-character detection (analyzer.analyze_text_quality:193
+    * `(.)\1{4,}`) — Java-regex backreference, not expressible in the RE2
+    * oracle, so rows-only + spec-tested.
+    */
+  val qRepeatedChars: Q = Q.rowsOnly("q_repeated_chars") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").rlike("(.)\\1{4,}").as("has_repeated_run"))
+      .groupBy("has_repeated_run")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("has_repeated_run")
+  }
+
+  /** Unicode script distribution (analyzer.analyze_language_issues:388):
+    * first-match priority CASE over script ranges.
+    */
+  val qScriptDistribution: Q = Q(
+    "q_script_distribution",
+    """SELECT CASE
+      |    WHEN regexp_matches(text, '[а-яА-ЯёЁ]') THEN 'cyrillic'
+      |    WHEN regexp_matches(text, '[\x{0600}-\x{06FF}]') THEN 'arabic'
+      |    WHEN regexp_matches(text, '[\x{0900}-\x{097F}]') THEN 'devanagari'
+      |    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}\x{3400}-\x{4dbf}]') THEN 'cjk'
+      |    WHEN regexp_matches(text, '[a-zA-Z]') THEN 'latin'
+      |    ELSE 'other' END AS script,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY script ORDER BY script""".stripMargin
+  ) { (s, d) =>
+    val t = col("text")
+    Tables.documents(s, d)
+      .select(
+        when(t.rlike("[а-яА-ЯёЁ]"), "cyrillic")
+          .when(t.rlike("[؀-ۿ]"), "arabic")
+          .when(t.rlike("[ऀ-ॿ]"), "devanagari")
+          .when(t.rlike("[一-鿿㐀-䶿]"), "cjk")
+          .when(t.rlike("[a-zA-Z]"), "latin")
+          .otherwise("other").as("script"))
+      .groupBy("script").agg(count(lit(1)).as("n_docs"))
+      .orderBy("script")
+  }
+
+  /** Zero-inflation analysis (deep_analysis §6 thumbs-up) on l_discount. */
+  val qZeroInflation: Q = Q(
+    "q_zero_inflation",
+    s"""SELECT COUNT(*) AS total_lines,
+       |  CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cnt,
+       |  ROUND(CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS DOUBLE) * 100 / COUNT(*), 1) AS zero_pct,
+       |  ROUND(${exactSumSql("CASE WHEN l_discount > 0 THEN l_discount END", 4)}
+       |    / SUM(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END), 4) AS nonzero_avg,
+       |  MAX(l_discount) AS max_discount
+       |FROM lineitem""".stripMargin
+  ) { (s, d) =>
+    val c = col("l_discount")
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("total_lines"),
+      sum(when(c === 0, 1).otherwise(0)).as("zero_cnt"),
+      round(sum(when(c === 0, 1).otherwise(0)).cast("double") * 100 / count(lit(1)), 1).as("zero_pct"),
+      round(sum(when(c > 0, round(c, 4).cast(DecimalType(18, 4)))).cast("double")
+        / sum(when(c > 0, 1).otherwise(0)), 4).as("nonzero_avg"),
+      max(c).as("max_discount"))
+  }
+
+  /** Cohort comparison (deep_analysis §7 replied-vs-unreplied) on order
+    * status cohorts.
+    */
+  val qCohortCompare: Q = Q(
+    "q_cohort_compare",
+    s"""SELECT o_orderstatus AS cohort, COUNT(*) AS n_orders,
+       |  ${exactAvgSql("o_totalprice", 2, 2)} AS avg_price,
+       |  ${exactSumSql("o_totalprice", 2)} AS total_price
+       |FROM orders GROUP BY o_orderstatus ORDER BY cohort""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("cohort"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        exactAvg(col("o_totalprice"), 2, 2).as("avg_price"),
+        exactSum(col("o_totalprice"), 2).as("total_price"))
+      .orderBy("cohort")
+  }
+
+  val all: Seq[Q] = Seq(
+    qProfileCompleteness, qMoments, qLengthPercentiles, qLengthHistogram,
+    qLengthByGroup, qDupKeys, qDupContent, qTemporalHistogram, qQualityFlags,
+    qRepeatedChars, qScriptDistribution, qZeroInflation, qCohortCompare)
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Profiling
+
+class ProfilingSpec extends SparkSpec {
+
+  test("every profiling query runs") {
+    Profiling.all.foreach { q =>
+      val df = q.run(spark, sfDir)
+      assert(df.columns.nonEmpty, s"${q.name} has no columns")
+      df.collect()
+    }
+  }
+
+  test("completeness profile has one row per column, counts sum to total") {
+    val rows = Profiling.qProfileCompleteness.run(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val total = Tables.documents(spark, sfDir).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_present") + r.getAs[Long]("n_null") +
+        r.getAs[Long]("n_empty") == total, s"row $r")
+    }
+  }
+
+  test("moments: mean/stdev are sane for events.value") {
+    val r = Profiling.qMoments.run(spark, sfDir).collect()(0)
+    assert(r.getAs[Double]("mean_value") > 0)
+    assert(r.getAs[Double]("stdev_value") > 0)
+    assert(r.getAs[Long]("n_values") == Tables.events(spark, sfDir).count())
+  }
+
+  test("length histogram covers all documents") {
+    val rows = Profiling.qLengthHistogram.run(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sfDir).count())
+  }
+
+  test("percentiles are monotone") {
+    Profiling.qLengthPercentiles.run(spark, sfDir).collect().foreach { r =>
+      val ps = Seq("p5", "p25", "p50", "p75", "p95", "p99").map(r.getAs[Double])
+      assert(ps.sameElements(ps.sorted), s"non-monotone percentiles: $ps")
+    }
+  }
+
+  test("repeated-chars flag matches Java regex semantics") {
+    import spark.implicits._
+    val df = Seq("aaaaab normal", "no runs here").toDF("text")
+    val flagged = df.select(org.apache.spark.sql.functions.col("text")
+      .rlike("(.)\\1{4,}").as("f")).collect().map(_.getBoolean(0))
+    assert(flagged.sameElements(Array(true, false)))
+  }
+}
