@@ -14,6 +14,15 @@ import org.apache.spark.sql.types.DecimalType
   * The oracle SQL mirrors the same expression, so results are bit-identical
   * regardless of partitioning — the property that makes these aggregates
   * safe on a 1000-executor cluster.
+  *
+  * Averages need one more step. `ROUND(sum/n, r)` on a double is engine-
+  * dependent at rounding ties: an exact rational like 8.075 is the double
+  * 8.07499…, which Spark's round (via the shortest decimal string) takes to
+  * 8.08 while a binary-respecting round gives 8.07. So [[exactAvg]] performs
+  * the half-up rounding in *integer* arithmetic — exact in both engines:
+  * with S = sum in 10^-scale units and n = count,
+  *   round_r(S / (n·10^scale)) = sign(S) · ⌊(2·|S|·10^r + n·10^scale) /
+  *                                          (2·n·10^scale)⌋ / 10^r.
   */
 object Det {
 
@@ -25,17 +34,43 @@ object Det {
   def exactSumSql(expr: String, scale: Int = 4): String =
     s"CAST(SUM(CAST(ROUND($expr, $scale) AS DECIMAL(18,$scale))) AS DOUBLE)"
 
-  /** Deterministic mean of a double column, rounded to `r` decimals. */
-  def exactAvg(c: Column, r: Int = 2, scale: Int = 4): Column =
-    round(exactSum(c, scale) / count(lit(1)), r)
+  /** Integer half-up division: round(su / (n·p), r) with su an exact integer
+    * column (units of 1/p), n = count. All arithmetic in decimal(38,0) so it
+    * is exact and identical across engines; final /10^r is an exact-integer
+    * double division (deterministic IEEE).
+    */
+  private def halfUpAvg(su: Column, n0: Column, p: Long, r: Int): Column = {
+    val rp  = math.pow(10, r).toLong
+    val n   = n0.cast(DecimalType(38, 0))
+    val num = abs(su) * (2 * rp) + n * p
+    val den = n * (2 * p)
+    val q   = ((num - pmod(num, den)) / den).cast(DecimalType(38, 0))
+    signum(su.cast("double")) * q.cast("double") / rp
+  }
 
-  def exactAvgSql(expr: String, r: Int = 2, scale: Int = 4): String =
-    s"ROUND(${exactSumSql(expr, scale)} / COUNT(*), $r)"
+  private def halfUpAvgSql(sExpr: String, p: Long, r: Int): String = {
+    val rp = math.pow(10, r).toLong
+    s"(SIGN($sExpr) * CAST((2*ABS($sExpr)*$rp + COUNT(*)*$p) // (2*COUNT(*)*$p) AS DOUBLE) / $rp)"
+  }
+
+  /** Deterministic mean of a double column, half-up rounded to `r` decimals. */
+  def exactAvg(c: Column, r: Int = 2, scale: Int = 4): Column = {
+    val p  = math.pow(10, scale).toLong
+    val su = (sum(round(c, scale).cast(DecimalType(18, scale))) * p)
+      .cast(DecimalType(38, 0))
+    halfUpAvg(su, count(lit(1)), p, r)
+  }
+
+  def exactAvgSql(expr: String, r: Int = 2, scale: Int = 4): String = {
+    val p = math.pow(10, scale).toLong
+    val s = s"CAST(SUM(CAST(ROUND($expr, $scale) AS DECIMAL(18,$scale))) * $p AS BIGINT)"
+    halfUpAvgSql(s, p, r)
+  }
 
   /** Deterministic mean of an integer column (exact long sum / count). */
   def intAvg(c: Column, r: Int = 2): Column =
-    round(sum(c).cast("double") / count(lit(1)), r)
+    halfUpAvg(sum(c).cast(DecimalType(38, 0)), count(lit(1)), 1L, r)
 
   def intAvgSql(expr: String, r: Int = 2): String =
-    s"ROUND(CAST(SUM($expr) AS DOUBLE) / COUNT(*), $r)"
+    halfUpAvgSql(s"CAST(SUM($expr) AS BIGINT)", 1L, r)
 }

@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Det._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch ingestion + run-monitoring operators.
+  *
+  * Re-expresses the reference's pipeline/monitor layer
+  * (src/ingestion/pipeline.py, src/ingestion/monitor.py): idempotent
+  * incremental ingest (INSERT OR IGNORE ≙ left-anti join), ingest metrics
+  * (dedup rate), run-over-run deltas, z-score anomaly detection, and
+  * data-quality metrics vs a global baseline. The streaming twin lives in
+  * graft.streaming.
+  */
+object Ingest {
+
+  /** Idempotent incremental ingest (db_manager.insert_reviews_bulk:178,
+    * INSERT OR IGNORE): the incoming batch left-anti joined against
+    * already-ingested keys. Simulated cohorts: existing = even event_ids,
+    * incoming = event_ids divisible by 3.
+    */
+  val qIncrementalIngest: Q = Q(
+    "q_incremental_ingest",
+    """SELECT e.event_id, e.event_type, e.user_id
+      |FROM events e
+      |WHERE e.event_id % 3 = 0
+      |  AND NOT EXISTS (SELECT 1 FROM events x
+      |                  WHERE x.event_id % 2 = 0 AND x.event_id = e.event_id)
+      |ORDER BY e.event_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val incoming = ev.filter(col("event_id") % 3 === 0)
+    val existing = ev.filter(col("event_id") % 2 === 0).select("event_id")
+    incoming
+      .join(existing, Seq("event_id"), "left_anti")
+      .select("event_id", "event_type", "user_id")
+      .orderBy("event_id")
+  }
+
+  /** Per-run ingest metrics (monitor._compute_metrics:127): fetched /
+    * skipped / inserted counts and the dedup rate.
+    */
+  val qIngestMetrics: Q = Q(
+    "q_ingest_metrics",
+    """SELECT COUNT(*) AS fetched,
+      |  CAST(SUM(already) AS BIGINT) AS skipped,
+      |  COUNT(*) - CAST(SUM(already) AS BIGINT) AS inserted,
+      |  ROUND(SUM(already) * 100.0 / COUNT(*), 2) AS dedup_rate_pct
+      |FROM (SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS already
+      |      FROM events WHERE event_id % 3 = 0) t""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_id") % 3 === 0)
+      .select(when(col("event_id") % 2 === 0, 1).otherwise(0).as("already"))
+      .agg(
+        count(lit(1)).as("fetched"),
+        sum(col("already")).as("skipped"),
+        (count(lit(1)) - sum(col("already"))).as("inserted"),
+        round(sum(col("already")) * lit(100.0) / count(lit(1)), 2).as("dedup_rate_pct"))
+  }
+
+  /** Run-over-run deltas (monitor._compute_deltas:155): lag + pct change
+    * over the daily rollup. The window is over the already-aggregated tiny
+    * result, so the unpartitioned sort is safe at any input scale.
+    */
+  val qRunDeltas: Q = Q(
+    "q_run_deltas",
+    """WITH dly AS (
+      |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1)
+      |SELECT day, cnt,
+      |  lag(cnt) OVER (ORDER BY day) AS prev_cnt,
+      |  ROUND((cnt - lag(cnt) OVER (ORDER BY day)) * 100.0
+      |        / lag(cnt) OVER (ORDER BY day), 2) AS pct_change
+      |FROM dly ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    val w = Window.orderBy("day")
+    Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+      .withColumn("pct_change",
+        round((col("cnt") - col("prev_cnt")) * lit(100.0) / col("prev_cnt"), 2))
+      .orderBy("day")
+  }
+
+  /** Rolling z-score anomaly detection (monitor._detect_anomalies:276,
+    * _deviation:628). Stdev is derived from exact integer sums
+    * (Σx, Σx²) so the flag is deterministic at any parallelism.
+    */
+  val qAnomalyZscore: Q = Q(
+    "q_anomaly_zscore",
+    """WITH dly AS (
+      |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |s AS (
+      |  SELECT COUNT(*) AS nd, CAST(SUM(cnt) AS BIGINT) AS sc,
+      |         CAST(SUM(cnt * cnt) AS BIGINT) AS sc2 FROM dly)
+      |SELECT day, cnt,
+      |  ROUND((cnt - sc * 1.0 / nd)
+      |        / SQRT((sc2 - sc * sc * 1.0 / nd) / (nd - 1)), 3) AS zscore,
+      |  CAST(CASE WHEN ABS((cnt - sc * 1.0 / nd)
+      |        / SQRT((sc2 - sc * sc * 1.0 / nd) / (nd - 1))) > 2
+      |    THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+      |FROM dly, s ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    val dly = Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = dly.agg(
+      count(lit(1)).as("nd"),
+      sum(col("cnt")).as("sc"),
+      sum(col("cnt") * col("cnt")).as("sc2"))
+    val z = (col("cnt") - col("sc") * lit(1.0) / col("nd")) /
+      sqrt((col("sc2") - col("sc") * col("sc") * lit(1.0) / col("nd")) / (col("nd") - 1))
+    dly.crossJoin(broadcast(stats))
+      .select(
+        col("day"), col("cnt"),
+        round(z, 3).as("zscore"),
+        when(abs(z) > 2, 1).otherwise(0).as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  /** Per-cohort data-quality metrics vs global baseline
+    * (monitor._compute_data_quality:211): empty-content rate and average
+    * length per source, with the delta against the whole corpus.
+    */
+  val qQualityMetrics: Q = Q(
+    "q_quality_metrics",
+    """WITH base AS (
+      |  SELECT COUNT(*) AS bt, CAST(SUM(n_chars) AS BIGINT) AS bs FROM documents)
+      |SELECT source, COUNT(*) AS total,
+      |  CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_cnt,
+      |  ROUND(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS empty_rate,
+      |  ROUND(SUM(n_chars) * 1.0 / COUNT(*), 1) AS avg_len,
+      |  ROUND(SUM(n_chars) * 1.0 / COUNT(*) - (SELECT bs * 1.0 / bt FROM base), 1) AS avg_len_delta
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val base = docs.agg(count(lit(1)).as("bt"), sum(col("n_chars")).as("bs"))
+    docs.groupBy("source")
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("text") === "", 1).otherwise(0)).as("empty_cnt"),
+        round(sum(when(col("text") === "", 1).otherwise(0)) * lit(1.0) / count(lit(1)), 4)
+          .as("empty_rate"),
+        round(sum(col("n_chars")) * lit(1.0) / count(lit(1)), 1).as("avg_len"),
+        (sum(col("n_chars")) * lit(1.0) / count(lit(1))).as("raw_avg"))
+      .crossJoin(broadcast(base))
+      .withColumn("avg_len_delta",
+        round(col("raw_avg") - col("bs") * lit(1.0) / col("bt"), 1))
+      .select("source", "total", "empty_cnt", "empty_rate", "avg_len", "avg_len_delta")
+      .orderBy("source")
+  }
+
+  /** Tumbling-window counts — the batch-equivalent oracle for the
+    * Structured Streaming windowed aggregation in graft.streaming (same
+    * semantics on the same data, verifiable in SQL).
+    */
+  val qWindowedCounts: Q = Q(
+    "q_windowed_counts",
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |  COUNT(*) AS n_events,
+       |  ${exactAvgSql("value", 2, 4)} AS avg_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), exactAvg(col("value"), 2, 4).as("avg_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("avg_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Gap-based sessionization (30-min inactivity) via gaps-and-islands —
+    * the batch twin of the stateful streaming sessionizer. Timestamp
+    * arithmetic in exact epoch-µs integers.
+    */
+  val qSessionize: Q = Q(
+    "q_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+      |x AS (
+      |  SELECT user_id, event_id, tus,
+      |    CASE WHEN lag(tus) OVER w IS NULL
+      |           OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |y AS (
+      |  SELECT user_id, tus,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM x)
+      |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+      |  COUNT(*) AS n_events, MIN(tus) AS start_us, MAX(tus) AS end_us
+      |FROM y GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("new_sess",
+        when(lag(col("tus"), 1).over(w).isNull ||
+          col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("session_no",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"), min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us"))
+      .orderBy("user_id", "session_no")
+  }
+
+  val all: Seq[Q] = Seq(
+    qIncrementalIngest, qIngestMetrics, qRunDeltas, qAnomalyZscore,
+    qQualityMetrics, qWindowedCounts, qSessionize)
+}

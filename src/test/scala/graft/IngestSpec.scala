@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Ingest
+
+class IngestSpec extends SparkSpec {
+
+  test("every ingest query runs") {
+    Ingest.all.foreach { q =>
+      val df = q.run(spark, sfDir)
+      assert(df.columns.nonEmpty, s"${q.name} has no columns")
+      df.collect()
+    }
+  }
+
+  test("incremental ingest: no already-ingested key survives the anti-join") {
+    val rows = Ingest.qIncrementalIngest.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      assert(id % 3 == 0 && id % 2 != 0, s"bad survivor $id")
+    }
+  }
+
+  test("ingest metrics: fetched = skipped + inserted") {
+    val r = Ingest.qIngestMetrics.run(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("fetched") ==
+      r.getAs[Long]("skipped") + r.getAs[Long]("inserted"))
+  }
+
+  test("run deltas: first day has null prev, others carry previous count") {
+    val rows = Ingest.qRunDeltas.run(spark, sfDir).collect()
+    assert(rows.head.isNullAt(rows.head.fieldIndex("prev_cnt")))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("prev_cnt") == a.getAs[Long]("cnt"))
+      case _ =>
+    }
+  }
+
+  test("zscore: anomaly flag consistent with |z| > 2") {
+    Ingest.qAnomalyZscore.run(spark, sfDir).collect().foreach { r =>
+      val z = r.getAs[Double]("zscore")
+      val flag = r.getAs[Int]("is_anomaly")
+      assert((math.abs(z) > 2) == (flag == 1), s"z=$z flag=$flag")
+    }
+  }
+
+  test("sessionize: session event counts sum to total events") {
+    val sessions = Ingest.qSessionize.run(spark, sfDir).collect()
+    val total = sessions.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sfDir).count())
+    sessions.foreach { r =>
+      assert(r.getAs[Long]("start_us") <= r.getAs[Long]("end_us"))
+    }
+  }
+
+  test("windowed counts sum to total events") {
+    val rows = Ingest.qWindowedCounts.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sfDir).count())
+  }
+}
