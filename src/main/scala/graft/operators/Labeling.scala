@@ -1,0 +1,272 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Labeling / training-data operators.
+  *
+  * Re-expresses the reference's labeling system (src/labeling/sampler.py,
+  * exporter.py, reporter.py) Spark-first: 4-tier stratified sampling with a
+  * growing exclusion set, cross-key proportional-with-minimum balancing,
+  * multi-annotator majority-vote conflict resolution, deterministic
+  * stratified train/val/test split, and inter-annotator agreement (Cohen's
+  * kappa). The reference's `ORDER BY RANDOM()` becomes `ORDER BY
+  * md5(id)` — the same "arbitrary but unbiased" order, reproducible across
+  * engines and cluster runs.
+  *
+  * Scale notes: per-tier limits compile to TakeOrderedAndProject
+  * (per-partition top-k, then merge — no global sort); the per-key sampler
+  * windows partition by the key (parallelism = #keys, which in the
+  * reference's domain is #apps ≫ #executors); annotation dedup and the
+  * agreement pair-join shuffle on review_id, and pairs are O(k²) in
+  * #annotators per review — bounded by the annotator pool, not data size.
+  */
+object Labeling {
+
+  /** Simulated annotation set derived from events: review_id/annotator from
+    * id arithmetic, label = the value bucket; one label per
+    * (review, annotator), keeping the earliest event.
+    */
+  private val annSql =
+    """ann0 AS (
+      |  SELECT event_id % 199 AS review_id, user_id % 7 AS annotator,
+      |    CASE WHEN value >= 100 THEN 'high'
+      |         WHEN value >= 10 THEN 'mid' ELSE 'low' END AS label,
+      |    event_id
+      |  FROM events),
+      |ann AS (
+      |  SELECT review_id, annotator, label FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY review_id, annotator
+      |                                 ORDER BY event_id) AS rn
+      |    FROM ann0)
+      |  WHERE rn = 1)""".stripMargin
+
+  private def annotations(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val w = Window.partitionBy("review_id", "annotator").orderBy("event_id")
+    Tables.events(s, d)
+      .select(
+        (col("event_id") % 199).as("review_id"),
+        (col("user_id") % 7).as("annotator"),
+        when(col("value") >= 100, "high").when(col("value") >= 10, "mid")
+          .otherwise("low").as("label"),
+        col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("review_id", "annotator", "label")
+  }
+
+  /** 4-tier stratified sampler (sampler._get_tier_reviews:109): tier 1 =
+    * extreme-low first, tier 2 = extreme-high first, tier 3 = mid by id,
+    * tier 4 = pseudo-random slice of low-k events NOT already selected
+    * (the reference's growing `exclude` set, here a left-anti join).
+    * Events with event_id % 7 == 0 play "already labeled" and are excluded
+    * up front (sampler._get_already_queued_or_labeled).
+    */
+  val qSampleTiers: Q = Q(
+    "q_sample_tiers",
+    """WITH pool AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+      |  FROM events WHERE event_id % 7 <> 0),
+      |t1 AS (SELECT 1 AS tier, event_id, event_type, value FROM pool
+      |       WHERE value < 10 ORDER BY value ASC, event_id LIMIT 100),
+      |t2 AS (SELECT 2 AS tier, event_id, event_type, value FROM pool
+      |       WHERE value >= 100 ORDER BY value DESC, event_id LIMIT 100),
+      |t3 AS (SELECT 3 AS tier, event_id, event_type, value FROM pool
+      |       WHERE value >= 10 AND value < 100 ORDER BY event_id LIMIT 100),
+      |sel AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+      |        UNION ALL SELECT * FROM t3),
+      |t4 AS (SELECT 4 AS tier, p.event_id, p.event_type, p.value FROM pool p
+      |       WHERE p.k < 20
+      |         AND NOT EXISTS (SELECT 1 FROM sel s WHERE s.event_id = p.event_id)
+      |       ORDER BY md5(CAST(p.event_id AS VARCHAR)), p.event_id LIMIT 100)
+      |SELECT tier, event_id, event_type, value FROM sel
+      |UNION ALL SELECT tier, event_id, event_type, value FROM t4
+      |ORDER BY tier, event_id""".stripMargin
+  ) { (s, d) =>
+    val pool = Tables.events(s, d)
+      .filter(col("event_id") % 7 =!= 0)
+      .withColumn("k",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+    val out = Seq(col("event_id"), col("event_type"), col("value"))
+    val t1 = pool.filter(col("value") < 10)
+      .orderBy(col("value").asc, col("event_id")).limit(100)
+      .select(lit(1).as("tier") +: out: _*)
+    val t2 = pool.filter(col("value") >= 100)
+      .orderBy(col("value").desc, col("event_id")).limit(100)
+      .select(lit(2).as("tier") +: out: _*)
+    val t3 = pool.filter(col("value") >= 10 && col("value") < 100)
+      .orderBy("event_id").limit(100)
+      .select(lit(3).as("tier") +: out: _*)
+    val sel = t1.unionByName(t2).unionByName(t3)
+    val t4 = pool.filter(col("k") < 20)
+      .join(sel.select("event_id"), Seq("event_id"), "left_anti")
+      .orderBy(md5(col("event_id").cast("string")), col("event_id")).limit(100)
+      .select(lit(4).as("tier") +: out: _*)
+    sel.unionByName(t4).orderBy("tier", "event_id")
+  }
+
+  /** Cross-key balanced sampling (sampler._get_cross_app_balance:156):
+    * per-key target = max(30, floor(reserve · count/total)), filled in
+    * deterministic hash order. The allocation table is tiny → broadcast.
+    */
+  val qBalancedSample: Q = Q(
+    "q_balanced_sample",
+    """WITH pool AS (SELECT event_id, event_type FROM events
+      |              WHERE event_id % 7 <> 0),
+      |cnt AS (SELECT event_type, COUNT(*) AS c FROM pool GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+      |alloc AS (SELECT event_type, GREATEST(30, (200 * c) // t) AS target
+      |          FROM cnt, tot),
+      |rk AS (SELECT p.event_id, p.event_type,
+      |         row_number() OVER (PARTITION BY p.event_type
+      |           ORDER BY md5(CAST(p.event_id AS VARCHAR)), p.event_id) AS rn
+      |       FROM pool p)
+      |SELECT r.event_type, r.event_id
+      |FROM rk r JOIN alloc a USING (event_type)
+      |WHERE r.rn <= a.target
+      |ORDER BY r.event_type, r.event_id""".stripMargin
+  ) { (s, d) =>
+    val pool = Tables.events(s, d)
+      .filter(col("event_id") % 7 =!= 0).select("event_id", "event_type")
+    val cnt = pool.groupBy("event_type").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum("c").cast("long").as("t"))
+    val alloc = cnt.crossJoin(broadcast(tot))
+      .select(col("event_type"),
+        greatest(lit(30L), expr("(200 * c) div t")).as("target"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+    pool.withColumn("rn", row_number().over(w))
+      .join(broadcast(alloc), "event_type")
+      .filter(col("rn") <= col("target"))
+      .select("event_type", "event_id")
+      .orderBy("event_type", "event_id")
+  }
+
+  /** Majority-vote conflict resolution (exporter._resolve_conflicts:110):
+    * winning label by (count desc, label asc); ties keep the winner but
+    * demote confidence to 'low'.
+    */
+  val qMajorityVote: Q = Q(
+    "q_majority_vote",
+    s"""WITH $annSql,
+       |cnts AS (SELECT review_id, label, COUNT(*) AS c FROM ann GROUP BY 1, 2),
+       |agg AS (SELECT review_id, CAST(SUM(c) AS BIGINT) AS n_annotators,
+       |               MAX(c) AS mx
+       |        FROM cnts GROUP BY 1),
+       |atmax AS (SELECT cn.review_id, COUNT(*) AS n_at_max
+       |          FROM cnts cn JOIN agg a USING (review_id)
+       |          WHERE cn.c = a.mx GROUP BY 1),
+       |winner AS (SELECT review_id, label FROM (
+       |             SELECT review_id, label,
+       |               row_number() OVER (PARTITION BY review_id
+       |                                  ORDER BY c DESC, label ASC) AS rk
+       |             FROM cnts)
+       |           WHERE rk = 1)
+       |SELECT a.review_id, a.n_annotators, w.label AS majority_label,
+       |  CASE WHEN t.n_at_max > 1 THEN 'low' ELSE 'normal' END AS confidence
+       |FROM agg a JOIN winner w USING (review_id) JOIN atmax t USING (review_id)
+       |ORDER BY a.review_id""".stripMargin
+  ) { (s, d) =>
+    val cnts = annotations(s, d)
+      .groupBy("review_id", "label").agg(count(lit(1)).as("c"))
+    val agg = cnts.groupBy("review_id")
+      .agg(sum("c").cast("long").as("n_annotators"), max("c").as("mx"))
+    val atmax = cnts.join(agg, "review_id")
+      .filter(col("c") === col("mx"))
+      .groupBy("review_id").agg(count(lit(1)).as("n_at_max"))
+    val w = Window.partitionBy("review_id").orderBy(col("c").desc, col("label").asc)
+    val winner = cnts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).select("review_id", "label")
+    agg.join(winner, "review_id").join(atmax, "review_id")
+      .select(col("review_id"), col("n_annotators"),
+        col("label").as("majority_label"),
+        when(col("n_at_max") > 1, "low").otherwise("normal").as("confidence"))
+      .orderBy("review_id")
+  }
+
+  /** Deterministic stratified train/val/test split
+    * (exporter._stratified_split:161): per class (lang), hash-order rows
+    * and cut at floor(0.8n) / floor(0.8n)+floor(0.1n) — the same
+    * int(n*ratio) arithmetic as the reference, shuffle replaced by the
+    * reproducible hash order.
+    */
+  val qTrainSplit: Q = Q(
+    "q_train_split",
+    """WITH rk AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  CASE WHEN rn <= (8 * n) // 10 THEN 'train'
+      |       WHEN rn <= (8 * n) // 10 + n // 10 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM rk ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .select("doc_id", "lang")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("split",
+        when(col("rn") <= expr("(8 * n) div 10"), "train")
+          .when(col("rn") <= expr("(8 * n) div 10 + n div 10"), "val")
+          .otherwise("test"))
+      .select("doc_id", "lang", "split")
+      .orderBy("doc_id")
+  }
+
+  /** Inter-annotator agreement (reporter.report_agreement:111): observed
+    * vs chance-expected agreement over same-review annotator pairs, and
+    * Cohen's kappa. All ratios are single double divisions of exactly-
+    * computed integers (A, P, S=Σc²; T=2P) so the result is bit-identical
+    * at any parallelism: po=A/P, pe=S/T², κ=(A·T²−P·S)/(P·(T²−S)).
+    */
+  val qAgreement: Q = Q(
+    "q_agreement",
+    s"""WITH $annSql,
+       |pairs AS (SELECT a1.label AS l1, a2.label AS l2
+       |          FROM ann a1 JOIN ann a2
+       |            ON a1.review_id = a2.review_id
+       |           AND a1.annotator < a2.annotator),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS p,
+       |             CAST(SUM(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) AS BIGINT) AS a
+       |      FROM pairs),
+       |lab AS (SELECT l1 AS l FROM pairs UNION ALL SELECT l2 FROM pairs),
+       |s2 AS (SELECT CAST(SUM(c * c) AS BIGINT) AS s FROM
+       |        (SELECT l, COUNT(*) AS c FROM lab GROUP BY l))
+       |SELECT p AS n_pairs,
+       |  CAST(a AS DOUBLE) / p AS observed_agreement,
+       |  CAST(s AS DOUBLE) / (4 * p * p) AS expected_agreement,
+       |  CAST(a * 4 * p * p - p * s AS DOUBLE)
+       |    / (p * (4 * p * p - s)) AS kappa
+       |FROM m, s2""".stripMargin
+  ) { (s, d) =>
+    val ann = annotations(s, d)
+    val a1 = ann.select(col("review_id"), col("annotator").as("an1"), col("label").as("l1"))
+    val a2 = ann.select(col("review_id"), col("annotator").as("an2"), col("label").as("l2"))
+    val pairs = a1.join(a2,
+      a1("review_id") === a2("review_id") && col("an1") < col("an2"))
+    val m = pairs.agg(
+      count(lit(1)).cast("long").as("p"),
+      sum(when(col("l1") === col("l2"), 1).otherwise(0)).cast("long").as("a"))
+    val lab = pairs.select(col("l1").as("l"))
+      .unionAll(pairs.select(col("l2").as("l")))
+    val s2 = lab.groupBy("l").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).cast("long").as("s"))
+    m.crossJoin(s2).select(
+      col("p").as("n_pairs"),
+      (col("a").cast("double") / col("p")).as("observed_agreement"),
+      (col("s").cast("double") / (lit(4) * col("p") * col("p")))
+        .as("expected_agreement"),
+      ((col("a") * 4 * col("p") * col("p") - col("p") * col("s")).cast("double")
+        / (col("p") * (lit(4) * col("p") * col("p") - col("s")))).as("kappa"))
+  }
+
+  val all: Seq[Q] = Seq(
+    qSampleTiers, qBalancedSample, qMajorityVote, qTrainSplit, qAgreement)
+}

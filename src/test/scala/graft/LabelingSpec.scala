@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Labeling
+
+class LabelingSpec extends SparkSpec {
+
+  test("every labeling query runs") {
+    Labeling.all.foreach { q =>
+      val df = q.run(spark, sfDir)
+      assert(df.columns.nonEmpty, s"${q.name} has no columns")
+      df.collect()
+    }
+  }
+
+  test("tier sampler: tiers disjoint, respect limits and exclusions") {
+    val rows = Labeling.qSampleTiers.run(spark, sfDir).collect()
+    val ids = rows.map(_.getAs[Long]("event_id"))
+    assert(ids.distinct.length == ids.length, "event sampled twice")
+    ids.foreach(id => assert(id % 7 != 0, s"excluded id $id sampled"))
+    rows.groupBy(_.getAs[Int]("tier")).foreach { case (t, rs) =>
+      assert(rs.length <= 100, s"tier $t over limit: ${rs.length}")
+    }
+    rows.filter(_.getAs[Int]("tier") == 1)
+      .foreach(r => assert(r.getAs[Double]("value") < 10))
+    rows.filter(_.getAs[Int]("tier") == 2)
+      .foreach(r => assert(r.getAs[Double]("value") >= 100))
+  }
+
+  test("balanced sample: every key hits max(30, proportional) target cap") {
+    val rows = Labeling.qBalancedSample.run(spark, sfDir).collect()
+    val perKey = rows.groupBy(_.getAs[String]("event_type")).view.mapValues(_.length)
+    assert(perKey.nonEmpty)
+    perKey.foreach { case (k, n) => assert(n >= 30, s"$k under minimum: $n") }
+  }
+
+  test("majority vote: winner label has max count, confidence marks ties") {
+    val rows = Labeling.qMajorityVote.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Set("low", "normal").contains(r.getAs[String]("confidence")))
+      assert(Set("low", "mid", "high").contains(r.getAs[String]("majority_label")))
+    }
+  }
+
+  test("train split: partitions all docs, per-class ratios ~80/10/10") {
+    val rows = Labeling.qTrainSplit.run(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    val byClass = rows.groupBy(_.getAs[String]("lang"))
+    byClass.foreach { case (lang, rs) =>
+      val n = rs.length
+      val train = rs.count(_.getAs[String]("split") == "train")
+      val vl = rs.count(_.getAs[String]("split") == "val")
+      assert(train == (8 * n) / 10, s"$lang train $train of $n")
+      assert(vl == n / 10, s"$lang val $vl of $n")
+    }
+  }
+
+  test("agreement: kappa consistent with po/pe identity") {
+    val r = Labeling.qAgreement.run(spark, sfDir).collect()(0)
+    val po = r.getAs[Double]("observed_agreement")
+    val pe = r.getAs[Double]("expected_agreement")
+    val kappa = r.getAs[Double]("kappa")
+    assert(po >= 0 && po <= 1); assert(pe > 0 && pe < 1)
+    assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-9)
+  }
+}
