@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (with whole-stage codegen) for graft's hot
+  * paths — per SURVEY §4.7: no UDFs in hot loops; a codegen'd Expression
+  * keeps the similarity joins inside WholeStageCodegen where a Scala UDF
+  * would box every row.
+  */
+
+/** Exact integer dot product of two ArrayType(LongType) columns — the inner
+  * kernel of the quantized-embedding similarity operators (SURVEY §2.5
+  * #39-41). Inputs are embeddings quantized to integer units (round(x·10⁴)),
+  * so the product is exact, order-independent, and bit-identical to the
+  * DuckDB oracle's list_dot_product at any parallelism.
+  */
+case class DotQ(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements() < $b.numElements()
+         |  ? $a.numElements() : $b.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotQ =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Polynomial rolling hash over the bytes of an (ASCII-normalized) string:
+  * h = fold(0, b => (h·31 + b) mod 1e9+7). Document fingerprinting kernel
+  * (SURVEY §2.5 #45; reference deep_analysis duplicate detection works on
+  * whole-content equality — the rolling hash is the scale-friendly stand-in
+  * that also supports windowed/chunked fingerprints). The DuckDB oracle
+  * mirrors it with list_reduce over ascii codes, so it is exactly checkable.
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31L + (bytes(i) & 0xffL)) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $acc = ($acc * 31L + ($bytes[$i] & 0xffL)) % 1000000007L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+/** Runtime registration of graft's native expressions so operators can use
+  * them via `call_function` on any already-built session (Verify, Bench,
+  * specs). Idempotent — re-registering replaces the same builder.
+  */
+object GraftFunctions {
+  private def info(name: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getCanonicalName, name)
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("graft_dot_q"), info("graft_dot_q", classOf[DotQ]),
+      (children: Seq[Expression]) => DotQ(children(0), children(1)))
+    reg.registerFunction(
+      FunctionIdentifier("graft_rolling_hash"),
+      info("graft_rolling_hash", classOf[RollingHash]),
+      (children: Seq[Expression]) => RollingHash(children.head))
+  }
+}

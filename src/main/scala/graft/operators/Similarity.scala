@@ -1,0 +1,303 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection and similarity search (SURVEY §2.5 #36-41).
+  *
+  * Scale rules (SURVEY §4.4): nothing here materializes O(n²) of the corpus.
+  * - Jaccard joins go through an inverted shingle index (pairs only where a
+  *   shingle is shared); MinHash/SimHash go through band buckets first and
+  *   verify exactly only within buckets.
+  * - Embedding ops are quantized to integer units (round(x·10⁴)) so every
+  *   dot product is exact integer arithmetic — bit-identical to the DuckDB
+  *   oracle at any parallelism — evaluated by the codegen'd
+  *   [[graft.functions.DotQ]] kernel (stays inside WholeStageCodegen).
+  * - The brute-force variants are guarded correctness baselines: neardup is
+  *   blocked by the label column; top-k broadcasts a tiny query set and
+  *   scans the corpus once.
+  */
+object Similarity {
+
+  /** Distinct word 3-gram shingles per document (docs with ≥3 tokens). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("sh"))
+      .distinct()
+
+  private val shinglesSql =
+    """toks AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      |  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  /** Exact pairwise Jaccard over candidate pairs drawn from an inverted-
+    * index DataFrame of (doc_id, sh): intersection via groupBy on the pair,
+    * union from per-doc cardinalities. jaccard is one double division of
+    * exact integers.
+    */
+  private def jaccardPairs(sh: DataFrame, tau: Double): DataFrame = {
+    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("x"))
+      .join(card.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(card.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("x").cast("double") / (col("na") + col("nb") - col("x"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** N-gram Jaccard similarity join (τ=0.5): inverted shingle index →
+    * shared-shingle candidate pairs → exact Jaccard. The shuffle key is the
+    * shingle; at 100 TB hot shingles are the skew risk — AQE skew-join
+    * handles moderate skew, and the MinHash variant below is the scale path
+    * that never joins on raw shingles.
+    */
+  val qNgramJaccard: Q = Q(
+    "q_ngram_jaccard",
+    s"""WITH $shinglesSql,
+       |card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS x
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(x AS DOUBLE) / (ca.n + cb.n - x) AS jaccard
+       |FROM inter
+       |JOIN card ca ON ca.doc_id = id_a
+       |JOIN card cb ON cb.doc_id = id_b
+       |WHERE CAST(x AS DOUBLE) / (ca.n + cb.n - x) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    jaccardPairs(shingles(s, d), 0.5).orderBy("id_a", "id_b")
+  }
+
+  private val MinhashK = 32
+  private val BandRows = 4 // 8 bands × 4 rows
+
+  /** MinHash + LSH near-dup (rows-only; spec checks vs exact Jaccard):
+    * k=32 min-hashes per doc (one pass over the shingle index, 32 partial
+    * min aggregates), 8 bands of 4 → band-hash bucket join → exact Jaccard
+    * verification ONLY on bucket-collision pairs. This is the 100 TB dedup
+    * path: the shuffle carries 32 longs per doc, never the shingles.
+    */
+  val qDedupMinhash: Q = Q.rowsOnly("q_dedup_minhash") { (s, d) =>
+    val sh = shingles(s, d)
+    val minCols = (0 until MinhashK).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val sigs = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bands = sigs.select(col("doc_id"), posexplode(array(
+      (0 until MinhashK / BandRows).map(b =>
+        xxhash64((b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i")): _*)): _*))
+      .as(Seq("band", "bhash")))
+    val l = bands.select(col("doc_id").as("id_a"), col("band"), col("bhash"))
+    val r = bands.select(col("doc_id").as("id_b"), col("band"), col("bhash"))
+    val candidates = l.join(r, Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact verification within buckets only
+    jaccardPairs(sh.join(
+      candidates.select(col("id_a").as("doc_id"))
+        .unionByName(candidates.select(col("id_b").as("doc_id"))).distinct(),
+      Seq("doc_id"), "left_semi"), 0.5)
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup (rows-only; spec): 64-bit fingerprint from the sign
+    * of per-bit ±1 sums over distinct-token hashes (one pass, 64 partial
+    * aggregates), then the pigeonhole band join (4×16-bit chunks — Hamming
+    * ≤ 3 ⇒ at least one chunk equal) and exact Hamming ≤ 3 via
+    * bit_count(xor) within buckets.
+    */
+  val qDedupSimhash: Q = Q.rowsOnly("q_dedup_simhash") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+          .as("tok"))
+      .filter(col("tok") =!= "").distinct()
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s$b"))
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = sums.select(col("doc_id"),
+      (0 until 64).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ bitwiseOR _)
+        .as("fp"))
+    val bands = fp.select(col("doc_id"), col("fp"), posexplode(array(
+      (0 until 4).map(k =>
+        shiftrightunsigned(col("fp"), k * 16).bitwiseAND(0xffff)): _*))
+      .as(Seq("band", "chunk")))
+    val l = bands.select(col("doc_id").as("id_a"), col("fp").as("fp_a"),
+      col("band"), col("chunk"))
+    val r = bands.select(col("doc_id").as("id_b"), col("fp").as("fp_b"),
+      col("band"), col("chunk"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embeddings with integer-quantized vectors (units of 10⁻⁴) and their
+    * exact squared norm.
+    */
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+        .as("qv"))
+      .withColumn("n2", call_function("graft_dot_q", col("qv"), col("qv")))
+  }
+
+  private val quantizedSql =
+    """q AS (
+      |  SELECT vec_id, label,
+      |    [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS qv
+      |  FROM embeddings)""".stripMargin
+
+  private def cosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** Embedding cosine near-dup (τ=0.4), exact within label blocks — the
+    * guarded correctness baseline (SURVEY §4.4); q_ann_lsh is the unblocked
+    * scale path. Quantized integer dots → bit-identical to the oracle.
+    */
+  val qEmbedNeardup: Q = Q(
+    "q_embed_neardup",
+    s"""WITH $quantizedSql
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  list_dot_product(a.qv, b.qv)
+       |    / (sqrt(list_dot_product(a.qv, a.qv))
+       |       * sqrt(list_dot_product(b.qv, b.qv))) AS cosine
+       |FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.qv, b.qv)
+       |    / (sqrt(list_dot_product(a.qv, a.qv))
+       |       * sqrt(list_dot_product(b.qv, b.qv))) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    val q = quantized(s, d)
+    val a = q.select(col("label"), col("vec_id").as("id_a"),
+      col("qv").as("qa"), col("n2").as("n2a"))
+    val b = q.select(col("label"), col("vec_id").as("id_b"),
+      col("qv").as("qb"), col("n2").as("n2b"))
+    a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(call_function("graft_dot_q", col("qa"), col("qb")),
+          col("n2a"), col("n2b")).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force cosine top-k (k=5) for a small query set (vec_id < 10):
+    * broadcast the queries, scan the corpus once, per-query top-k. The
+    * per-query window partitions by query_id — parallelism scales with the
+    * query batch, the corpus scan itself is embarrassingly parallel.
+    */
+  val qCosineTopk: Q = Q(
+    "q_cosine_topk",
+    s"""WITH $quantizedSql,
+       |sc AS (
+       |  SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(qr.qv, c.qv)
+       |      / (sqrt(list_dot_product(qr.qv, qr.qv))
+       |         * sqrt(list_dot_product(c.qv, c.qv))) AS cosine
+       |  FROM q qr JOIN q c ON qr.vec_id < 10 AND c.vec_id <> qr.vec_id)
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  ) { (s, d) =>
+    val q = quantized(s, d)
+    val queries = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"), col("n2").as("n2q"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    q.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(call_function("graft_dot_q", col("qq"), col("qv")),
+          col("n2q"), col("n2")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64 → integer
+    * components in [-1000, 1000]); 8 tables × 4 bits.
+    */
+  private[operators] val Tables_ = 8
+  private[operators] val BitsPerTable = 4
+  private[operators] lazy val hyperplanes: Array[Array[Long]] = {
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(Tables_ * BitsPerTable) { j =>
+      Array.tabulate(64) { i =>
+        math.floorMod(splitmix(j * 64L + i), 2001L) - 1000L
+      }
+    }
+  }
+
+  /** LSH-bucketed ANN (rows-only; spec checks recall vs brute force):
+    * random-hyperplane sign buckets, 8 tables × 4 bits; candidates = corpus
+    * vectors sharing any table bucket with a query; exact cosine + top-k
+    * within candidates only. At 100 TB the bucket join replaces the full
+    * corpus scan per query with |candidates| ≈ n/2⁴ per table.
+    */
+  val qAnnLsh: Q = Q.rowsOnly("q_ann_lsh") { (s, d) =>
+    val q = quantized(s, d)
+    val planes = hyperplanes.map(h =>
+      array(h.map(v => lit(v)).toIndexedSeq: _*))
+    // per-table bucket id from sign bits of the hyperplane dots
+    val buckets = (0 until Tables_).map { t =>
+      (0 until BitsPerTable).map { b =>
+        when(call_function("graft_dot_q", col("qv"),
+          planes(t * BitsPerTable + b)) >= 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    val withBuckets = q.select(col("vec_id"), col("qv"), col("n2"),
+      posexplode(array(buckets: _*)).as(Seq("table_id", "bucket")))
+    val qs = withBuckets.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+        col("n2").as("n2q"), col("table_id"), col("bucket"))
+    val candidates = withBuckets.join(broadcast(qs), Seq("table_id", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "qq", "n2q", "vec_id", "qv", "n2").distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(call_function("graft_dot_q", col("qq"), col("qv")),
+          col("n2q"), col("n2")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(
+    qNgramJaccard, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
+    qCosineTopk, qAnnLsh)
+}

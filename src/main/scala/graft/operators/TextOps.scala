@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-training-data pipeline (SURVEY §2.5):
+  * exact dedup, language ID, quality scoring, token counting, and document
+  * fingerprinting. All hot-path expressions are built-in `functions._`
+  * (codegen'd); the rolling-hash fingerprint is a native Catalyst
+  * Expression ([[graft.functions.RollingHash]]) — no UDFs anywhere.
+  *
+  * The reference corpus analyzers (src/analysis/data_quality_analyzer.py,
+  * deep_analysis.py) motivate the flags/ratios; the dedup/fingerprint/
+  * quality ops are the 100 TB-scale extensions a training-data pipeline
+  * needs on top.
+  */
+object TextOps {
+
+  /** Whitespace-collapsed lowercase normalization — the canonical form all
+    * content dedup/fingerprints key on.
+    */
+  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private def norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+
+  /** Exact content dedup (hash-groupBy keep-min-id): one shuffle on the
+    * md5 of normalized text; survivors = min doc_id per group. At 100 TB
+    * this is the map-side-combine pattern — the hash is 16 bytes/row into
+    * the shuffle regardless of document size.
+    */
+  val qDedupExact: Q = Q(
+    "q_dedup_exact",
+    s"""SELECT md5($normSql) AS content_hash,
+       |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+       |FROM documents
+       |GROUP BY 1 ORDER BY keep_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(norm).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+  }
+
+  private val stopwords = Seq(
+    "en" -> Seq("the", "and", "is", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "de" -> Seq("der", "die", "und", "ist", "das", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"))
+
+  private def stopPattern(ws: Seq[String]) = s" (${ws.mkString("|")}) "
+
+  /** Language ID via stopword-hit counting over a letters-only lowercase
+    * padding, CJK short-circuit first; deterministic argmax with fixed
+    * priority en>es>de>fr, 'und' when no list hits. Output is the
+    * lang × predicted confusion matrix. (The synthetic corpus text does not
+    * encode its lang label, so this checks the heuristic's determinism
+    * across engines — both engines run the identical rule.)
+    */
+  val qLangId: Q = Q(
+    "q_lang_id", {
+      val scores = stopwords.map { case (l, ws) =>
+        s"len(regexp_extract_all(padded, '${stopPattern(ws)}')) AS s_$l"
+      }.mkString(",\n      |    ")
+      s"""WITH p AS (
+         |  SELECT lang,
+         |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk,
+         |    ' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ' AS padded
+         |  FROM documents),
+         |sc AS (
+         |  SELECT lang, cjk,
+         |    $scores
+         |  FROM p)
+         |SELECT lang,
+         |  CASE WHEN cjk THEN 'zh'
+         |       WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+         |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de'
+         |       ELSE 'fr' END AS predicted,
+         |  COUNT(*) AS n_docs
+         |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }
+  ) { (s, d) =>
+    val padded = concat(lit(" "),
+      regexp_replace(lower(col("text")), "[^a-z]+", " "), lit(" "))
+    var df = Tables.documents(s, d).select(
+      col("lang"),
+      col("text").rlike("[一-鿿]").as("cjk"),
+      padded.as("padded"))
+    for ((l, ws) <- stopwords)
+      df = df.withColumn(s"s_$l", regexp_count(col("padded"), lit(stopPattern(ws))))
+    df.select(col("lang"),
+        when(col("cjk"), "zh")
+          .when(col("s_en") === 0 && col("s_es") === 0 &&
+            col("s_de") === 0 && col("s_fr") === 0, "und")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+            col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr").as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Composite text-quality score: length saturation, stopword density,
+    * punctuation and all-caps penalties (reference analyze_text_quality /
+    * deep 5f, generalized to a single trainable-corpus score). Every ratio
+    * is one double division of exact integers and the weighted sum is
+    * written in the same association order in both engines → bit-identical.
+    */
+  val qQualityScore: Q = Q(
+    "q_quality_score",
+    s"""SELECT doc_id,
+       |  LEAST(1.0, length(text) / 500.0) AS len_score,
+       |  CASE WHEN trim(text) = '' THEN 0.0
+       |       ELSE LEAST(1.0, 5.0 *
+       |         len(regexp_extract_all(' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ',
+       |                                '${stopPattern(stopwords.head._2)}'))
+       |         / len(string_split_regex(trim(text), '\\s+'))) END AS stop_score,
+       |  CASE WHEN length(text) = 0 THEN 0.0
+       |       ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+       |            / length(text) END AS punct_ratio,
+       |  CASE WHEN length(text) = 0 THEN 0.0
+       |       ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+       |            / length(text) END AS caps_ratio,
+       |  0.4 * LEAST(1.0, length(text) / 500.0)
+       |  + 0.3 * (CASE WHEN trim(text) = '' THEN 0.0
+       |       ELSE LEAST(1.0, 5.0 *
+       |         len(regexp_extract_all(' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ',
+       |                                '${stopPattern(stopwords.head._2)}'))
+       |         / len(string_split_regex(trim(text), '\\s+'))) END)
+       |  + 0.15 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+       |       ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+       |            / length(text) END)
+       |  + 0.15 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+       |       ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+       |            / length(text) END) AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val padded = concat(lit(" "),
+      regexp_replace(lower(col("text")), "[^a-z]+", " "), lit(" "))
+    val lenScore = least(lit(1.0), length(col("text")) / 500.0)
+    val stopScore = when(trim(col("text")) === "", 0.0)
+      .otherwise(least(lit(1.0),
+        lit(5.0) * regexp_count(padded, lit(stopPattern(stopwords.head._2)))
+          / size(split(trim(col("text")), "\\s+"))))
+    val punct = when(length(col("text")) === 0, 0.0)
+      .otherwise(regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("double")
+        / length(col("text")))
+    val caps = when(length(col("text")) === 0, 0.0)
+      .otherwise(regexp_count(col("text"), lit("[A-Z]")).cast("double")
+        / length(col("text")))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      lenScore.as("len_score"),
+      stopScore.as("stop_score"),
+      punct.as("punct_ratio"),
+      caps.as("caps_ratio"),
+      (lit(0.4) * lenScore + lit(0.3) * stopScore
+        + lit(0.15) * (lit(1.0) - punct)
+        + lit(0.15) * (lit(1.0) - caps)).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / single digits / single symbols) — the standard corpus
+    * budget estimator.
+    */
+  val qTokenCount: Q = Q(
+    "q_token_count",
+    """SELECT doc_id,
+      |  CASE WHEN trim(text) = '' THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens_ws,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_tokens_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(trim(col("text")) === "", 0)
+        .otherwise(size(split(trim(col("text")), "\\s+"))).as("n_tokens_ws"),
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"))
+        .as("n_tokens_bpe"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: md5 of the normalized text plus the native
+    * codegen'd polynomial rolling hash ([[graft.functions.RollingHash]])
+    * over the ASCII-projected text; the oracle mirrors the hash with a
+    * list_reduce over ascii codes.
+    */
+  val qFingerprint: Q = Q(
+    "q_fingerprint",
+    s"""SELECT doc_id, md5($normSql) AS content_md5,
+       |  list_reduce(
+       |    list_prepend(0, [CAST(ascii(a[i]) AS BIGINT)
+       |                     FOR i IN generate_series(1, length(a))]),
+       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
+       |FROM (SELECT doc_id, text,
+       |        regexp_replace(text, '[^ -~]', '', 'g') AS a
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    GraftFunctions.register(s)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(norm).as("content_md5"),
+      call_function("graft_rolling_hash",
+        regexp_replace(col("text"), "[^ -~]", "")).as("rolling_hash"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    qDedupExact, qLangId, qQualityScore, qTokenCount, qFingerprint)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("every similarity query runs") {
+    Similarity.all.foreach { q =>
+      val df = q.run(spark, sfDir)
+      assert(df.columns.nonEmpty, s"${q.name} has no columns")
+      df.collect()
+    }
+  }
+
+  test("ngram jaccard: symmetric-free (a<b), jaccard in (0,1], dups found") {
+    val rows = Similarity.qNgramJaccard.run(spark, sfDir).collect()
+    assert(rows.nonEmpty, "expected near-dup pairs (corpus has exact dups)")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+  }
+
+  test("minhash recall: finds every exact-duplicate (j=1) pair; no false positives") {
+    val exact = Similarity.qNgramJaccard.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+    val mh = Similarity.qDedupMinhash.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+    val exactSet = exact.map(t => (t._1, t._2)).toSet
+    // j=1.0 pairs share every shingle, hence every band: recall 1 guaranteed
+    exact.filter(_._3 == 1.0).foreach { case (a, b, _) =>
+      assert(mh.exists(m => m._1 == a && m._2 == b), s"missed exact dup ($a,$b)")
+    }
+    // verification step makes precision exact
+    mh.foreach { case (a, b, j) =>
+      assert(exactSet.contains((a, b)), s"false positive ($a,$b)")
+      assert(j >= 0.5)
+    }
+  }
+
+  test("simhash: identical docs collide at hamming 0; all pairs <= 3") {
+    val rows = Similarity.qDedupSimhash.run(spark, sfDir).collect()
+    assert(rows.nonEmpty, "exact dups must collide")
+    rows.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+    // every exact-content duplicate pair must appear with hamming 0
+    val dups = Tables.documents(spark, sfDir)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") > 1 && trim(col("text")) =!= "")
+      .collect().flatMap { r =>
+        val ids = r.getAs[Seq[Long]]("ids").sorted
+        ids.combinations(2).map(p => (p(0), p(1)))
+      }
+    val got = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    dups.foreach { case (a, b) =>
+      assert(got.contains((a, b)), s"identical docs ($a,$b) not found")
+    }
+  }
+
+  test("embed neardup: pairs respect threshold and label blocking") {
+    val rows = Similarity.qEmbedNeardup.run(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cosine") >= 0.4)
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+    }
+  }
+
+  test("cosine topk: 5 ranked neighbors per query, descending") {
+    val rows = Similarity.qCosineTopk.run(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length == 5)
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, "not descending")
+    }
+  }
+
+  test("lsh ann: recall@5 vs brute force is nontrivial, results are subset-ranked") {
+    val brute = Similarity.qCosineTopk.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.qAnnLsh.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(s"LSH recall@5 = $recall")
+    assert(recall >= 0.2, s"recall $recall too low")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+
+  test("every textops query runs") {
+    TextOps.all.foreach { q =>
+      val df = q.run(spark, sfDir)
+      assert(df.columns.nonEmpty, s"${q.name} has no columns")
+      df.collect()
+    }
+  }
+
+  test("exact dedup: copies sum to corpus size, keep_id is a member") {
+    val rows = TextOps.qDedupExact.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_copies")).sum ==
+      Tables.documents(spark, sfDir).count())
+    val distinctNorm = Tables.documents(spark, sfDir)
+      .select(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .distinct().count()
+    assert(rows.length == distinctNorm)
+  }
+
+  test("lang id confusion matrix covers all docs") {
+    val rows = TextOps.qLangId.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sfDir).count())
+  }
+
+  test("quality score in [0,1] and equals its weighted components") {
+    TextOps.qQualityScore.run(spark, sfDir).collect().foreach { r =>
+      val sc = r.getAs[Double]("quality_score")
+      assert(sc >= 0 && sc <= 1, s"score $sc out of range")
+      val expect = 0.4 * r.getAs[Double]("len_score") +
+        0.3 * r.getAs[Double]("stop_score") +
+        0.15 * (1.0 - r.getAs[Double]("punct_ratio")) +
+        0.15 * (1.0 - r.getAs[Double]("caps_ratio"))
+      assert(sc == expect, s"score mismatch $sc vs $expect")
+    }
+  }
+
+  test("token counts: ws tokens <= bpe tokens for word corpus") {
+    TextOps.qTokenCount.run(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Int]("n_tokens_ws") <= r.getAs[Int]("n_tokens_bpe") ||
+        r.getAs[Int]("n_tokens_ws") - 1 <= r.getAs[Int]("n_tokens_bpe"))
+    }
+  }
+
+  test("rolling hash expression matches a reference fold") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val got = Seq("abc", "", "hello world").toDF("text")
+      .select(call_function("graft_rolling_hash", col("text")))
+      .collect().map(_.getLong(0))
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    assert(got.sameElements(Array(ref("abc"), ref(""), ref("hello world"))))
+    assert(ref("abc") == 96354L)
+  }
+
+  test("identical texts share fingerprints") {
+    val fp = TextOps.qFingerprint.run(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val joined = fp.join(docs, "doc_id")
+      .groupBy("text").agg(countDistinct("content_md5").as("m"),
+        countDistinct("rolling_hash").as("rh"))
+      .filter(col("m") > 1 || col("rh") > 1)
+    assert(joined.count() == 0)
+  }
+}
