@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata for an opaque media payload. Width/height apply to
+  * images, sampleRate to audio; absent dimensions are -1 (kept non-null so
+  * the struct stays codegen/Encoder-friendly).
+  */
+final case class MediaMeta(fmt: String, width: Int, height: Int, sampleRate: Int)
+
+/** One media asset: opaque binary payload + typed metadata. */
+final case class MediaAsset(assetId: Long, source: String, meta: MediaMeta,
+    payload: Array[Byte])
+
+/** Extracted per-asset features (decode stub output). */
+final case class MediaFeatures(assetId: Long, fmt: String, nBytes: Int,
+    features: Array[Double])
+
+/** Multimodal columns (SURVEY §2.5 #46): image/audio/video as opaque
+  * `binary` columns with typed metadata, plus a batched feature-extraction
+  * pass. The Spark-side plumbing — schema, Encoders, partitioning, batch
+  * shape — is real; the decode itself is a STUB (this container has no
+  * image/audio codecs): [[Multimodal.decodeBatchStub]] stands in for a
+  * JNI/codec call and produces deterministic fake features, so specs can
+  * assert exact behavior. At 100 TB the pattern holds: payloads never
+  * shuffle (feature extraction is mapPartitions, narrow), and metadata-only
+  * queries prune the payload column at the parquet scan.
+  */
+object Multimodal {
+
+  val BatchSize = 64
+
+  /** Synthesize a media-asset Dataset from the documents table: payload =
+    * utf-8 bytes of text (an opaque stand-in), fmt/dimensions derived
+    * deterministically from doc_id. On a real lake this is
+    * `spark.read.parquet` over (id, meta struct, payload binary) files.
+    */
+  def assets(s: SparkSession, d: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    Tables.documents(s, d).select(
+      col("doc_id").as("assetId"),
+      col("source"),
+      struct(
+        element_at(lit(Array("png", "jpg", "wav")), (col("doc_id") % 3 + 1).cast("int"))
+          .as("fmt"),
+        when(col("doc_id") % 3 < 2, (col("doc_id") % 640 + 1).cast("int"))
+          .otherwise(-1).as("width"),
+        when(col("doc_id") % 3 < 2, (col("doc_id") % 480 + 1).cast("int"))
+          .otherwise(-1).as("height"),
+        when(col("doc_id") % 3 === 2, 16000).otherwise(-1).as("sampleRate"))
+        .as("meta"),
+      col("text").cast("binary").as("payload"))
+      .as[MediaAsset]
+  }
+
+  /** STUB decoder: in production this calls the actual image/audio codec
+    * on a batch of payloads (batching amortizes codec/JNI setup). Here it
+    * derives 4 deterministic features per asset from the raw bytes so the
+    * pipeline shape is fully testable: [byte count, first byte, last byte,
+    * mean byte value].
+    */
+  def decodeBatchStub(batch: Seq[MediaAsset]): Seq[MediaFeatures] =
+    batch.map { a =>
+      val b = a.payload
+      val mean = if (b.isEmpty) 0.0
+        else b.foldLeft(0L)((acc, x) => acc + (x & 0xff)).toDouble / b.length
+      MediaFeatures(a.assetId, a.meta.fmt, b.length,
+        Array(b.length.toDouble,
+          if (b.isEmpty) -1.0 else (b.head & 0xff).toDouble,
+          if (b.isEmpty) -1.0 else (b.last & 0xff).toDouble,
+          mean))
+    }
+
+  /** Batched feature extraction: narrow mapPartitions (payloads never
+    * shuffle), batches of [[BatchSize]] assets into the decoder stub.
+    */
+  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(it =>
+      it.grouped(BatchSize).flatMap(decodeBatchStub))
+  }
+
+  /** Metadata-only rollup over the binary assets (oracle-checked): the
+    * payload participates only through octet_length; Catalyst prunes and
+    * pushes the rest. fmt/meta derivation mirrored exactly in DuckDB.
+    */
+  val qBinaryMeta: Q = Q(
+    "q_binary_meta",
+    """SELECT source,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
+      |  COUNT(*) AS n_assets,
+      |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+      |  CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
+      |FROM documents
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    assets(s, d)
+      .groupBy(col("source"), col("meta.fmt").as("fmt"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(octet_length(col("payload"))).as("total_bytes"),
+        max(octet_length(col("payload"))).cast("long").as("max_bytes"))
+      .orderBy("source", "fmt")
+  }
+
+  /** Feature rollup through the full binary→decode-stub→features path
+    * (rows-only: the batched mapPartitions is not SQL-expressible; the
+    * spec pins exact feature values instead).
+    */
+  val qMediaFeatures: Q = Q.rowsOnly("q_media_features") { (s, d) =>
+    extractFeatures(assets(s, d)).toDF()
+      .groupBy("fmt")
+      .agg(count(lit(1)).as("n"),
+        sum("nBytes").as("total_bytes"))
+      .orderBy("fmt")
+  }
+
+  val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures)
+}

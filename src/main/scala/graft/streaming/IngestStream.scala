@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One ingested event (events table row, µs-truncated timestamp). */
+final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** One closed session (streaming sessionizer output). */
+final case class SessionOut(user_id: Long, n_events: Long, start_us: Long,
+    end_us: Long)
+
+/** Streaming ingest (SURVEY §2.2 #16/#17): the reference's continuous
+  * scrape loop (src/ingestion/pipeline.py run loop + scheduler.py),
+  * re-expressed as Structured Streaming. The transformations are defined
+  * on plain Datasets so the SAME code runs in batch (where
+  * [[graft.operators.Ingest.qWindowedCounts]] provides the SQL oracle) and
+  * on a readStream source — Spark's unified-engine contract.
+  *
+  * Scale/state design (SURVEY §4.6): every stateful op is bounded —
+  * dedup state is dropped past the watermark, window state closes at
+  * watermark, session state carries one (start,end,count) triple per open
+  * session and times out by event time. No unbounded driver-side state.
+  */
+object IngestStream {
+
+  /** Watermarked dedup-by-PK: the streaming twin of INSERT OR IGNORE
+    * (reference db_manager.insert_reviews_bulk:178). State: one key per
+    * event inside the watermark horizon, dropped after 10 minutes of
+    * event-time lag.
+    */
+  def dedupe(events: Dataset[Event]): Dataset[Event] =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Windowed per-type counts + deterministic avg over a 1-hour tumbling
+    * event-time window; emits only finalized windows (Append + watermark).
+    * Batch-equivalent semantics: Ingest.qWindowedCounts — the identical
+    * definition runs in both modes. Streaming callers compose the
+    * watermark upstream (via [[dedupe]], which defines it — a watermark
+    * may only be defined once per stream); batch callers need none.
+    */
+  def windowedCounts(events: Dataset[Event]): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Det.exactAvg(col("value"), 2, 4).as("avg_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("avg_value"))
+
+  /** Stateful gap sessionizer (30-min inactivity), the streaming twin of
+    * Ingest.qSessionize: flatMapGroupsWithState with event-time timeout.
+    * State per user = the open session only; closed sessions are emitted
+    * when a gap is observed in-stream or when the watermark passes the
+    * session's timeout.
+    */
+  val GapUs: Long = 30L * 60 * 1000000
+
+  final case class SessState(startUs: Long, endUs: Long, n: Long)
+
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.n, s.startUs, s.endUs))
+          } else {
+            // micro-batch arrivals are not ordered: sort within the batch
+            val ts = it.map(e => e.ts.getTime * 1000 +
+              (e.ts.getNanos / 1000) % 1000).toArray.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.endUs <= GapUs =>
+                  cur = Some(SessState(s.startUs, math.max(s.endUs, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.n, s.startUs, s.endUs)
+                  cur = Some(SessState(t, t, 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000 + GapUs / 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{MediaAsset, MediaMeta, Multimodal}
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("every multimodal query runs") {
+    Multimodal.all.foreach { q =>
+      val df = q.run(spark, sfDir)
+      assert(df.columns.nonEmpty)
+      assert(df.collect().nonEmpty, s"${q.name} empty")
+    }
+  }
+
+  test("assets: typed metadata consistent with fmt") {
+    Multimodal.assets(spark, sfDir).collect().foreach { a =>
+      a.meta.fmt match {
+        case "png" | "jpg" =>
+          assert(a.meta.width > 0 && a.meta.height > 0 && a.meta.sampleRate == -1)
+        case "wav" =>
+          assert(a.meta.width == -1 && a.meta.sampleRate == 16000)
+        case other => fail(s"unexpected fmt $other")
+      }
+    }
+  }
+
+  test("feature extraction: deterministic stub features, one row per asset") {
+    val assets = Multimodal.assets(spark, sfDir)
+    val feats = Multimodal.extractFeatures(assets).collect()
+    assert(feats.length == assets.count())
+    val byId = feats.map(f => f.assetId -> f).toMap
+    assets.collect().take(50).foreach { a =>
+      val f = byId(a.assetId)
+      assert(f.nBytes == a.payload.length)
+      assert(f.features.length == 4)
+      assert(f.features(0) == a.payload.length.toDouble)
+      if (a.payload.nonEmpty) {
+        assert(f.features(1) == (a.payload.head & 0xff).toDouble)
+        assert(f.features(2) == (a.payload.last & 0xff).toDouble)
+      }
+    }
+  }
+
+  test("decode stub batches cap at BatchSize") {
+    // grouped() must never hand the decoder more than BatchSize assets
+    val sizes = Multimodal.assets(spark, sfDir)
+      .mapPartitions(it => it.grouped(Multimodal.BatchSize).map(_.size))(
+        org.apache.spark.sql.Encoders.scalaInt)
+      .collect()
+    assert(sizes.forall(_ <= Multimodal.BatchSize))
+    assert(sizes.sum == Multimodal.assets(spark, sfDir).count())
+  }
+
+  test("metadata-only query prunes the payload column from the scan") {
+    val plan = Multimodal.qBinaryMeta.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.split("\n").find(_.contains("ReadSchema"))
+      .getOrElse(fail("no FileScan in plan:\n" + plan))
+    // only the columns the rollup needs reach the parquet scan
+    assert(scanLine.contains("doc_id") && scanLine.contains("source"))
+    assert(!scanLine.contains("lang") && !scanLine.contains("n_chars"),
+      "unused columns not pruned: " + scanLine)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Event, IngestStream}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming twins vs their batch oracles: the same transformations on a
+  * MemoryStream must converge to the batch results on the same data.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  private def runToCompletion[T](
+      stream: org.apache.spark.sql.DataFrame, name: String,
+      mem: MemoryStream[T], batches: Seq[Seq[T]]): Array[org.apache.spark.sql.Row] = {
+    val query = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b); query.processAllAvailable() }
+      // advance the watermark far enough to close all windows/sessions
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table(name).collect()
+  }
+
+  test("streaming windowed counts match batch semantics incl. late dup drop") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(5), 10, "click", 4.0),
+      Event(2, ts(10), 10, "click", 6.0),
+      Event(1, ts(5), 10, "click", 4.0), // duplicate PK -> dropped
+      Event(3, ts(70), 11, "view", 10.0),
+      Event(4, ts(200), 11, "view", 2.0)) // advances watermark, closes earlier windows
+    val rows = runToCompletion(
+      IngestStream.windowedCounts(IngestStream.dedupe(mem.toDS())),
+      "win_counts", mem, Seq(events.take(3), events.drop(3)))
+    val byKey = rows.map(r => (r.getAs[Timestamp]("window_start").getTime / 60000,
+      r.getAs[String]("event_type")) -> (r.getAs[Long]("n_events"), r.getAs[Double]("avg_value"))).toMap
+    assert(byKey((0, "click")) == ((2L, 5.0)), s"got $byKey")
+    assert(byKey((60, "view")) == ((1L, 10.0)))
+  }
+
+  test("streaming sessionizer closes sessions on gap and on watermark timeout") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val batch1 = Seq(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(11), 1, "click", 1.0), // same session (10 min gap)
+      Event(3, ts(61), 1, "click", 1.0)) // gap 50 min -> closes session 1
+    val batch2 = Seq(
+      Event(4, ts(301), 2, "view", 1.0)) // watermark -> times out user 1's session
+    val out = runToCompletion(
+      IngestStream.sessionize(mem.toDS()).toDF(), "sessions", mem,
+      Seq(batch1, batch2))
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+      .map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("start_us"), r.getAs[Long]("end_us")))
+      .sortBy(_._2)
+    assert(u1.length == 2, s"expected both user-1 sessions closed, got ${u1.mkString(",")}")
+    assert(u1(0) == ((2L, 1L * 60000000L, 11L * 60000000L)))
+    assert(u1(1) == ((1L, 61L * 60000000L, 61L * 60000000L)))
+  }
+
+  test("batch and streaming windowed-count plans share one definition") {
+    import spark.implicits._
+    // run the streaming transformation in batch mode over the real table
+    val events = Tables.events(spark, sfDir).select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val viaStreamDef = IngestStream.windowedCounts(events)
+      .orderBy("window_start", "event_type").collect()
+    val batch = graft.operators.Ingest.qWindowedCounts.run(spark, sfDir).collect()
+    assert(viaStreamDef.length == batch.length)
+    viaStreamDef.zip(batch).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+}
