@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** File export/import sinks — the Spark-native re-expression of the
+  * reference's storage layer (src/storage/file_storage.py): JSON and CSV
+  * export with in-batch dedup by key (file_storage._seen_ids /
+  * _deduplicate_reviews), idempotent incremental append (the file-level
+  * INSERT OR IGNORE), and schema-explicit load-back.
+  *
+  * Scale notes: all writers are distributed partitioned writes (one file
+  * per task — no driver-side collect); the incremental append anti-joins
+  * the new batch against only the key column of the existing sink, which
+  * for parquet sinks is a pruned columnar scan. JSONL/CSV are kept for
+  * interchange parity with the reference; parquet is the recommended
+  * at-scale sink and the default.
+  */
+object Store {
+
+  /** In-batch dedup by key, keep-first in `orderCol` order (deterministic
+    * twin of the reference's insertion-order _seen_ids set).
+    */
+  def dedupeByKey(df: DataFrame, key: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(orderCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Export as JSON-lines (one object per line, per-task files). */
+  def exportJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Export as CSV with header. */
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Export as parquet (the at-scale sink). */
+  def exportParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def loadJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  def loadCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).option("header", "true").csv(path)
+
+  /** Idempotent incremental append: write only the batch rows whose key is
+    * not already present in the sink (reference append=True +
+    * _deduplicate_reviews, and pipeline INSERT OR IGNORE). Re-running the
+    * same batch is a no-op. Returns the number of appended rows.
+    *
+    * The existing-keys scan reads only `key` (columnar-pruned on parquet);
+    * the anti-join shuffles on the key unless the sink side is small
+    * enough for AQE to broadcast it.
+    */
+  def appendDeduped(df: DataFrame, path: String, key: String,
+      format: String = "parquet"): Long = {
+    val s = df.sparkSession
+    val sinkExists = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    } catch { case _: Throwable => false }
+    val novel = if (!sinkExists) df
+    else {
+      val existing = s.read.format(format)
+        .options(if (format == "csv") Map("header" -> "true") else Map.empty[String, String])
+        .schema(df.schema).load(path)
+        .select(key)
+      df.join(existing, Seq(key), "left_anti")
+    }
+    val deduped = dedupeByKey(novel, key, key)
+    val n = deduped.count()
+    if (n > 0) {
+      val writer = deduped.write.mode(SaveMode.Append).format(format)
+      (if (format == "csv") writer.option("header", "true") else writer).save(path)
+    }
+    n
+  }
+}

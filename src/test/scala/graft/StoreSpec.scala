@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Store
+import org.apache.spark.sql.functions._
+
+class StoreSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_$name").resolve("out").toString
+
+  private def sample = Tables.documents(spark, sfDir)
+    .select("doc_id", "lang", "source", "n_chars").limit(200)
+
+  test("jsonl round-trip preserves rows") {
+    val path = tmp("jsonl")
+    val df = sample
+    Store.exportJsonl(df, path)
+    val back = Store.loadJsonl(spark, path, df.schema)
+    assert(back.count() == df.count())
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("csv round-trip preserves rows") {
+    val path = tmp("csv")
+    val df = sample
+    Store.exportCsv(df, path)
+    val back = Store.loadCsv(spark, path, df.schema)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("in-batch dedup keeps exactly one row per key") {
+    val df = sample.unionByName(sample) // every key duplicated
+    val deduped = Store.dedupeByKey(df, "doc_id", "doc_id")
+    assert(deduped.count() == sample.count())
+  }
+
+  test("incremental append is idempotent and appends only novel keys") {
+    val path = tmp("append")
+    val b1 = sample.filter(col("doc_id") < 100)
+    val b2 = sample.filter(col("doc_id") < 150) // overlaps b1
+    val n1 = Store.appendDeduped(b1, path, "doc_id")
+    assert(n1 == b1.count())
+    val again = Store.appendDeduped(b1, path, "doc_id")
+    assert(again == 0, "re-running the same batch must be a no-op")
+    val n2 = Store.appendDeduped(b2, path, "doc_id")
+    assert(n2 == b2.count() - b1.count())
+    val sink = spark.read.parquet(path)
+    assert(sink.count() == b2.count())
+    assert(sink.select("doc_id").distinct().count() == b2.count())
+  }
+
+  test("extensions entry point installs without error") {
+    new graft.plans.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
