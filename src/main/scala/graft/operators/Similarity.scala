@@ -48,6 +48,11 @@ object Similarity {
   private def shingles(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "shingles") {
       Tables.documents(s, d)
+        // small single-file inputs scan as ONE partition; spread the rows
+        // before the explode so shingling runs at full parallelism (at lake
+        // scale the scan is already multi-split and this is a cheap no-op
+        // guard against tiny-file skew)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("w"))
         .filter(size(col("w")) >= 3)
@@ -140,12 +145,21 @@ object Similarity {
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
     }
-    // exact verification within buckets only
-    jaccardPairs(sh.join(
-      candidates.select(col("id_a").as("doc_id"))
-        .unionByName(candidates.select(col("id_b").as("doc_id"))).distinct(),
-      Seq("doc_id"), "left_semi"), 0.5)
-      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+    // exact verification within buckets only: gather the candidate docs'
+    // shingle sets once and intersect per pair — O(|candidates|) array
+    // work instead of re-running the inverted-index self-join
+    val ids = candidates.select(col("id_a").as("doc_id"))
+      .unionByName(candidates.select(col("id_b").as("doc_id"))).distinct()
+    val sets = sh.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set("sh").as("shs"))
+    candidates
+      .join(sets.select(col("doc_id").as("id_a"), col("shs").as("sa")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shs").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          (size(col("sa")) + size(col("sb"))
+            - size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
       .orderBy("id_a", "id_b")
   }
 
@@ -157,6 +171,7 @@ object Similarity {
     */
   val qDedupSimhash: Q = Q.rowsOnly("q_dedup_simhash") { (s, d) =>
     val toks = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
           .as("tok"))
