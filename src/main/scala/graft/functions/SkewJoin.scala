@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys (SURVEY §4.2).
+  *
+  * AQE's skew-join split handles moderate skew at runtime; salting is the
+  * explicit fallback when one key dominates so badly that even split
+  * partitions hotspot a single task pair (the classic power-law key at
+  * 100 TB). The big side gets a uniform random-free salt derived from a
+  * per-row hash (deterministic — no rand(), so retried tasks and both
+  * cluster runs produce identical partitioning); the small side is
+  * replicated once per salt bucket.
+  *
+  * Semantics are exactly those of `big.join(small, keys, "inner")`; the
+  * spec asserts equality row-for-row.
+  */
+object SkewJoin {
+
+  /** Inner-join `big` with `small` on `keys`, spreading each key of the
+    * big side over `salts` shuffle buckets and replicating the small side
+    * `salts` times. Use when a handful of keys dwarf the rest; `salts`
+    * should be around the executor-core count that one hot key must fan
+    * out to.
+    */
+  def saltedInnerJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int): DataFrame = {
+    require(salts > 0)
+    // deterministic per-row salt: stable across retries and runs
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+}
