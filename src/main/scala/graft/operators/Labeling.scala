@@ -63,9 +63,9 @@ object Labeling {
     * Events with event_id % 7 == 0 play "already labeled" and are excluded
     * up front (sampler._get_already_queued_or_labeled).
     */
-  val qSampleTiers: Q = Q(
-    "q_sample_tiers",
-    """WITH pool AS (
+  /** The 4-tier queue CTEs, shared by qSampleTiers and qQueueProgress. */
+  private val tierSql =
+    """pool AS (
       |  SELECT event_id, event_type, value,
       |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
       |  FROM events WHERE event_id % 7 <> 0),
@@ -80,11 +80,11 @@ object Labeling {
       |t4 AS (SELECT 4 AS tier, p.event_id, p.event_type, p.value FROM pool p
       |       WHERE p.k < 20
       |         AND NOT EXISTS (SELECT 1 FROM sel s WHERE s.event_id = p.event_id)
-      |       ORDER BY md5(CAST(p.event_id AS VARCHAR)), p.event_id LIMIT 100)
-      |SELECT tier, event_id, event_type, value FROM sel
-      |UNION ALL SELECT tier, event_id, event_type, value FROM t4
-      |ORDER BY tier, event_id""".stripMargin
-  ) { (s, d) =>
+      |       ORDER BY md5(CAST(p.event_id AS VARCHAR)), p.event_id LIMIT 100),
+      |queue AS (SELECT tier, event_id, event_type, value FROM sel
+      |          UNION ALL SELECT tier, event_id, event_type, value FROM t4)""".stripMargin
+
+  private def tiers(s: org.apache.spark.sql.SparkSession, d: String) = {
     val pool = Tables.events(s, d)
       .filter(col("event_id") % 7 =!= 0)
       .withColumn("k",
@@ -104,7 +104,57 @@ object Labeling {
       .join(sel.select("event_id"), Seq("event_id"), "left_anti")
       .orderBy(md5(col("event_id").cast("string")), col("event_id")).limit(100)
       .select(lit(4).as("tier") +: out: _*)
-    sel.unionByName(t4).orderBy("tier", "event_id")
+    sel.unionByName(t4)
+  }
+
+  val qSampleTiers: Q = Q(
+    "q_sample_tiers",
+    s"""WITH $tierSql
+       |SELECT tier, event_id, event_type, value FROM queue
+       |ORDER BY tier, event_id""".stripMargin
+  ) { (s, d) => tiers(s, d).orderBy("tier", "event_id") }
+
+  /** Queue progress rollup (db_manager.get_queue_stats:?,
+    * reporter.report_progress/report_queue_status:90): tier × status
+    * counts over the label queue; statuses simulated deterministically
+    * from the item id (pending/completed/skipped).
+    */
+  val qQueueProgress: Q = Q(
+    "q_queue_progress",
+    s"""WITH $tierSql
+       |SELECT tier,
+       |  CASE event_id % 3 WHEN 0 THEN 'pending'
+       |       WHEN 1 THEN 'completed' ELSE 'skipped' END AS status,
+       |  COUNT(*) AS n_items
+       |FROM queue GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    tiers(s, d)
+      .withColumn("status",
+        when(col("event_id") % 3 === 0, "pending")
+          .when(col("event_id") % 3 === 1, "completed")
+          .otherwise("skipped"))
+      .groupBy("tier", "status").agg(count(lit(1)).as("n_items"))
+      .orderBy("tier", "status")
+  }
+
+  /** Label distribution (db_manager.get_label_distribution): per-label
+    * counts + exact-integer share over the deduped annotation set.
+    */
+  val qLabelDistribution: Q = Q(
+    "q_label_distribution",
+    s"""WITH $annSql,
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM ann)
+       |SELECT label, COUNT(*) AS n_labels,
+       |  CAST(COUNT(*) AS DOUBLE) / (SELECT t FROM tot) AS share
+       |FROM ann GROUP BY label ORDER BY label""".stripMargin
+  ) { (s, d) =>
+    val ann = annotations(s, d)
+    val tot = ann.agg(count(lit(1)).cast("long").as("t"))
+    ann.groupBy("label").agg(count(lit(1)).as("n_labels"))
+      .crossJoin(broadcast(tot))
+      .select(col("label"), col("n_labels"),
+        (col("n_labels").cast("double") / col("t")).as("share"))
+      .orderBy("label")
   }
 
   /** Cross-key balanced sampling (sampler._get_cross_app_balance:156):
@@ -268,5 +318,6 @@ object Labeling {
   }
 
   val all: Seq[Q] = Seq(
-    qSampleTiers, qBalancedSample, qMajorityVote, qTrainSplit, qAgreement)
+    qSampleTiers, qBalancedSample, qMajorityVote, qTrainSplit, qAgreement,
+    qQueueProgress, qLabelDistribution)
 }

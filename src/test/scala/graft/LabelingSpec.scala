@@ -55,6 +55,21 @@ class LabelingSpec extends SparkSpec {
     }
   }
 
+  test("queue progress: statuses partition the queue") {
+    val prog = Labeling.qQueueProgress.run(spark, sfDir).collect()
+    val queueTotal = Labeling.qSampleTiers.run(spark, sfDir).count()
+    assert(prog.map(_.getAs[Long]("n_items")).sum == queueTotal)
+    prog.foreach(r =>
+      assert(Set("pending", "completed", "skipped")
+        .contains(r.getAs[String]("status"))))
+  }
+
+  test("label distribution: shares sum to 1") {
+    val rows = Labeling.qLabelDistribution.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("label")).toSet == Set("low", "mid", "high"))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+  }
+
   test("agreement: kappa consistent with po/pe identity") {
     val r = Labeling.qAgreement.run(spark, sfDir).collect()(0)
     val po = r.getAs[Double]("observed_agreement")
