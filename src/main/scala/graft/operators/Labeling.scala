@@ -42,8 +42,12 @@ object Labeling {
       |    FROM ann0)
       |  WHERE rn = 1)""".stripMargin
 
+  /** Spark side uses min_by (partial-aggregating keep-first — map-side
+    * combine, no per-group sort) where the oracle SQL spells the same
+    * semantics as a row_number window; event_id is unique so both pick the
+    * identical row.
+    */
   private def annotations(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val w = Window.partitionBy("review_id", "annotator").orderBy("event_id")
     Tables.events(s, d)
       .select(
         (col("event_id") % 199).as("review_id"),
@@ -51,9 +55,8 @@ object Labeling {
         when(col("value") >= 100, "high").when(col("value") >= 10, "mid")
           .otherwise("low").as("label"),
         col("event_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("review_id", "annotator", "label")
+      .groupBy("review_id", "annotator")
+      .agg(min_by(col("label"), col("event_id")).as("label"))
   }
 
   /** 4-tier stratified sampler (sampler._get_tier_reviews:109): tier 1 =

@@ -48,6 +48,18 @@ object Store {
   def loadCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).option("header", "true").csv(path)
 
+  /** Bucketed managed table (SURVEY §4.2: bucketing for co-located joins):
+    * both sides of a recurring fact-fact join written with the same bucket
+    * spec join WITHOUT a shuffle — the per-bucket layout replaces the
+    * exchange. At 100 TB this converts the repeated orderkey-join shuffle
+    * into a one-time write-side cost.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** Idempotent incremental append: write only the batch rows whose key is
     * not already present in the sink (reference append=True +
     * _deduplicate_reviews, and pipeline INSERT OR IGNORE). Re-running the

@@ -51,6 +51,27 @@ class StoreSpec extends SparkSpec {
     assert(sink.select("doc_id").distinct().count() == b2.count())
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    Store.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
+    Store.writeBucketed(ord, "b_orders", "o_orderkey", 8)
+    // force a non-broadcast join so the test proves the bucket layout
+    // (not the broadcast planner) eliminated the shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), "expected SMJ:\n" + plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join still shuffles:\n" + plan)
+      assert(joined.count() == li.count(), "inner join must hit every lineitem")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("extensions entry point installs without error") {
     new graft.plans.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
