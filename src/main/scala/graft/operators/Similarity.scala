@@ -330,14 +330,21 @@ object Similarity {
           planes(t * BitsPerTable + b)) >= 0, lit(1L << b)).otherwise(0L)
       }.reduce(_ + _)
     }
-    val withBuckets = q.select(col("vec_id"), col("qv"), col("n2"),
+    val withBuckets = q.select(col("vec_id"),
       posexplode(array(buckets: _*)).as(Seq("table_id", "bucket")))
     val qs = withBuckets.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("qv").as("qq"),
-        col("n2").as("n2q"), col("table_id"), col("bucket"))
-    val candidates = withBuckets.join(broadcast(qs), Seq("table_id", "bucket"))
+      .select(col("vec_id").as("query_id"), col("table_id"), col("bucket"))
+    // dedup candidate (query, neighbor) id pairs FIRST — the distinct
+    // shuffles two longs, not 64-element vectors — then rejoin the cached
+    // quantized index for the exact pass
+    val candIds = withBuckets.join(broadcast(qs), Seq("table_id", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "qq", "n2q", "vec_id", "qv", "n2").distinct()
+      .select("query_id", "vec_id").distinct()
+    val candidates = candIds
+      .join(q.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
+      .join(broadcast(q.filter(col("vec_id") < 10).select(
+        col("vec_id").as("query_id"), col("qv").as("qq"), col("n2").as("n2q"))),
+        "query_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     candidates
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
