@@ -211,7 +211,36 @@ object Ingest {
       .orderBy("user_id", "session_no")
   }
 
+  /** Semi-structured payload extraction: the event props JSON parsed with
+    * an explicit schema (from_json — typed, codegen'd, no sampling-based
+    * inference) and rolled up per type. The reference stores raw payload
+    * dicts on every scraped review; this is the Spark-native typed-access
+    * path. Oracle mirrors the fixed format with a regexp extract.
+    */
+  val qPropsExtract: Q = Q(
+    "q_props_extract",
+    s"""SELECT event_type, COUNT(*) AS n_events,
+       |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k,
+       |  ${intAvgSql("k", 2)} AS avg_k
+       |FROM (SELECT event_type,
+       |        CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k
+       |      FROM events)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min("k").cast("long").as("min_k"), max("k").cast("long").as("max_k"),
+        intAvg(col("k"), 2).as("avg_k"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     qIncrementalIngest, qIngestMetrics, qRunDeltas, qAnomalyZscore,
-    qQualityMetrics, qWindowedCounts, qSessionize)
+    qQualityMetrics, qWindowedCounts, qSessionize, qPropsExtract)
 }

@@ -54,6 +54,16 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("props extraction: every event parses, k within bounds") {
+    val rows = Ingest.qPropsExtract.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_k") <= r.getAs[Long]("max_k"))
+      assert(!r.isNullAt(r.fieldIndex("avg_k")), "null avg means unparsed props")
+    }
+  }
+
   test("windowed counts sum to total events") {
     val rows = Ingest.qWindowedCounts.run(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_events")).sum ==
