@@ -51,7 +51,9 @@ object Multimodal {
           .otherwise(-1).as("height"),
         when(col("doc_id") % 3 === 2, 16000).otherwise(-1).as("sampleRate"))
         .as("meta"),
-      col("text").cast("binary").as("payload"))
+      // a missing payload is an empty asset, never a null pointer
+      coalesce(col("text").cast("binary"), lit(Array.emptyByteArray))
+        .as("payload"))
       .as[MediaAsset]
   }
 

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+/** Every registered operator must plan and execute against an empty (but
+  * schema-correct) dataset — the day-one state of any new lake — without
+  * throwing. Empty-input results may legitimately be empty.
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = Files.createTempDirectory("graft_empty").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      Tables.table(spark, sfDir, t).limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    // events is read pre-ts-conversion: copy the raw schema
+    spark.read.parquet(s"$sfDir/events.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("every query runs on empty tables without throwing") {
+    val failures = SparkEntry.registry.flatMap { q =>
+      try { q.run(spark, emptyDir).collect(); None }
+      catch { case e: Throwable => Some(s"${q.name}: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  private lazy val nullyDir: String = {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_nully").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "embeddings").foreach { t =>
+      Tables.table(spark, sfDir, t).limit(50)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    // null/empty text and lang on a third of the corpus
+    Tables.documents(spark, sfDir)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, lit(null: String))
+          .when(col("doc_id") % 3 === 1, lit("")).otherwise(col("text")))
+      .withColumn("lang",
+        when(col("doc_id") % 5 === 0, lit(null: String)).otherwise(col("lang")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("props",
+        org.apache.spark.sql.functions.when(col("event_id") % 4 === 0,
+          lit(null: String)).otherwise(col("props")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("every query tolerates null text/lang/props without throwing") {
+    val failures = SparkEntry.registry.flatMap { q =>
+      try { q.run(spark, nullyDir).collect(); None }
+      catch { case e: Throwable => Some(s"${q.name}: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
