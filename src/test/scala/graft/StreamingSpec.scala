@@ -66,6 +66,33 @@ class StreamingSpec extends SparkSpec {
     assert(u1(1) == ((1L, 61L * 60000000L, 61L * 60000000L)))
   }
 
+  test("file-source stream over the real events table converges to the batch result") {
+    import spark.implicits._
+    // stream the actual parquet file (raw nanos schema, same conversion as
+    // Tables.events), aggregate in Complete mode, compare to the batch op
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // the file source streams a directory: stage the table as one
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(raw.schema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+    val query = IngestStream.windowedCounts(stream)
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode("complete").start()
+    try query.processAllAvailable() finally query.stop()
+    val streamed = spark.table("file_win")
+      .orderBy("window_start", "event_type").collect()
+    val batch = graft.operators.Ingest.qWindowedCounts.run(spark, sfDir).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("batch and streaming windowed-count plans share one definition") {
     import spark.implicits._
     // run the streaming transformation in batch mode over the real table
