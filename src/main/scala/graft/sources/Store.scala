@@ -48,6 +48,15 @@ object Store {
   def loadCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).option("header", "true").csv(path)
 
+  /** Hive-style partitioned layout (the standard lake arrangement for a
+    * time-series ingest): one directory per partition value; scans with a
+    * partition predicate read only the matching directories
+    * (PartitionFilters in the plan — verified by spec).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+
   /** Bucketed managed table (SURVEY §4.2: bucketing for co-located joins):
     * both sides of a recurring fact-fact join written with the same bucket
     * spec join WITHOUT a shuffle — the per-bucket layout replaces the

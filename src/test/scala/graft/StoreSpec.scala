@@ -72,6 +72,20 @@ class StoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val path = tmp("part")
+    val events = Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Store.writePartitioned(events, path, Seq("day"))
+    val firstDay = events.agg(min("day")).collect()(0).getString(0)
+    val q = spark.read.parquet(path).filter(col("day") === firstDay)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains(s"isnotnull(day"), "no partition pruning:\n" + plan)
+    // pruned scan reads exactly the one day
+    assert(q.count() == events.filter(col("day") === firstDay).count())
+  }
+
   test("extensions entry point installs without error") {
     new graft.plans.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
