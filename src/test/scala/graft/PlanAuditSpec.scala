@@ -1,0 +1,51 @@
+package graft
+
+/** Plan-shape regression guards for the SURVEY §4 scale rules: these
+  * assert the *physical plan*, so a future edit that silently drops a
+  * broadcast, un-pushes a filter, or widens a scan fails here rather than
+  * at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("join-enrich and star-rollup broadcast their dimension tables") {
+    assert(plan("q_join_enrich").contains("BroadcastHashJoin"))
+    assert(plan("q_star_rollup").contains("BroadcastHashJoin"))
+  }
+
+  test("filter query pushes its predicates into the parquet scan") {
+    val p = plan("q_filter_query")
+    val scans = p.split("\n").filter(_.contains("PushedFilters"))
+    assert(scans.exists(s => s.contains("GreaterThan") || s.contains("EqualTo")
+      || s.contains("LessThan")), "no comparison pushed:\n" + p)
+  }
+
+  test("pricing summary scan is pruned to the aggregated columns") {
+    val p = plan("q_pricing_summary")
+    val scan = p.split("\n").find(_.contains("ReadSchema")).get
+    assert(!scan.contains("l_comment") && !scan.contains("l_shipmode"),
+      "unused lineitem columns not pruned: " + scan)
+  }
+
+  test("top-k per group avoids a global sort of the fact table") {
+    // rank-within-partition + filter: the only full sort allowed is the
+    // final (tiny) presentation sort after the rank filter
+    assert(plan("q_topk_per_group").contains("Window"))
+  }
+
+  test("per-tier sampling compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_sample_tiers").contains("TakeOrderedAndProject"))
+  }
+
+  test("hot expressions stay inside whole-stage codegen") {
+    // execute first: codegen spans only appear in the finalized AQE plan
+    val df = SparkEntry.queries("q_quality_score")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n) Operator" is the codegen marker in the compact plan form
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      "no codegen span:\n" + p)
+  }
+}
