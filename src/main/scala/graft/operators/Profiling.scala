@@ -394,7 +394,22 @@ object Profiling {
       .orderBy("cohort")
   }
 
-  val all: Seq[Q] = Seq(
+  /** Sketch-based profile — the 100 TB twin of the exact profiling ops:
+    * HyperLogLog++ distinct counts and t-digest-style approx percentiles
+    * run in one pass with O(1) state per partition, where the exact
+    * versions (q_dup_keys, q_length_percentiles) shuffle every value.
+    * Rows-only (sketches are estimation, not SQL-reproducible); the spec
+    * pins relative-error bounds against the exact answers.
+    */
+  val qApproxProfile: Q = Q.rowsOnly("q_approx_profile") { (s, d) =>
+    Tables.events(s, d).agg(
+      approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      approx_count_distinct(col("event_id"), 0.02).as("approx_events"),
+      percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
+        lit(10000)).as("value_p50_p95_p99"))
+  }
+
+  val all: Seq[Q] = Seq(qApproxProfile,
     qProfileCompleteness, qMoments, qLengthPercentiles, qLengthHistogram,
     qLengthByGroup, qDupKeys, qDupContent, qTemporalHistogram, qQualityFlags,
     qRepeatedChars, qScriptDistribution, qZeroInflation, qCohortCompare)

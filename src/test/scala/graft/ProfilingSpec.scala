@@ -42,6 +42,20 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("approx profile within error bounds of exact answers") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val exactUsers = ev.select("user_id").distinct().count()
+    val exactEvents = ev.select("event_id").distinct().count()
+    val r = Profiling.qApproxProfile.run(spark, sfDir).collect()(0)
+    def relErr(approx: Long, exact: Long) =
+      math.abs(approx - exact).toDouble / exact
+    assert(relErr(r.getAs[Long]("approx_users"), exactUsers) < 0.1)
+    assert(relErr(r.getAs[Long]("approx_events"), exactEvents) < 0.1)
+    val ps = r.getAs[scala.collection.Seq[Double]]("value_p50_p95_p99")
+    assert(ps.length == 3 && ps(0) <= ps(1) && ps(1) <= ps(2))
+  }
+
   test("repeated-chars flag matches Java regex semantics") {
     import spark.implicits._
     val df = Seq("aaaaab normal", "no runs here").toDF("text")
