@@ -26,10 +26,13 @@ object Bench {
         .foreach(t => Tables.table(spark, sfDir, t).count())
     } catch { case _: Throwable => }
 
+    // a failed query reports -1, never a bogus elapsed time
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Exception =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+      name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -21,10 +21,10 @@ object Profiling {
 
   /** Word count matching Python's str.split() (empty → 0). */
   private def wordCount(c: Column): Column =
-    when(trim(c) === "", 0).otherwise(size(split(trim(c), "\\s+")))
+    when(trim(c) === "", 0).otherwise(size(split(trim(c), "[ \\t\\n\\r\\f]+")))
 
   private val wordCountSql =
-    "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) END"
 
   /** Per-column completeness profile (analyzer.analyze_missing_values:83,
     * deep_analysis 5c "field completeness"): one output row per column with
@@ -70,44 +70,59 @@ object Profiling {
 
   /** Distribution moments (deep_analysis §1: mean/median/stdev/skewness/
     * kurtosis with the reference's exact formulas — population 3rd/4th
-    * moments over the SAMPLE stdev). Two distributed passes: deterministic
-    * mean, then exact-decimal central-moment sums; no approximations.
+    * moments over the SAMPLE stdev). Two distributed passes: a
+    * deterministic 2-dp mean, then central-moment sums about it computed
+    * ENTIRELY in exact decimal arithmetic per row (value is 2-dp, so
+    * d, d², d³, d⁴ are exact at scales 2/4/6/8 — no per-row double
+    * rounding anywhere, hence no engine-dependent rounding ties). Only
+    * the final stdev/skew/kurt formulas run in doubles, on bit-identical
+    * exact inputs, with identical association order in both engines.
     */
   val qMoments: Q = Q(
     "q_moments",
     s"""WITH s AS (
-       |  SELECT ${exactSumSql("value", 4)} / COUNT(*) AS m FROM events
+       |  SELECT CAST(${exactAvgSql("value", 2, 2)} AS DECIMAL(18,2)) AS mstar
+       |  FROM events
        |), dd AS (
-       |  SELECT value, value - (SELECT m FROM s) AS d FROM events
+       |  SELECT value,
+       |    CAST(value AS DECIMAL(18,2)) - (SELECT mstar FROM s) AS dv
+       |  FROM events
        |), agg AS (
        |  SELECT COUNT(*) AS n,
        |    quantile_cont(value, 0.5) AS med,
-       |    ${exactSumSql("d*d", 4)} AS m2,
-       |    ${exactSumSql("d*d*d", 2)} AS m3,
-       |    ${exactSumSql("d*d*d*d", 0)} AS m4
+       |    CAST(SUM(CAST(dv*dv AS DECIMAL(19,4))) AS DOUBLE) AS m2,
+       |    CAST(SUM(CAST(CAST(dv*dv AS DECIMAL(19,4)) * dv AS DECIMAL(24,6))) AS DOUBLE) AS m3,
+       |    CAST(SUM(CAST(CAST(dv*dv AS DECIMAL(19,4)) * CAST(dv*dv AS DECIMAL(18,4)) AS DECIMAL(28,8))) AS DOUBLE) AS m4
        |  FROM dd
+       |), mv AS (
+       |  SELECT ${exactAvgSql("value", 4, 4)} AS mean_value FROM events
        |)
        |SELECT n AS n_values,
-       |  ROUND((SELECT m FROM s), 4) AS mean_value,
+       |  mean_value,
        |  ROUND(med, 4) AS median_value,
        |  ROUND(SQRT(m2 / (n - 1)), 4) AS stdev_value,
        |  ROUND((m3 / n) / (SQRT(m2/(n-1)) * SQRT(m2/(n-1)) * SQRT(m2/(n-1))), 4) AS skewness,
        |  ROUND((m4 / n) / ((m2/(n-1)) * (m2/(n-1))) - 3, 4) AS kurtosis
-       |FROM agg""".stripMargin
+       |FROM agg, mv""".stripMargin
   ) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
     val ev = Tables.events(s, d)
-    val mdf = ev.agg((exactSum(col("value"), 4) / count(lit(1))).as("m"))
-    val dd = ev.crossJoin(broadcast(mdf)).withColumn("d", col("value") - col("m"))
+    val mdf = ev.agg(exactAvg(col("value"), 2, 2).cast(DecimalType(18, 2)).as("mstar"))
+    val mean4 = ev.agg(exactAvg(col("value"), 4, 4).as("mean_value"))
+    val dv = col("value").cast(DecimalType(18, 2)) - col("mstar")
+    val d2 = (dv * dv).cast(DecimalType(19, 4))
+    val d2n = (dv * dv).cast(DecimalType(18, 4))
+    val dd = ev.crossJoin(broadcast(mdf))
     dd.agg(
       count(lit(1)).as("n"),
-      max(col("m")).as("m"),
       expr("percentile(value, 0.5)").as("med"),
-      exactSum(col("d") * col("d"), 4).as("m2"),
-      exactSum(col("d") * col("d") * col("d"), 2).as("m3"),
-      exactSum(col("d") * col("d") * col("d") * col("d"), 0).as("m4"))
+      sum(d2).cast("double").as("m2"),
+      sum((d2 * dv).cast(DecimalType(24, 6))).cast("double").as("m3"),
+      sum((d2 * d2n).cast(DecimalType(28, 8))).cast("double").as("m4"))
+      .crossJoin(broadcast(mean4))
       .select(
         col("n").as("n_values"),
-        round(col("m"), 4).as("mean_value"),
+        col("mean_value"),
         round(col("med"), 4).as("median_value"),
         round(sqrt(col("m2") / (col("n") - 1)), 4).as("stdev_value"),
         round((col("m3") / col("n")) /
@@ -291,8 +306,8 @@ object Profiling {
     "q_quality_flags",
     """SELECT COUNT(*) AS total_docs,
       |  CAST(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_cnt,
-      |  CAST(SUM(CASE WHEN trim(text) <> '' AND len(string_split_regex(trim(text), '\s+')) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS single_word_cnt,
-      |  CAST(SUM(CASE WHEN trim(text) <> '' AND len(string_split_regex(trim(text), '\s+')) BETWEEN 2 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS two_three_word_cnt,
+      |  CAST(SUM(CASE WHEN trim(text) <> '' AND len(string_split_regex(trim(text), '[ \t\n\r\f]+')) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS single_word_cnt,
+      |  CAST(SUM(CASE WHEN trim(text) <> '' AND len(string_split_regex(trim(text), '[ \t\n\r\f]+')) BETWEEN 2 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS two_three_word_cnt,
       |  CAST(SUM(CASE WHEN length(text) > 5 AND upper(text) = text AND lower(text) <> text THEN 1 ELSE 0 END) AS BIGINT) AS all_caps_cnt,
       |  CAST(SUM(CASE WHEN text <> '' AND NOT regexp_matches(text, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS no_latin_cnt,
       |  CAST(SUM(CASE WHEN length(text) > 5 AND length(regexp_replace(text, '[^!?.,:;]', '', 'g')) * 1.0 / length(text) > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS punct_heavy_cnt,

@@ -166,8 +166,8 @@ object Relational {
           .otherwise("low"))
       .groupBy("event_type")
       .pivot("bucket", Seq("high", "mid", "low"))
-      .agg(coalesce(count(lit(1)), lit(0L)))
-      .na.fill(0L)
+      .agg(count(lit(1)))
+      .na.fill(0L) // absent event_type × bucket cells surface as nulls here
       .orderBy("event_type")
   }
 

@@ -22,17 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Distinct word 3-gram shingles per document (docs with ≥3 tokens).
-    * Persisted (memory-and-disk): every similarity op consumes the index
-    * from 2-4 aliased subtrees (self-join sides + cardinalities), which
-    * defeats exchange reuse — materializing the index once is the same
-    * "build the shingle index, then join it" design you would run at
-    * 100 TB, where it spills to local disk instead of recomputing the
-    * explode per consumer.
-    */
-  /** Memoized per (session, dir): several operators (and several subtrees
-    * within one operator) consume the same index; one cached copy serves
-    * them all instead of re-persisting per call.
+  /** Memoized materialized indexes, per (session, dir, name): every
+    * similarity op consumes its index from 2-4 aliased subtrees (self-join
+    * sides + cardinalities), which defeats exchange reuse — persisting the
+    * index once is the same "build the index, then join it" design you
+    * would run at 100 TB. Entries live for the session; call
+    * [[clearIndexCache]] if the underlying files at a dir are rewritten
+    * (the cache serves the data as first read).
     */
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
@@ -45,6 +41,15 @@ object Similarity {
       df         // cached-size stats (an unmaterialized cache plans as huge)
     })
 
+  /** Unpersist and forget every memoized index (e.g. after rewriting the
+    * parquet inputs of a dir, or to release a finished session's caches).
+    */
+  def clearIndexCache(): Unit = {
+    indexCache.values.foreach(df => try df.unpersist() catch { case _: Exception => })
+    indexCache.clear()
+  }
+
+  /** Distinct word 3-gram shingles per document (docs with ≥3 tokens). */
   private def shingles(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "shingles") {
       Tables.documents(s, d)
@@ -54,7 +59,7 @@ object Similarity {
         // guard against tiny-file skew)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
-          split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("w"))
+          split(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ").as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
@@ -65,7 +70,7 @@ object Similarity {
   private val shinglesSql =
     """toks AS (
       |  SELECT doc_id,
-      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |    string_split(regexp_replace(lower(trim(text)), '[ \t\n\r\f]+', ' ', 'g'), ' ') AS w
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
@@ -173,7 +178,7 @@ object Similarity {
     val toks = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
-        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+        explode(split(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " "))
           .as("tok"))
       .filter(col("tok") =!= "").distinct()
       .withColumn("h", xxhash64(col("tok")))

@@ -20,8 +20,8 @@ object TextOps {
   /** Whitespace-collapsed lowercase normalization — the canonical form all
     * content dedup/fingerprints key on.
     */
-  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-  private def norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+  private val normSql = "regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f]+', ' ', 'g')"
+  private def norm = regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " ")
 
   /** Exact content dedup (hash-groupBy keep-min-id): one shuffle on the
     * md5 of normalized text; survivors = min doc_id per group. At 100 TB
@@ -116,9 +116,9 @@ object TextOps {
        |       ELSE LEAST(1.0, 5.0 *
        |         len(regexp_extract_all(' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ',
        |                                '${stopPattern(stopwords.head._2)}'))
-       |         / len(string_split_regex(trim(text), '\\s+'))) END AS stop_score,
+       |         / len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+'))) END AS stop_score,
        |  CASE WHEN length(text) = 0 THEN 0.0
-       |       ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+       |       ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\r\\f]')) AS DOUBLE)
        |            / length(text) END AS punct_ratio,
        |  CASE WHEN length(text) = 0 THEN 0.0
        |       ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
@@ -128,9 +128,9 @@ object TextOps {
        |       ELSE LEAST(1.0, 5.0 *
        |         len(regexp_extract_all(' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ',
        |                                '${stopPattern(stopwords.head._2)}'))
-       |         / len(string_split_regex(trim(text), '\\s+'))) END)
+       |         / len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+'))) END)
        |  + 0.15 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-       |       ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+       |       ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\r\\f]')) AS DOUBLE)
        |            / length(text) END)
        |  + 0.15 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
        |       ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
@@ -143,9 +143,9 @@ object TextOps {
     val stopScore = when(trim(col("text")) === "", 0.0)
       .otherwise(least(lit(1.0),
         lit(5.0) * regexp_count(padded, lit(stopPattern(stopwords.head._2)))
-          / size(split(trim(col("text")), "\\s+"))))
+          / size(split(trim(col("text")), "[ \\t\\n\\r\\f]+"))))
     val punct = when(length(col("text")) === 0, 0.0)
-      .otherwise(regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("double")
+      .otherwise(regexp_count(col("text"), lit("[^a-zA-Z0-9 \\t\\n\\r\\f]")).cast("double")
         / length(col("text")))
     val caps = when(length(col("text")) === 0, 0.0)
       .otherwise(regexp_count(col("text"), lit("[A-Z]")).cast("double")
@@ -170,15 +170,15 @@ object TextOps {
     "q_token_count",
     """SELECT doc_id,
       |  CASE WHEN trim(text) = '' THEN 0
-      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens_ws,
-      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_tokens_bpe
+      |       ELSE len(string_split_regex(trim(text), '[ \t\n\r\f]+')) END AS n_tokens_ws,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \t\n\r\f]')) AS n_tokens_bpe
       |FROM documents ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"),
       when(trim(col("text")) === "", 0)
-        .otherwise(size(split(trim(col("text")), "\\s+"))).as("n_tokens_ws"),
-      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"))
+        .otherwise(size(split(trim(col("text")), "[ \\t\\n\\r\\f]+"))).as("n_tokens_ws"),
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\n\\r\\f]"))
         .as("n_tokens_bpe"))
       .orderBy("doc_id")
   }

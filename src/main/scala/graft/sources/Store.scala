@@ -81,10 +81,10 @@ object Store {
   def appendDeduped(df: DataFrame, path: String, key: String,
       format: String = "parquet"): Long = {
     val s = df.sparkSession
-    val sinkExists = try {
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-    } catch { case _: Throwable => false }
+    // filesystem errors must propagate: treating them as "no sink" would
+    // append already-ingested keys and silently break idempotency
+    val p = new org.apache.hadoop.fs.Path(path)
+    val sinkExists = p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
     val novel = if (!sinkExists) df
     else {
       val existing = s.read.format(format)
@@ -93,12 +93,19 @@ object Store {
         .select(key)
       df.join(existing, Seq(key), "left_anti")
     }
-    val deduped = dedupeByKey(novel, key, key)
-    val n = deduped.count()
-    if (n > 0) {
-      val writer = deduped.write.mode(SaveMode.Append).format(format)
-      (if (format == "csv") writer.option("header", "true") else writer).save(path)
-    }
-    n
+    // deterministic survivor among same-key rows with different payloads:
+    // tie-break on the hash of the full row, not the (constant) key
+    val deduped = dedupeByKey(novel.withColumn("__h",
+        xxhash64(struct(novel.columns.map(col).toIndexedSeq: _*))), key, "__h")
+      .drop("__h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = deduped.count() // also materializes: the write below reuses it
+      if (n > 0) {
+        val writer = deduped.write.mode(SaveMode.Append).format(format)
+        (if (format == "csv") writer.option("header", "true") else writer).save(path)
+      }
+      n
+    } finally deduped.unpersist()
   }
 }

@@ -74,9 +74,13 @@ object IngestStream {
             state.remove()
             Iterator.single(SessionOut(userId, s.n, s.startUs, s.endUs))
           } else {
+            // flatMapGroupsWithState does NOT drop late rows for us: filter
+            // events at/under the watermark, or a session built from them
+            // would need a timeout in the past (setTimeoutTimestamp throws)
+            val wmUs = state.getCurrentWatermarkMs() * 1000
             // micro-batch arrivals are not ordered: sort within the batch
             val ts = it.map(e => e.ts.getTime * 1000 +
-              (e.ts.getNanos / 1000) % 1000).toArray.sorted
+              (e.ts.getNanos / 1000) % 1000).filter(_ > wmUs).toArray.sorted
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             ts.foreach { t =>
@@ -92,7 +96,11 @@ object IngestStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.endUs / 1000 + GapUs / 1000)
+              // an all-late batch leaves the previous state: keep its
+              // timeout strictly ahead of the watermark
+              state.setTimeoutTimestamp(
+                math.max(s.endUs / 1000 + GapUs / 1000,
+                  state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }
