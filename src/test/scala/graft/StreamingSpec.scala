@@ -66,6 +66,24 @@ class StreamingSpec extends SparkSpec {
     assert(u1(1) == ((1L, 61L * 60000000L, 61L * 60000000L)))
   }
 
+  test("sessionizer survives late events below the watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val batches = Seq(
+      Seq(Event(1, ts(1), 1, "click", 1.0)),
+      Seq(Event(2, ts(500), 2, "view", 1.0)), // watermark jumps to ~490
+      // late arrival for a NEW user far below the watermark: must be
+      // dropped, not crash the query via a timeout in the past
+      Seq(Event(3, ts(20), 3, "click", 1.0)),
+      Seq(Event(4, ts(900), 2, "view", 1.0)))
+    val out = runToCompletion(
+      IngestStream.sessionize(mem.toDS()).toDF(), "late_sessions", mem, batches)
+    // user 3's late event was dropped; users 1 and 2 session normally
+    assert(!out.exists(_.getAs[Long]("user_id") == 3L))
+    assert(out.exists(_.getAs[Long]("user_id") == 1L))
+  }
+
   test("file-source stream over the real events table converges to the batch result") {
     import spark.implicits._
     // stream the actual parquet file (raw nanos schema, same conversion as
