@@ -19,11 +19,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: exercise scans, shuffle, broadcast, window machinery once
+    // warmup: exercise scans, shuffle, broadcast, window, HOF and codegen
+    // machinery once (at the smallest SF for the heavier paths) so the
+    // timed loop below measures steady-state execution, not JIT
     try {
       SparkEntry.entry(spark).count()
       Seq("lineitem", "orders", "events", "documents", "embeddings")
         .foreach(t => Tables.table(spark, sfDir, t).count())
+      Seq("q_ngram_jaccard", "q_cosine_topk", "q_dedup_simhash", "q_agreement")
+        .foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count())
     } catch { case _: Throwable => }
 
     // a failed query reports -1, never a bogus elapsed time
