@@ -15,6 +15,11 @@ import org.apache.spark.sql.types.DecimalType
   * regardless of partitioning — the property that makes these aggregates
   * safe on a 1000-executor cluster.
   *
+  * Magnitude headroom: per-row casts use DECIMAL(30,scale) (|x| < 10^26 at
+  * scale 4 — far beyond any money-like column) and the scaled integer sums
+  * use DECIMAL(38,0) / HUGEINT, so neither engine overflows (or silently
+  * null-drops) before the other at lake scale.
+  *
   * Averages need one more step. `ROUND(sum/n, r)` on a double is engine-
   * dependent at rounding ties: an exact rational like 8.075 is the double
   * 8.07499…, which Spark's round (via the shortest decimal string) takes to
@@ -28,11 +33,11 @@ object Det {
 
   /** Exact, order-independent sum of a double column (row-rounded at `scale`). */
   def exactSum(c: Column, scale: Int = 4): Column =
-    sum(round(c, scale).cast(DecimalType(18, scale))).cast("double")
+    sum(round(c, scale).cast(DecimalType(30, scale))).cast("double")
 
   /** SQL mirror of [[exactSum]] for the DuckDB oracle. */
   def exactSumSql(expr: String, scale: Int = 4): String =
-    s"CAST(SUM(CAST(ROUND($expr, $scale) AS DECIMAL(18,$scale))) AS DOUBLE)"
+    s"CAST(SUM(CAST(ROUND($expr, $scale) AS DECIMAL(30,$scale))) AS DOUBLE)"
 
   /** Integer half-up division: round(su / (n·p), r) with su an exact integer
     * column (units of 1/p), n = count. All arithmetic in decimal(38,0) so it
@@ -48,6 +53,9 @@ object Det {
     signum(su.cast("double")) * q.cast("double") / rp
   }
 
+  /** DuckDB mirror of [[halfUpAvg]]; HUGEINT (int128) matches the Spark
+    * side's decimal(38,0) headroom.
+    */
   private def halfUpAvgSql(sExpr: String, p: Long, r: Int): String = {
     val rp = math.pow(10, r).toLong
     s"(SIGN($sExpr) * CAST((2*ABS($sExpr)*$rp + COUNT(*)*$p) // (2*COUNT(*)*$p) AS DOUBLE) / $rp)"
@@ -56,14 +64,14 @@ object Det {
   /** Deterministic mean of a double column, half-up rounded to `r` decimals. */
   def exactAvg(c: Column, r: Int = 2, scale: Int = 4): Column = {
     val p  = math.pow(10, scale).toLong
-    val su = (sum(round(c, scale).cast(DecimalType(18, scale))) * p)
+    val su = (sum(round(c, scale).cast(DecimalType(30, scale))) * p)
       .cast(DecimalType(38, 0))
     halfUpAvg(su, count(lit(1)), p, r)
   }
 
   def exactAvgSql(expr: String, r: Int = 2, scale: Int = 4): String = {
     val p = math.pow(10, scale).toLong
-    val s = s"CAST(SUM(CAST(ROUND($expr, $scale) AS DECIMAL(18,$scale))) * $p AS BIGINT)"
+    val s = s"CAST(SUM(CAST(ROUND($expr, $scale) AS DECIMAL(30,$scale))) * $p AS HUGEINT)"
     halfUpAvgSql(s, p, r)
   }
 
@@ -72,5 +80,5 @@ object Det {
     halfUpAvg(sum(c).cast(DecimalType(38, 0)), count(lit(1)), 1L, r)
 
   def intAvgSql(expr: String, r: Int = 2): String =
-    halfUpAvgSql(s"CAST(SUM($expr) AS BIGINT)", 1L, r)
+    halfUpAvgSql(s"CAST(SUM($expr) AS HUGEINT)", 1L, r)
 }

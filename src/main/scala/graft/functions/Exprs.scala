@@ -25,30 +25,39 @@ case class DotQ(left: Expression, right: Expression)
   override def inputTypes =
     Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
 
+  /** Mismatched lengths return null — a truncated "plausible" dot product
+    * would mask malformed vectors (and DuckDB's list_dot_product errors on
+    * the same input, so silence here would also split the engines). Null
+    * ELEMENTS remain a precondition: graft quantizes from non-null floats.
+    */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
-    acc
+    if (x.numElements() != y.numElements()) null
+    else {
+      var acc = 0L
+      var i = 0
+      while (i < x.numElements()) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+      acc
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = $a.numElements() < $b.numElements()
-         |  ? $a.numElements() : $b.numElements();
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -103,19 +112,26 @@ case class RollingHash(child: Expression)
 /** Runtime registration of graft's native expressions so operators can use
   * them via `call_function` on any already-built session (Verify, Bench,
   * specs). Idempotent — re-registering replaces the same builder.
+  * [[graft.plans.GraftExtensions]] consumes the same [[GraftFunctions.all]]
+  * list for the session-build path, so the two cannot drift.
   */
 object GraftFunctions {
   private def info(name: String, clazz: Class[_]) =
     new ExpressionInfo(clazz.getCanonicalName, name)
 
+  /** The single source of truth for graft's native function surface. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("graft_dot_q"), info("graft_dot_q", classOf[DotQ]),
+        (children: Seq[Expression]) => DotQ(children(0), children(1))),
+      (FunctionIdentifier("graft_rolling_hash"),
+        info("graft_rolling_hash", classOf[RollingHash]),
+        (children: Seq[Expression]) => RollingHash(children.head)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      FunctionIdentifier("graft_dot_q"), info("graft_dot_q", classOf[DotQ]),
-      (children: Seq[Expression]) => DotQ(children(0), children(1)))
-    reg.registerFunction(
-      FunctionIdentifier("graft_rolling_hash"),
-      info("graft_rolling_hash", classOf[RollingHash]),
-      (children: Seq[Expression]) => RollingHash(children.head))
+    all.foreach { case (id, inf, builder) =>
+      reg.registerFunction(id, inf, builder)
+    }
   }
 }

@@ -27,9 +27,14 @@ object SkewJoin {
   def saltedInnerJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       salts: Int): DataFrame = {
     require(salts > 0)
-    // deterministic per-row salt: stable across retries and runs
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedInnerJoin reserves the __salt column name")
+    // salt = hash(partition-local row position): deterministic per run (a
+    // retried task re-reads the same split, regenerating the same ids) and
+    // spreads even EXACT duplicate rows of the hot key — hashing row
+    // contents would send all copies of one repeated row to a single bucket
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")

@@ -21,13 +21,19 @@ import org.apache.spark.sql.types.StructType
 object Store {
 
   /** In-batch dedup by key, keep-first in `orderCol` order (deterministic
-    * twin of the reference's insertion-order _seen_ids set).
+    * twin of the reference's insertion-order _seen_ids set). Ties on
+    * `orderCol` among different rows are broken by the hash of the full
+    * row, so the survivor is stable across runs and task retries.
     */
   def dedupeByKey(df: DataFrame, key: String, orderCol: String): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(orderCol)
-    df.withColumn("__rn", row_number().over(w))
+    require(!df.columns.contains("__rn") && !df.columns.contains("__h"),
+      "dedupeByKey reserves the __rn/__h column names")
+    val w = Window.partitionBy(key)
+      .orderBy(col(orderCol), col("__h"))
+    df.withColumn("__h", xxhash64(df.columns.map(col).toIndexedSeq: _*))
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", "__h")
   }
 
   /** Export as JSON-lines (one object per line, per-task files). */
@@ -78,8 +84,12 @@ object Store {
     * the anti-join shuffles on the key unless the sink side is small
     * enough for AQE to broadcast it.
     */
-  def appendDeduped(df: DataFrame, path: String, key: String,
+  def appendDeduped(df0: DataFrame, path: String, key: String,
       format: String = "parquet"): Long = {
+    // a null key has no identity: anti-join would re-admit it every run
+    // (NULL never equals NULL), silently breaking idempotency — enforce
+    // the primary-key contract at the boundary instead
+    val df = df0.filter(col(key).isNotNull)
     val s = df.sparkSession
     // filesystem errors must propagate: treating them as "no sink" would
     // append already-ingested keys and silently break idempotency
@@ -93,11 +103,7 @@ object Store {
         .select(key)
       df.join(existing, Seq(key), "left_anti")
     }
-    // deterministic survivor among same-key rows with different payloads:
-    // tie-break on the hash of the full row, not the (constant) key
-    val deduped = dedupeByKey(novel.withColumn("__h",
-        xxhash64(struct(novel.columns.map(col).toIndexedSeq: _*))), key, "__h")
-      .drop("__h")
+    val deduped = dedupeByKey(novel, key, key)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = deduped.count() // also materializes: the write below reuses it

@@ -86,7 +86,11 @@ object IngestStream {
             ts.foreach { t =>
               cur match {
                 case Some(s) if t - s.endUs <= GapUs =>
-                  cur = Some(SessState(s.startUs, math.max(s.endUs, t), s.n + 1))
+                  // out-of-order arrivals can precede the open session's
+                  // start: extend BOTH bounds or start_us diverges from the
+                  // batch oracle's MIN(tus)
+                  cur = Some(SessState(math.min(s.startUs, t),
+                    math.max(s.endUs, t), s.n + 1))
                 case Some(s) =>
                   closed ::= SessionOut(userId, s.n, s.startUs, s.endUs)
                   cur = Some(SessState(t, t, 1))

@@ -19,14 +19,18 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted.count() == plain.count())
   }
 
-  test("salt spreads the hot key across buckets") {
+  test("salt spreads even exact-duplicate rows of the hot key") {
     import spark.implicits._
-    val big = (1 to 4096).map(i => (0L, i)).toDF("k", "v")
+    // 4096 IDENTICAL rows — content-hash salting would put them all in
+    // one bucket; position-based salting must spread them
+    val big = (1 to 4096).map(_ => (0L, 7)).toDF("k", "v")
     val salts = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(8)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id()), lit(8)).cast("int"))
       .groupBy("__salt").count().collect()
     assert(salts.length == 8, s"expected 8 buckets, got ${salts.length}")
-    // roughly uniform: no bucket holds more than half
     assert(salts.forall(_.getAs[Long]("count") < 2048))
+    // and the salted join still returns every duplicate exactly once
+    val small = Seq((0L, "hot")).toDF("k", "tag")
+    assert(SkewJoin.saltedInnerJoin(big, small, Seq("k"), 8).count() == 4096)
   }
 }

@@ -60,6 +60,19 @@ class TextOpsSpec extends SparkSpec {
     assert(ref("abc") == 96354L)
   }
 
+  test("dot-q kernel: exact dot, null on length mismatch") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),
+      (Array(1L, 2L), Array(4L, 5L, 6L)))
+      .toDF("a", "b")
+      .select(call_function("graft_dot_q", col("a"), col("b")).as("d"))
+      .collect()
+    assert(rows(0).getLong(0) == 32L)
+    assert(rows(1).isNullAt(0), "mismatched lengths must yield null")
+  }
+
   test("identical texts share fingerprints") {
     val fp = TextOps.qFingerprint.run(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
