@@ -61,6 +61,20 @@ object Det {
     s"(SIGN($sExpr) * CAST((2*ABS($sExpr)*$rp + COUNT(*)*$p) // (2*COUNT(*)*$p) AS DOUBLE) / $rp)"
   }
 
+  /** Deterministic half-up round(num/den, r) for exact integer columns —
+    * the tie-proof form of every count-ratio/percentage column (plain
+    * ROUND(a*100.0/b, 2) diverges between engines when the rational lands
+    * on a tie like 0.575). den must be positive (a count).
+    */
+  def exactDiv(num: Column, den: Column, r: Int): Column =
+    halfUpAvg(num.cast(DecimalType(38, 0)), den, 1L, r)
+
+  def exactDivSql(numExpr: String, denExpr: String, r: Int): String = {
+    val rp = math.pow(10, r).toLong
+    s"(SIGN($numExpr) * CAST((2*ABS(CAST($numExpr AS HUGEINT))*$rp + ($denExpr))" +
+      s" // (2*($denExpr)) AS DOUBLE) / $rp)"
+  }
+
   /** Deterministic mean of a double column, half-up rounded to `r` decimals. */
   def exactAvg(c: Column, r: Int = 2, scale: Int = 4): Column = {
     val p  = math.pow(10, scale).toLong

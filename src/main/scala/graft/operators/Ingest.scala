@@ -44,12 +44,12 @@ object Ingest {
     */
   val qIngestMetrics: Q = Q(
     "q_ingest_metrics",
-    """SELECT COUNT(*) AS fetched,
-      |  CAST(SUM(already) AS BIGINT) AS skipped,
-      |  COUNT(*) - CAST(SUM(already) AS BIGINT) AS inserted,
-      |  ROUND(SUM(already) * 100.0 / COUNT(*), 2) AS dedup_rate_pct
-      |FROM (SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS already
-      |      FROM events WHERE event_id % 3 = 0) t""".stripMargin
+    s"""SELECT COUNT(*) AS fetched,
+       |  CAST(SUM(already) AS BIGINT) AS skipped,
+       |  COUNT(*) - CAST(SUM(already) AS BIGINT) AS inserted,
+       |  ${exactDivSql("100 * SUM(already)", "COUNT(*)", 2)} AS dedup_rate_pct
+       |FROM (SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS already
+       |      FROM events WHERE event_id % 3 = 0) t""".stripMargin
   ) { (s, d) =>
     Tables.events(s, d)
       .filter(col("event_id") % 3 === 0)
@@ -58,7 +58,7 @@ object Ingest {
         count(lit(1)).as("fetched"),
         sum(col("already")).as("skipped"),
         (count(lit(1)) - sum(col("already"))).as("inserted"),
-        round(sum(col("already")) * lit(100.0) / count(lit(1)), 2).as("dedup_rate_pct"))
+        exactDiv(lit(100) * sum(col("already")), count(lit(1)), 2).as("dedup_rate_pct"))
   }
 
   /** Run-over-run deltas (monitor._compute_deltas:155): lag + pct change
@@ -67,14 +67,14 @@ object Ingest {
     */
   val qRunDeltas: Q = Q(
     "q_run_deltas",
-    """WITH dly AS (
-      |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS cnt
-      |  FROM events GROUP BY 1)
-      |SELECT day, cnt,
-      |  lag(cnt) OVER (ORDER BY day) AS prev_cnt,
-      |  ROUND((cnt - lag(cnt) OVER (ORDER BY day)) * 100.0
-      |        / lag(cnt) OVER (ORDER BY day), 2) AS pct_change
-      |FROM dly ORDER BY day""".stripMargin
+    s"""WITH dly AS (
+       |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS cnt
+       |  FROM events GROUP BY 1),
+       |lg AS (
+       |  SELECT day, cnt, lag(cnt) OVER (ORDER BY day) AS prev_cnt FROM dly)
+       |SELECT day, cnt, prev_cnt,
+       |  ${exactDivSql("100 * (cnt - prev_cnt)", "prev_cnt", 2)} AS pct_change
+       |FROM lg ORDER BY day""".stripMargin
   ) { (s, d) =>
     val w = Window.orderBy("day")
     Tables.events(s, d)
@@ -82,7 +82,7 @@ object Ingest {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
       .withColumn("pct_change",
-        round((col("cnt") - col("prev_cnt")) * lit(100.0) / col("prev_cnt"), 2))
+        exactDiv(lit(100) * (col("cnt") - col("prev_cnt")), col("prev_cnt"), 2))
       .orderBy("day")
   }
 
@@ -96,8 +96,8 @@ object Ingest {
       |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS cnt
       |  FROM events GROUP BY 1),
       |s AS (
-      |  SELECT COUNT(*) AS nd, CAST(SUM(cnt) AS BIGINT) AS sc,
-      |         CAST(SUM(cnt * cnt) AS BIGINT) AS sc2 FROM dly)
+      |  SELECT COUNT(*) AS nd, CAST(SUM(cnt) AS HUGEINT) AS sc,
+      |         CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS sc2 FROM dly)
       |SELECT day, cnt,
       |  ROUND((cnt - sc * 1.0 / nd)
       |        / SQRT((sc2 - sc * sc * 1.0 / nd) / (nd - 1)), 3) AS zscore,
@@ -109,10 +109,13 @@ object Ingest {
     val dly = Tables.events(s, d)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("cnt"))
+    // int128/decimal squares: long·long would silently wrap at lake scale
+    // while the oracle's BIGINT multiply errors — keep both exact instead
     val stats = dly.agg(
       count(lit(1)).as("nd"),
-      sum(col("cnt")).as("sc"),
-      sum(col("cnt") * col("cnt")).as("sc2"))
+      sum(col("cnt")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("sc"),
+      sum(col("cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("cnt"))
+        .as("sc2"))
     val z = (col("cnt") - col("sc") * lit(1.0) / col("nd")) /
       sqrt((col("sc2") - col("sc") * col("sc") * lit(1.0) / col("nd")) / (col("nd") - 1))
     dly.crossJoin(broadcast(stats))
@@ -129,14 +132,19 @@ object Ingest {
     */
   val qQualityMetrics: Q = Q(
     "q_quality_metrics",
-    """WITH base AS (
-      |  SELECT COUNT(*) AS bt, CAST(SUM(n_chars) AS BIGINT) AS bs FROM documents)
-      |SELECT source, COUNT(*) AS total,
-      |  CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_cnt,
-      |  ROUND(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS empty_rate,
-      |  ROUND(SUM(n_chars) * 1.0 / COUNT(*), 1) AS avg_len,
-      |  ROUND(SUM(n_chars) * 1.0 / COUNT(*) - (SELECT bs * 1.0 / bt FROM base), 1) AS avg_len_delta
-      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    s"""WITH base AS (
+       |  SELECT COUNT(*) AS bt, CAST(SUM(n_chars) AS BIGINT) AS bs FROM documents),
+       |grp AS (
+       |  SELECT source, COUNT(*) AS total,
+       |    CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_cnt,
+       |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |  FROM documents GROUP BY source)
+       |SELECT source, total, empty_cnt,
+       |  ${exactDivSql("empty_cnt", "total", 4)} AS empty_rate,
+       |  ${exactDivSql("sum_chars", "total", 1)} AS avg_len,
+       |  ${exactDivSql("CAST(sum_chars AS HUGEINT) * bt - CAST(bs AS HUGEINT) * total",
+                        "CAST(total AS HUGEINT) * bt", 1)} AS avg_len_delta
+       |FROM grp, base ORDER BY source""".stripMargin
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
     val base = docs.agg(count(lit(1)).as("bt"), sum(col("n_chars")).as("bs"))
@@ -144,14 +152,18 @@ object Ingest {
       .agg(
         count(lit(1)).as("total"),
         sum(when(col("text") === "", 1).otherwise(0)).as("empty_cnt"),
-        round(sum(when(col("text") === "", 1).otherwise(0)) * lit(1.0) / count(lit(1)), 4)
-          .as("empty_rate"),
-        round(sum(col("n_chars")) * lit(1.0) / count(lit(1)), 1).as("avg_len"),
-        (sum(col("n_chars")) * lit(1.0) / count(lit(1))).as("raw_avg"))
+        sum(col("n_chars")).as("sum_chars"))
       .crossJoin(broadcast(base))
-      .withColumn("avg_len_delta",
-        round(col("raw_avg") - col("bs") * lit(1.0) / col("bt"), 1))
-      .select("source", "total", "empty_cnt", "empty_rate", "avg_len", "avg_len_delta")
+      .select(col("source"), col("total"), col("empty_cnt"),
+        exactDiv(col("empty_cnt"), col("total"), 4).as("empty_rate"),
+        exactDiv(col("sum_chars"), col("total"), 1).as("avg_len"),
+        // S1/n1 - S2/n2 as one exact rational: (S1·n2 - S2·n1)/(n1·n2);
+        // decimal operands so the cross-products cannot overflow long
+        exactDiv(col("sum_chars").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("bt") - col("bs").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("total"),
+          col("total").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("bt"), 1)
+          .as("avg_len_delta"))
       .orderBy("source")
   }
 
@@ -223,7 +235,7 @@ object Ingest {
        |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k,
        |  ${intAvgSql("k", 2)} AS avg_k
        |FROM (SELECT event_type,
-       |        CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k
+       |        TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k
        |      FROM events)
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   ) { (s, d) =>

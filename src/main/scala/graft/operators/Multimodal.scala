@@ -93,8 +93,8 @@ object Multimodal {
     """SELECT source,
       |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
       |  COUNT(*) AS n_assets,
-      |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
-      |  CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
+      |  CAST(SUM(COALESCE(strlen(text), 0)) AS BIGINT) AS total_bytes,
+      |  CAST(MAX(COALESCE(strlen(text), 0)) AS BIGINT) AS max_bytes
       |FROM documents
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   ) { (s, d) =>

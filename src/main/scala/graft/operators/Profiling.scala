@@ -193,7 +193,7 @@ object Profiling {
          |SELECT CAST(bucket_id AS INTEGER) AS bucket_id,
          |  $sqlCaseLabel AS bucket,
          |  COUNT(*) AS n_docs,
-         |  ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM documents), 2) AS pct
+         |  ${exactDivSql("100 * COUNT(*)", "(SELECT COUNT(*) FROM documents)", 2)} AS pct
          |FROM b GROUP BY bucket_id ORDER BY bucket_id""".stripMargin) { (s, d) =>
       val len = length(col("text"))
       val id = edges.foldLeft(lit(null).cast("int")) { case (acc, (bid, _, lo, hi)) =>
@@ -209,7 +209,8 @@ object Profiling {
       grouped
         .withColumn("bucket", label)
         .withColumn("pct",
-          round(col("n_docs") * lit(100.0) / sum(col("n_docs")).over(Window.partitionBy()), 2))
+          exactDiv(lit(100) * col("n_docs"),
+            sum(col("n_docs")).over(Window.partitionBy()), 2))
         .select("bucket_id", "bucket", "n_docs", "pct")
         .orderBy("bucket_id")
     }
@@ -265,11 +266,14 @@ object Profiling {
     "q_dup_content",
     """SELECT prefix, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
       |FROM (SELECT array_to_string(string_split(text, ' ')[1:2], ' ') AS prefix,
-      |             doc_id FROM documents) t
+      |             doc_id FROM documents WHERE text IS NOT NULL) t
       |GROUP BY prefix HAVING COUNT(*) > 1
       |ORDER BY n_docs DESC, prefix""".stripMargin
   ) { (s, d) =>
     Tables.documents(s, d)
+      // null text is excluded in BOTH engines: Spark's concat_ws would fold
+      // it into the ''-prefix group while DuckDB keeps a NULL group
+      .filter(col("text").isNotNull)
       .select(concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("prefix"), col("doc_id"))
       .groupBy("prefix")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
@@ -374,9 +378,9 @@ object Profiling {
     "q_zero_inflation",
     s"""SELECT COUNT(*) AS total_lines,
        |  CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cnt,
-       |  ROUND(CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS DOUBLE) * 100 / COUNT(*), 1) AS zero_pct,
-       |  ROUND(${exactSumSql("CASE WHEN l_discount > 0 THEN l_discount END", 4)}
-       |    / SUM(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END), 4) AS nonzero_avg,
+       |  ${exactDivSql("100 * SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END)", "COUNT(*)", 1)} AS zero_pct,
+       |  ${exactDivSql("CAST(SUM(CAST(ROUND(CASE WHEN l_discount > 0 THEN l_discount END, 4) AS DECIMAL(30,4))) * 10000 AS HUGEINT)",
+                     "SUM(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) * 10000", 4)} AS nonzero_avg,
        |  MAX(l_discount) AS max_discount
        |FROM lineitem""".stripMargin
   ) { (s, d) =>
@@ -384,9 +388,12 @@ object Profiling {
     Tables.lineitem(s, d).agg(
       count(lit(1)).as("total_lines"),
       sum(when(c === 0, 1).otherwise(0)).as("zero_cnt"),
-      round(sum(when(c === 0, 1).otherwise(0)).cast("double") * 100 / count(lit(1)), 1).as("zero_pct"),
-      round(sum(when(c > 0, round(c, 4).cast(DecimalType(18, 4)))).cast("double")
-        / sum(when(c > 0, 1).otherwise(0)), 4).as("nonzero_avg"),
+      exactDiv(lit(100) * sum(when(c === 0, 1).otherwise(0)), count(lit(1)), 1)
+        .as("zero_pct"),
+      exactDiv(
+        (sum(when(c > 0, round(c, 4).cast(DecimalType(30, 4)))) * 10000)
+          .cast(DecimalType(38, 0)),
+        sum(when(c > 0, 1).otherwise(0)) * 10000, 4).as("nonzero_avg"),
       max(c).as("max_discount"))
   }
 

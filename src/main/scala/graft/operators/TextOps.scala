@@ -67,11 +67,12 @@ object TextOps {
          |    ' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ' AS padded
          |  FROM documents),
          |sc AS (
-         |  SELECT lang, cjk,
+         |  SELECT lang, cjk, padded,
          |    $scores
          |  FROM p)
          |SELECT lang,
-         |  CASE WHEN cjk THEN 'zh'
+         |  CASE WHEN padded IS NULL THEN 'und'
+         |       WHEN cjk THEN 'zh'
          |       WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
          |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
          |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
@@ -90,7 +91,8 @@ object TextOps {
     for ((l, ws) <- stopwords)
       df = df.withColumn(s"s_$l", regexp_count(col("padded"), lit(stopPattern(ws))))
     df.select(col("lang"),
-        when(col("cjk"), "zh")
+        when(col("padded").isNull, "und")
+          .when(col("cjk"), "zh")
           .when(col("s_en") === 0 && col("s_es") === 0 &&
             col("s_de") === 0 && col("s_fr") === 0, "und")
           .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
