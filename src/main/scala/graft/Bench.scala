@@ -22,13 +22,17 @@ object Bench {
     // warmup: exercise scans, shuffle, broadcast, window, HOF and codegen
     // machinery once (at the smallest SF for the heavier paths) so the
     // timed loop below measures steady-state execution, not JIT
-    try {
-      SparkEntry.entry(spark).count()
-      Seq("lineitem", "orders", "events", "documents", "embeddings")
-        .foreach(t => Tables.table(spark, sfDir, t).count())
-      Seq("q_ngram_jaccard", "q_cosine_topk", "q_dedup_simhash", "q_agreement")
-        .foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count())
-    } catch { case _: Throwable => }
+    // each step in its own guard: one failing warm-up (e.g. the raw events
+    // read before the nanos conf is set) must not silently skip the rest
+    def warm(step: => Unit): Unit = try step catch { case _: Throwable => }
+    warm(Warm.icu(spark))
+    warm(SparkEntry.entry(spark).count())
+    Seq("lineitem", "orders", "documents", "embeddings")
+      .foreach(t => warm(Tables.table(spark, sfDir, t).count()))
+    warm(Tables.events(spark, sfDir).count())
+    Seq("q_ngram_jaccard", "q_cosine_topk", "q_dedup_simhash", "q_dedup_minhash",
+      "q_dedup_exact", "q_ann_lsh", "q_agreement")
+      .foreach(q => warm(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()))
 
     // a failed query reports -1, never a bogus elapsed time
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -16,6 +16,7 @@ object QTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Warm.icu(spark)
     SparkEntry.entry(spark).count() // warmup
     args.drop(1).foreach { n =>
       val t0 = System.nanoTime()

@@ -12,8 +12,18 @@ import org.apache.spark.sql.functions._
   * pushdown into the scan.
   */
 object Tables {
+  /** Memoized per (session, dir, table): `spark.read.parquet` re-lists the
+    * files and re-reads the parquet footer schema on every call — a driver
+    * job per table per query. Resolving each table once per session is the
+    * catalog-table behavior a deployed lake would have. The entry is only
+    * the logical plan; nothing row-sized lives here.
+    */
+  private val resolved =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    resolved.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

@@ -65,6 +65,12 @@ object Similarity {
           "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
           .as("sh"))
         .distinct()
+        // one strong 64-bit hash per shingle, computed once at index build:
+        // every repeated-hash consumer (the 32 minhash permutations, the
+        // bucket-verification set intersections) mixes this fixed-width long
+        // instead of re-hashing the string — at 100 TB that also keeps the
+        // signature shuffle narrow
+        .withColumn("sh_h", xxhash64(col("sh")))
     }
 
   private val shinglesSql =
@@ -125,16 +131,18 @@ object Similarity {
 
   /** MinHash + LSH near-dup (rows-only; spec checks vs exact Jaccard):
     * k=32 min-hashes per doc (one pass over the shingle index, 32 partial
-    * min aggregates), 8 bands of 4 → band-hash bucket join → exact Jaccard
-    * verification ONLY on bucket-collision pairs. This is the 100 TB dedup
-    * path: the shuffle carries 32 longs per doc, never the shingles.
+    * min aggregates over the precomputed shingle hash — each permutation
+    * mixes the fixed-width long, never re-hashes the string), 8 bands of 4
+    * → band-hash bucket join → exact Jaccard verification ONLY on
+    * bucket-collision pairs. This is the 100 TB dedup path: the shuffle
+    * carries 32 longs per doc, never the shingles.
     */
   val qDedupMinhash: Q = Q.rowsOnly("q_dedup_minhash") { (s, d) =>
-    val sh = shingles(s, d)
+    val sh = shingles(s, d).select("doc_id", "sh_h")
     // bands materialized: the bucket self-join reads it from two aliased
     // sides — without it the 32-aggregate signature pass runs twice
     val bands = materialized(s, d, "minhash_bands") {
-      val minCols = (0 until MinhashK).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      val minCols = (0 until MinhashK).map(i => min(xxhash64(lit(i), col("sh_h"))).as(s"h$i"))
       val sigs = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
       sigs.select(col("doc_id"), posexplode(array(
         (0 until MinhashK / BandRows).map(b =>
@@ -151,12 +159,13 @@ object Similarity {
         .select("id_a", "id_b").distinct()
     }
     // exact verification within buckets only: gather the candidate docs'
-    // shingle sets once and intersect per pair — O(|candidates|) array
-    // work instead of re-running the inverted-index self-join
+    // shingle-hash sets once and intersect per pair — O(|candidates|)
+    // long-array work instead of re-running the inverted-index self-join
+    // (set sizes equal the string-shingle sets modulo 2^-64 collisions)
     val ids = candidates.select(col("id_a").as("doc_id"))
       .unionByName(candidates.select(col("id_b").as("doc_id"))).distinct()
     val sets = sh.join(ids, Seq("doc_id"), "left_semi")
-      .groupBy("doc_id").agg(collect_set("sh").as("shs"))
+      .groupBy("doc_id").agg(collect_set("sh_h").as("shs"))
     candidates
       .join(sets.select(col("doc_id").as("id_a"), col("shs").as("sa")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("shs").as("sb")), "id_b")
@@ -175,13 +184,17 @@ object Similarity {
     * bit_count(xor) within buckets.
     */
   val qDedupSimhash: Q = Q.rowsOnly("q_dedup_simhash") { (s, d) =>
+    // hash each token before the distinct: the dedup shuffle then carries
+    // (doc_id, long) instead of (doc_id, string) — same distinct set modulo
+    // 2^-64 collisions, and the 64 bit-sum aggregates read a fixed-width key
     val toks = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(split(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " "))
           .as("tok"))
-      .filter(col("tok") =!= "").distinct()
-      .withColumn("h", xxhash64(col("tok")))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .distinct()
     val bitSums = (0 until 64).map(b =>
       sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"s$b"))
