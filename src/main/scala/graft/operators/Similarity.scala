@@ -374,7 +374,122 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  private val IvfK = 16
+  private val IvfProbe = 2
+
+  /** Driver-held IVF model per (session, dir): K centroids as quantized
+    * integer vectors plus their squared norms — K×64 longs, the same
+    * "tiny broadcast model" footprint as [[hyperplanes]]. Built
+    * deterministically: seeds = the K lowest vec_ids, then ONE Lloyd
+    * refinement with exact integer sums and floor division (bit-identical
+    * at any parallelism). At 100 TB the model would be trained on a sample
+    * and broadcast exactly like this.
+    */
+  private val ivfModels = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[(Int, Array[Long], Long)]]
+
+  private def litVec(v: Array[Long]): Column =
+    array(v.map(x => lit(x)).toIndexedSeq: _*)
+
+  /** (squared-distance, cid) structs to every centroid — lexicographic
+    * struct ordering makes array_min/array_sort a deterministic argmin with
+    * cid as the tie-break.
+    */
+  private def centDists(model: Array[(Int, Array[Long], Long)], qv: Column,
+      n2: Column): Seq[Column] =
+    model.toSeq.map { case (cid, c, n2c) =>
+      struct(
+        (n2 + lit(n2c) - lit(2L) * call_function("graft_dot_q", qv, litVec(c)))
+          .as("dist"),
+        lit(cid).as("cid"))
+    }
+
+  private def ivfModel(s: SparkSession, d: String): Array[(Int, Array[Long], Long)] =
+    ivfModels.getOrElseUpdate((s, d), {
+      val q = quantized(s, d).filter(col("qv").isNotNull)
+      val seeds = q.orderBy("vec_id").limit(IvfK)
+        .select("qv").collect().map(_.getSeq[Long](0).toArray)
+      if (seeds.isEmpty) Array.empty
+      else {
+        val seedModel = seeds.zipWithIndex.map { case (v, i) =>
+          (i, v, v.map(x => x * x).sum)
+        }
+        // one Lloyd pass: nearest-seed assignment, exact per-position
+        // integer means (sum/count in longs, floor division)
+        val refined = q
+          .withColumn("cid",
+            array_min(array(centDists(seedModel, col("qv"), col("n2")): _*))
+              .getField("cid"))
+          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos")
+          .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("c"))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+            .as("cent"))
+          .collect()
+          .map(r => r.getAs[Int]("cid") -> r.getAs[Seq[Long]]("cent").toArray)
+          .toMap
+        // a cluster that lost every member keeps its seed vector
+        seedModel.map { case (cid, seed, _) =>
+          val c = refined.getOrElse(cid, seed)
+          (cid, c, c.map(x => x * x).sum)
+        }
+      }
+    })
+
+  /** IVF-bucketed ANN (rows-only; spec checks recall vs brute force): the
+    * complement of [[qAnnLsh]] on the same quantized index. K=16 inverted
+    * lists from deterministic k-means-lite centroids; every vector is
+    * assigned to its nearest list once (cached, like a written IVF index);
+    * queries probe their 2 nearest lists and run exact cosine + top-k on
+    * those lists only. At 100 TB the probed lists replace the full corpus
+    * scan with ~nprobe/K of the data, and the assignment is a narrow
+    * (vec_id, cid) table co-partitioned with the corpus.
+    */
+  val qAnnIvf: Q = Q.rowsOnly("q_ann_ivf") { (s, d) =>
+    val q = quantized(s, d)
+    val model = ivfModel(s, d)
+    if (model.isEmpty) {
+      // day-one empty lake: keep the schema, emit no rows
+      q.filter(lit(false))
+        .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+          lit(1).as("rank"), lit(0.0).as("cosine"))
+    } else {
+      val assigned = materialized(s, d, "ivf_assign") {
+        q.filter(col("qv").isNotNull)
+          .withColumn("cid",
+            array_min(array(centDists(model, col("qv"), col("n2")): _*))
+              .getField("cid"))
+          .select("vec_id", "cid")
+      }
+      // nprobe nearest lists per query: sort the K (dist, cid) structs,
+      // keep the head — no window needed for a K-element array
+      val qprobe = q.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          explode(slice(
+            array_sort(array(centDists(model, col("qv"), col("n2")): _*)),
+            1, IvfProbe).getField("cid")).as("cid"))
+      val candIds = assigned.join(broadcast(qprobe), Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id").distinct()
+      val candidates = candIds
+        .join(q.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
+        .join(broadcast(q.filter(col("vec_id") < 10).select(
+          col("vec_id").as("query_id"), col("qv").as("qq"), col("n2").as("n2q"))),
+          "query_id")
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+      candidates
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(call_function("graft_dot_q", col("qq"), col("qv")),
+            col("n2q"), col("n2")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     qNgramJaccard, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
-    qCosineTopk, qAnnLsh)
+    qCosineTopk, qAnnLsh, qAnnIvf)
 }

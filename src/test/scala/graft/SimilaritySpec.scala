@@ -77,6 +77,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf ann: recall@5 vs brute force is nontrivial, results ranked per query") {
+    val brute = Similarity.qCosineTopk.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.qAnnIvf.run(spark, sfDir).collect()
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, "not descending")
+    }
+    val pairs = ivf
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & pairs).size.toDouble / brute.size
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.2, s"recall $recall too low")
+  }
+
   test("lsh ann: recall@5 vs brute force is nontrivial, results are subset-ranked") {
     val brute = Similarity.qCosineTopk.run(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
