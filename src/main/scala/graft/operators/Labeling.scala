@@ -140,6 +140,38 @@ object Labeling {
       .orderBy("tier", "status")
   }
 
+  /** Queue batch claim (db_manager.fetch_queue_batch:637): the next
+    * batch_size pending items ordered by priority tier then id, joined back
+    * to the fact table for annotation context and stamped with the claiming
+    * annotator. The reference's UPDATE-and-return becomes the pure claim
+    * query — the state transition itself is the sink's job (Store's
+    * idempotent append). "Pending" is simulated as event_id % 5 <> 1.
+    * Scale: ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-
+    * partition top-k, no global sort) and the 50-row claim broadcasts into
+    * the context join.
+    */
+  val qQueueClaim: Q = Q(
+    "q_queue_claim",
+    s"""WITH $tierSql,
+       |claim AS (
+       |  SELECT tier, event_id, event_type, value FROM queue
+       |  WHERE event_id % 5 <> 1
+       |  ORDER BY tier ASC, event_id ASC LIMIT 50)
+       |SELECT c.tier, c.event_id, c.event_type, c.value, e.user_id,
+       |  CAST(3 AS INTEGER) AS assigned_to
+       |FROM claim c JOIN events e ON e.event_id = c.event_id
+       |ORDER BY c.tier, c.event_id""".stripMargin
+  ) { (s, d) =>
+    val claim = tiers(s, d)
+      .filter(col("event_id") % 5 =!= 1)
+      .orderBy(col("tier").asc, col("event_id").asc).limit(50)
+    claim
+      .join(Tables.events(s, d).select("event_id", "user_id"), "event_id")
+      .select(col("tier"), col("event_id"), col("event_type"), col("value"),
+        col("user_id"), lit(3).as("assigned_to"))
+      .orderBy("tier", "event_id")
+  }
+
   /** Label distribution (db_manager.get_label_distribution): per-label
     * counts + exact-integer share over the deduped annotation set.
     */
@@ -322,5 +354,5 @@ object Labeling {
 
   val all: Seq[Q] = Seq(
     qSampleTiers, qBalancedSample, qMajorityVote, qTrainSplit, qAgreement,
-    qQueueProgress, qLabelDistribution)
+    qQueueProgress, qQueueClaim, qLabelDistribution)
 }
