@@ -31,7 +31,7 @@ object Bench {
       .foreach(t => warm(Tables.table(spark, sfDir, t).count()))
     warm(Tables.events(spark, sfDir).count())
     Seq("q_ngram_jaccard", "q_cosine_topk", "q_dedup_simhash", "q_dedup_minhash",
-      "q_dedup_exact", "q_ann_lsh", "q_agreement")
+      "q_dedup_exact", "q_ann_lsh", "q_ann_ivf", "q_agreement")
       .foreach(q => warm(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()))
 
     // a failed query reports -1, never a bogus elapsed time
