@@ -111,6 +111,37 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("parquet sink + checkpoint: windows land exactly once across a restart") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    def run(batches: Seq[Seq[Event]]): Unit = {
+      val q = IngestStream.windowedCounts(IngestStream.dedupe(mem.toDS()))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckDir).outputMode("append").start()
+      try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    // first incarnation: hour-0 clicks (with a duplicate PK), then an event
+    // far enough ahead to close the hour-0 window into the sink
+    run(Seq(
+      Seq(Event(1, ts(5), 10, "click", 4.0), Event(2, ts(10), 10, "click", 6.0),
+        Event(1, ts(5), 10, "click", 4.0)),
+      Seq(Event(3, ts(200), 11, "view", 2.0))))
+    // restart from the same checkpoint: advances the watermark further and
+    // must NOT re-emit the already-committed hour-0 window
+    run(Seq(Seq(Event(4, ts(400), 11, "view", 8.0))))
+    val rows = spark.read.parquet(outDir).collect()
+    val clicks = rows.filter(_.getAs[String]("event_type") == "click")
+    assert(clicks.length == 1, s"hour-0 click window must land exactly once, got ${clicks.mkString(",")}")
+    assert(clicks.head.getAs[Long]("n_events") == 2L, "dup PK must not count")
+    val views = rows.filter(r => r.getAs[String]("event_type") == "view" &&
+      r.getAs[Long]("n_events") == 1L)
+    assert(views.nonEmpty, "restarted stream must keep emitting closed windows")
+  }
+
   test("batch and streaming windowed-count plans share one definition") {
     import spark.implicits._
     // run the streaming transformation in batch mode over the real table
