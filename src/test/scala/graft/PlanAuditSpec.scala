@@ -39,6 +39,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_sample_tiers").contains("TakeOrderedAndProject"))
   }
 
+  test("queue claim: per-partition top-k, then the tiny batch broadcasts") {
+    val p = plan("q_queue_claim")
+    assert(p.contains("TakeOrderedAndProject"), "claim must not global-sort:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "50-row claim must broadcast:\n" + p)
+  }
+
+  test("ivf ann: query probes and query vectors broadcast into the list joins") {
+    assert(plan("q_ann_ivf").contains("BroadcastHashJoin"))
+  }
+
   test("hot expressions stay inside whole-stage codegen") {
     // execute first: codegen spans only appear in the finalized AQE plan
     val df = SparkEntry.queries("q_quality_score")(spark, sfDir)
