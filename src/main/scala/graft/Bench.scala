@@ -33,6 +33,9 @@ object Bench {
     Seq("q_ngram_jaccard", "q_cosine_topk", "q_dedup_simhash", "q_dedup_minhash",
       "q_dedup_exact", "q_ann_lsh", "q_ann_ivf", "q_agreement")
       .foreach(q => warm(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()))
+    // the warm-up pinned sf0.001 similarity indexes the timed loop never
+    // reads — release that storage memory before timing the sf0.1 builds
+    graft.operators.Similarity.clearIndexCache()
 
     // a failed query reports -1, never a bogus elapsed time
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -15,8 +15,10 @@ object Tables {
   /** Memoized per (session, dir, table): `spark.read.parquet` re-lists the
     * files and re-reads the parquet footer schema on every call — a driver
     * job per table per query. Resolving each table once per session is the
-    * catalog-table behavior a deployed lake would have. The entry is only
-    * the logical plan; nothing row-sized lives here.
+    * catalog-table behavior a deployed lake would have. NOTE the cached
+    * plan pins the file listing (its `InMemoryFileIndex` snapshot) as well
+    * as the schema: a dir whose files are rewritten mid-session must be
+    * flushed with [[clearResolved]] (as a catalog would REFRESH TABLE).
     */
   private val resolved =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
@@ -24,6 +26,11 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     resolved.getOrElseUpdate((spark, dir, name),
       spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Forget every resolved table (the REFRESH TABLE analog) — call after
+    * rewriting parquet files under a dir already read this session.
+    */
+  def clearResolved(): Unit = resolved.clear()
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

@@ -14,8 +14,15 @@ object Warm {
     * moves that cost out of the first real query; on a multi-executor
     * cluster the same line belongs in an executor-startup hook.
     */
-  def icu(spark: SparkSession): Unit =
-    spark.range(1)
-      .select(lower(lit("Aİ ß")), upper(lit("ıa ß")), initcap(lit("ß x")))
-      .count()
+  def icu(spark: SparkSession): Unit = {
+    // the case expressions must (a) depend on a non-constant column and
+    // (b) feed the aggregate — a bare count() lets ColumnPruning delete a
+    // foldable projection before it ever evaluates, skipping the init
+    val s = concat(
+      lower(concat(lit("Aİ ß"), col("id"))),
+      upper(concat(lit("ıa ß"), col("id"))),
+      initcap(concat(lit("ß x"), col("id"))))
+    spark.range(8).select(s.as("s")).agg(max(length(col("s")))).collect()
+    ()
+  }
 }

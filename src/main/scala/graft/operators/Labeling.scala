@@ -145,17 +145,18 @@ object Labeling {
     * to the fact table for annotation context and stamped with the claiming
     * annotator. The reference's UPDATE-and-return becomes the pure claim
     * query — the state transition itself is the sink's job (Store's
-    * idempotent append). "Pending" is simulated as event_id % 5 <> 1.
-    * Scale: ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-
-    * partition top-k, no global sort) and the 50-row claim broadcasts into
-    * the context join.
+    * idempotent append). "Pending" follows qQueueProgress's status model
+    * (event_id % 3 = 0), so the claim and the progress rollup describe one
+    * consistent queue. Scale: ORDER BY + LIMIT compiles to
+    * TakeOrderedAndProject (per-partition top-k, no global sort) and the
+    * 50-row claim broadcasts into the context join.
     */
   val qQueueClaim: Q = Q(
     "q_queue_claim",
     s"""WITH $tierSql,
        |claim AS (
        |  SELECT tier, event_id, event_type, value FROM queue
-       |  WHERE event_id % 5 <> 1
+       |  WHERE event_id % 3 = 0
        |  ORDER BY tier ASC, event_id ASC LIMIT 50)
        |SELECT c.tier, c.event_id, c.event_type, c.value, e.user_id,
        |  CAST(3 AS INTEGER) AS assigned_to
@@ -163,7 +164,7 @@ object Labeling {
        |ORDER BY c.tier, c.event_id""".stripMargin
   ) { (s, d) =>
     val claim = tiers(s, d)
-      .filter(col("event_id") % 5 =!= 1)
+      .filter(col("event_id") % 3 === 0)
       .orderBy(col("tier").asc, col("event_id").asc).limit(50)
     claim
       .join(Tables.events(s, d).select("event_id", "user_id"), "event_id")

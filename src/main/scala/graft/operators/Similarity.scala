@@ -47,6 +47,7 @@ object Similarity {
   def clearIndexCache(): Unit = {
     indexCache.values.foreach(df => try df.unpersist() catch { case _: Exception => })
     indexCache.clear()
+    ivfModels.clear()
   }
 
   /** Distinct word 3-gram shingles per document (docs with ≥3 tokens). */
@@ -463,8 +464,10 @@ object Similarity {
           .select("vec_id", "cid")
       }
       // nprobe nearest lists per query: sort the K (dist, cid) structs,
-      // keep the head — no window needed for a K-element array
-      val qprobe = q.filter(col("vec_id") < 10)
+      // keep the head — no window needed for a K-element array. A query
+      // with a null vector has no meaningful probes: drop it here (the
+      // assignment side already does), or it would emit null-cosine rows
+      val qprobe = q.filter(col("vec_id") < 10 && col("qv").isNotNull)
         .select(col("vec_id").as("query_id"),
           explode(slice(
             array_sort(array(centDists(model, col("qv"), col("n2")): _*)),
@@ -474,7 +477,7 @@ object Similarity {
         .select("query_id", "vec_id").distinct()
       val candidates = candIds
         .join(q.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
-        .join(broadcast(q.filter(col("vec_id") < 10).select(
+        .join(broadcast(q.filter(col("vec_id") < 10 && col("qv").isNotNull).select(
           col("vec_id").as("query_id"), col("qv").as("qq"), col("n2").as("n2q"))),
           "query_id")
       val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
