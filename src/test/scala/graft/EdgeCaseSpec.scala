@@ -49,6 +49,9 @@ class EdgeCaseSpec extends SparkSpec {
       .withColumn("props",
         org.apache.spark.sql.functions.when(col("event_id") % 4 === 0,
           lit(null: String)).otherwise(col("props")))
+      .withColumn("value",
+        org.apache.spark.sql.functions.when(col("event_id") % 6 === 0,
+          lit(null: java.lang.Double)).otherwise(col("value")))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
