@@ -373,6 +373,36 @@ object Profiling {
       .orderBy("script")
   }
 
+  /** Encoding-issues profile (analyze_language_issues:388, the non-script
+    * half): docs containing non-ASCII text, U+FFFD replacement characters
+    * (mojibake markers), and undecoded HTML entities. Non-ASCII is detected
+    * as octet_length > char_length — a byte/char comparison both engines
+    * define identically, with no regex-dialect parity risk.
+    */
+  val qEncodingIssues: Q = Q(
+    "q_encoding_issues",
+    s"""SELECT COUNT(*) AS total_docs,
+       |  CAST(SUM(CASE WHEN strlen(text) > length(text)
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS non_ascii_docs,
+       |  ${exactDivSql("100 * SUM(CASE WHEN strlen(text) > length(text) THEN 1 ELSE 0 END)",
+                        "COUNT(*)", 1)} AS non_ascii_pct,
+       |  CAST(SUM(CASE WHEN position('�' IN text) > 0
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS encoding_error_docs,
+       |  CAST(SUM(CASE WHEN text LIKE '%&amp;%' OR text LIKE '%&lt;%'
+       |       OR text LIKE '%&#%' THEN 1 ELSE 0 END) AS BIGINT) AS html_entity_docs
+       |FROM documents""".stripMargin
+  ) { (s, d) =>
+    val t = col("text")
+    Tables.documents(s, d).agg(
+      count(lit(1)).as("total_docs"),
+      sum(when(octet_length(t) > length(t), 1).otherwise(0)).as("non_ascii_docs"),
+      exactDiv(lit(100) * sum(when(octet_length(t) > length(t), 1).otherwise(0)),
+        count(lit(1)), 1).as("non_ascii_pct"),
+      sum(when(t.contains("�"), 1).otherwise(0)).as("encoding_error_docs"),
+      sum(when(t.contains("&amp;") || t.contains("&lt;") || t.contains("&#"), 1)
+        .otherwise(0)).as("html_entity_docs"))
+  }
+
   /** Zero-inflation analysis (deep_analysis §6 thumbs-up) on l_discount. */
   val qZeroInflation: Q = Q(
     "q_zero_inflation",
@@ -434,5 +464,6 @@ object Profiling {
   val all: Seq[Q] = Seq(qApproxProfile,
     qProfileCompleteness, qMoments, qLengthPercentiles, qLengthHistogram,
     qLengthByGroup, qDupKeys, qDupContent, qTemporalHistogram, qQualityFlags,
-    qRepeatedChars, qScriptDistribution, qZeroInflation, qCohortCompare)
+    qRepeatedChars, qScriptDistribution, qEncodingIssues, qZeroInflation,
+    qCohortCompare)
 }
