@@ -84,6 +84,68 @@ object Multimodal {
       it.grouped(BatchSize).flatMap(decodeBatchStub))
   }
 
+  /** Resize stub: in production the image codec re-encodes the payload to
+    * the target dimensions; here the metadata is updated and the payload
+    * deterministically truncated by the area ratio so the pipeline shape
+    * (typed pass-through of non-images, batched narrow map, payload never
+    * grows) is exactly testable. Audio/unknown-dimension assets pass
+    * through untouched.
+    */
+  def resizeBatchStub(batch: Seq[MediaAsset], w: Int, h: Int): Seq[MediaAsset] =
+    batch.map { a =>
+      if (a.meta.sampleRate > 0 || a.meta.width <= 0 || a.meta.height <= 0) a
+      else {
+        val scale = math.min(1.0,
+          (w.toDouble * h) / (a.meta.width.toDouble * a.meta.height))
+        val n = math.max(1, math.min(a.payload.length,
+          math.ceil(a.payload.length * scale).toInt))
+        a.copy(meta = a.meta.copy(width = w, height = h),
+          payload = a.payload.take(n))
+      }
+    }
+
+  /** Batched resize pass — same narrow mapPartitions shape as
+    * [[extractFeatures]]; payloads never shuffle.
+    */
+  def resize(assets: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.grouped(BatchSize).flatMap(resizeBatchStub(_, w, h)))
+  }
+
+  /** One sampled frame/window of a media payload. */
+  final case class FrameSample(assetId: Long, frameIdx: Int, frameBytes: Int,
+      checksum: Long)
+
+  /** Frame-sampling stub: every `everyNth` fixed-size window of the payload
+    * stands in for a decoded video frame / audio window. A flatMap — narrow,
+    * output rows carry a checksum + size, never the frame bytes, so the
+    * downstream shuffle (if any) is a few longs per frame. FNV-1a keeps the
+    * checksum deterministic and cheap.
+    */
+  def sampleFrames(assets: Dataset[MediaAsset], frameBytes: Int,
+      everyNth: Int): Dataset[FrameSample] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      a.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (f, i) if i % everyNth == 0 =>
+          FrameSample(a.assetId, i, f.length,
+            f.foldLeft(-3750763034362895579L)((x, b) =>
+              (x ^ (b & 0xff)) * 1099511628211L))
+      }.toSeq
+    }
+  }
+
+  /** Frame-sampling rollup through the full binary→window path (rows-only:
+    * the flatMap kernel is not SQL-expressible; the spec pins exact
+    * per-asset frame counts and checksums).
+    */
+  val qFrameSample: Q = Q.rowsOnly("q_frame_sample") { (s, d) =>
+    sampleFrames(assets(s, d), 32, 4).toDF()
+      .groupBy("frameIdx")
+      .agg(count(lit(1)).as("n_frames"), sum("frameBytes").as("total_bytes"))
+      .orderBy("frameIdx")
+  }
+
   /** Metadata-only rollup over the binary assets (oracle-checked): the
     * payload participates only through octet_length; Catalyst prunes and
     * pushes the rest. fmt/meta derivation mirrored exactly in DuckDB.
@@ -118,5 +180,5 @@ object Multimodal {
       .orderBy("fmt")
   }
 
-  val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures)
+  val all: Seq[Q] = Seq(qBinaryMeta, qMediaFeatures, qFrameSample)
 }

@@ -52,6 +52,43 @@ class MultimodalSpec extends SparkSpec {
     assert(sizes.sum == Multimodal.assets(spark, sfDir).count())
   }
 
+  test("resize: images get target dims and never grow; audio passes through") {
+    val assets = Multimodal.assets(spark, sfDir)
+    val before = assets.collect().map(a => a.assetId -> a).toMap
+    Multimodal.resize(assets, 64, 48).collect().foreach { r =>
+      val orig = before(r.assetId)
+      if (orig.meta.sampleRate > 0) {
+        assert(r.meta == orig.meta, "audio meta must be untouched")
+        assert(r.payload.sameElements(orig.payload))
+      } else {
+        assert(r.meta.width == 64 && r.meta.height == 48)
+        assert(r.payload.length <= orig.payload.length, "resize must not grow payload")
+        assert(r.payload.nonEmpty || orig.payload.isEmpty)
+      }
+    }
+  }
+
+  test("frame sampling: every-nth windows with exact counts and checksums") {
+    val assets = Multimodal.assets(spark, sfDir)
+    val frames = Multimodal.sampleFrames(assets, 32, 4).collect()
+      .groupBy(_.assetId)
+    assets.collect().filter(_.payload.nonEmpty).take(50).foreach { a =>
+      val nWindows = math.ceil(a.payload.length / 32.0).toInt
+      val expected = (0 until nWindows).count(_ % 4 == 0)
+      val got = frames.getOrElse(a.assetId, Array.empty)
+      assert(got.length == expected,
+        s"asset ${a.assetId}: ${got.length} frames, expected $expected")
+      got.foreach { f =>
+        assert(f.frameIdx % 4 == 0)
+        val window = a.payload.slice(f.frameIdx * 32, f.frameIdx * 32 + 32)
+        assert(f.frameBytes == window.length)
+        val ck = window.foldLeft(-3750763034362895579L)((x, b) =>
+          (x ^ (b & 0xff)) * 1099511628211L)
+        assert(f.checksum == ck, "checksum must be reproducible from the window")
+      }
+    }
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val plan = Multimodal.qBinaryMeta.run(spark, sfDir)
       .queryExecution.executedPlan.toString
