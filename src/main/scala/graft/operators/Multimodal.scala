@@ -91,7 +91,8 @@ object Multimodal {
     * grows) is exactly testable. Audio/unknown-dimension assets pass
     * through untouched.
     */
-  def resizeBatchStub(batch: Seq[MediaAsset], w: Int, h: Int): Seq[MediaAsset] =
+  def resizeBatchStub(batch: Seq[MediaAsset], w: Int, h: Int): Seq[MediaAsset] = {
+    require(w > 0 && h > 0, s"target dimensions must be positive, got ${w}x$h")
     batch.map { a =>
       if (a.meta.sampleRate > 0 || a.meta.width <= 0 || a.meta.height <= 0) a
       else {
@@ -103,6 +104,7 @@ object Multimodal {
           payload = a.payload.take(n))
       }
     }
+  }
 
   /** Batched resize pass — same narrow mapPartitions shape as
     * [[extractFeatures]]; payloads never shuffle.
@@ -116,6 +118,12 @@ object Multimodal {
   final case class FrameSample(assetId: Long, frameIdx: Int, frameBytes: Int,
       checksum: Long)
 
+  /** FNV-1a over raw bytes — the frame checksum kernel (shared with the
+    * spec so the constants are pinned in exactly one place).
+    */
+  def fnv1a(bytes: Array[Byte]): Long =
+    bytes.foldLeft(-3750763034362895579L)((x, b) => (x ^ (b & 0xff)) * 1099511628211L)
+
   /** Frame-sampling stub: every `everyNth` fixed-size window of the payload
     * stands in for a decoded video frame / audio window. A flatMap — narrow,
     * output rows carry a checksum + size, never the frame bytes, so the
@@ -124,13 +132,13 @@ object Multimodal {
     */
   def sampleFrames(assets: Dataset[MediaAsset], frameBytes: Int,
       everyNth: Int): Dataset[FrameSample] = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
     import assets.sparkSession.implicits._
     assets.flatMap { a =>
       a.payload.grouped(frameBytes).zipWithIndex.collect {
         case (f, i) if i % everyNth == 0 =>
-          FrameSample(a.assetId, i, f.length,
-            f.foldLeft(-3750763034362895579L)((x, b) =>
-              (x ^ (b & 0xff)) * 1099511628211L))
+          FrameSample(a.assetId, i, f.length, fnv1a(f))
       }.toSeq
     }
   }

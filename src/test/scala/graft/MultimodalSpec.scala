@@ -57,8 +57,9 @@ class MultimodalSpec extends SparkSpec {
     val before = assets.collect().map(a => a.assetId -> a).toMap
     Multimodal.resize(assets, 64, 48).collect().foreach { r =>
       val orig = before(r.assetId)
-      if (orig.meta.sampleRate > 0) {
-        assert(r.meta == orig.meta, "audio meta must be untouched")
+      if (orig.meta.sampleRate > 0 || orig.meta.width <= 0 || orig.meta.height <= 0) {
+        // audio and unknown-dimension assets pass through untouched
+        assert(r.meta == orig.meta, "pass-through meta must be untouched")
         assert(r.payload.sameElements(orig.payload))
       } else {
         assert(r.meta.width == 64 && r.meta.height == 48)
@@ -82,9 +83,8 @@ class MultimodalSpec extends SparkSpec {
         assert(f.frameIdx % 4 == 0)
         val window = a.payload.slice(f.frameIdx * 32, f.frameIdx * 32 + 32)
         assert(f.frameBytes == window.length)
-        val ck = window.foldLeft(-3750763034362895579L)((x, b) =>
-          (x ^ (b & 0xff)) * 1099511628211L)
-        assert(f.checksum == ck, "checksum must be reproducible from the window")
+        assert(f.checksum == Multimodal.fnv1a(window),
+          "checksum must be reproducible from the window")
       }
     }
   }
