@@ -101,7 +101,8 @@ object Multimodal {
         val n = math.max(1, math.min(a.payload.length,
           math.ceil(a.payload.length * scale).toInt))
         a.copy(meta = a.meta.copy(width = w, height = h),
-          payload = a.payload.take(n))
+          // no-shrink case keeps the original array (skip the copy)
+          payload = if (n == a.payload.length) a.payload else a.payload.take(n))
       }
     }
   }
@@ -110,6 +111,9 @@ object Multimodal {
     * [[extractFeatures]]; payloads never shuffle.
     */
   def resize(assets: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
+    // fail fast on the driver; the per-batch require would only fire inside
+    // a scheduled task (and not at all on an empty dataset)
+    require(w > 0 && h > 0, s"target dimensions must be positive, got ${w}x$h")
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.grouped(BatchSize).flatMap(resizeBatchStub(_, w, h)))
   }
@@ -121,8 +125,13 @@ object Multimodal {
   /** FNV-1a over raw bytes — the frame checksum kernel (shared with the
     * spec so the constants are pinned in exactly one place).
     */
-  def fnv1a(bytes: Array[Byte]): Long =
-    bytes.foldLeft(-3750763034362895579L)((x, b) => (x ^ (b & 0xff)) * 1099511628211L)
+  def fnv1a(bytes: Array[Byte]): Long = {
+    // manual loop: foldLeft over Array[Byte] boxes every byte + accumulator
+    var x = -3750763034362895579L
+    var i = 0
+    while (i < bytes.length) { x = (x ^ (bytes(i) & 0xff)) * 1099511628211L; i += 1 }
+    x
+  }
 
   /** Frame-sampling stub: every `everyNth` fixed-size window of the payload
     * stands in for a decoded video frame / audio window. A flatMap — narrow,
