@@ -31,7 +31,7 @@ object Bench {
       .foreach(t => warm(Tables.table(spark, sfDir, t).count()))
     warm(Tables.events(spark, sfDir).count())
     Seq("q_ngram_jaccard", "q_cosine_topk", "q_dedup_simhash", "q_dedup_minhash",
-      "q_dedup_exact", "q_ann_lsh", "q_ann_ivf", "q_agreement")
+      "q_dedup_clusters", "q_dedup_exact", "q_ann_lsh", "q_ann_ivf", "q_agreement")
       .foreach(q => warm(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()))
     // the warm-up pinned sf0.001 similarity indexes the timed loop never
     // reads — release that storage memory before timing the sf0.1 builds

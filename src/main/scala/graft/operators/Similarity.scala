@@ -139,6 +139,13 @@ object Similarity {
     * carries 32 longs per doc, never the shingles.
     */
   val qDedupMinhash: Q = Q.rowsOnly("q_dedup_minhash") { (s, d) =>
+    minhashPairs(s, d).orderBy("id_a", "id_b")
+  }
+
+  /** The verified MinHash near-dup pairs (id_a < id_b, jaccard ≥ 0.5),
+    * unsorted — shared by q_dedup_minhash and the clustering pass.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d).select("doc_id", "sh_h")
     // bands materialized: the bucket self-join reads it from two aliased
     // sides — without it the 32-aggregate signature pass runs twice
@@ -175,7 +182,6 @@ object Similarity {
           (size(col("sa")) + size(col("sb"))
             - size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("id_a", "id_b")
   }
 
   /** SimHash near-dup (rows-only; spec): 64-bit fingerprint from the sign
@@ -492,7 +498,79 @@ object Similarity {
     }
   }
 
+  /** Connected components over an undirected pair graph (columns id_a <
+    * id_b) by min-label propagation: each node repeatedly adopts the
+    * smallest label among itself and its neighbors until fixpoint. The
+    * label converges to the cluster's minimum id — the canonical keeper in
+    * a dedup pipeline. Iterations are driver-bounded (near-dup clusters
+    * have tiny diameters; the cap is a safety rail, and hitting it on a
+    * pathological chain still yields a refinement, never a wrong merge).
+    * Each round is one shuffle of (node, label) pairs — the GraphX-free,
+    * DataFrame-native shape of large-scale dedup clustering.
+    */
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the pair graph is read twice per round: materialize it once, or an
+    // expensive upstream (the minhash verification join) re-executes every
+    // iteration
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(lvl)
+    // localCheckpoint (not persist) each round: the self-referential joins
+    // would otherwise double the LOGICAL plan every iteration and Catalyst
+    // analysis time explodes exponentially even on a tiny graph — the
+    // standard iterative-DataFrame trap. On a fault-sensitive cluster
+    // (dynamic allocation, long jobs) swap for reliable checkpoint() to
+    // the cluster store — same lineage truncation, executor-loss safe
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // hop: smallest label among self + one-hop neighbors
+      val nbr = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
+      val hop = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      // pointer jump: adopt the label's own label (labels are node ids, so
+      // the self-join always resolves) — turns O(diameter) convergence
+      // into O(log diameter) on chain-shaped clusters
+      val ptr = hop.select(col("id").as("p_id"), col("label").as("p_label"))
+      val next = hop.join(ptr, hop("label") === ptr("p_id"), "left")
+        .select(hop("id"), coalesce(col("p_label"), hop("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") < col("prev")).limit(1).count() > 0
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Transitive near-dup clustering (rows-only; spec checks the partition
+    * against a driver-side union-find): MinHash near-dup pairs →
+    * connected components → one row per cluster with its canonical keeper
+    * (min doc_id), member count, and members. A~B and B~C land in ONE
+    * cluster even when (A,C) itself never collided in a band — the closure
+    * every dedup pipeline needs before choosing survivors.
+    */
+  val qDedupClusters: Q = Q.rowsOnly("q_dedup_clusters") { (s, d) =>
+    val pairs = minhashPairs(s, d)
+    components(pairs)
+      .groupBy(col("label").as("keep_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .filter(col("n_members") > 1)
+      .orderBy("keep_id")
+  }
+
   val all: Seq[Q] = Seq(
     qNgramJaccard, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
-    qCosineTopk, qAnnLsh, qAnnIvf)
+    qCosineTopk, qAnnLsh, qAnnIvf, qDedupClusters)
 }

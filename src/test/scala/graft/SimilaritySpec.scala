@@ -58,6 +58,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters: components equal a driver-side union-find closure") {
+    val pairs = Similarity.qDedupMinhash.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.nonEmpty, "corpus has near-dup pairs")
+    // reference union-find over the same pair graph
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toSeq
+      .groupBy(_._2).map { case (_, m) => m.map(_._1).toSet }
+      .filter(_.size > 1).toSet
+    val got = Similarity.qDedupClusters.run(spark, sfDir).collect()
+      .map(r => r.getAs[Seq[Long]]("members").toSet).toSet
+    assert(got == expected, s"cluster partitions differ:\n got=$got\n exp=$expected")
+    // canonical keeper is the cluster minimum
+    Similarity.qDedupClusters.run(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("keep_id") == r.getAs[Seq[Long]]("members").min)
+    }
+  }
+
   test("embed neardup: pairs respect threshold and label blocking") {
     val rows = Similarity.qEmbedNeardup.run(spark, sfDir).collect()
     rows.foreach { r =>
