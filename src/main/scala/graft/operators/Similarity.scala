@@ -528,14 +528,18 @@ object Similarity {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      // hop: smallest label among self + one-hop neighbors
+      // hop: smallest label among self + one-hop neighbors. Plain plan (no
+      // checkpoint): with labels an RDD leaf and edges cache-replaced at
+      // planning, its tree is constant-size per round — only `next`, the
+      // value carried across rounds, needs the lineage cut. Superseded
+      // round RDDs are dereferenced here and reclaimed by the
+      // ContextCleaner; only the live label table stays pinned.
       val nbr = edges
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
       val hop = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
       // pointer jump: adopt the label's own label (labels are node ids, so
       // the self-join always resolves) — turns O(diameter) convergence
       // into O(log diameter) on chain-shaped clusters
@@ -561,8 +565,13 @@ object Similarity {
     * every dedup pipeline needs before choosing survivors.
     */
   val qDedupClusters: Q = Q.rowsOnly("q_dedup_clusters") { (s, d) =>
-    val pairs = minhashPairs(s, d)
-    components(pairs)
+    // NOTE components() is eager by nature (an iterative driver loop), so
+    // this Q departs from the lazy plan-builder contract; memoizing the
+    // label table means repeat calls (specs, Explain, re-runs) pay it once
+    val labels = materialized(s, d, "dedup_cluster_labels") {
+      components(minhashPairs(s, d))
+    }
+    labels
       .groupBy(col("label").as("keep_id"))
       .agg(count(lit(1)).as("n_members"),
         sort_array(collect_list(col("id"))).as("members"))

@@ -75,11 +75,11 @@ class SimilaritySpec extends SparkSpec {
     val expected = parent.keys.map(x => x -> find(x)).toSeq
       .groupBy(_._2).map { case (_, m) => m.map(_._1).toSet }
       .filter(_.size > 1).toSet
-    val got = Similarity.qDedupClusters.run(spark, sfDir).collect()
-      .map(r => r.getAs[Seq[Long]]("members").toSet).toSet
+    val rows = Similarity.qDedupClusters.run(spark, sfDir).collect()
+    val got = rows.map(r => r.getAs[Seq[Long]]("members").toSet).toSet
     assert(got == expected, s"cluster partitions differ:\n got=$got\n exp=$expected")
     // canonical keeper is the cluster minimum
-    Similarity.qDedupClusters.run(spark, sfDir).collect().foreach { r =>
+    rows.foreach { r =>
       assert(r.getAs[Long]("keep_id") == r.getAs[Seq[Long]]("members").min)
     }
   }
