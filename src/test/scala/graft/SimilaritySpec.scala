@@ -84,6 +84,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("components: chain, star and disjoint cliques all collapse to min labels") {
+    import spark.implicits._
+    // a 60-node chain (worst case for hop-only propagation), a star, and
+    // two disjoint cliques — every node must end at its component minimum
+    val chain = (100L until 159L).map(i => (i, i + 1))
+    val star = Seq((500L, 501L), (500L, 502L), (500L, 503L))
+    val cliqueA = Seq((700L, 701L), (700L, 702L), (701L, 702L))
+    val cliqueB = Seq((800L, 801L))
+    val pairs = (chain ++ star ++ cliqueA ++ cliqueB).toDF("id_a", "id_b")
+    val labels = Similarity.components(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    (100L to 159L).foreach(i => assert(labels(i) == 100L, s"chain node $i"))
+    Seq(500L, 501L, 502L, 503L).foreach(i => assert(labels(i) == 500L))
+    Seq(700L, 701L, 702L).foreach(i => assert(labels(i) == 700L))
+    Seq(800L, 801L).foreach(i => assert(labels(i) == 800L))
+    assert(labels.size == 60 + 4 + 3 + 2)
+  }
+
   test("embed neardup: pairs respect threshold and label blocking") {
     val rows = Similarity.qEmbedNeardup.run(spark, sfDir).collect()
     rows.foreach { r =>
