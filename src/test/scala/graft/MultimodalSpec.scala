@@ -89,6 +89,13 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("fnv1a matches the published FNV-1a 64-bit test vectors") {
+    def h(s: String): Long = Multimodal.fnv1a(s.getBytes("UTF-8"))
+    assert(h("") == java.lang.Long.parseUnsignedLong("cbf29ce484222325", 16))
+    assert(h("a") == java.lang.Long.parseUnsignedLong("af63dc4c8601ec8c", 16))
+    assert(h("foobar") == java.lang.Long.parseUnsignedLong("85944171f73967e8", 16))
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val plan = Multimodal.qBinaryMeta.run(spark, sfDir)
       .queryExecution.executedPlan.toString

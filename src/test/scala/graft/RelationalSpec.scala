@@ -4,6 +4,10 @@ import graft.operators.Relational
 
 class RelationalSpec extends SparkSpec {
 
+  test("driver contract: entry returns rows on the smoke SF") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every relational query runs and returns a sane schema") {
     Relational.all.foreach { q =>
       val df = q.run(spark, sfDir)
