@@ -33,10 +33,18 @@ class EdgeCaseSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_nully").toString
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "embeddings").foreach { t =>
+      "lineitem").foreach { t =>
       Tables.table(spark, sfDir, t).limit(50)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
+    // null embedding vectors and labels exercise the similarity ops'
+    // null guards (quantization, dot kernel, IVF probe/assignment)
+    Tables.embeddings(spark, sfDir).limit(50)
+      .withColumn("embedding",
+        when(col("vec_id") % 7 === 0, lit(null)).otherwise(col("embedding")))
+      .withColumn("label",
+        when(col("vec_id") % 5 === 0, lit(null: String)).otherwise(col("label")))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // null/empty text and lang on a third of the corpus
     Tables.documents(spark, sfDir)
       .withColumn("text",
