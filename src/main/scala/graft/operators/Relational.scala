@@ -65,6 +65,28 @@ object Relational {
       .limit(100)
   }
 
+  /** Paginated filter query (db_manager.get_reviews:331 offset param):
+    * page 2 of the same composable filter — a total order (ts DESC with the
+    * unique id as tie-break) makes OFFSET deterministic, which the
+    * reference relies on for stable pagination. Spark compiles
+    * offset+limit to one CollectLimit; pages stay driver-sized.
+    */
+  val qFilterPage: Q = Q(
+    "q_filter_page",
+    """SELECT event_id, user_id, event_type,
+      |       date_trunc('microseconds', ts) AS ts, value
+      |FROM events
+      |WHERE event_type = 'purchase' AND value >= 100
+      |ORDER BY date_trunc('microseconds', ts) DESC, event_id
+      |LIMIT 100 OFFSET 100""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value") >= 100)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .orderBy(col("ts").desc, col("event_id"))
+      .offset(100).limit(100)
+  }
+
   /** LIKE text search (db_manager.search_reviews:438). */
   val qSearchText: Q = Q(
     "q_search_text",
@@ -267,7 +289,7 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(
-    qPricingSummary, qFilterQuery, qSearchText, qKeyStats, qDailyStats,
-    qBucketDistribution, qBucketByKey, qTopkPerGroup, qJoinEnrich,
-    qStarRollup, qGlobalStats)
+    qPricingSummary, qFilterQuery, qFilterPage, qSearchText, qKeyStats,
+    qDailyStats, qBucketDistribution, qBucketByKey, qTopkPerGroup,
+    qJoinEnrich, qStarRollup, qGlobalStats)
 }
