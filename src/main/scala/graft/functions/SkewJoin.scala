@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
   * AQE's skew-join split handles moderate skew at runtime; salting is the
   * explicit fallback when one key dominates so badly that even split
   * partitions hotspot a single task pair (the classic power-law key at
-  * 100 TB). The big side gets a uniform random-free salt derived from a
-  * per-row hash (deterministic — no rand(), so retried tasks and both
-  * cluster runs produce identical partitioning); the small side is
-  * replicated once per salt bucket.
+  * 100 TB). The big side gets a salt hashed from the row's content — a
+  * pure function of the row, so task retries and re-runs reproduce the
+  * identical partitioning (no rand(), no positional ids); the small side
+  * is replicated once per salt bucket.
   *
   * Semantics are exactly those of `big.join(small, keys, "inner")`; the
   * spec asserts equality row-for-row.
@@ -29,12 +29,16 @@ object SkewJoin {
     require(salts > 0)
     require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
       "saltedInnerJoin reserves the __salt column name")
-    // salt = hash(partition-local row position): deterministic per run (a
-    // retried task re-reads the same split, regenerating the same ids) and
-    // spreads even EXACT duplicate rows of the hot key — hashing row
-    // contents would send all copies of one repeated row to a single bucket
+    // salt = hash of the FULL row content: a pure function of the row, so a
+    // retried shuffle-map task reproduces the identical salt no matter how
+    // its input was reordered. A positional id (monotonically_increasing_id)
+    // is NOT retry-stable above a shuffle — a re-run map task would salt the
+    // same row differently than the copy some reducers already fetched,
+    // duplicating or dropping join rows. Trade-off: byte-identical duplicate
+    // rows of the hot key share a bucket; rows that identical should be
+    // deduped upstream, not load-balanced
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(RowHash.contentHash(big), lit(salts)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")

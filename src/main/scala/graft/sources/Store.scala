@@ -30,7 +30,9 @@ object Store {
       "dedupeByKey reserves the __rn/__h column names")
     val w = Window.partitionBy(key)
       .orderBy(col(orderCol), col("__h"))
-    df.withColumn("__h", xxhash64(df.columns.map(col).toIndexedSeq: _*))
+    // contentHash skips map-typed columns (xxhash64 rejects MapType) — the
+    // tie-break stays deterministic over the remaining row content
+    df.withColumn("__h", graft.functions.RowHash.contentHash(df))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__h")
@@ -51,8 +53,12 @@ object Store {
   def loadJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(path)
 
+  /** multiLine: the writer quotes embedded newlines, so the reader must
+    * parse quoted multi-line records or such rows come back malformed.
+    */
   def loadCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
-    s.read.schema(schema).option("header", "true").csv(path)
+    s.read.schema(schema).option("header", "true")
+      .option("multiLine", "true").csv(path)
 
   /** Hive-style partitioned layout (the standard lake arrangement for a
     * time-series ingest): one directory per partition value; scans with a
@@ -80,38 +86,65 @@ object Store {
     * _deduplicate_reviews, and pipeline INSERT OR IGNORE). Re-running the
     * same batch is a no-op. Returns the number of appended rows.
     *
+    * Contract notes:
+    *  - Rows with a NULL key are DROPPED (a null key has no identity; the
+    *    anti-join would re-admit them every run) and are not counted in the
+    *    returned total.
+    *  - Single writer at a time: the exists→scan→append sequence is not
+    *    atomic, so concurrent writers over overlapping batches can both
+    *    admit a key. Plain-file sinks cannot check-and-append atomically —
+    *    under concurrency, front with a queue or use a transactional table
+    *    format.
+    *
     * The existing-keys scan reads only `key` (columnar-pruned on parquet);
     * the anti-join shuffles on the key unless the sink side is small
     * enough for AQE to broadcast it.
     */
   def appendDeduped(df0: DataFrame, path: String, key: String,
       format: String = "parquet"): Long = {
-    // a null key has no identity: anti-join would re-admit it every run
-    // (NULL never equals NULL), silently breaking idempotency — enforce
-    // the primary-key contract at the boundary instead
     val df = df0.filter(col(key).isNotNull)
     val s = df.sparkSession
     // filesystem errors must propagate: treating them as "no sink" would
     // append already-ingested keys and silently break idempotency
     val p = new org.apache.hadoop.fs.Path(path)
     val sinkExists = p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    // CSV is header-named but POSITION-mapped when a schema is forced, and
+    // appended files must keep the sink's column order: read the existing
+    // header as-is, take just the key (cast to the batch's key type), and
+    // later align the appended batch to the sink's layout
+    val existingLayout: Option[Seq[String]] = if (!sinkExists) None
+    else if (format == "csv") {
+      val raw = s.read.option("header", "true").option("multiLine", "true")
+        .csv(path)
+      Some(raw.columns.toSeq)
+    } else None
     val novel = if (!sinkExists) df
     else {
-      val existing = s.read.format(format)
-        .options(if (format == "csv") Map("header" -> "true") else Map.empty[String, String])
-        .schema(df.schema).load(path)
-        .select(key)
-      df.join(existing, Seq(key), "left_anti")
+      val existingKeys = format match {
+        case "csv" =>
+          s.read.option("header", "true").option("multiLine", "true").csv(path)
+            .select(col(key).cast(df.schema(key).dataType).as(key))
+        case _ =>
+          s.read.format(format).schema(df.schema).load(path).select(key)
+      }
+      df.join(existingKeys, Seq(key), "left_anti")
     }
-    val deduped = dedupeByKey(novel, key, key)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deduped0 = dedupeByKey(novel, key, key)
+    val deduped = existingLayout match {
+      case Some(cols) =>
+        require(cols.toSet == df.columns.toSet,
+          s"batch columns ${df.columns.toSet} do not match sink columns ${cols.toSet}")
+        deduped0.select(cols.map(col): _*)
+      case None => deduped0
+    }
+    val cached = deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = deduped.count() // also materializes: the write below reuses it
+      val n = cached.count() // also materializes: the write below reuses it
       if (n > 0) {
-        val writer = deduped.write.mode(SaveMode.Append).format(format)
+        val writer = cached.write.mode(SaveMode.Append).format(format)
         (if (format == "csv") writer.option("header", "true") else writer).save(path)
       }
       n
-    } finally deduped.unpersist()
+    } finally cached.unpersist()
   }
 }

@@ -51,6 +51,32 @@ class StoreSpec extends SparkSpec {
     assert(sink.select("doc_id").distinct().count() == b2.count())
   }
 
+  test("csv append stays idempotent with embedded newlines and reordered columns") {
+    import spark.implicits._
+    val path = tmp("csvappend")
+    val b1 = Seq((1L, "plain", "x"), (2L, "has\nnewline", "y"))
+      .toDF("id", "body", "tag")
+    assert(Store.appendDeduped(b1, path, "id", "csv") == 2)
+    // the quoted multi-line record must round-trip, not break the key scan
+    assert(Store.appendDeduped(b1, path, "id", "csv") == 0,
+      "rerun must be a no-op even with embedded newlines")
+    // a batch with a different column ORDER must align to the sink layout
+    val b2 = Seq(("z", 3L, "third"), ("w", 1L, "dup")).toDF("tag", "id", "body")
+    assert(Store.appendDeduped(b2, path, "id", "csv") == 1)
+    val back = Store.loadCsv(spark, path, b1.schema)
+    assert(back.count() == 3)
+    assert(back.filter(col("id") === 2L).select("body").as[String].head() == "has\nnewline")
+    assert(back.filter(col("id") === 3L).select("body").as[String].head() == "third",
+      "reordered batch must not land values in the wrong columns")
+  }
+
+  test("dedupeByKey tolerates map-typed columns") {
+    import spark.implicits._
+    val df = Seq((1L, Map("a" -> 1)), (1L, Map("b" -> 2)), (2L, Map.empty[String, Int]))
+      .toDF("id", "props")
+    assert(Store.dedupeByKey(df, "id", "id").count() == 2)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
