@@ -537,19 +537,21 @@ object Similarity {
       val nbr = edges
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
+      // prev rides along so the convergence check is a filter over the
+      // checkpointed result — no extra join/shuffle per round
       val hop = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jump: adopt the label's own label (labels are node ids, so
       // the self-join always resolves) — turns O(diameter) convergence
       // into O(log diameter) on chain-shaped clusters
       val ptr = hop.select(col("id").as("p_id"), col("label").as("p_label"))
       val next = hop.join(ptr, hop("label") === ptr("p_id"), "left")
-        .select(hop("id"), coalesce(col("p_label"), hop("label")).as("label"))
+        .select(hop("id"), col("prev"),
+          coalesce(col("p_label"), hop("label")).as("label"))
         .localCheckpoint()
-      val changed = next.join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") < col("prev")).limit(1).count() > 0
-      labels = next
+      val changed = next.filter(col("label") < col("prev")).limit(1).count() > 0
+      labels = next.select("id", "label")
       converged = !changed
       iter += 1
     }
