@@ -231,11 +231,18 @@ object Ingest {
     */
   val qPropsExtract: Q = Q(
     "q_props_extract",
+    // the oracle parses REAL JSON (DuckDB json extension), mirroring
+    // from_json's strictness exactly: only an integral JSON number parses
+    // (doubles/strings/missing/malformed/null → NULL) — no brittle
+    // fixed-serialization regexp that drifts when the generator changes
     s"""SELECT event_type, COUNT(*) AS n_events,
        |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k,
        |  ${intAvgSql("k", 2)} AS avg_k
        |FROM (SELECT event_type,
-       |        TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k
+       |        CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+       |             WHEN json_type(props, '$$.k') IN ('BIGINT', 'UBIGINT')
+       |             THEN TRY_CAST(json_extract_string(props, '$$.k') AS INTEGER)
+       |             ELSE NULL END AS k
        |      FROM events)
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   ) { (s, d) =>

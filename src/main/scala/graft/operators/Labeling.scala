@@ -70,7 +70,7 @@ object Labeling {
   private val tierSql =
     """pool AS (
       |  SELECT event_id, event_type, value,
-      |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+      |    TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
       |  FROM events WHERE event_id % 7 <> 0),
       |t1 AS (SELECT 1 AS tier, event_id, event_type, value FROM pool
       |       WHERE value < 10 ORDER BY value ASC, event_id LIMIT 100),

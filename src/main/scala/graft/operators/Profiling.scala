@@ -19,12 +19,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Profiling {
 
-  /** Word count matching Python's str.split() (empty → 0). */
-  private def wordCount(c: Column): Column =
-    when(trim(c) === "", 0).otherwise(size(split(trim(c), "[ \\t\\n\\r\\f]+")))
-
-  private val wordCountSql =
-    "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) END"
+  // single shared definition (Text) so the whitespace/empty semantics
+  // cannot drift from TextOps' token counting
+  private def wordCount(c: Column): Column = Text.wordCount(c)
+  private val wordCountSql = Text.wordCountSql
 
   /** Per-column completeness profile (analyzer.analyze_missing_values:83,
     * deep_analysis 5c "field completeness"): one output row per column with
@@ -152,22 +150,27 @@ object Profiling {
     Q("q_length_percentiles",
       duck("char_len", "length(text)") + "\nUNION ALL\n" +
         duck("word_count", wordCountSql) + "\nORDER BY metric") { (s, d) =>
+      // ONE aggregation pass computes both metrics' percentile arrays;
+      // the two output rows then unfold from the single agg row — the
+      // union-of-two-aggs form would scan documents twice
       val df = Tables.documents(s, d)
         .select(length(col("text")).as("char_len"), wordCount(col("text")).as("word_count"))
-      def side(metric: String, c: String): DataFrame =
-        df.agg(
+      df.agg(
           count(lit(1)).as("n"),
-          expr(s"percentile($c, array(0.05, 0.25, 0.5, 0.75, 0.95, 0.99))").as("ps"))
-          .select(
-            lit(metric).as("metric"), col("n"),
-            round(col("ps").getItem(0), 4).as("p5"),
-            round(col("ps").getItem(1), 4).as("p25"),
-            round(col("ps").getItem(2), 4).as("p50"),
-            round(col("ps").getItem(3), 4).as("p75"),
-            round(col("ps").getItem(4), 4).as("p95"),
-            round(col("ps").getItem(5), 4).as("p99"),
-            round(col("ps").getItem(3) - col("ps").getItem(1), 4).as("iqr"))
-      side("char_len", "char_len").unionAll(side("word_count", "word_count"))
+          expr("percentile(char_len, array(0.05, 0.25, 0.5, 0.75, 0.95, 0.99))").as("pc"),
+          expr("percentile(word_count, array(0.05, 0.25, 0.5, 0.75, 0.95, 0.99))").as("pw"))
+        .select(col("n"), explode(array(
+          struct(lit("char_len").as("metric"), col("pc").as("ps")),
+          struct(lit("word_count").as("metric"), col("pw").as("ps")))).as("m"))
+        .select(
+          col("m.metric").as("metric"), col("n"),
+          round(col("m.ps").getItem(0), 4).as("p5"),
+          round(col("m.ps").getItem(1), 4).as("p25"),
+          round(col("m.ps").getItem(2), 4).as("p50"),
+          round(col("m.ps").getItem(3), 4).as("p75"),
+          round(col("m.ps").getItem(4), 4).as("p95"),
+          round(col("m.ps").getItem(5), 4).as("p99"),
+          round(col("m.ps").getItem(3) - col("m.ps").getItem(1), 4).as("iqr"))
         .orderBy("metric")
     }
   }

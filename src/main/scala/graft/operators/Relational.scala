@@ -182,10 +182,12 @@ object Relational {
       |ORDER BY event_type""".stripMargin
   ) { (s, d) =>
     Tables.events(s, d)
+      // no otherwise(): a NULL value must land in NO bucket (the oracle's
+      // SUM(CASE WHEN value < 10 ...) yields 0 for NULL), not in "low"
       .withColumn("bucket",
         when(col("value") >= 100, "high")
           .when(col("value") >= 10, "mid")
-          .otherwise("low"))
+          .when(col("value") < 10, "low"))
       .groupBy("event_type")
       .pivot("bucket", Seq("high", "mid", "low"))
       .agg(count(lit(1)))

@@ -170,16 +170,14 @@ object TextOps {
     */
   val qTokenCount: Q = Q(
     "q_token_count",
-    """SELECT doc_id,
-      |  CASE WHEN trim(text) = '' THEN 0
-      |       ELSE len(string_split_regex(trim(text), '[ \t\n\r\f]+')) END AS n_tokens_ws,
-      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \t\n\r\f]')) AS n_tokens_bpe
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  ${Text.wordCountSql} AS n_tokens_ws,
+       |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\n\\r\\f]')) AS n_tokens_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"),
-      when(trim(col("text")) === "", 0)
-        .otherwise(size(split(trim(col("text")), "[ \\t\\n\\r\\f]+"))).as("n_tokens_ws"),
+      Text.wordCount(col("text")).as("n_tokens_ws"),
       regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\n\\r\\f]"))
         .as("n_tokens_bpe"))
       .orderBy("doc_id")
@@ -193,10 +191,10 @@ object TextOps {
   val qFingerprint: Q = Q(
     "q_fingerprint",
     s"""SELECT doc_id, md5($normSql) AS content_md5,
-       |  list_reduce(
+       |  CASE WHEN a IS NULL THEN NULL ELSE list_reduce(
        |    list_prepend(0, [CAST(ascii(a[i]) AS BIGINT)
        |                     FOR i IN generate_series(1, length(a))]),
-       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
+       |    (acc, c) -> (acc * 31 + c) % 1000000007) END AS rolling_hash
        |FROM (SELECT doc_id, text,
        |        regexp_replace(text, '[^ -~]', '', 'g') AS a
        |      FROM documents)

@@ -26,6 +26,21 @@ final case class SessionOut(user_id: Long, n_events: Long, start_us: Long,
   */
 object IngestStream {
 
+  /** Boundary validation into the typed stream — the analog of the
+    * reference scraper dropping malformed reviews before insert. `Event`
+    * carries primitive fields (the hot path stays unboxed), so a row with
+    * a null id/ts/user/value would throw inside the `.as[Event]` decode
+    * mid-query; this filters them at the edge instead.
+    */
+  def fromRaw(df: DataFrame): Dataset[Event] = {
+    import df.sparkSession.implicits._
+    df.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull)
+      .as[Event]
+  }
+
   /** Watermarked dedup-by-PK: the streaming twin of INSERT OR IGNORE
     * (reference db_manager.insert_reviews_bulk:178). State: one key per
     * event inside the watermark horizon, dropped after 10 minutes of
@@ -101,9 +116,11 @@ object IngestStream {
             cur.foreach { s =>
               state.update(s)
               // an all-late batch leaves the previous state: keep its
-              // timeout strictly ahead of the watermark
+              // timeout strictly ahead of the watermark. Ceil the µs→ms
+              // conversion — flooring would fire up to 999 µs before the
+              // true gap boundary and split a session the batch twin merges
               state.setTimeoutTimestamp(
-                math.max(s.endUs / 1000 + GapUs / 1000,
+                math.max((s.endUs + GapUs + 999) / 1000,
                   state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator

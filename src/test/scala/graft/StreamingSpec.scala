@@ -94,12 +94,10 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = spark.readStream.schema(raw.schema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))
-      .as[Event]
+    val stream = IngestStream.fromRaw(
+      spark.readStream.schema(raw.schema)
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
     val query = IngestStream.windowedCounts(stream)
       .writeStream.format("memory").queryName("file_win")
       .outputMode("complete").start()
@@ -140,6 +138,20 @@ class StreamingSpec extends SparkSpec {
     val views = rows.filter(r => r.getAs[String]("event_type") == "view" &&
       r.getAs[Long]("n_events") == 1L)
     assert(views.nonEmpty, "restarted stream must keep emitting closed windows")
+  }
+
+  test("fromRaw drops malformed (null-field) rows instead of crashing the decode") {
+    val raw = Tables.events(spark, sfDir)
+      .withColumn("value",
+        when(col("event_id") % 6 === 0, lit(null: java.lang.Double))
+          .otherwise(col("value")))
+      .withColumn("user_id",
+        when(col("event_id") % 11 === 0, lit(null: java.lang.Long))
+          .otherwise(col("user_id")))
+    val typed = IngestStream.fromRaw(raw)
+    val expected = raw.filter(col("value").isNotNull && col("user_id").isNotNull).count()
+    assert(typed.count() == expected)
+    typed.collect() // the decode itself must not throw
   }
 
   test("batch and streaming windowed-count plans share one definition") {
