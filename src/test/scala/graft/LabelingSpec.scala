@@ -27,10 +27,24 @@ class LabelingSpec extends SparkSpec {
   }
 
   test("balanced sample: every key hits max(30, proportional) target cap") {
+    import org.apache.spark.sql.functions.col
     val rows = Labeling.qBalancedSample.run(spark, sfDir).collect()
+    // independent reference for the allocation: pool excludes %7 ids,
+    // target = max(30, floor(200·count/total)), per-key take = min(pool, target)
+    val poolCounts = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 7 =!= 0)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    val total = poolCounts.values.sum
     val perKey = rows.groupBy(_.getAs[String]("event_type")).view.mapValues(_.length)
-    assert(perKey.nonEmpty)
-    perKey.foreach { case (k, n) => assert(n >= 30, s"$k under minimum: $n") }
+    assert(perKey.keySet == poolCounts.keySet)
+    perKey.foreach { case (k, n) =>
+      val target = math.max(30L, 200L * poolCounts(k) / total)
+      assert(n == math.min(poolCounts(k), target),
+        s"$k: took $n, expected min(pool=${poolCounts(k)}, target=$target)")
+    }
+    // the excluded simulated-labeled ids never appear
+    assert(!rows.exists(_.getAs[Long]("event_id") % 7 == 0))
   }
 
   test("majority vote: winner label has max count, confidence marks ties") {

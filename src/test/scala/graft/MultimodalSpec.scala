@@ -42,14 +42,12 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("decode stub batches cap at BatchSize") {
-    // grouped() must never hand the decoder more than BatchSize assets
-    val sizes = Multimodal.assets(spark, sfDir)
-      .mapPartitions(it => it.grouped(Multimodal.BatchSize).map(_.size))(
-        org.apache.spark.sql.Encoders.scalaInt)
-      .collect()
-    assert(sizes.forall(_ <= Multimodal.BatchSize))
-    assert(sizes.sum == Multimodal.assets(spark, sfDir).count())
+  test("feature extraction is narrow: payloads never shuffle") {
+    // the mapPartitions pipeline must add no Exchange — at scale a shuffle
+    // here would move every payload byte across the cluster
+    val plan = Multimodal.extractFeatures(Multimodal.assets(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "feature extraction shuffles payloads:\n" + plan)
   }
 
   test("resize: images get target dims and never grow; audio passes through") {

@@ -56,11 +56,16 @@ class ProfilingSpec extends SparkSpec {
     assert(ps.length == 3 && ps(0) <= ps(1) && ps(1) <= ps(2))
   }
 
-  test("repeated-chars flag matches Java regex semantics") {
-    import spark.implicits._
-    val df = Seq("aaaaab normal", "no runs here").toDF("text")
-    val flagged = df.select(org.apache.spark.sql.functions.col("text")
-      .rlike("(.)\\1{4,}").as("f")).collect().map(_.getBoolean(0))
-    assert(flagged.sameElements(Array(true, false)))
+  test("repeated-chars operator flags 5+ runs over the corpus") {
+    // run the REGISTERED operator (not an inline copy of its pattern):
+    // an edit to its regex must fail here
+    val total = Tables.documents(spark, sfDir).count()
+    val withRuns = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("text").rlike("(.)\\1{4,}")).count()
+    val byFlag = graft.operators.Profiling.qRepeatedChars.run(spark, sfDir).collect()
+      .map(r => Option(r.getAs[java.lang.Boolean]("has_repeated_run")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(byFlag.getOrElse(Some(java.lang.Boolean.TRUE), 0L) == withRuns)
+    assert(byFlag.values.sum == total)
   }
 }

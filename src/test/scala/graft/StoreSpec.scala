@@ -10,8 +10,12 @@ class StoreSpec extends SparkSpec {
   private def tmp(name: String): String =
     Files.createTempDirectory(s"graft_$name").resolve("out").toString
 
+  // ordered limit: an unordered limit(200) has no determinism guarantee
+  // across evaluations, so round-trip comparisons could select different
+  // row subsets on each side
   private def sample = Tables.documents(spark, sfDir)
-    .select("doc_id", "lang", "source", "n_chars").limit(200)
+    .select("doc_id", "lang", "source", "n_chars")
+    .orderBy("doc_id").limit(200)
 
   test("jsonl round-trip preserves rows") {
     val path = tmp("jsonl")

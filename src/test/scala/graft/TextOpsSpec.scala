@@ -17,8 +17,10 @@ class TextOpsSpec extends SparkSpec {
     val rows = TextOps.qDedupExact.run(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_copies")).sum ==
       Tables.documents(spark, sfDir).count())
+    // reference normalization uses the SUT's exact whitespace class —
+    // Java's \s additionally matches \x0B and would drift on such corpora
     val distinctNorm = Tables.documents(spark, sfDir)
-      .select(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .select(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "))
       .distinct().count()
     assert(rows.length == distinctNorm)
   }
@@ -42,9 +44,10 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("token counts: ws tokens <= bpe tokens for word corpus") {
+    // every whitespace token yields at least one BPE-ish token, so the
+    // strict inequality holds document-by-document
     TextOps.qTokenCount.run(spark, sfDir).collect().foreach { r =>
-      assert(r.getAs[Int]("n_tokens_ws") <= r.getAs[Int]("n_tokens_bpe") ||
-        r.getAs[Int]("n_tokens_ws") - 1 <= r.getAs[Int]("n_tokens_bpe"))
+      assert(r.getAs[Int]("n_tokens_ws") <= r.getAs[Int]("n_tokens_bpe"))
     }
   }
 
