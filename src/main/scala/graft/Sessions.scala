@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The one SparkSession recipe every driver main shares. Verify and Bench
+  * MUST run under identical semantics — correctness validated under one
+  * config and performance measured under another would be meaningless —
+  * so the builder lives in exactly one place.
+  */
+object Sessions {
+
+  def build(cores: String, shufflePartitions: String): SparkSession = {
+    val s = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** SPARK_GRAFT_CPUS-sized session (default local[32], 32 shuffle parts). */
+  def buildDefault(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    build(cpus, cpus)
+  }
+}

@@ -46,8 +46,13 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FLOOR division in exact integer arithmetic: DIV truncates toward
+    // zero, which for a pre-epoch (negative-ns) timestamp lands one µs off
+    // the oracle's date_trunc/epoch_us floor; pmod is non-negative so
+    // subtracting it floors. (floor(ts/1000.0) would lose precision — ns
+    // values exceed a double's 2^53 integer range.)
     table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -31,7 +31,14 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Det {
 
-  /** Exact, order-independent sum of a double column (row-rounded at `scale`). */
+  /** Exact, order-independent sum of a double column (row-rounded at
+    * `scale`). INPUT CONTRACT: values must be authored with at most
+    * `scale` decimal digits (money-like columns) — a value with MORE
+    * digits landing on a decimal tie (e.g. 0.12345 at scale 4) rounds
+    * differently per engine (Spark rounds the shortest decimal string,
+    * DuckDB the binary value), which is the per-row twin of the tie
+    * problem the integer-space average machinery below exists to avoid.
+    */
   def exactSum(c: Column, scale: Int = 4): Column =
     sum(round(c, scale).cast(DecimalType(30, scale))).cast("double")
 
@@ -54,11 +61,12 @@ object Det {
   }
 
   /** DuckDB mirror of [[halfUpAvg]]; HUGEINT (int128) matches the Spark
-    * side's decimal(38,0) headroom.
+    * side's decimal(38,0) headroom. `cntExpr` is the denominator count —
+    * a zero count divides by zero, which is NULL in both engines.
     */
-  private def halfUpAvgSql(sExpr: String, p: Long, r: Int): String = {
+  private def halfUpAvgSql(sExpr: String, cntExpr: String, p: Long, r: Int): String = {
     val rp = math.pow(10, r).toLong
-    s"(SIGN($sExpr) * CAST((2*ABS($sExpr)*$rp + COUNT(*)*$p) // (2*COUNT(*)*$p) AS DOUBLE) / $rp)"
+    s"(SIGN($sExpr) * CAST((2*ABS($sExpr)*$rp + ($cntExpr)*$p) // (2*($cntExpr)*$p) AS DOUBLE) / $rp)"
   }
 
   /** Deterministic half-up round(num/den, r) for exact integer columns —
@@ -75,24 +83,30 @@ object Det {
       s" // (2*($denExpr)) AS DOUBLE) / $rp)"
   }
 
-  /** Deterministic mean of a double column, half-up rounded to `r` decimals. */
+  /** Deterministic mean of a double column, half-up rounded to `r`
+    * decimals. NULLs are excluded like SQL AVG — the denominator counts
+    * non-null rows only (dividing the null-skipping sum by COUNT(*) would
+    * silently treat NULLs as zeros); an all-null group yields NULL.
+    */
   def exactAvg(c: Column, r: Int = 2, scale: Int = 4): Column = {
     val p  = math.pow(10, scale).toLong
     val su = (sum(round(c, scale).cast(DecimalType(30, scale))) * p)
       .cast(DecimalType(38, 0))
-    halfUpAvg(su, count(lit(1)), p, r)
+    halfUpAvg(su, count(c), p, r)
   }
 
   def exactAvgSql(expr: String, r: Int = 2, scale: Int = 4): String = {
     val p = math.pow(10, scale).toLong
     val s = s"CAST(SUM(CAST(ROUND($expr, $scale) AS DECIMAL(30,$scale))) * $p AS HUGEINT)"
-    halfUpAvgSql(s, p, r)
+    halfUpAvgSql(s, s"COUNT($expr)", p, r)
   }
 
-  /** Deterministic mean of an integer column (exact long sum / count). */
+  /** Deterministic mean of an integer column (exact long sum / non-null
+    * count, NULLs excluded like SQL AVG).
+    */
   def intAvg(c: Column, r: Int = 2): Column =
-    halfUpAvg(sum(c).cast(DecimalType(38, 0)), count(lit(1)), 1L, r)
+    halfUpAvg(sum(c).cast(DecimalType(38, 0)), count(c), 1L, r)
 
   def intAvgSql(expr: String, r: Int = 2): String =
-    halfUpAvgSql(s"CAST(SUM($expr) AS HUGEINT)", 1L, r)
+    halfUpAvgSql(s"CAST(SUM($expr) AS HUGEINT)", s"COUNT($expr)", 1L, r)
 }

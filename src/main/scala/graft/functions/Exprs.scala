@@ -119,14 +119,29 @@ object GraftFunctions {
   private def info(name: String, clazz: Class[_]) =
     new ExpressionInfo(clazz.getCanonicalName, name)
 
+  /** Builder with arity validation — a wrong-arity SQL call must surface
+    * as a clear analysis-time error naming the function, not an opaque
+    * IndexOutOfBoundsException from inside the registry.
+    */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.size != n) throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> n.toString,
+          "actualNum" -> children.size.toString, "docroot" -> ""))
+      build(children)
+    }
+
   /** The single source of truth for graft's native function surface. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("graft_dot_q"), info("graft_dot_q", classOf[DotQ]),
-        (children: Seq[Expression]) => DotQ(children(0), children(1))),
+        arity("graft_dot_q", 2)(c => DotQ(c(0), c(1)))),
       (FunctionIdentifier("graft_rolling_hash"),
         info("graft_rolling_hash", classOf[RollingHash]),
-        (children: Seq[Expression]) => RollingHash(children.head)))
+        arity("graft_rolling_hash", 1)(c => RollingHash(c.head))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
