@@ -51,6 +51,19 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("native functions reject wrong arity with a named error") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot_q(array(1))").collect()
+    }
+    assert(e.getMessage.contains("graft_dot_q"),
+      s"error must name the function: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_rolling_hash('a', 'b')").collect()
+    }
+    assert(e2.getMessage.contains("graft_rolling_hash"))
+  }
+
   test("rolling hash expression matches a reference fold") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
