@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from stdout; sbt's default
+// LoggedOutput strategy wraps forked-process output in "[info] " which
+// breaks that parse (BENCH_r01 recorded parsed:null). StdoutOutput sends
+// the forked JVM's stdout through unwrapped.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -457,11 +457,18 @@ object Profiling {
     * pins relative-error bounds against the exact answers.
     */
   val qApproxProfile: Q = Q.rowsOnly("q_approx_profile") { (s, d) =>
+    // one array-form sketch pass, then flattened to scalar columns: the
+    // driver hash-sorts every output with pandas, and array cells are
+    // unhashable there — scalar columns keep the rows-only check clean
     Tables.events(s, d).agg(
       approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
       approx_count_distinct(col("event_id"), 0.02).as("approx_events"),
       percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
-        lit(10000)).as("value_p50_p95_p99"))
+        lit(10000)).as("ps"))
+      .select(col("approx_users"), col("approx_events"),
+        col("ps").getItem(0).as("value_p50"),
+        col("ps").getItem(1).as("value_p95"),
+        col("ps").getItem(2).as("value_p99"))
   }
 
   val all: Seq[Q] = Seq(qApproxProfile,

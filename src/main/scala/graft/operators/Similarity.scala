@@ -573,10 +573,13 @@ object Similarity {
     val labels = materialized(s, d, "dedup_cluster_labels") {
       components(minhashPairs(s, d))
     }
+    // members as a sorted CSV string, not array<long>: the driver
+    // hash-sorts every output with pandas, and array cells are unhashable
+    // there — a scalar string keeps the rows-only check clean
     labels
       .groupBy(col("label").as("keep_id"))
       .agg(count(lit(1)).as("n_members"),
-        sort_array(collect_list(col("id"))).as("members"))
+        array_join(sort_array(collect_list(col("id"))), ",").as("members"))
       .filter(col("n_members") > 1)
       .orderBy("keep_id")
   }

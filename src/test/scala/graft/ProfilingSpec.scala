@@ -52,8 +52,8 @@ class ProfilingSpec extends SparkSpec {
       math.abs(approx - exact).toDouble / exact
     assert(relErr(r.getAs[Long]("approx_users"), exactUsers) < 0.1)
     assert(relErr(r.getAs[Long]("approx_events"), exactEvents) < 0.1)
-    val ps = r.getAs[scala.collection.Seq[Double]]("value_p50_p95_p99")
-    assert(ps.length == 3 && ps(0) <= ps(1) && ps(1) <= ps(2))
+    val ps = Seq("value_p50", "value_p95", "value_p99").map(r.getAs[Double])
+    assert(ps(0) <= ps(1) && ps(1) <= ps(2))
   }
 
   test("repeated-chars operator flags 5+ runs over the corpus") {

@@ -76,11 +76,13 @@ class SimilaritySpec extends SparkSpec {
       .groupBy(_._2).map { case (_, m) => m.map(_._1).toSet }
       .filter(_.size > 1).toSet
     val rows = Similarity.qDedupClusters.run(spark, sfDir).collect()
-    val got = rows.map(r => r.getAs[Seq[Long]]("members").toSet).toSet
+    def memberSet(r: org.apache.spark.sql.Row): Set[Long] =
+      r.getAs[String]("members").split(",").map(_.toLong).toSet
+    val got = rows.map(memberSet).toSet
     assert(got == expected, s"cluster partitions differ:\n got=$got\n exp=$expected")
     // canonical keeper is the cluster minimum
     rows.foreach { r =>
-      assert(r.getAs[Long]("keep_id") == r.getAs[Seq[Long]]("members").min)
+      assert(r.getAs[Long]("keep_id") == memberSet(r).min)
     }
   }
 
