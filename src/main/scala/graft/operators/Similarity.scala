@@ -143,9 +143,14 @@ object Similarity {
   }
 
   /** The verified MinHash near-dup pairs (id_a < id_b, jaccard ≥ 0.5),
-    * unsorted — shared by q_dedup_minhash and the clustering pass.
+    * unsorted — shared by q_dedup_minhash and the clustering pass, so the
+    * exact-verification join is materialized too (candidates alone being
+    * cached still re-ran the collect_set + intersect pass per consumer).
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "minhash_pairs")(minhashPairsPlan(s, d))
+
+  private def minhashPairsPlan(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d).select("doc_id", "sh_h")
     // bands materialized: the bucket self-join reads it from two aliased
     // sides — without it the 32-aggregate signature pass runs twice
@@ -499,16 +504,28 @@ object Similarity {
   }
 
   /** Connected components over an undirected pair graph (columns id_a <
-    * id_b) by min-label propagation: each node repeatedly adopts the
-    * smallest label among itself and its neighbors until fixpoint. The
-    * label converges to the cluster's minimum id — the canonical keeper in
-    * a dedup pipeline. Iterations are driver-bounded (near-dup clusters
-    * have tiny diameters; the cap is a safety rail, and hitting it on a
-    * pathological chain still yields a refinement, never a wrong merge).
-    * Each round is one shuffle of (node, label) pairs — the GraphX-free,
-    * DataFrame-native shape of large-scale dedup clustering.
+    * id_b). Output: (id, label) with label = the component's minimum id —
+    * the canonical keeper in a dedup pipeline.
+    *
+    * Two physical strategies behind one result, picked at runtime from the
+    * materialized edge count (the near-dup pair graph is a small residue
+    * of the corpus, but nothing guarantees that at 100 TB):
+    *
+    *  - `small` (≤ `smallThreshold` directed edges): one narrow
+    *    single-task union-find via mapPartitions — no driver collect (the
+    *    graph never leaves the executors), no per-round job scheduling.
+    *    This is the branch every realistic post-LSH residue takes.
+    *  - large: min-label propagation with pointer jumping — each node
+    *    repeatedly adopts the smallest label among itself and its one-hop
+    *    neighbors, then jumps to its label's label (O(log diameter)
+    *    rounds). Each round is one shuffle of (node, label) pairs — the
+    *    GraphX-free, DataFrame-native shape of web-scale dedup
+    *    clustering. Iterations are driver-bounded (the cap is a safety
+    *    rail; hitting it on a pathological chain still yields a
+    *    refinement, never a wrong merge).
     */
-  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIters: Int = 20,
+                 smallThreshold: Long = 2000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the pair graph is read twice per round: materialize it once, or an
     // expensive upstream (the minhash verification join) re-executes every
@@ -516,6 +533,33 @@ object Similarity {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(lvl)
+    val nEdges = edges.count()
+    if (nEdges <= smallThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labels = edges.select(col("src"), col("dst")).as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x // path compression
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          it.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          parent.keysIterator.map(x => (x, find(x))).toSeq.iterator
+        }
+        .toDF("id", "label")
+        .localCheckpoint() // pin: downstream consumers must not re-run UF per subtree
+      edges.unpersist()
+      return labels
+    }
     // localCheckpoint (not persist) each round: the self-referential joins
     // would otherwise double the LOGICAL plan every iteration and Catalyst
     // analysis time explodes exponentially even on a tiny graph — the

@@ -86,7 +86,12 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("components: chain, star and disjoint cliques all collapse to min labels") {
+  // both physical strategies must produce the identical labeling: the
+  // single-task union-find (default for small graphs) and the shuffle
+  // min-label-propagation loop (forced via smallThreshold = 0 — the
+  // branch that runs at 100 TB)
+  for ((branch, threshold) <- Seq("union-find" -> 2000000L, "propagation-loop" -> 0L))
+  test(s"components [$branch]: chain, star and disjoint cliques collapse to min labels") {
     import spark.implicits._
     // a 60-node chain (worst case for hop-only propagation), a star, and
     // two disjoint cliques — every node must end at its component minimum
@@ -95,7 +100,7 @@ class SimilaritySpec extends SparkSpec {
     val cliqueA = Seq((700L, 701L), (700L, 702L), (701L, 702L))
     val cliqueB = Seq((800L, 801L))
     val pairs = (chain ++ star ++ cliqueA ++ cliqueB).toDF("id_a", "id_b")
-    val labels = Similarity.components(pairs).collect()
+    val labels = Similarity.components(pairs, smallThreshold = threshold).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
     (100L to 159L).foreach(i => assert(labels(i) == 100L, s"chain node $i"))
     Seq(500L, 501L, 502L, 503L).foreach(i => assert(labels(i) == 500L))
