@@ -13,9 +13,9 @@ object SparkEntry {
   /** All registered operators, grouped by module. */
   def registry: Seq[Q] =
     operators.Relational.all ++ operators.Profiling.all ++
-      operators.Ingest.all ++ operators.Labeling.all ++
-      operators.TextOps.all ++ operators.Similarity.all ++
-      operators.Multimodal.all
+      operators.Ingest.all ++ operators.Temporal.all ++
+      operators.Labeling.all ++ operators.TextOps.all ++
+      operators.Similarity.all ++ operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -628,7 +628,24 @@ object Similarity {
       .orderBy("keep_id")
   }
 
+  /** End-to-end deduped corpus (rows-only; spec): the document ids that
+    * survive near-dup removal — every cluster keeps only its canonical
+    * keeper (min doc_id). One anti-join of the corpus against the cluster
+    * non-keepers: at 100 TB the label table is the small side of the join
+    * and the corpus streams through unbuffered.
+    */
+  val qDedupSurvivors: Q = Q.rowsOnly("q_dedup_survivors") { (s, d) =>
+    val labels = materialized(s, d, "dedup_cluster_labels") {
+      components(minhashPairs(s, d))
+    }
+    val nonKeepers = labels.filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    Tables.documents(s, d).select("doc_id")
+      .join(nonKeepers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qNgramJaccard, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
-    qCosineTopk, qAnnLsh, qAnnIvf, qDedupClusters)
+    qCosineTopk, qAnnLsh, qAnnIvf, qDedupClusters, qDedupSurvivors)
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Det.{exactSum, exactSumSql}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / ordered-stream operators (SURVEY §2.1 #11b, §2.2 #17c-17e):
+  * as-of join, interval range join, multi-level rollup, keep-latest
+  * snapshot. These generalize the reference's run-over-run monitoring
+  * (monitor.py `_compute_deltas` "vs previous run", rolling windows) into
+  * the engine-level temporal joins a production ingest pipeline needs.
+  *
+  * Scale notes: the as-of join is ONE shuffle on the key (conditional
+  * tagging + running `last(..., ignoreNulls)` window — no point-in-time
+  * self-join blowup); the range join shuffles on the equality key with the
+  * interval as a post-join predicate; keep-latest is one row_number
+  * window. All timestamp arithmetic is exact epoch-µs integers
+  * (events.ts is TIMESTAMP(NANOS); see [[graft.Tables.events]]).
+  */
+object Temporal {
+
+  /** Events with exact µs epoch — shared base projection. */
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"), col("value"))
+
+  private val evSql =
+    "e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus, value FROM events)"
+
+  /** As-of join: every non-purchase event annotated with the user's most
+    * recent prior-or-equal 'purchase' (id, value, µs-lag); NULLs when no
+    * prior purchase exists. Spark has no native ASOF join — the scalable
+    * form is conditional tagging + a running `last(..., ignoreNulls)`
+    * window over the event stream itself: one shuffle on the key, state
+    * bounded by the window frame, no self-join. (user_id, ts) is unique in
+    * the lake, so ordering by tus alone is deterministic; event_id breaks
+    * hypothetical ties for safety.
+    */
+  val qAsofJoin: Q = Q(
+    "q_asof_join",
+    s"""WITH $evSql,
+       |p AS (SELECT user_id, tus AS p_tus, event_id AS p_id, value AS p_value
+       |      FROM e WHERE event_type = 'purchase')
+       |SELECT e.event_id, e.user_id, e.event_type, e.tus,
+       |  p.p_id AS purchase_id, p.p_value AS purchase_value,
+       |  e.tus - p.p_tus AS us_since_purchase
+       |FROM e ASOF LEFT JOIN p
+       |  ON e.user_id = p.user_id AND e.tus >= p.p_tus
+       |WHERE e.event_type <> 'purchase'
+       |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    val isP = col("event_type") === "purchase"
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("tus"),
+        when(isP, col("event_id")).as("p_id"),
+        when(isP, col("value")).as("p_value"),
+        when(isP, col("tus")).as("p_tus"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("tus"),
+        last(col("p_id"), ignoreNulls = true).over(w).as("purchase_id"),
+        last(col("p_value"), ignoreNulls = true).over(w).as("purchase_value"),
+        (col("tus") - last(col("p_tus"), ignoreNulls = true).over(w))
+          .as("us_since_purchase"))
+      .filter(col("event_type") =!= "purchase")
+      .orderBy("event_id")
+  }
+
+  /** Interval/range join: for each 'signup', the count and exact sum of
+    * the same user's events in the following 24 hours. Equality on the
+    * key keeps the shuffle hash-partitioned (the interval is a post-join
+    * predicate), so this scales like any keyed join — never a cross
+    * product.
+    */
+  val qRangeJoin: Q = Q(
+    "q_range_join",
+    s"""WITH $evSql,
+       |s AS (SELECT event_id AS signup_id, user_id, tus AS s_tus
+       |      FROM e WHERE event_type = 'signup')
+       |SELECT s.signup_id, s.user_id, COUNT(e.event_id) AS n_follow,
+       |  ${exactSumSql("e.value", 4)} AS sum_value
+       |FROM s LEFT JOIN e
+       |  ON e.user_id = s.user_id
+       | AND e.tus > s.s_tus AND e.tus <= s.s_tus + 86400000000
+       |GROUP BY s.signup_id, s.user_id
+       |ORDER BY signup_id""".stripMargin
+  ) { (s, d) =>
+    // both sides project the same base scan: alias-qualify every column or
+    // the join condition resolves both references to one attribute
+    // (the trivially-true self-join predicate trap)
+    val events = ev(s, d)
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("tus").as("s_tus"))
+      .as("s")
+    val follow = events.select(col("user_id"), col("tus"), col("value"),
+      col("event_id").as("f_id")).as("f")
+    signups.join(follow,
+        col("s.user_id") === col("f.user_id") &&
+          col("f.tus") > col("s.s_tus") &&
+          col("f.tus") <= col("s.s_tus") + 86400000000L,
+        "left")
+      .groupBy(col("s.signup_id").as("signup_id"), col("s.user_id").as("user_id"))
+      .agg(count(col("f.f_id")).as("n_follow"),
+        exactSum(col("f.value"), 4).as("sum_value"))
+      .orderBy("signup_id")
+  }
+
+  /** Multi-level rollup: (event_type, day) → per-day, per-type and grand
+    * totals in ONE pass (GROUP BY ROLLUP). gid disambiguates levels the
+    * standard way (bit per rolled-up column); day rendered yyyy-MM-dd so
+    * both engines hash the same strings.
+    */
+  val qRollupEvents: Q = Q(
+    "q_rollup_events",
+    s"""SELECT CAST(GROUPING(event_type, day) AS INT) AS gid, event_type,
+       |  strftime(day, '%Y-%m-%d') AS day_str,
+       |  COUNT(*) AS n_events, ${exactSumSql("value", 4)} AS sum_value
+       |FROM (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, value
+       |      FROM events)
+       |GROUP BY ROLLUP(event_type, day)
+       |ORDER BY gid, event_type, day_str""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .rollup(col("event_type"), col("day"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_events"), exactSum(col("value"), 4).as("sum_value"))
+      .select(col("gid"), col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("n_events"), col("sum_value"))
+      .orderBy("gid", "event_type", "day_str")
+  }
+
+  /** Keep-latest-per-key snapshot (the SCD/current-state twin of
+    * q_incremental_ingest's keep-first): one deterministic row_number
+    * window, ties broken by event_id.
+    */
+  val qLatestPerKey: Q = Q(
+    "q_latest_per_key",
+    s"""WITH $evSql
+       |SELECT event_id, user_id, event_type, tus, value FROM e
+       |QUALIFY ROW_NUMBER() OVER (
+       |  PARTITION BY user_id ORDER BY tus DESC, event_id DESC) = 1
+       |ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus").desc, col("event_id").desc)
+    ev(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "event_type", "tus", "value")
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(qAsofJoin, qRangeJoin, qRollupEvents, qLatestPerKey)
+}
