@@ -66,6 +66,36 @@ object IngestStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("avg_value"))
 
+  /** Stream-stream interval join — the streaming twin of
+    * [[graft.operators.Temporal.qRangeJoin]]: each 'signup' joined to the
+    * same user's follow-up events within the next 24 hours, both sides
+    * event-time-watermarked so the join state is BOUNDED: Spark retains
+    * signups only until watermark passes their 24 h window and follow-ups
+    * only until they can no longer match a retained signup. Inner join +
+    * time-range condition is the Structured Streaming state-cleanup
+    * contract (an un-constrained stream-stream join would grow state
+    * forever).
+    */
+  def followWithin24h(signups: Dataset[Event],
+      follow: Dataset[Event]): DataFrame = {
+    val s = signups.withWatermark("ts", "1 hour").alias("s")
+    val f = follow.withWatermark("ts", "25 hours").alias("f")
+    s.join(f, expr(
+        """s.user_id = f.user_id AND
+          |f.ts > s.ts AND f.ts <= s.ts + interval 24 hours""".stripMargin))
+      .select(col("s.event_id").as("signup_id"), col("s.user_id").as("user_id"),
+        col("f.event_id").as("follow_id"), col("f.event_type").as("follow_type"),
+        col("f.value").as("follow_value"))
+  }
+
+  /** Stream-static enrichment: the live stream joined against a static
+    * lake-side dimension (here: per-type history stats computed once from
+    * the batch table). The static side is broadcast — no streaming state
+    * at all, the canonical "enrich events with reference data" shape.
+    */
+  def enrichWithHistory(events: Dataset[Event], history: DataFrame): DataFrame =
+    events.toDF.join(broadcast(history), Seq("event_type"), "left")
+
   /** Stateful gap sessionizer (30-min inactivity), the streaming twin of
     * Ingest.qSessionize: flatMapGroupsWithState with event-time timeout.
     * State per user = the open session only; closed sessions are emitted

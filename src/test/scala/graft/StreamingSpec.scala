@@ -140,6 +140,59 @@ class StreamingSpec extends SparkSpec {
     assert(views.nonEmpty, "restarted stream must keep emitting closed windows")
   }
 
+  test("stream-stream interval join matches the batch range join on the same data") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val signupMem = MemoryStream[Event]
+    val followMem = MemoryStream[Event]
+    // two users; follow-ups inside and outside the 24h window (1440 min),
+    // delivered out of order across micro-batches
+    val signups = Seq(
+      Event(100, ts(60), 1, "signup", 0.0),
+      Event(101, ts(120), 2, "signup", 0.0))
+    val follows = Seq(
+      Event(200, ts(90), 1, "click", 1.0),      // inside u1 window
+      Event(201, ts(50), 1, "click", 2.0),      // BEFORE signup -> excluded
+      Event(202, ts(60 + 1440), 1, "view", 3.0),   // exactly +24h -> included (<=)
+      Event(203, ts(61 + 1440), 1, "view", 4.0),   // past +24h -> excluded
+      Event(204, ts(130), 2, "purchase", 5.0))  // inside u2 window
+    val joined = IngestStream.followWithin24h(signupMem.toDS(), followMem.toDS())
+    val query = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      signupMem.addData(signups); query.processAllAvailable()
+      followMem.addData(follows.take(2)); query.processAllAvailable()
+      followMem.addData(follows.drop(2)); query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("ss_join").collect()
+      .map(r => (r.getAs[Long]("signup_id"), r.getAs[Long]("follow_id"))).toSet
+    assert(got == Set((100L, 200L), (100L, 202L), (101L, 204L)), s"got $got")
+  }
+
+  test("stream-static enrichment attaches broadcast history to every event") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // static side: per-type history stats from the lake
+    val history = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(count(lit(1)).as("hist_n"))
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(5), 10, "click", 4.0),
+      Event(2, ts(10), 11, "made_up_type", 6.0)) // no history -> null enrich
+    val query = IngestStream.enrichWithHistory(mem.toDS(), history)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try { mem.addData(events); query.processAllAvailable() } finally query.stop()
+    val rows = spark.table("enriched").collect()
+    assert(rows.length == 2)
+    val expectClicks = history.filter(col("event_type") === "click")
+      .collect()(0).getAs[Long]("hist_n")
+    val byId = rows.map(r => r.getAs[Long]("event_id") ->
+      Option(r.getAs[java.lang.Long]("hist_n"))).toMap
+    assert(byId(1L).contains(expectClicks))
+    assert(byId(2L).isEmpty, "unknown type must enrich to NULL, not drop")
+  }
+
   test("fromRaw drops malformed (null-field) rows instead of crashing the decode") {
     val raw = Tables.events(spark, sfDir)
       .withColumn("value",
