@@ -49,6 +49,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_ann_ivf").contains("BroadcastHashJoin"))
   }
 
+  test("asof join is one keyed window pass — no self-join of the event stream") {
+    val p = plan("q_asof_join")
+    assert(p.contains("Window"), "asof must compile to a running window:\n" + p)
+    assert(!p.contains("Join"), "asof must not self-join the stream:\n" + p)
+    // exactly one scan of events feeds the window
+    assert(p.split("\n").count(_.contains("Scan parquet")) == 1,
+      "asof must read the stream once:\n" + p)
+  }
+
+  test("range join keys on user_id equality — never a cross product") {
+    val p = plan("q_range_join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "range join must be a keyed join:\n" + p)
+    assert(!p.contains("NestedLoop"), "range join degenerated to NL:\n" + p)
+  }
+
+  test("rollup runs as one Expand pass, and prunes the props column") {
+    val p = plan("q_rollup_events")
+    assert(p.contains("Expand"), "rollup must use grouping-set Expand:\n" + p)
+    val scan = p.split("\n").find(_.contains("ReadSchema")).get
+    assert(!scan.contains("props"), "rollup scan not pruned: " + scan)
+  }
+
+  test("latest-per-key ranks within partitions, only the snapshot is sorted") {
+    assert(plan("q_latest_per_key").contains("Window"))
+  }
+
   test("hot expressions stay inside whole-stage codegen") {
     // execute first: codegen spans only appear in the finalized AQE plan
     val df = SparkEntry.queries("q_quality_score")(spark, sfDir)
