@@ -52,6 +52,51 @@ class DetSpec extends SparkSpec {
     }
   }
 
+  test("exactSum equals the BigDecimal reference on contract inputs, all scales") {
+    import spark.implicits._
+    // inputs authored with exactly `scale` decimal digits (the documented
+    // contract): n/10^scale for random integer n, incl. negatives and
+    // half-digit endings like .x5 whose double representation sits just
+    // below the decimal value — the case the scaled-long floor recovery
+    // must get right
+    for (scale <- 0 to 4) {
+      val p = math.pow(10, scale).toLong
+      (1 to 20).foreach { _ =>
+        val ns = List.fill(30)(
+          (rnd.nextLong() % (p * 1000000L)) + (if (rnd.nextBoolean()) 5 else 0))
+        val xs = ns.map(n => n.toDouble / p)
+        val expected = (BigDecimal(ns.sum) / p).toDouble
+        val got = xs.toDF("x").repartition(5)
+          .agg(Det.exactSum(col("x"), scale)).collect()(0).getDouble(0)
+        assert(got == expected, s"scale=$scale ns=$ns")
+      }
+    }
+  }
+
+  test("exactSum scaled-long recovery is exact at large per-row magnitudes") {
+    import spark.implicits._
+    // near the documented |x·10^scale| < 2^51 headroom: 10^14 in units of
+    // 10^-4 is 10^18-scale... stay inside: values around 1e11 at scale 4
+    // (scaled 1e15 < 2^51 ≈ 2.25e15), signs mixed
+    val xs = Seq(99999999999.9995, -99999999999.9995, 12345678901.2345,
+      -0.0005, 0.0005, 224000000000.0)
+    val expected = xs.map(x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      .foldLeft(BigDecimal(0))(_ + _).toDouble
+    val got = xs.toDF("x").repartition(3)
+      .agg(Det.exactSum(col("x"), 4)).collect()(0).getDouble(0)
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("exactSum of an all-null or empty column is NULL like SQL SUM") {
+    import spark.implicits._
+    val nulls = Seq[Option[Double]](None, None).toDF("x")
+      .agg(Det.exactSum(col("x"), 2)).collect()(0)
+    assert(nulls.isNullAt(0))
+    val empty = Seq.empty[Double].toDF("x")
+      .agg(Det.exactSum(col("x"), 2)).collect()(0)
+    assert(empty.isNullAt(0))
+  }
+
   test("intAvg matches integer half-up reference incl. negatives") {
     import spark.implicits._
     val cases = Seq(
