@@ -109,6 +109,68 @@ case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash fingerprint of a token-hash array (SURVEY §2.5 #38):
+  * bit b of the result is set iff more input hashes have bit b set than
+  * clear (ties → 0, matching `sum(±1) > 0`). As a per-row expression over
+  * `array_distinct(transform(tokens, xxhash64))`, the whole fingerprint
+  * stage is embarrassingly parallel — no token explode, no distinct
+  * shuffle, no 64-column aggregate; only the band join that follows
+  * shuffles, which is the shape that scales to 100 TB. Equivalent by spec
+  * to the 64-aggregate DataFrame formulation it replaced.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    val cnt = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = a.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (cnt(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int[] $cnt = new int[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $cnt[$b] += (($h >>> $b) & 1L) == 1L ? 1 : -1;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($cnt[$b] > 0) $fp |= (1L << $b);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Runtime registration of graft's native expressions so operators can use
   * them via `call_function` on any already-built session (Verify, Bench,
   * specs). Idempotent — re-registering replaces the same builder.
@@ -141,7 +203,10 @@ object GraftFunctions {
         arity("graft_dot_q", 2)(c => DotQ(c(0), c(1)))),
       (FunctionIdentifier("graft_rolling_hash"),
         info("graft_rolling_hash", classOf[RollingHash]),
-        arity("graft_rolling_hash", 1)(c => RollingHash(c.head))))
+        arity("graft_rolling_hash", 1)(c => RollingHash(c.head))),
+      (FunctionIdentifier("graft_simhash64"),
+        info("graft_simhash64", classOf[SimHash64]),
+        arity("graft_simhash64", 1)(c => SimHash64(c.head))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

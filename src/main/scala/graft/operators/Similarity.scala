@@ -189,35 +189,34 @@ object Similarity {
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** SimHash near-dup (rows-only; spec): 64-bit fingerprint from the sign
-    * of per-bit ±1 sums over distinct-token hashes (one pass, 64 partial
-    * aggregates), then the pigeonhole band join (4×16-bit chunks — Hamming
-    * ≤ 3 ⇒ at least one chunk equal) and exact Hamming ≤ 3 via
-    * bit_count(xor) within buckets.
+  /** SimHash near-dup (rows-only; spec): 64-bit fingerprint where bit b is
+    * the sign of the ±1 sum over distinct-token hashes, then the pigeonhole
+    * band join (4×16-bit chunks — Hamming ≤ 3 ⇒ at least one chunk equal)
+    * and exact Hamming ≤ 3 via bit_count(xor) within buckets.
+    *
+    * The fingerprint is ONE per-row codegen'd expression
+    * ([[graft.functions.SimHash64]]) over the doc's distinct token hashes
+    * — no token explode, no distinct shuffle, no 64-column aggregate (the
+    * previous formulation shuffled twice before banding). The signature
+    * stage is embarrassingly parallel; only the band join shuffles. The
+    * spec pins bit-equality against the 64-aggregate DataFrame
+    * formulation.
     */
   val qDedupSimhash: Q = Q.rowsOnly("q_dedup_simhash") { (s, d) =>
-    // hash each token before the distinct: the dedup shuffle then carries
-    // (doc_id, long) instead of (doc_id, string) — same distinct set modulo
-    // 2^-64 collisions, and the 64 bit-sum aggregates read a fixed-width key
-    val toks = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"),
-        explode(split(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " "))
-          .as("tok"))
-      .filter(col("tok") =!= "")
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      .distinct()
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"s$b"))
-    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    // materialized: both band-join sides read the fingerprints; without it
-    // the 64-aggregate signature pass runs twice
+    GraftFunctions.register(s)
+    val toks = split(
+      regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ")
+    val hs = array_distinct(
+      transform(filter(toks, t => t =!= ""), t => xxhash64(t)))
+    // materialized: both band-join sides read the fingerprints
     val fp = materialized(s, d, "simhash_fp") {
-      sums.select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ bitwiseOR _)
-          .as("fp"))
+      Tables.documents(s, d)
+        // small single-file inputs scan as ONE partition; spread rows so
+        // the fingerprint map runs at full parallelism (no-op at lake scale)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), hs.as("hs"))
+        .filter(size(col("hs")) >= 1) // docs with zero tokens have no signature
+        .select(col("doc_id"), call_function("graft_simhash64", col("hs")).as("fp"))
     }
     val bands = fp.select(col("doc_id"), col("fp"), posexplode(array(
       (0 until 4).map(k =>

@@ -58,6 +58,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SimHash64 expression equals the 64-aggregate DataFrame formulation") {
+    import org.apache.spark.sql.functions.{filter => afilter, _}
+    graft.functions.GraftFunctions.register(spark)
+    // reference: the explode → distinct → 64 bit-sum shuffle pipeline the
+    // per-row expression replaced — fingerprints must be bit-identical
+    val toksRef = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(split(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " "))
+          .as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .distinct()
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s$b"))
+    val ref = toksRef.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ bitwiseOR _)
+          .as("fp"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    val toks = split(
+      regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ")
+    val hs = array_distinct(transform(afilter(toks, t => t =!= ""), t => xxhash64(t)))
+    val got = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .select(col("doc_id"), call_function("graft_simhash64", col("hs")).as("fp"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    assert(got == ref, "fingerprints diverge between expression and aggregate forms")
+  }
+
   test("dedup clusters: components equal a driver-side union-find closure") {
     val pairs = Similarity.qDedupMinhash.run(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
