@@ -399,21 +399,25 @@ object Similarity {
   private val ivfModels = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Array[(Int, Array[Long], Long)]]
 
-  private def litVec(v: Array[Long]): Column =
-    array(v.map(x => lit(x)).toIndexedSeq: _*)
-
-  /** (squared-distance, cid) structs to every centroid — lexicographic
-    * struct ordering makes array_min/array_sort a deterministic argmin with
-    * cid as the tie-break.
+  /** Array of (squared-distance, cid) structs to every centroid —
+    * lexicographic struct ordering makes array_min/array_sort a
+    * deterministic argmin with cid as the tie-break. The model ships as
+    * ONE typedlit constant (a codegen reference object): the generated
+    * source is identical whatever the centroid values, so the compiled
+    * kernel is reused across models/SFs — the previous form inlined
+    * K×dim literal nodes and recompiled per model.
     */
   private def centDists(model: Array[(Int, Array[Long], Long)], qv: Column,
-      n2: Column): Seq[Column] =
-    model.toSeq.map { case (cid, c, n2c) =>
+      n2: Column): Column = {
+    val cents = typedlit(model.toSeq.map { case (cid, c, n2c) =>
+      (cid, c.toSeq, n2c)
+    })
+    transform(cents, c =>
       struct(
-        (n2 + lit(n2c) - lit(2L) * call_function("graft_dot_q", qv, litVec(c)))
-          .as("dist"),
-        lit(cid).as("cid"))
-    }
+        (n2 + c.getField("_3") - lit(2L) *
+          call_function("graft_dot_q", qv, c.getField("_2"))).as("dist"),
+        c.getField("_1").as("cid")))
+  }
 
   private def ivfModel(s: SparkSession, d: String): Array[(Int, Array[Long], Long)] =
     ivfModels.getOrElseUpdate((s, d), {
@@ -429,7 +433,7 @@ object Similarity {
         // integer means (sum/count in longs, floor division)
         val refined = q
           .withColumn("cid",
-            array_min(array(centDists(seedModel, col("qv"), col("n2")): _*))
+            array_min(centDists(seedModel, col("qv"), col("n2")))
               .getField("cid"))
           .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
           .groupBy("cid", "pos")
@@ -469,7 +473,7 @@ object Similarity {
       val assigned = materialized(s, d, "ivf_assign") {
         q.filter(col("qv").isNotNull)
           .withColumn("cid",
-            array_min(array(centDists(model, col("qv"), col("n2")): _*))
+            array_min(centDists(model, col("qv"), col("n2")))
               .getField("cid"))
           .select("vec_id", "cid")
       }
@@ -480,7 +484,7 @@ object Similarity {
       val qprobe = q.filter(col("vec_id") < 10 && col("qv").isNotNull)
         .select(col("vec_id").as("query_id"),
           explode(slice(
-            array_sort(array(centDists(model, col("qv"), col("n2")): _*)),
+            array_sort(centDists(model, col("qv"), col("n2"))),
             1, IvfProbe).getField("cid")).as("cid"))
       val candIds = assigned.join(broadcast(qprobe), Seq("cid"))
         .filter(col("vec_id") =!= col("query_id"))
