@@ -50,9 +50,15 @@ object Similarity {
     ivfModels.clear()
   }
 
-  /** Distinct word 3-gram shingles per document (docs with ≥3 tokens). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    materialized(s, d, "shingles") {
+  /** Raw (non-distinct) word 3-gram shingles per document (docs with ≥3
+    * tokens), hash-partitioned by doc_id. Duplicate-insensitive consumers
+    * (the MinHash min-aggregates, the collect_set verification sets) read
+    * THIS — skipping the full-width distinct shuffle the n-gram counter
+    * needs — and their per-doc aggregations run with zero exchange
+    * because the repartition-before-explode already keys by doc_id.
+    */
+  private def shinglesRaw(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "shingles_raw") {
       Tables.documents(s, d)
         // small single-file inputs scan as ONE partition; spread the rows
         // before the explode so shingling runs at full parallelism (at lake
@@ -65,7 +71,6 @@ object Similarity {
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
           .as("sh"))
-        .distinct()
         // one strong 64-bit hash per shingle, computed once at index build:
         // every repeated-hash consumer (the 32 minhash permutations, the
         // bucket-verification set intersections) mixes this fixed-width long
@@ -73,6 +78,10 @@ object Similarity {
         // signature shuffle narrow
         .withColumn("sh_h", xxhash64(col("sh")))
     }
+
+  /** Distinct shingles — the exact-count consumers (n-gram Jaccard). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "shingles")(shinglesRaw(s, d).distinct())
 
   private val shinglesSql =
     """toks AS (
@@ -151,7 +160,9 @@ object Similarity {
     materialized(s, d, "minhash_pairs")(minhashPairsPlan(s, d))
 
   private def minhashPairsPlan(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).select("doc_id", "sh_h")
+    // raw (non-distinct) shingles: min-aggregates and collect_set are
+    // duplicate-insensitive, so the distinct shuffle is pure overhead here
+    val sh = shinglesRaw(s, d).select("doc_id", "sh_h")
     // bands materialized: the bucket self-join reads it from two aliased
     // sides — without it the 32-aggregate signature pass runs twice
     val bands = materialized(s, d, "minhash_bands") {
