@@ -335,10 +335,11 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes (splitmix64 → integer
-    * components in [-1000, 1000]); 8 tables × 4 bits.
+    * components in [-1000, 1000]); 12 tables × 8 bits (256 buckets per
+    * table; the query side also probes the 8 Hamming-1 buckets).
     */
-  private[operators] val Tables_ = 8
-  private[operators] val BitsPerTable = 4
+  private[operators] val Tables_ = 12
+  private[operators] val BitsPerTable = 8
   private[operators] lazy val hyperplanes: Array[Array[Long]] = {
     def splitmix(seed: Long): Long = {
       var z = seed + 0x9e3779b97f4a7c15L
@@ -372,8 +373,16 @@ object Similarity {
     }
     val withBuckets = q.select(col("vec_id"),
       posexplode(array(buckets: _*)).as(Seq("table_id", "bucket")))
+    // multiprobe on the QUERY side only: each query also probes the
+    // BitsPerTable buckets at Hamming distance 1 (one sign-bit flip) in
+    // every table. The corpus index is untouched — probing costs
+    // |queries|·(1+bits) tiny rows against the same buckets and lifts
+    // recall without more tables (a vector just across one hyperplane is
+    // the dominant miss mode).
     val qs = withBuckets.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("table_id"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("table_id"),
+        explode(array((col("bucket") +: (0 until BitsPerTable).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b)))): _*)).as("bucket"))
     // dedup candidate (query, neighbor) id pairs FIRST — the distinct
     // shuffles two longs, not 64-element vectors — then rejoin the cached
     // quantized index for the exact pass

@@ -181,7 +181,7 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (brute & pairs).size.toDouble / brute.size
     info(s"IVF recall@5 = $recall")
-    assert(recall >= 0.2, s"recall $recall too low")
+    assert(recall >= 0.8, s"recall $recall regressed (0.94 at pin time)")
   }
 
   test("lsh ann: recall@5 vs brute force is nontrivial, results are subset-ranked") {
@@ -191,6 +191,6 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     info(s"LSH recall@5 = $recall")
-    assert(recall >= 0.2, s"recall $recall too low")
+    assert(recall >= 0.6, s"recall $recall regressed (0.82 at pin time)")
   }
 }
