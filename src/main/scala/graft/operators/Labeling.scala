@@ -255,17 +255,22 @@ object Labeling {
        |FROM agg a JOIN winner w USING (review_id) JOIN atmax t USING (review_id)
        |ORDER BY a.review_id""".stripMargin
   ) { (s, d) =>
+    // one window pass instead of three aggregation subtrees over cnts:
+    // the totals, the max tie count and the winner all share the
+    // review_id partitioning, so everything after the count shuffle runs
+    // in two stacked Window ops with zero additional exchange (the
+    // multi-join form re-derived the annotation counts three times)
     val cnts = annotations(s, d)
       .groupBy("review_id", "label").agg(count(lit(1)).as("c"))
-    val agg = cnts.groupBy("review_id")
-      .agg(sum("c").cast("long").as("n_annotators"), max("c").as("mx"))
-    val atmax = cnts.join(agg, "review_id")
-      .filter(col("c") === col("mx"))
-      .groupBy("review_id").agg(count(lit(1)).as("n_at_max"))
-    val w = Window.partitionBy("review_id").orderBy(col("c").desc, col("label").asc)
-    val winner = cnts.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1).select("review_id", "label")
-    agg.join(winner, "review_id").join(atmax, "review_id")
+    val byR = Window.partitionBy("review_id")
+    val ordered = Window.partitionBy("review_id")
+      .orderBy(col("c").desc, col("label").asc)
+    cnts
+      .withColumn("n_annotators", sum("c").over(byR).cast("long"))
+      .withColumn("mx", max("c").over(byR))
+      .withColumn("rk", row_number().over(ordered))
+      .withColumn("n_at_max", sum(when(col("c") === col("mx"), 1)).over(byR))
+      .filter(col("rk") === 1)
       .select(col("review_id"), col("n_annotators"),
         col("label").as("majority_label"),
         when(col("n_at_max") > 1, "low").otherwise("normal").as("confidence"))
