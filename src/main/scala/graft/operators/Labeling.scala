@@ -337,18 +337,27 @@ object Labeling {
        |    / (p * (4 * p * p - s)) AS kappa
        |FROM m, s2""".stripMargin
   ) { (s, d) =>
-    val ann = annotations(s, d)
-    val a1 = ann.select(col("review_id"), col("annotator").as("an1"), col("label").as("l1"))
-    val a2 = ann.select(col("review_id"), col("annotator").as("an2"), col("label").as("l2"))
-    val pairs = a1.join(a2,
-      a1("review_id") === a2("review_id") && col("an1") < col("an2"))
-    val m = pairs.agg(
-      count(lit(1)).cast("long").as("p"),
-      sum(when(col("l1") === col("l2"), 1).otherwise(0)).cast("long").as("a"))
-    val lab = pairs.select(col("l1").as("l"))
-      .unionAll(pairs.select(col("l2").as("l")))
-    val s2 = lab.groupBy("l").agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * col("c")).cast("long").as("s"))
+    // no annotator self-join: everything derives from the per-(review,
+    // label) counts in exact integer arithmetic — with n_r annotators on
+    // review r and c_rl of them voting label l,
+    //   pairs            p = Σ_r C(n_r, 2)
+    //   agreeing pairs   a = Σ_r Σ_l C(c_rl, 2)
+    //   label-side count occ_l = Σ_r c_rl·(n_r − 1)   (each vote sits in
+    //                    n_r−1 pairs), and s = Σ_l occ_l².
+    // Identical results to the oracle's pair-join form (hash-verified),
+    // without materializing the quadratic pair set.
+    val cnts = annotations(s, d)
+      .groupBy("review_id", "label").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("review_id")))
+    val m = cnts
+      .groupBy("review_id").agg(
+        first("n").as("n"),
+        sum(expr("(c * (c - 1)) div 2")).as("a_r"))
+      .agg(sum(expr("(n * (n - 1)) div 2")).cast("long").as("p"),
+        sum("a_r").cast("long").as("a"))
+    val s2 = cnts
+      .groupBy("label").agg(sum(col("c") * (col("n") - 1)).as("occ"))
+      .agg(sum(col("occ") * col("occ")).cast("long").as("s"))
     m.crossJoin(s2).select(
       col("p").as("n_pairs"),
       (col("a").cast("double") / col("p")).as("observed_agreement"),
