@@ -371,8 +371,13 @@ object Similarity {
           planes(t * BitsPerTable + b)) >= 0, lit(1L << b)).otherwise(0L)
       }.reduce(_ + _)
     }
-    val withBuckets = q.select(col("vec_id"),
-      posexplode(array(buckets: _*)).as(Seq("table_id", "bucket")))
+    // materialized: the probe side and the corpus side both read the
+    // bucket table, and the 96 hyperplane dots per vector should run once
+    // (this is the written LSH index of a production deployment)
+    val withBuckets = materialized(s, d, "lsh_buckets") {
+      q.select(col("vec_id"),
+        posexplode(array(buckets: _*)).as(Seq("table_id", "bucket")))
+    }
     // multiprobe on the QUERY side only: each query also probes the
     // BitsPerTable buckets at Hamming distance 1 (one sign-bit flip) in
     // every table. The corpus index is untouched — probing costs
