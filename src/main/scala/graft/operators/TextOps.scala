@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.GraftFunctions
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the LLM-training-data pipeline (SURVEY §2.5):
@@ -192,6 +193,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF-style top terms per document (the relevance/keyword-weighting
+    * op of a search or dedup-weighting pipeline): term frequency per doc ×
+    * inverse document frequency, ranked per doc, top 5. The score is the
+    * exact integer floor(tf·10⁹ / df) — within one document N is constant,
+    * so ranking by tf/df equals ranking by tf·(N/df), and the log-free
+    * integer form is bit-identical across engines (a libm log() can differ
+    * in the last ulp between engines and break hash equality). df counts
+    * distinct docs containing the term; ties break by term ascending.
+    */
+  val qTfidfTerms: Q = Q(
+    "q_tfidf_terms",
+    s"""WITH toks AS (
+       |  SELECT doc_id, t AS term
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |       UNNEST(w) AS u(t)
+       |  WHERE t <> ''),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    (tf.tf * 1000000000) // df.df AS score
+       |  FROM tf JOIN df USING (term))
+       |SELECT doc_id, term, tf, df, score FROM scored
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY doc_id ORDER BY score DESC, term ASC) <= 5
+       |ORDER BY doc_id, score DESC, term""".stripMargin
+  ) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(filter(split(norm, " "), t => t =!= "")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        expr("(tf * 1000000000) div df").as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("doc_id", "term", "tf", "df", "score")
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
   /** Document fingerprinting: md5 of the normalized text plus the native
     * codegen'd polynomial rolling hash ([[graft.functions.RollingHash]])
     * over the ASCII-projected text; the oracle mirrors the hash with a
@@ -219,5 +264,5 @@ object TextOps {
   }
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qLangId, qQualityScore, qTokenCount, qFingerprint)
+    qDedupExact, qLangId, qQualityScore, qTokenCount, qTfidfTerms, qFingerprint)
 }

@@ -98,4 +98,30 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("m") > 1 || col("rh") > 1)
     assert(joined.count() == 0)
   }
+
+  test("tfidf terms: <=5 ranked terms per doc, score = floor(tf*1e9/df)") {
+    val rows = TextOps.qTfidfTerms.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (doc, rs) =>
+      assert(rs.length <= 5, s"doc $doc has ${rs.length} terms")
+      // scores non-increasing in output order and exact integer formula
+      val scores = rs.map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      rs.foreach { r =>
+        assert(r.getAs[Long]("score") ==
+          r.getAs[Long]("tf") * 1000000000L / r.getAs[Long]("df"))
+      }
+    }
+    // a rare term must outrank a ubiquitous one at equal tf: df appears
+    // in the denominator, so every row with higher score has lower df
+    // at equal tf within its doc
+    byDoc.values.foreach { rs =>
+      rs.groupBy(_.getAs[Long]("tf")).values.foreach { same =>
+        val ordered = same.sortBy(-_.getAs[Long]("score"))
+        val dfs = ordered.map(_.getAs[Long]("df"))
+        assert(dfs.zip(dfs.tail).forall { case (a, b) => a <= b })
+      }
+    }
+  }
 }
