@@ -15,7 +15,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.Profiling.all ++
       operators.Ingest.all ++ operators.Temporal.all ++
       operators.Labeling.all ++ operators.TextOps.all ++
-      operators.Similarity.all ++ operators.Multimodal.all
+      operators.Similarity.all ++ operators.Multimodal.all ++
+      operators.TopK.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.plans.TopKPerKeyNode
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+import org.apache.spark.sql.functions._
+
+/** Library API for the native bounded-heap top-k-per-key operator
+  * ([[graft.plans.TopKPerKeyExec]]) plus its oracle-backed query. The
+  * Window/row_number formulation (q_topk_per_group) stays as the
+  * declarative twin; this is the physical-operator path for the 100 TB
+  * case where sorting every partition to keep k rows per key is the
+  * bottleneck.
+  */
+object TopK {
+
+  /** Top `k` rows per `keys` group, "top" = first under (`orderCol`
+    * descending, `tiebreakCol` ascending). Output order within a group is
+    * unspecified, like any aggregate — sort for presentation. The
+    * operator plans through [[graft.plans.TopKStrategy]]; sessions not
+    * built with GraftExtensions fall back to... nothing: the strategy is
+    * required, which is why every graft session installs it.
+    */
+  def perKey(df: DataFrame, keys: Seq[String], orderCol: String,
+      tiebreakCol: String, k: Int): DataFrame = {
+    // sessions built by graft install the strategy via GraftExtensions;
+    // for any other session, attach it at first use (idempotent) — the
+    // runtime twin of GraftFunctions.register
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    val lp = df.queryExecution.analyzed
+    def attr(n: String) = lp.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n in ${lp.output.map(_.name)}"))
+    val order = Seq(SortOrder(attr(orderCol), Descending),
+      SortOrder(attr(tiebreakCol), Ascending))
+    GraftSqlBridge.ofRows(df.sparkSession,
+      TopKPerKeyNode(k, keys.map(attr), order, lp))
+  }
+
+  /** Native top-3 events per type by (value desc, event_id asc) — same
+    * semantics as the QUALIFY/row_number oracle, executed by the
+    * bounded-heap operator instead of a Window sort. NULL values are
+    * filtered on both sides (null ordering is the one place the two
+    * engines' defaults could diverge).
+    */
+  val qTopkNative: Q = Q(
+    "q_topk_native",
+    """SELECT event_id, event_type, value FROM events
+      |WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY event_type ORDER BY value DESC, event_id ASC) <= 3
+      |ORDER BY event_type, value DESC, event_id""".stripMargin
+  ) { (s, d) =>
+    val base = Tables.events(s, d)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select("event_id", "event_type", "value")
+    perKey(base, Seq("event_type"), "value", "event_id", 3)
+      .orderBy(col("event_type"), col("value").desc, col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(qTopkNative)
+}

@@ -18,6 +18,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * [[GraftFunctions.all]], so the two registration paths cannot drift.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    // whole-operator extension: plans TopKPerKeyNode as the bounded-heap
+    // physical operator (see graft.plans.TopKPerKey)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
+  }
 }

@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator extension demo (SURVEY §4 / the custom-operator ladder's
+  * last rung): top-k rows per key as a FIRST-CLASS physical operator.
+  *
+  * Spark expresses "top N per group" as `row_number().over(Window)` +
+  * filter, whose physical plan SORTS every partition fully — at 100 TB
+  * that is an O(n log n) sort (and possible spill) of each partition for
+  * an answer that only needs k rows per key. [[TopKPerKeyExec]] keeps one
+  * bounded k-row heap per key per partition instead: O(n log k), no sort
+  * buffer, no spill, same rows out.
+  *
+  * Wiring: [[TopKPerKeyNode]] (logical) → [[TopKStrategy]] (planner rule,
+  * installed by [[GraftExtensions]]) → [[TopKPerKeyExec]] (physical). The
+  * exec declares `ClusteredDistribution(keys)`, so Catalyst inserts the
+  * hash exchange exactly like any keyed aggregate — AQE still manages the
+  * shuffle. Output order within a key is unspecified (append a sort for
+  * presentation, as with any aggregate).
+  */
+final case class TopKPerKeyNode(
+    k: Int,
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(k, keys, order, child) =>
+      TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class TopKPerKeyExec(
+    k: Int,
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = output
+    val numKeys = keys
+    val sortOrder = order
+    val limit = k
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(numKeys, childOutput)
+      val base = GenerateOrdering.generate(sortOrder, childOutput)
+      // PriorityQueue dequeues its MAX: ordered by the sort order itself,
+      // the head is the WORST retained row — the eviction candidate
+      val rowOrd: Ordering[UnsafeRow] = new Ordering[UnsafeRow] {
+        def compare(a: UnsafeRow, b: UnsafeRow): Int = base.compare(a, b)
+      }
+      val heaps = scala.collection.mutable.LinkedHashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
+      it.foreach { row =>
+        val u = row.asInstanceOf[UnsafeRow]
+        val key = keyProj(u)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](rowOrd)
+            heaps.put(key.copy(), h) // the projection reuses its buffer: copy keys
+            h
+        }
+        if (heap.size < limit) heap += u.copy() // iterator reuses row buffers too
+        else if (base.compare(u, heap.head) < 0) { heap.dequeue(); heap += u.copy() }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_.asInstanceOf[InternalRow]))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.TopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The native bounded-heap top-k operator vs the declarative
+  * Window/row_number formulation: identical rows, heap-shaped plan.
+  */
+class TopKSpec extends SparkSpec {
+
+  private def windowTopK(k: Int) = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select("event_id", "event_type", "value")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("event_id", "event_type", "value")
+  }
+
+  private def nativeTopK(k: Int) =
+    TopK.perKey(
+      Tables.events(spark, sfDir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select("event_id", "event_type", "value"),
+      Seq("event_type"), "value", "event_id", k)
+
+  test("native top-k equals the window formulation row-for-row") {
+    for (k <- Seq(1, 3, 17)) {
+      val expect = windowTopK(k).collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+          r.getAs[Double]("value"))).toSet
+      val got = nativeTopK(k).collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+          r.getAs[Double]("value"))).toSet
+      assert(got == expect, s"k=$k: ${got.size} vs ${expect.size}")
+    }
+  }
+
+  test("k larger than every group returns all rows") {
+    val base = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select("event_id", "event_type", "value")
+    assert(nativeTopK(1000000).count() == base.count())
+  }
+
+  test("empty input yields an empty result, not a failure") {
+    val base = Tables.events(spark, sfDir)
+      .filter(lit(false))
+      .select("event_id", "event_type", "value")
+    assert(TopK.perKey(base, Seq("event_type"), "value", "event_id", 3).count() == 0)
+  }
+
+  test("plan is the bounded-heap exec — no Window, no per-partition sort") {
+    val df = nativeTopK(3)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), "strategy did not plan the native exec:\n" + p)
+    assert(!p.contains("Window"), "native path must not fall back to Window:\n" + p)
+    assert(!p.contains("Sort "), "native path must not sort partitions:\n" + p)
+  }
+}
