@@ -61,5 +61,30 @@ object TopK {
       .orderBy(col("event_type"), col("value").desc, col("event_id"))
   }
 
-  val all: Seq[Q] = Seq(qTopkNative)
+  /** Deterministic reservoir sample: k=5 events per type, "uniformly"
+    * chosen by md5 rank — the bounded-heap top-k over a content hash IS
+    * distributed reservoir sampling (every row equally likely under the
+    * hash, identical on every run/engine, no state beyond k rows per key
+    * per partition). md5 (not xxhash64) because the oracle engine must
+    * compute the identical rank; hex strings compare identically in both.
+    */
+  val qSamplePerKey: Q = Q(
+    "q_sample_per_key",
+    """SELECT event_id, event_type FROM (
+      |  SELECT event_id, event_type, md5(CAST(event_id AS VARCHAR)) AS h
+      |  FROM events WHERE event_type IS NOT NULL)
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY event_type ORDER BY h DESC, event_id ASC) <= 5
+      |ORDER BY event_type, event_id""".stripMargin
+  ) { (s, d) =>
+    val base = Tables.events(s, d)
+      .filter(col("event_type").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        md5(col("event_id").cast("string")).as("h"))
+    perKey(base, Seq("event_type"), "h", "event_id", 5)
+      .select("event_id", "event_type")
+      .orderBy("event_type", "event_id")
+  }
+
+  val all: Seq[Q] = Seq(qTopkNative, qSamplePerKey)
 }

@@ -53,6 +53,28 @@ class TopKSpec extends SparkSpec {
     assert(TopK.perKey(base, Seq("event_type"), "value", "event_id", 3).count() == 0)
   }
 
+  test("randomized: native top-k equals the window form on adversarial data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      // few keys, many value ties (forces the id tiebreak), several
+      // partitions, k around group sizes
+      val n = 200 + rnd.nextInt(300)
+      val rows = (1 to n).map(i =>
+        (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(8).toDouble))
+      val df = rows.toDF("event_id", "event_type", "value").repartition(7)
+      val k = 1 + rnd.nextInt(12)
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").desc, col("event_id").asc)
+      val expect = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      val got = TopK.perKey(df, Seq("event_type"), "value", "event_id", k)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == expect, s"trial $trial k=$k")
+    }
+  }
+
   test("plan is the bounded-heap exec — no Window, no per-partition sort") {
     val df = nativeTopK(3)
     val p = df.queryExecution.executedPlan.toString
