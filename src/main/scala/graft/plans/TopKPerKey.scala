@@ -24,6 +24,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * hash exchange exactly like any keyed aggregate — AQE still manages the
   * shuffle. Output order within a key is unspecified (append a sort for
   * presentation, as with any aggregate).
+  *
+  * Memory contract: a partition holds ≤ k retained rows per key — the
+  * same footprint class as a hash aggregate, WITHOUT spill support. For
+  * k·|keys per partition| beyond executor memory, use the Window
+  * formulation (sort-based, spills) — this operator's sweet spot is
+  * small k over data whose per-partition sort is the bottleneck.
   */
 final case class TopKPerKeyNode(
     k: Int,

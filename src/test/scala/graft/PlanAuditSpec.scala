@@ -76,6 +76,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_latest_per_key").contains("Window"))
   }
 
+  test("native top-k queries plan the bounded-heap exec, not a window sort") {
+    Seq("q_topk_native", "q_sample_per_key").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TopKPerKey"), s"$q lost the native operator:\n" + p)
+      assert(!p.contains("Window"), s"$q fell back to Window:\n" + p)
+    }
+  }
+
+  test("tfidf prunes the documents scan to doc_id + text") {
+    val scan = plan("q_tfidf_terms").split("\n").find(_.contains("ReadSchema")).get
+    assert(!scan.contains("source") && !scan.contains("n_chars"),
+      "tfidf scan not pruned: " + scan)
+  }
+
   test("hot expressions stay inside whole-stage codegen") {
     // execute first: codegen spans only appear in the finalized AQE plan
     val df = SparkEntry.queries("q_quality_score")(spark, sfDir)
