@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** File export/import sinks — the Spark-native re-expression of the
   * reference's storage layer (src/storage/file_storage.py): JSON and CSV
@@ -52,6 +52,36 @@ object Store {
 
   def loadJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(path)
+
+  /** Lenient JSONL ingest: parse what parses, QUARANTINE what doesn't —
+    * the at-scale analog of the reference scraper dropping malformed
+    * reviews while the monitor counts them (pipeline.py boundary +
+    * monitor.py malformed-rate). PERMISSIVE mode with a corrupt-record
+    * column splits the stream in one pass: `good` rows have every
+    * schema field parsed and no corrupt payload; `bad` rows carry the
+    * raw line for quarantine/inspection. Dropping malformed rows
+    * silently (DROPMALFORMED) loses the signal a data-quality monitor
+    * needs; failing the job (FAILFAST) lets one bad line kill a 100 TB
+    * ingest.
+    */
+  def loadJsonlLenient(s: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val corrupt = "_corrupt_record"
+    val withCorrupt = StructType(schema.fields :+
+      StructField(corrupt, org.apache.spark.sql.types.StringType, nullable = true))
+    // Spark refuses to filter on the corrupt column from a lazy json
+    // relation (it is only populated during parsing): cache first — the
+    // documented pattern for corrupt-record handling
+    val raw = s.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(path)
+      .cache()
+    val good = raw.filter(col(corrupt).isNull).drop(corrupt)
+    val bad = raw.filter(col(corrupt).isNotNull).select(col(corrupt).as("raw"))
+    (good, bad)
+  }
 
   /** multiLine: the writer quotes embedded newlines, so the reader must
     * parse quoted multi-line records or such rows come back malformed.

@@ -26,6 +26,26 @@ class StoreSpec extends SparkSpec {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("lenient jsonl ingest splits parsed rows from quarantined corrupt lines") {
+    val path = tmp("lenient")
+    val df = sample
+    Store.exportJsonl(df, path)
+    // corrupt the sink: append a malformed file alongside the good ones
+    val badLines = Seq("{not json at all", """{"doc_id": "notanumber"}""",
+      "", """{"doc_id": 1, "lang": "xx" """)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "part-corrupt.json"),
+      badLines.mkString("\n").getBytes("UTF-8"))
+    val (good, bad) = Store.loadJsonlLenient(spark, path, df.schema)
+    // every original row parses; blank lines are skipped by the reader,
+    // the three malformed payloads land in quarantine with their raw text
+    assert(good.count() == df.count())
+    assert(good.exceptAll(df).isEmpty && df.exceptAll(good).isEmpty)
+    val quarantined = bad.collect().map(_.getString(0)).toSet
+    assert(quarantined.size == 3, s"got $quarantined")
+    assert(quarantined.contains("{not json at all"))
+  }
+
   test("csv round-trip preserves rows") {
     val path = tmp("csv")
     val df = sample
