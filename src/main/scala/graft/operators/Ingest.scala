@@ -76,6 +76,10 @@ object Ingest {
        |  ${exactDivSql("100 * (cnt - prev_cnt)", "prev_cnt", 2)} AS pct_change
        |FROM lg ORDER BY day""".stripMargin
   ) { (s, d) =>
+    // deliberately UNpartitioned window (Spark warns "moving all data to a
+    // single partition"): its input is the day-grain aggregate — O(#days)
+    // rows at ANY corpus size — and run-over-run lag is inherently a total
+    // order over runs. The heavy data was already reduced by the groupBy.
     val w = Window.orderBy("day")
     Tables.events(s, d)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))

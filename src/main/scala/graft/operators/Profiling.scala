@@ -211,6 +211,9 @@ object Profiling {
         .groupBy("bucket_id").agg(count(lit(1)).as("n_docs"))
       grouped
         .withColumn("bucket", label)
+        // unpartitioned window over the BUCKET AGGREGATE (6 rows at any
+        // corpus size) — the single-partition warning does not apply to
+        // aggregate-grain inputs
         .withColumn("pct",
           exactDiv(lit(100) * col("n_docs"),
             sum(col("n_docs")).over(Window.partitionBy()), 2))
