@@ -474,9 +474,68 @@ object Profiling {
         col("ps").getItem(2).as("value_p99"))
   }
 
+  /** Pearson correlation per key (deep_analysis.py:373 "Rating vs. review
+    * length" 5e, lifted from per-star tables to the coefficient itself):
+    * value vs payload size per event_type. One groupBy pass over raw sums —
+    * the textbook n·Σxy−ΣxΣy form — with every sum an exact integer:
+    * x = value in cents (2-dp contract, same floor(round·p+0.5) recovery as
+    * [[graft.functions.Det]]), y = char length. Long sums are exact to
+    * ~2^40 rows per key (per-row x·y < 2^23); the combination arithmetic
+    * runs in DECIMAL(38,0)/HUGEINT (products capped at precision 37), so
+    * both engines reach bit-identical integers before the single
+    * sqrt/divide in doubles. Zero-variance keys yield NULL (guarded on the
+    * exact integers, not the doubles) and singleton keys are dropped — in
+    * both engines identically.
+    */
+  val qCorrPearson: Q = Q(
+    "q_corr_pearson",
+    """WITH z AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ROUND(value, 2) AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x,
+      |    CAST(length(props) AS HUGEINT) AS y
+      |  FROM events WHERE value IS NOT NULL AND props IS NOT NULL
+      |), s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+      |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+      |  FROM z GROUP BY event_type
+      |)
+      |SELECT event_type, n AS n_pairs,
+      |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+      |    ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+      |      (SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) *
+      |       SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 4)
+      |  END AS corr_value_payload
+      |FROM s WHERE n >= 2 ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .where(col("value").isNotNull && col("props").isNotNull)
+    val x = floor(round(col("value"), 2) * lit(100.0) + lit(0.5)).cast("long")
+    val y = length(col("props")).cast("long")
+    val sums = ev.select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val n  = col("n").cast(DecimalType(12, 0))
+    def d18(c: Column) = c.cast(DecimalType(18, 0))
+    val num = n * d18(col("sxy")) - d18(col("sx")) * d18(col("sy"))
+    val dx  = n * d18(col("sxx")) - d18(col("sx")) * d18(col("sx"))
+    val dy  = n * d18(col("syy")) - d18(col("sy")) * d18(col("sy"))
+    sums.where(col("n") >= 2)
+      .select(col("event_type"), col("n").as("n_pairs"),
+        when(dx > 0 && dy > 0,
+          round(num.cast("double") /
+            (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 4))
+          .as("corr_value_payload"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(qApproxProfile,
     qProfileCompleteness, qMoments, qLengthPercentiles, qLengthHistogram,
     qLengthByGroup, qDupKeys, qDupContent, qTemporalHistogram, qQualityFlags,
     qRepeatedChars, qScriptDistribution, qEncodingIssues, qZeroInflation,
-    qCohortCompare)
+    qCohortCompare, qCorrPearson)
 }

@@ -68,4 +68,25 @@ class ProfilingSpec extends SparkSpec {
     assert(byFlag.getOrElse(Some(java.lang.Boolean.TRUE), 0L) == withRuns)
     assert(byFlag.values.sum == total)
   }
+
+  test("pearson: exact-integer coefficient matches double corr per key") {
+    import org.apache.spark.sql.functions._
+    val got = Profiling.qCorrPearson.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("corr_value_payload")).toMap
+    val want = Tables.events(spark, sfDir)
+      .where(col("value").isNotNull && col("props").isNotNull)
+      .groupBy("event_type")
+      .agg(corr(col("value"), length(col("props"))).as("c"),
+        count(lit(1)).as("n"))
+      .collect()
+      .filter(_.getAs[Long]("n") >= 2)
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("c")).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-3, s"$k: exact=$v builtin=${want(k)}")
+    }
+    // the coefficient is a real signal, not a degenerate 0/NaN column
+    assert(got.values.exists(v => math.abs(v) > 1e-6))
+  }
 }
