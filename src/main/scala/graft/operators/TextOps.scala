@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.Det._
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -263,6 +264,137 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-document repetition signals (the Gopher/C4-style quality rules a
+    * training-data pipeline filters on: Rae et al. 2021 §A1.1 repetition
+    * thresholds): duplicate-word fraction, most-frequent-word share, and
+    * most-frequent-bigram share over the normalized token stream. One
+    * repartition by doc_id feeds every stage — the (doc_id, word) and
+    * (doc_id, bigram) counts and the per-doc rollups all cluster on a
+    * doc_id-prefixed key, so the whole operator runs with a single
+    * shuffle regardless of corpus size. Bigrams come from the token array
+    * (no window/ordering shuffle); the size≥2 guard is load-bearing —
+    * Spark's sequence(0, n) generates DESCENDING for n<0. Fractions are
+    * [[graft.functions.Det.exactDiv]] integer half-up divisions; docs with
+    * a single word carry NULL bigram stats in both engines.
+    */
+  val qRepetitionStats: Q = Q(
+    "q_repetition_stats",
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |wc AS (
+       |  SELECT doc_id, t AS word, COUNT(*) AS c
+       |  FROM toks, UNNEST(w) AS u(t) WHERE t <> '' GROUP BY 1, 2),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       |    COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_c
+       |  FROM wc GROUP BY 1),
+       |bgc AS (
+       |  SELECT doc_id, w[i] || ' ' || w[i+1] AS bg, COUNT(*) AS c
+       |  FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)
+       |  WHERE len(w) >= 2 GROUP BY 1, 2),
+       |perbg AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |    CAST(MAX(c) AS BIGINT) AS top_bg_c
+       |  FROM bgc GROUP BY 1)
+       |SELECT p.doc_id, n_words, n_distinct,
+       |  ${exactDivSql("n_words - n_distinct", "n_words", 4)} AS dup_word_frac,
+       |  ${exactDivSql("top_c", "n_words", 4)} AS top_word_frac,
+       |  ${exactDivSql("top_bg_c", "n_bigrams", 4)} AS top_bigram_frac
+       |FROM perdoc p LEFT JOIN perbg b ON p.doc_id = b.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(norm, " ").as("w"))
+    val wc = docs
+      .select(col("doc_id"), explode(filter(col("w"), t => t =!= "")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val perdoc = wc.groupBy("doc_id").agg(
+      sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
+      max("c").as("top_c"))
+    val bgc = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+        .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val perbg = bgc.groupBy("doc_id").agg(
+      sum("c").as("n_bigrams"), max("c").as("top_bg_c"))
+    perdoc.join(perbg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        exactDiv(col("n_words") - col("n_distinct"), col("n_words"), 4)
+          .as("dup_word_frac"),
+        exactDiv(col("top_c"), col("n_words"), 4).as("top_word_frac"),
+        exactDiv(col("top_bg_c"), col("n_bigrams"), 4).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Train/eval decontamination (the benchmark-leakage gate every LLM
+    * training corpus runs before training): a deterministic 1/16 hash
+    * slice of the corpus plays the held-out eval set; any train document
+    * sharing a word 5-gram with an eval document contaminates it. The
+    * eval side is tiny by construction, so its distinct 5-grams BROADCAST
+    * and the 100 TB train side streams through a map-side semi-join:
+    * per-doc dedup clusters on the doc_id repartition key (zero exchange),
+    * and the only train rows that ever reach a shuffle are the ones
+    * already matching eval vocabulary — the corpus-wide n-gram distinct a
+    * naive vocab-first formulation would pay never happens. Zero-hit eval
+    * docs are kept with n_hits = 0 (a decontamination report that
+    * silently drops the clean docs can't certify anything).
+    */
+  val qDecontaminate: Q = Q(
+    "q_decontaminate",
+    s"""WITH toks AS (
+       |  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval,
+       |    string_split($normSql, ' ') AS w
+       |  FROM documents),
+       |ng AS (
+       |  SELECT DISTINCT doc_id, is_eval,
+       |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS ng
+       |  FROM toks, UNNEST(generate_series(1, len(w)-4)) AS t(i)
+       |  WHERE len(w) >= 5),
+       |train_vocab AS (SELECT DISTINCT ng FROM ng WHERE NOT is_eval),
+       |eval_ng AS (SELECT doc_id, ng FROM ng WHERE is_eval),
+       |hits AS (
+       |  SELECT e.doc_id, COUNT(*) AS n_hits
+       |  FROM eval_ng e JOIN train_vocab t ON e.ng = t.ng GROUP BY 1),
+       |eval_docs AS (
+       |  SELECT doc_id, COUNT(*) AS n_ngrams FROM eval_ng GROUP BY 1)
+       |SELECT d.doc_id, n_ngrams, COALESCE(n_hits, 0) AS n_hits,
+       |  ${exactDivSql("COALESCE(n_hits, 0)", "n_ngrams", 4)} AS contamination_frac,
+       |  COALESCE(n_hits, 0) > 0 AS contaminated
+       |FROM eval_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    val ng = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        (substring(md5(col("doc_id").cast("string")), 1, 1) === "0").as("is_eval"),
+        split(norm, " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), col("is_eval"), explode(expr(
+        "transform(sequence(0, size(w)-5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+        .as("ng"))
+      .distinct()
+    val evalNg = ng.filter(col("is_eval")).select("doc_id", "ng")
+    val evalVocab = evalNg.select("ng").distinct()
+    // broadcast semi-join FIRST: train n-grams never shuffle unless they
+    // already hit eval vocabulary; the distinct then runs on that small
+    // contaminated subset only
+    val contaminatedNg = ng.filter(!col("is_eval")).select("ng")
+      .join(broadcast(evalVocab), "ng").distinct()
+    val hits = evalNg.join(broadcast(contaminatedNg), "ng")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    val evalDocs = evalNg.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
+    evalDocs.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        exactDiv(coalesce(col("n_hits"), lit(0L)), col("n_ngrams"), 4)
+          .as("contamination_frac"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
-    qDedupExact, qLangId, qQualityScore, qTokenCount, qTfidfTerms, qFingerprint)
+    qDedupExact, qLangId, qQualityScore, qTokenCount, qTfidfTerms, qFingerprint,
+    qRepetitionStats, qDecontaminate)
 }

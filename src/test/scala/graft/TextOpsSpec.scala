@@ -124,4 +124,56 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("repetition stats: fractions bounded, pinned against a scala recount") {
+    val rows = TextOps.qRepetitionStats.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val words = texts(id).trim.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_words") == words.length, s"doc $id n_words")
+      assert(r.getAs[Long]("n_distinct") == words.distinct.length, s"doc $id n_distinct")
+      val topWord = words.groupBy(identity).values.map(_.length).max
+      assert(math.abs(r.getAs[Double]("top_word_frac") -
+        topWord.toDouble / words.length) < 1e-3, s"doc $id top_word_frac")
+      if (words.length >= 2) {
+        val topBg = words.sliding(2).toSeq.map(_.mkString(" "))
+          .groupBy(identity).values.map(_.length).max
+        assert(math.abs(r.getAs[Double]("top_bigram_frac") -
+          topBg.toDouble / (words.length - 1)) < 1e-3, s"doc $id top_bigram_frac")
+      } else assert(r.isNullAt(r.fieldIndex("top_bigram_frac")))
+      val f = r.getAs[Double]("dup_word_frac")
+      assert(f >= 0 && f <= 1)
+    }
+  }
+
+  test("decontaminate: flags exactly the eval docs sharing a 5-gram with train") {
+    val rows = TextOps.qDecontaminate.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // scala recount of the same rule
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def grams(t: String): Set[String] = {
+      val w = t.trim.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+      if (w.length < 5) Set.empty else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> grams(r.getAs[String]("text")))
+    val (evalD, trainD) = docs.partition { case (id, _) => md5hex(id.toString).startsWith("0") }
+    val trainVocab = trainD.iterator.flatMap(_._2).toSet
+    val want = evalD.filter(_._2.nonEmpty).map { case (id, g) =>
+      id -> g.count(trainVocab.contains)
+    }.toMap
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == want.keySet)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_hits") == want(id).toLong, s"doc $id n_hits")
+      assert(r.getAs[Boolean]("contaminated") == (want(id) > 0))
+    }
+    // the synthetic corpus contains duplicated content, so the gate must
+    // actually fire somewhere
+    assert(rows.exists(_.getAs[Boolean]("contaminated")))
+  }
 }
