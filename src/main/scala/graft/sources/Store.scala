@@ -177,4 +177,33 @@ object Store {
       n
     } finally cached.unpersist()
   }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` output files, sized from the ACTUAL on-disk bytes
+    * (not a row-count guess — row width varies). Returns the output file
+    * count. Uses `coalesce`, not `repartition`: compaction only ever
+    * reduces file count, and coalesce merges input splits without a
+    * shuffle — at 100 TB a repartition-based compactor would pay a full
+    * shuffle of the table for nothing. A streaming-ingest lake needs this
+    * periodically: every micro-batch commit writes one file per task, and
+    * thousands of KB-scale files make every downstream scan
+    * listing/open-call bound.
+    *
+    * Writes to `outPath` (a fresh directory), never in place: an
+    * in-place rewrite that fails mid-job destroys the input. Swapping the
+    * compacted directory over the original is the caller's (atomic
+    * rename / metastore) move.
+    */
+  def compact(s: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    s.read.parquet(inPath).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    fs.listStatus(out).count(f => f.getPath.getName.endsWith(".parquet"))
+  }
 }

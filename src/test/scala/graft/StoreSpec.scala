@@ -136,6 +136,28 @@ class StoreSpec extends SparkSpec {
     assert(q.count() == events.filter(col("day") === firstDay).count())
   }
 
+  test("compaction merges a many-file layout without losing or changing rows") {
+    val in = tmp("compact_in")
+    val out = tmp("compact_out")
+    val events = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    events.repartition(32).write.mode("overwrite").parquet(in)
+    val fs = new org.apache.hadoop.fs.Path(in)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inFiles = fs.listStatus(new org.apache.hadoop.fs.Path(in))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(inFiles == 32, s"setup expected 32 input files, got $inFiles")
+    val outFiles = Store.compact(spark, in, out, targetFileBytes = 512L * 1024)
+    assert(outFiles < inFiles, s"no reduction: $inFiles -> $outFiles")
+    // row-level identity, not just counts
+    val a = spark.read.parquet(in)
+    val b = spark.read.parquet(out)
+    assert(b.count() == a.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // compaction must not shuffle: coalesce only, no Exchange in the plan
+    val plan = spark.read.parquet(in).coalesce(2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "compaction plan shuffles:\n" + plan)
+  }
+
   test("extensions entry point installs without error") {
     new graft.plans.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
