@@ -365,22 +365,25 @@ object TextOps {
        |FROM eval_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
        |ORDER BY d.doc_id""".stripMargin
   ) { (s, d) =>
-    val ng = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"),
-        (substring(md5(col("doc_id").cast("string")), 1, 1) === "0").as("is_eval"),
-        split(norm, " ").as("w"))
-      .filter(size(col("w")) >= 5)
-      .select(col("doc_id"), col("is_eval"), explode(expr(
-        "transform(sequence(0, size(w)-5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
-        .as("ng"))
-      .distinct()
-    val evalNg = ng.filter(col("is_eval")).select("doc_id", "ng")
+    def ngrams(evalSide: Boolean) = {
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      Tables.documents(s, d)
+        .filter(if (evalSide) isEval else !isEval)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), split(norm, " ").as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+          .as("ng"))
+    }
+    // only the (tiny) eval side pays a per-doc distinct — train n-grams
+    // feed an existence check, where within-doc duplicates are harmless
+    val evalNg = ngrams(evalSide = true).distinct()
     val evalVocab = evalNg.select("ng").distinct()
-    // broadcast semi-join FIRST: train n-grams never shuffle unless they
-    // already hit eval vocabulary; the distinct then runs on that small
-    // contaminated subset only
-    val contaminatedNg = ng.filter(!col("is_eval")).select("ng")
+    // broadcast semi-join FIRST: train n-grams never shuffle (or dedup)
+    // unless they already hit eval vocabulary; the distinct then runs on
+    // that small contaminated subset only
+    val contaminatedNg = ngrams(evalSide = false).select("ng")
       .join(broadcast(evalVocab), "ng").distinct()
     val hits = evalNg.join(broadcast(contaminatedNg), "ng")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
