@@ -226,10 +226,13 @@ object TextOps {
       .select(col("doc_id"),
         explode(filter(split(norm, " "), t => t =!= "")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // tf is unique per (doc, term), so a COUNT window over the term
+    // partition IS the document frequency — computed in the same
+    // term-keyed shuffle a tf⋈df join would need anyway, minus the
+    // separate df aggregate and the join itself
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(df, "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         expr("(tf * 1000000000) div df").as("score"))
       .withColumn("rn", row_number().over(w))
