@@ -673,7 +673,38 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  /** Per-label centroid of the embedding corpus (the class-prototype /
+    * cluster-seed computation an IVF index or a nearest-centroid labeler
+    * starts from): exact integer mean per (label, dimension) over the
+    * shared quantized vectors. One explode + one groupBy — the shuffle
+    * key (label, dim) has |labels|·64 groups, so partial aggregation
+    * collapses the traffic to a constant regardless of corpus size. The
+    * mean itself is [[graft.functions.Det.exactDiv]] on the exact integer
+    * sum, then one exact-integer-double division by the quantization
+    * scale — no float summation order anywhere.
+    */
+  val qLabelCentroids: Q = Q(
+    "q_label_centroids",
+    s"""WITH $quantizedSql,
+       |e AS (
+       |  SELECT label, i AS dim, qv[i] AS x
+       |  FROM q, UNNEST(generate_series(1, len(qv))) AS t(i))
+       |SELECT label, dim, COUNT(*) AS n_vecs,
+       |  ${graft.functions.Det.exactDivSql("SUM(x)", "COUNT(*)", 0)} / 10000.0 AS centroid
+       |FROM e GROUP BY label, dim
+       |ORDER BY label, dim""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.Det.exactDiv
+    quantized(s, d)
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + lit(1)).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (exactDiv(sum(col("x")), count(lit(1)), 0) / lit(10000.0)).as("centroid"))
+      .orderBy("label", "dim")
+  }
+
   val all: Seq[Q] = Seq(
     qNgramJaccard, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
-    qCosineTopk, qAnnLsh, qAnnIvf, qDedupClusters, qDedupSurvivors)
+    qCosineTopk, qAnnLsh, qAnnIvf, qDedupClusters, qDedupSurvivors,
+    qLabelCentroids)
 }

@@ -193,4 +193,27 @@ class SimilaritySpec extends SparkSpec {
     info(s"LSH recall@5 = $recall")
     assert(recall >= 0.6, s"recall $recall regressed (0.82 at pin time)")
   }
+
+  test("label centroids: every (label, dim) cell, within quantization of float mean") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.qLabelCentroids.run(spark, sfDir).collect()
+    val emb = Tables.embeddings(spark, sfDir)
+    val labels = emb.select("label").distinct().collect().map(_.getInt(0))
+    val dims = emb.select(size(col("embedding"))).distinct().collect()
+    assert(dims.length == 1)
+    assert(rows.length == labels.length * dims(0).getInt(0))
+    // spot-check one label against a driver-side float mean: the exact
+    // integer path must land within one quantization step (1e-4) + the
+    // float accumulation noise of the naive mean
+    val lbl = labels.min
+    val naive = emb.filter(col("label") === lbl)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(avg(col("x").cast("double")).as("m"))
+      .collect().map(r => (r.getAs[Int]("pos") + 1).toLong -> r.getAs[Double]("m")).toMap
+    rows.filter(r => r.getAs[Int]("label") == lbl).foreach { r =>
+      val d = r.getAs[Long]("dim")
+      assert(math.abs(r.getAs[Double]("centroid") - naive(d)) < 2e-4,
+        s"dim $d: ${r.getAs[Double]("centroid")} vs ${naive(d)}")
+    }
+  }
 }
