@@ -263,7 +263,38 @@ object Ingest {
       .orderBy("event_type")
   }
 
+  /** Cumulative lake growth (reporter.report_db_growth:72, lifted from a
+    * point-in-time snapshot to the full growth curve): per-day new rows,
+    * new distinct users, and the running cumulative total. Same
+    * aggregate-grain window contract as [[qRunDeltas]] — the unpartitioned
+    * running sum sees only O(#days) rows no matter the corpus size; the
+    * per-day distinct-user count is the only full-width aggregate and it
+    * partial-aggregates per day before the shuffle.
+    */
+  val qDbGrowth: Q = Q(
+    "q_db_growth",
+    """WITH dly AS (
+      |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |    COUNT(*) AS new_rows, COUNT(DISTINCT user_id) AS new_users
+      |  FROM events GROUP BY 1)
+      |SELECT day, new_rows, new_users,
+      |  CAST(SUM(new_rows) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cumulative_rows
+      |FROM dly ORDER BY day""".stripMargin
+  ) { (s, d) =>
+    // unpartitioned window over the day-grain aggregate: see qRunDeltas
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("new_rows"),
+        countDistinct(col("user_id")).as("new_users"))
+      .withColumn("cumulative_rows", sum(col("new_rows")).over(w))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(
     qIncrementalIngest, qIngestMetrics, qRunDeltas, qAnomalyZscore,
-    qQualityMetrics, qWindowedCounts, qSessionize, qPropsExtract)
+    qQualityMetrics, qWindowedCounts, qSessionize, qPropsExtract, qDbGrowth)
 }

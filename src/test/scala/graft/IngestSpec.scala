@@ -69,4 +69,18 @@ class IngestSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum ==
       Tables.events(spark, sfDir).count())
   }
+
+  test("db growth: cumulative is the running sum and ends at the corpus total") {
+    val rows = Ingest.qDbGrowth.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val days = rows.map(_.getAs[String]("day"))
+    assert(days.sameElements(days.sorted))
+    var running = 0L
+    rows.foreach { r =>
+      running += r.getAs[Long]("new_rows")
+      assert(r.getAs[Long]("cumulative_rows") == running)
+      assert(r.getAs[Long]("new_users") <= r.getAs[Long]("new_rows"))
+    }
+    assert(running == Tables.events(spark, sfDir).count())
+  }
 }
