@@ -42,7 +42,7 @@ object Det {
     * cast this replaces costs ~3.5× in the aggregate hot loop: Spark's
     * decimal Sum buffer falls off the primitive fast path.
     */
-  private def scaledLong(c: Column, scale: Int): Column = {
+  private[graft] def scaledLong(c: Column, scale: Int): Column = {
     val p = math.pow(10, scale).toLong
     floor(round(c, scale) * lit(p.toDouble) + lit(0.5))
   }

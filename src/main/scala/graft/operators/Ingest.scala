@@ -265,32 +265,47 @@ object Ingest {
 
   /** Cumulative lake growth (reporter.report_db_growth:72, lifted from a
     * point-in-time snapshot to the full growth curve): per-day new rows,
-    * new distinct users, and the running cumulative total. Same
-    * aggregate-grain window contract as [[qRunDeltas]] — the unpartitioned
-    * running sum sees only O(#days) rows no matter the corpus size; the
-    * per-day distinct-user count is the only full-width aggregate and it
-    * partial-aggregates per day before the shuffle.
+    * FIRST-SEEN users (each user counted once, on the day of their first
+    * event — "active today" would recount returners and overstate
+    * growth), and the running cumulative row total. Two full-width
+    * aggregates, both partial-combining before their shuffles (per-day
+    * counts; per-user min-day); the running sum windows over the
+    * day-grain aggregate — O(#days) rows at any corpus size, same
+    * contract as [[qRunDeltas]].
     */
   val qDbGrowth: Q = Q(
     "q_db_growth",
     """WITH dly AS (
       |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-      |    COUNT(*) AS new_rows, COUNT(DISTINCT user_id) AS new_users
-      |  FROM events GROUP BY 1)
-      |SELECT day, new_rows, new_users,
-      |  CAST(SUM(new_rows) OVER (ORDER BY day
+      |    COUNT(*) AS new_rows
+      |  FROM events GROUP BY 1),
+      |fs AS (
+      |  SELECT strftime(MIN(CAST(ts AS DATE)), '%Y-%m-%d') AS day,
+      |    user_id
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |nu AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY 1)
+      |SELECT d.day, d.new_rows, COALESCE(n.new_users, 0) AS new_users,
+      |  CAST(SUM(d.new_rows) OVER (ORDER BY d.day
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |    AS cumulative_rows
-      |FROM dly ORDER BY day""".stripMargin
+      |FROM dly d LEFT JOIN nu n ON d.day = n.day
+      |ORDER BY d.day""".stripMargin
   ) { (s, d) =>
     // unpartitioned window over the day-grain aggregate: see qRunDeltas
     val w = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    val ev = Tables.events(s, d)
+    val daily = ev
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .agg(count(lit(1)).as("new_rows"),
-        countDistinct(col("user_id")).as("new_users"))
-      .withColumn("cumulative_rows", sum(col("new_rows")).over(w))
+      .agg(count(lit(1)).as("new_rows"))
+    val firstSeen = ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(date_format(min(col("ts").cast("date")), "yyyy-MM-dd").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    daily.join(firstSeen, Seq("day"), "left")
+      .select(col("day"), col("new_rows"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        sum(col("new_rows")).over(w).as("cumulative_rows"))
       .orderBy("day")
   }
 

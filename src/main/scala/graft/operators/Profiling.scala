@@ -481,14 +481,19 @@ object Profiling {
     * length" 5e, lifted from per-star tables to the coefficient itself):
     * value vs payload size per event_type. One groupBy pass over raw sums —
     * the textbook n·Σxy−ΣxΣy form — with every sum an exact integer:
-    * x = value in cents (2-dp contract, same floor(round·p+0.5) recovery as
-    * [[graft.functions.Det]]), y = char length. Long sums are exact to
-    * ~2^40 rows per key (per-row x·y < 2^23); the combination arithmetic
-    * runs in DECIMAL(38,0)/HUGEINT (products capped at precision 37), so
-    * both engines reach bit-identical integers before the single
-    * sqrt/divide in doubles. Zero-variance keys yield NULL (guarded on the
-    * exact integers, not the doubles) and singleton keys are dropped — in
-    * both engines identically.
+    * x = value in cents ([[graft.functions.Det.scaledLong]], 2-dp
+    * contract), y = char length. The combination arithmetic runs in
+    * DECIMAL/HUGEINT with products capped at precision 37, so both
+    * engines reach bit-identical integers before the single sqrt/divide
+    * in doubles. Headroom: the closed form needs ≤18-digit sums for the
+    * ΣxΣy product to stay exact inside DECIMAL(38), which at the measured
+    * per-row magnitudes (x² ≈ 5·10⁷) means ~2·10¹⁰ rows per key; past
+    * that the ANSI decimal cast fails LOUDLY rather than drifting from
+    * the oracle — at larger per-key volumes, pre-aggregate (e.g. daily
+    * sums feeding the same identity) or center first as qMoments does.
+    * Zero-variance keys yield NULL (guarded on the exact integers, not
+    * the doubles) and singleton keys are dropped — in both engines
+    * identically.
     */
   val qCorrPearson: Q = Q(
     "q_corr_pearson",
@@ -513,7 +518,7 @@ object Profiling {
   ) { (s, d) =>
     val ev = Tables.events(s, d)
       .where(col("value").isNotNull && col("props").isNotNull)
-    val x = floor(round(col("value"), 2) * lit(100.0) + lit(0.5)).cast("long")
+    val x = graft.functions.Det.scaledLong(col("value"), 2).cast("long")
     val y = length(col("props")).cast("long")
     val sums = ev.select(col("event_type"), x.as("x"), y.as("y"))
       .groupBy("event_type")

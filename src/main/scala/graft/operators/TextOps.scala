@@ -283,10 +283,11 @@ object TextOps {
   val qRepetitionStats: Q = Q(
     "q_repetition_stats",
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |  SELECT doc_id, list_filter(string_split($normSql, ' '), t -> t <> '') AS w
+       |  FROM documents),
        |wc AS (
        |  SELECT doc_id, t AS word, COUNT(*) AS c
-       |  FROM toks, UNNEST(w) AS u(t) WHERE t <> '' GROUP BY 1, 2),
+       |  FROM toks, UNNEST(w) AS u(t) GROUP BY 1, 2),
        |perdoc AS (
        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
        |    COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_c
@@ -306,11 +307,15 @@ object TextOps {
        |FROM perdoc p LEFT JOIN perbg b ON p.doc_id = b.doc_id
        |ORDER BY p.doc_id""".stripMargin
   ) { (s, d) =>
+    // filter empties BEFORE any consumer: trim removes only spaces, so a
+    // trailing tab/newline leaves a phantom "" boundary token that would
+    // otherwise inflate n_words and fabricate bigrams
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), split(norm, " ").as("w"))
+      .select(col("doc_id"),
+        filter(split(norm, " "), t => t =!= "").as("w"))
     val wc = docs
-      .select(col("doc_id"), explode(filter(col("w"), t => t =!= "")).as("word"))
+      .select(col("doc_id"), explode(col("w")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
     val perdoc = wc.groupBy("doc_id").agg(
       sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
@@ -337,18 +342,20 @@ object TextOps {
     * sharing a word 5-gram with an eval document contaminates it. The
     * eval side is tiny by construction, so its distinct 5-grams BROADCAST
     * and the 100 TB train side streams through a map-side semi-join:
-    * per-doc dedup clusters on the doc_id repartition key (zero exchange),
-    * and the only train rows that ever reach a shuffle are the ones
-    * already matching eval vocabulary — the corpus-wide n-gram distinct a
-    * naive vocab-first formulation would pay never happens. Zero-hit eval
-    * docs are kept with n_hits = 0 (a decontamination report that
-    * silently drops the clean docs can't certify anything).
+    * per-doc dedup clusters on the doc_id repartition key (zero exchange)
+    * on the eval side only, and the only train N-GRAMS that ever reach a
+    * shuffle are the ones already matching eval vocabulary — the
+    * corpus-wide n-gram distinct a naive vocab-first formulation would
+    * pay never happens (the raw train doc rows do pass one round-robin
+    * spread, the tiny-file guard that a multi-split lake scan replaces).
+    * Zero-hit eval docs are kept with n_hits = 0 (a decontamination
+    * report that silently drops the clean docs can't certify anything).
     */
   val qDecontaminate: Q = Q(
     "q_decontaminate",
     s"""WITH toks AS (
        |  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval,
-       |    string_split($normSql, ' ') AS w
+       |    list_filter(string_split($normSql, ' '), t -> t <> '') AS w
        |  FROM documents),
        |ng AS (
        |  SELECT DISTINCT doc_id, is_eval,
@@ -370,10 +377,18 @@ object TextOps {
   ) { (s, d) =>
     def ngrams(evalSide: Boolean) = {
       val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
-      Tables.documents(s, d)
-        .filter(if (evalSide) isEval else !isEval)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), split(norm, " ").as("w"))
+      val base = Tables.documents(s, d).filter(if (evalSide) isEval else !isEval)
+      // eval side clusters by doc_id (its per-doc distinct and groupBys
+      // ride that partitioning); the train side needs no clustering — its
+      // round-robin spread is only the single-file parallelism guard
+      // (shinglesRaw's pattern: a lake-scale scan is already multi-split),
+      // and the n-gram stream derived from it never shuffles
+      val spread = if (evalSide)
+        base.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      else base.repartition(s.sparkContext.defaultParallelism)
+      spread
+        // phantom ""-token guard: see qRepetitionStats
+        .select(col("doc_id"), filter(split(norm, " "), t => t =!= "").as("w"))
         .filter(size(col("w")) >= 5)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(w)-5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))

@@ -194,16 +194,26 @@ object Store {
     * compacted directory over the original is the caller's (atomic
     * rename / metastore) move.
     */
-  def compact(s: SparkSession, inPath: String, outPath: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+  /** The exact plan [[compact]] executes — exposed so the plan-shape spec
+    * guards the REAL code path (a hand-built coalesce in the test would
+    * stay green if compact regressed to a shuffling repartition).
+    */
+  private[graft] def compactPlan(s: SparkSession, inPath: String,
+      targetFileBytes: Long): DataFrame = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     s.read.parquet(inPath).coalesce(nFiles)
+  }
+
+  def compact(s: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    compactPlan(s, inPath, targetFileBytes)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
     val out = new org.apache.hadoop.fs.Path(outPath)
-    fs.listStatus(out).count(f => f.getPath.getName.endsWith(".parquet"))
+    out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .listStatus(out).count(f => f.getPath.getName.endsWith(".parquet"))
   }
 }

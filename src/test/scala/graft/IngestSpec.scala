@@ -70,7 +70,8 @@ class IngestSpec extends SparkSpec {
       Tables.events(spark, sfDir).count())
   }
 
-  test("db growth: cumulative is the running sum and ends at the corpus total") {
+  test("db growth: cumulative is the running sum; users counted once, first-seen") {
+    import org.apache.spark.sql.functions._
     val rows = Ingest.qDbGrowth.run(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val days = rows.map(_.getAs[String]("day"))
@@ -82,5 +83,10 @@ class IngestSpec extends SparkSpec {
       assert(r.getAs[Long]("new_users") <= r.getAs[Long]("new_rows"))
     }
     assert(running == Tables.events(spark, sfDir).count())
+    // first-seen semantics: the curve's user total is the corpus's
+    // distinct user count, not a sum of daily actives
+    val distinctUsers = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("new_users")).sum == distinctUsers)
   }
 }

@@ -153,8 +153,9 @@ class StoreSpec extends SparkSpec {
     val b = spark.read.parquet(out)
     assert(b.count() == a.count())
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
-    // compaction must not shuffle: coalesce only, no Exchange in the plan
-    val plan = spark.read.parquet(in).coalesce(2).queryExecution.executedPlan.toString
+    // compaction must not shuffle: assert on the plan compact itself runs
+    val plan = Store.compactPlan(spark, in, 512L * 1024)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "compaction plan shuffles:\n" + plan)
   }
 
