@@ -309,7 +309,41 @@ object Ingest {
       .orderBy("day")
   }
 
+  /** Session-level engagement rollup (labeling session reporting:
+    * db_manager.get_recent_sessions:794 / get_labeling_progress:812,
+    * generalized to the event sessions): duration and events-per-session
+    * statistics over the [[qSessionize]] output. Built ON the registered
+    * sessionizer — Spark side runs its DataFrame, the oracle wraps its SQL
+    * as a CTE — so the two operators cannot drift. The rollup input is
+    * session-grain (already reduced); every ratio is an exact integer
+    * division and the median is the same interpolated-percentile pair
+    * both engines compute exactly on <2^52 integers.
+    */
+  val qSessionStats: Q = Q(
+    "q_session_stats",
+    s"""WITH sess AS (${qSessionize.oracle.get})
+       |SELECT COUNT(*) AS n_sessions,
+       |  ${exactDivSql("SUM(n_events)", "COUNT(*)", 2)} AS avg_events,
+       |  ${exactDivSql("SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)",
+            "COUNT(*)", 4)} AS single_event_share,
+       |  ${exactDivSql("SUM(end_us - start_us)", "COUNT(*)", 0)} AS avg_duration_us,
+       |  quantile_cont(end_us - start_us, 0.5) AS p50_duration_us,
+       |  CAST(MAX(end_us - start_us) AS BIGINT) AS max_duration_us
+       |FROM sess""".stripMargin
+  ) { (s, d) =>
+    val dur = col("end_us") - col("start_us")
+    qSessionize.run(s, d).agg(
+      count(lit(1)).as("n_sessions"),
+      exactDiv(sum(col("n_events")), count(lit(1)), 2).as("avg_events"),
+      exactDiv(sum(when(col("n_events") === 1, 1).otherwise(0)),
+        count(lit(1)), 4).as("single_event_share"),
+      exactDiv(sum(dur), count(lit(1)), 0).as("avg_duration_us"),
+      expr("percentile(end_us - start_us, 0.5)").as("p50_duration_us"),
+      max(dur).as("max_duration_us"))
+  }
+
   val all: Seq[Q] = Seq(
     qIncrementalIngest, qIngestMetrics, qRunDeltas, qAnomalyZscore,
-    qQualityMetrics, qWindowedCounts, qSessionize, qPropsExtract, qDbGrowth)
+    qQualityMetrics, qWindowedCounts, qSessionize, qPropsExtract, qDbGrowth,
+    qSessionStats)
 }

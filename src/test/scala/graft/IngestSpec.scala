@@ -89,4 +89,16 @@ class IngestSpec extends SparkSpec {
       .filter(col("user_id").isNotNull).select("user_id").distinct().count()
     assert(rows.map(_.getAs[Long]("new_users")).sum == distinctUsers)
   }
+
+  test("session stats: consistent with the sessionizer it wraps") {
+    val sess = Ingest.qSessionize.run(spark, sfDir).collect()
+    val r = Ingest.qSessionStats.run(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_sessions") == sess.length.toLong)
+    val share = r.getAs[Double]("single_event_share")
+    assert(share >= 0 && share <= 1)
+    assert(r.getAs[Double]("avg_events") >= 1.0)
+    assert(r.getAs[Double]("p50_duration_us") <= r.getAs[Long]("max_duration_us").toDouble)
+    val maxDur = sess.map(s => s.getAs[Long]("end_us") - s.getAs[Long]("start_us")).max
+    assert(r.getAs[Long]("max_duration_us") == maxDur)
+  }
 }
