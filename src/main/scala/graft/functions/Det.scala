@@ -63,6 +63,38 @@ object Det {
     hi * lit(1L << 20) + lo
   }
 
+  /** Exact integer total of a signed LONG column as DECIMAL(38,0), summed
+    * in three long lanes (hi = x>>40, mid = (x>>20)&0xFFFFF, lo =
+    * x&0xFFFFF; arithmetic shifts + two's complement make the split exact
+    * for negatives — x = (x>>40)·2⁴⁰ + ((x>>20)&m)·2²⁰ + (x&m)). Three
+    * lanes instead of [[scaledTotal]]'s two because callers feed squared /
+    * cubed deviations up to ~2⁵⁷ per row: every lane term stays < 2²⁰
+    * (plus sign), so each lane's long sum is safe to ~2⁴² rows per group
+    * while the per-row aggregate update stays in primitive codegen. The
+    * decimal recombine runs once per group.
+    */
+  private[graft] def longTotal(x: Column): Column = {
+    val m = lit((1L << 20) - 1)
+    val hi  = sum(shiftright(x, 40)).cast(DecimalType(38, 0))
+    val mid = sum(shiftright(x, 20).bitwiseAND(m)).cast(DecimalType(38, 0))
+    val lo  = sum(x.bitwiseAND(m)).cast(DecimalType(38, 0))
+    hi * lit(1L << 40) + mid * lit(1L << 20) + lo
+  }
+
+  /** The exact double value of `total`·10^-scale, where `total` is an
+    * exact integer DECIMAL: one decimal rescale (precision picked so
+    * Spark's precision-loss adjustment cannot truncate the scale — the
+    * product must keep ≤ 38-scale-1 integer digits, hence the
+    * DECIMAL(37-scale,0) cast; totals beyond 10^(37-scale) overflow to
+    * NULL rather than silently rounding) and ONE decimal→double
+    * conversion — the same single correctly-rounded step as the oracle's
+    * CAST(SUM(decimal) AS DOUBLE).
+    */
+  private[graft] def scaledToDouble(total: Column, scale: Int): Column = {
+    val frac = lit(new java.math.BigDecimal(java.math.BigInteger.ONE, scale))
+    (total.cast(DecimalType(37 - scale, 0)) * frac).cast("double")
+  }
+
   /** Exact, order-independent sum of a double column (row-rounded at
     * `scale`). INPUT CONTRACT: values must be authored with at most
     * `scale` decimal digits (money-like columns) — a value with MORE

@@ -68,13 +68,24 @@ object Profiling {
 
   /** Distribution moments (deep_analysis §1: mean/median/stdev/skewness/
     * kurtosis with the reference's exact formulas — population 3rd/4th
-    * moments over the SAMPLE stdev). Two distributed passes: a
-    * deterministic 2-dp mean, then central-moment sums about it computed
-    * ENTIRELY in exact decimal arithmetic per row (value is 2-dp, so
-    * d, d², d³, d⁴ are exact at scales 2/4/6/8 — no per-row double
-    * rounding anywhere, hence no engine-dependent rounding ties). Only
-    * the final stdev/skew/kurt formulas run in doubles, on bit-identical
-    * exact inputs, with identical association order in both engines.
+    * moments over the SAMPLE stdev). Two distributed passes — the minimum
+    * for central moments: pass 1 computes BOTH means (the 2-dp anchor and
+    * the reported 4-dp mean) in one scan; pass 2 computes the central
+    * sums about the anchor. Value is 2-dp, so dv = value − mstar is an
+    * exact LONG in 10⁻² units and dv², dv³, dv⁴ are exact integers at
+    * scales 4/6/8 — all per-row arithmetic is primitive long math inside
+    * whole-stage codegen (the previous per-row DECIMAL multiply chain fell
+    * off Spark's primitive aggregate fast path and cost 3.4×), summed in
+    * [[graft.functions.Det.longTotal]] lanes and recombined exactly in
+    * decimal once per group. dv⁴ would overflow a long per row, so it is
+    * split as d2 = a·2²⁰ + b ⇒ dv⁴ = a²·2⁴⁰ + 2ab·2²⁰ + b² with each
+    * component summed separately. Only the final stdev/skew/kurt formulas
+    * run in doubles, on bit-identical exact inputs, with identical
+    * association order in both engines.
+    *
+    * Exactness headroom (documented contract, fail-null not silently
+    * wrong): |dv·100| < 2¹⁹ per row (|value − mean| ≤ ~5 242 — the events
+    * domain is rating-like, max 560), Σ|dv|³ ≤ 10²⁵, Σdv⁴ ≤ 10²¹.
     */
   val qMoments: Q = Q(
     "q_moments",
@@ -104,20 +115,29 @@ object Profiling {
        |FROM agg, mv""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.types.DecimalType
+    import graft.functions.Det
     val ev = Tables.events(s, d)
-    val mdf = ev.agg(exactAvg(col("value"), 2, 2).cast(DecimalType(18, 2)).as("mstar"))
-    val mean4 = ev.agg(exactAvg(col("value"), 4, 4).as("mean_value"))
-    val dv = col("value").cast(DecimalType(18, 2)) - col("mstar")
-    val d2 = (dv * dv).cast(DecimalType(19, 4))
-    val d2n = (dv * dv).cast(DecimalType(18, 4))
-    val dd = ev.crossJoin(broadcast(mdf))
+    // pass 1 — ONE scan for both means; mstar becomes an exact integer in
+    // 10⁻² units so pass 2 never touches decimals per row
+    val means = ev.agg(
+      exactAvg(col("value"), 2, 2).cast(DecimalType(18, 2)).as("mstar"),
+      exactAvg(col("value"), 4, 4).as("mean_value"))
+      .select((col("mstar") * 100).cast("long").as("mstarL"), col("mean_value"))
+    val dvL = Det.scaledLong(col("value"), 2).cast("long") - col("mstarL")
+    val d2 = dvL * dvL                       // < 2³⁸ under the |dvL| < 2¹⁹ contract
+    val a = shiftright(d2, 20)               // d2 = a·2²⁰ + b (both < 2²⁰)
+    val b = d2.bitwiseAND(lit((1L << 20) - 1))
+    val dd = ev.crossJoin(broadcast(means))
     dd.agg(
       count(lit(1)).as("n"),
       expr("percentile(value, 0.5)").as("med"),
-      sum(d2).cast("double").as("m2"),
-      sum((d2 * dv).cast(DecimalType(24, 6))).cast("double").as("m3"),
-      sum((d2 * d2n).cast(DecimalType(28, 8))).cast("double").as("m4"))
-      .crossJoin(broadcast(mean4))
+      max(col("mean_value")).as("mean_value"), // constant per the broadcast row
+      Det.scaledToDouble(Det.longTotal(d2), 4).as("m2"),
+      Det.scaledToDouble(Det.longTotal(d2 * dvL), 6).as("m3"),
+      Det.scaledToDouble(
+        Det.longTotal(a * a) * lit(1L << 40) +
+          Det.longTotal(a * b) * lit(2L << 20) +
+          Det.longTotal(b * b), 8).as("m4"))
       .select(
         col("n").as("n_values"),
         col("mean_value"),
