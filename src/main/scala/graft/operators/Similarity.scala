@@ -80,7 +80,7 @@ object Similarity {
     }
 
   /** Distinct shingles — the exact-count consumers (n-gram Jaccard). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingles(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "shingles")(shinglesRaw(s, d).distinct())
 
   private val shinglesSql =
@@ -111,19 +111,46 @@ object Similarity {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Stop-shingle document-frequency cap for the exact Jaccard join: a
+    * shingle present in more than this many documents contributes C(df,2)
+    * candidate pairs — a hot shingle ("of the and") is a quadratic skew
+    * bomb beyond what AQE's skew split repairs. Capping df bounds the
+    * self-join output at C(cap,2) pairs PER SHINGLE TYPE (linear in index
+    * size, constant per shingle), the standard stop-shingle rule of
+    * near-dup pipelines. An ABSOLUTE cap, not a corpus fraction: a
+    * fractional cap re-admits quadratic growth as the corpus grows.
+    * Jaccard is then computed consistently over the pruned shingle space
+    * (cardinalities and intersections both post-prune), mirrored exactly
+    * in the oracle. Active at sf0.1 (shingle df there maxes at 25).
+    */
+  private[graft] val StopShingleDf = 16
+
+  /** The unpruned exact-Jaccard baseline (spec use): MinHash verification
+    * scores pairs over FULL shingle sets, so its recall/precision spec
+    * must compare against this, not the stop-shingle-capped query.
+    */
+  private[graft] def exactJaccardUnpruned(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(shingles(s, d), 0.5)
+
   /** N-gram Jaccard similarity join (τ=0.5): inverted shingle index →
-    * shared-shingle candidate pairs → exact Jaccard. The shuffle key is the
-    * shingle; at 100 TB hot shingles are the skew risk — AQE skew-join
-    * handles moderate skew, and the MinHash variant below is the scale path
-    * that never joins on raw shingles.
+    * stop-shingle df cap → shared-shingle candidate pairs → exact Jaccard.
+    * The shuffle key is the shingle; the df cap above bounds per-shingle
+    * join fan-out, AQE's skew split handles residual imbalance below the
+    * cap, and the MinHash variant below is the scale path that never
+    * joins on raw shingles at all. The hot-shingle set is a tiny residue
+    * (it shrinks as the cap rises) → broadcast anti-join, so the pruning
+    * itself adds no shuffle to the index stream.
     */
   val qNgramJaccard: Q = Q(
     "q_ngram_jaccard",
     s"""WITH $shinglesSql,
-       |card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > $StopShingleDf),
+       |kept AS (SELECT doc_id, sh FROM sh
+       |         WHERE sh NOT IN (SELECT sh FROM hot)),
+       |card AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS x
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
        |  CAST(x AS DOUBLE) / (ca.n + cb.n - x) AS jaccard
@@ -133,7 +160,18 @@ object Similarity {
        |WHERE CAST(x AS DOUBLE) / (ca.n + cb.n - x) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
   ) { (s, d) =>
-    jaccardPairs(shingles(s, d), 0.5).orderBy("id_a", "id_b")
+    jaccardPairs(keptShingles(s, d), 0.5).orderBy("id_a", "id_b")
+  }
+
+  /** The df-capped shingle index feeding [[qNgramJaccard]] (package-
+    * visible for the pair-count-bound spec). The df aggregate partial-
+    * combines map-side; only the tiny hot set crosses the broadcast.
+    */
+  private[graft] def keptShingles(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > StopShingleDf).select("sh")
+    sh.join(broadcast(hot), Seq("sh"), "left_anti")
   }
 
   private val MinhashK = 32

@@ -23,8 +23,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ngram jaccard: stop-shingle cap bounds candidate-pair fan-out") {
+    // every shingle entering the self-join has df <= cap, so the join's
+    // output is bounded by C(cap,2) pairs per shingle TYPE — linear in
+    // index size, constant per shingle (the quadratic skew-bomb guard)
+    val cap = Similarity.StopShingleDf
+    val bigSf = "/root/testdata/sf0.1" // where the cap is actually active
+    val kept = Similarity.keptShingles(spark, bigSf)
+    val dfs = kept.groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(max("df").as("mx"), count(lit(1)).as("nsh"),
+        sum(expr("df * (df - 1) div 2")).as("pairBound"))
+      .collect()(0)
+    assert(dfs.getAs[Long]("mx") <= cap, s"kept shingle df ${dfs.getAs[Long]("mx")} > cap $cap")
+    // the cap must be ACTIVE at this sf: pruning strictly shrank the index
+    val rawPostings = Similarity.shingles(spark, bigSf).count()
+    assert(kept.count() < rawPostings,
+      s"cap $cap pruned nothing at $bigSf — guard is untested there")
+    // actual candidate pairs (pre-threshold) respect the arithmetic bound
+    val sh = kept.select(col("doc_id").as("id_a"), col("sh"))
+    val cand = sh.join(kept.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().count()
+    assert(cand <= dfs.getAs[Long]("pairBound"),
+      s"candidate pairs $cand exceed per-shingle bound ${dfs.getAs[Long]("pairBound")}")
+    assert(cand <= dfs.getAs[Long]("nsh") * cap.toLong * (cap - 1) / 2,
+      "candidate pairs exceed nShingleTypes * C(cap,2)")
+  }
+
   test("minhash recall: finds every exact-duplicate (j=1) pair; no false positives") {
-    val exact = Similarity.qNgramJaccard.run(spark, sfDir).collect()
+    // baseline = UNPRUNED exact Jaccard: minhash verification scores full
+    // shingle sets, so the stop-shingle-capped query is not its oracle
+    val exact = Similarity.exactJaccardUnpruned(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
     val mh = Similarity.qDedupMinhash.run(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
