@@ -5,6 +5,7 @@ import graft.functions.Det._
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Text-analysis operators for the LLM-training-data pipeline (SURVEY §2.5):
   * exact dedup, language ID, quality scoring, token counting, and document
@@ -339,15 +340,27 @@ object TextOps {
   /** Train/eval decontamination (the benchmark-leakage gate every LLM
     * training corpus runs before training): a deterministic 1/16 hash
     * slice of the corpus plays the held-out eval set; any train document
-    * sharing a word 5-gram with an eval document contaminates it. The
-    * eval side is tiny by construction, so its distinct 5-grams BROADCAST
-    * and the 100 TB train side streams through a map-side semi-join:
-    * per-doc dedup clusters on the doc_id repartition key (zero exchange)
-    * on the eval side only, and the only train N-GRAMS that ever reach a
-    * shuffle are the ones already matching eval vocabulary — the
-    * corpus-wide n-gram distinct a naive vocab-first formulation would
-    * pay never happens (the raw train doc rows do pass one round-robin
-    * spread, the tiny-file guard that a multi-split lake scan replaces).
+    * sharing a word 5-gram with an eval document contaminates it.
+    *
+    * SCALE CONTRACT — the eval side must be a bounded held-out set (a
+    * benchmark suite), NOT a corpus fraction: its distinct 5-grams grow
+    * linearly with eval size, and a corpus-slice eval at 100 TB would
+    * blow any broadcast (Spark hard-caps broadcasts at 8 GB). The plan
+    * is therefore ADAPTIVE on a cheap probe (the eval DOC count — one
+    * column-pruned scan; vocab size is linear in it):
+    *  - eval docs ≤ `maxBroadcastEvalDocs`: the eval vocabulary
+    *    broadcasts and the 100 TB train side streams through a map-side
+    *    semi-join — train n-grams never shuffle at all;
+    *  - above the threshold: the same semi-join runs as a shuffled join
+    *    on the n-gram key — both sides exchange, which is the only
+    *    correct shape once the vocabulary exceeds executor memory.
+    * In BOTH branches the semi-join runs BEFORE any distinct: per-doc
+    * dedup clusters on the doc_id repartition key on the eval side only,
+    * and the only train N-GRAMS that ever reach the distinct are the
+    * ones already matching eval vocabulary — the corpus-wide n-gram
+    * distinct a naive vocab-first formulation would pay never happens
+    * (the raw train doc rows do pass one round-robin spread, the
+    * tiny-file guard that a multi-split lake scan replaces).
     * Zero-hit eval docs are kept with n_hits = 0 (a decontamination
     * report that silently drops the clean docs can't certify anything).
     */
@@ -374,9 +387,32 @@ object TextOps {
        |  COALESCE(n_hits, 0) > 0 AS contaminated
        |FROM eval_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
        |ORDER BY d.doc_id""".stripMargin
-  ) { (s, d) =>
+  ) { (s, d) => decontaminate(s, d) }
+
+  /** Eval-doc-count threshold under which the eval n-gram vocabulary
+    * broadcasts (≈ tens of MB of 5-gram strings at typical doc sizes —
+    * far under the broadcast limit). Library callers with a genuinely
+    * huge held-out set pass a smaller/zero value to force the shuffled
+    * branch; the spec exercises both.
+    */
+  private[graft] val EvalBroadcastMaxDocs = 100000L
+
+  private[graft] def decontaminate(s: SparkSession, d: String,
+      maxBroadcastEvalDocs: Long = EvalBroadcastMaxDocs): DataFrame = {
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    // the adaptive probe: count eval DOCS (column-pruned scan of doc_id
+    // only) — vocabulary size is linear in it, so it is the cheap stand-in
+    // for "does the vocab fit a broadcast"
+    val nEvalDocs = Tables.documents(s, d).filter(isEval)
+      .select("doc_id").count()
+    val useBroadcast = nEvalDocs <= maxBroadcastEvalDocs
+    // above the threshold we KNOW the vocab side is huge — don't leave it
+    // to Catalyst's size estimate (an aggregate's estimate can come out
+    // tiny and re-introduce the broadcast): force the spill-safe
+    // sort-merge shape explicitly
+    def hinted(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df.hint("merge")
     def ngrams(evalSide: Boolean) = {
-      val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
       val base = Tables.documents(s, d).filter(if (evalSide) isEval else !isEval)
       // eval side clusters by doc_id (its per-doc distinct and groupBys
       // ride that partitioning); the train side needs no clustering — its
@@ -394,16 +430,16 @@ object TextOps {
           "transform(sequence(0, size(w)-5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
           .as("ng"))
     }
-    // only the (tiny) eval side pays a per-doc distinct — train n-grams
+    // only the (bounded) eval side pays a per-doc distinct — train n-grams
     // feed an existence check, where within-doc duplicates are harmless
     val evalNg = ngrams(evalSide = true).distinct()
     val evalVocab = evalNg.select("ng").distinct()
-    // broadcast semi-join FIRST: train n-grams never shuffle (or dedup)
-    // unless they already hit eval vocabulary; the distinct then runs on
-    // that small contaminated subset only
+    // semi-join FIRST (broadcast or shuffled per the probe): train
+    // n-grams never dedup unless they already hit eval vocabulary; the
+    // distinct then runs on that small contaminated subset only
     val contaminatedNg = ngrams(evalSide = false).select("ng")
-      .join(broadcast(evalVocab), "ng").distinct()
-    val hits = evalNg.join(broadcast(contaminatedNg), "ng")
+      .join(hinted(evalVocab), "ng").distinct()
+    val hits = evalNg.join(hinted(contaminatedNg), "ng")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     val evalDocs = evalNg.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
     evalDocs.join(hits, Seq("doc_id"), "left")

@@ -176,4 +176,27 @@ class TextOpsSpec extends SparkSpec {
     // actually fire somewhere
     assert(rows.exists(_.getAs[Boolean]("contaminated")))
   }
+
+  test("decontaminate: shuffled-semi-join branch (huge eval) equals broadcast branch") {
+    // default threshold → broadcast branch; threshold 0 → every eval set
+    // counts as "too big to broadcast" → shuffled joins. Same rows out.
+    val bcast = TextOps.decontaminate(spark, sfDir).collect()
+    val shuffled = TextOps.decontaminate(spark, sfDir, maxBroadcastEvalDocs = 0L)
+    // the forced branch must really drop the broadcast hint on the
+    // N-GRAM joins (the vocab-sized ones). The final doc_id outer join of
+    // two doc-grain aggregates may still auto-broadcast — that is size
+    // estimation doing its job, not the contract under test. (AQE may
+    // also convert the ng shuffle back to broadcast AT RUNTIME on tiny
+    // test data — also fine — so assert on the static plan.)
+    val plan = shuffled.queryExecution.executedPlan.toString
+    val badLines = plan.linesIterator
+      .filter(l => l.contains("BroadcastHashJoin") && l.contains("[ng#")).toSeq
+    assert(badLines.isEmpty,
+      s"shuffled branch still statically broadcasts an ng join:\n${badLines.mkString("\n")}")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_hits"),
+        r.getAs[Double]("contamination_frac"), r.getAs[Boolean]("contaminated"))
+    assert(shuffled.collect().map(key).toSet == bcast.map(key).toSet,
+      "branches disagree")
+  }
 }
