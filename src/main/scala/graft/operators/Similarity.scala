@@ -373,11 +373,30 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes (splitmix64 → integer
-    * components in [-1000, 1000]); 12 tables × 8 bits (256 buckets per
-    * table; the query side also probes the 8 Hamming-1 buckets).
+    * components in [-1000, 1000]); 32 tables × 8 bits (256 buckets per
+    * table). The query side runs query-directed multiprobe (Lv et al.,
+    * VLDB'07): per table it also probes the buckets reached by flipping
+    * ≤ 2 of its [[ProbeBits]] LEAST-CONFIDENT sign bits (smallest |dot| —
+    * the hyperplanes the query sits closest to, the dominant miss mode).
     */
-  private[operators] val Tables_ = 12
+  private[operators] val Tables_ = 32
   private[operators] val BitsPerTable = 8
+
+  /** How many least-confident bits are eligible for probe flips (probes
+    * per table = 1 + m + C(m,2) = 22 at m=6 — tiny vs the corpus side).
+    */
+  private[operators] val ProbeBits = 6
+
+  /** Exact-scored shortlist per query: the top `max(75, 15% · corpus)`
+    * candidates by TABLE-COLLISION COUNT. Collision count across 32
+    * tables is a strong similarity proxy (true neighbors collide in many
+    * tables, random bucket-mates in ~1), so ranking candidates by it and
+    * HARD-CAPPING the exact-evaluation budget bounds candidate fraction
+    * by construction — the recall/selectivity knob the raw candidate
+    * union lacks.
+    */
+  private[operators] val ShortlistMin = 75
+  private[operators] val ShortlistFrac = 0.15
   private[operators] lazy val hyperplanes: Array[Array[Long]] = {
     def splitmix(seed: Long): Long = {
       var z = seed + 0x9e3779b97f4a7c15L
@@ -392,46 +411,32 @@ object Similarity {
     }
   }
 
-  /** LSH-bucketed ANN (rows-only; spec checks recall vs brute force):
-    * random-hyperplane sign buckets, 8 tables × 4 bits; candidates = corpus
-    * vectors sharing any table bucket with a query; exact cosine + top-k
-    * within candidates only. At 100 TB the bucket join replaces the full
-    * corpus scan per query with |candidates| ≈ n/2⁴ per table.
+  /** LSH-bucketed ANN (rows-only; spec pins recall ≥ 0.8 AND candidate
+    * fraction ≤ 0.2): random-hyperplane sign buckets over 32 tables ×
+    * 8 bits, query-directed multiprobe, then a collision-count-ranked
+    * shortlist that hard-caps the exact-evaluation budget.
+    *
+    * Honest accounting on THIS corpus (synthetic, near-isotropic: true
+    * top-5 neighbors sit at cosine ≈ 0.33 vs a 0.17 bulk p90 — close to
+    * the random regime where any LSH family's ρ-exponent nears 1):
+    * plain Hamming-1 multiprobe peaked at recall 0.82 @ 37% candidates
+    * (r2) and no probe-union config reached 0.8 under 20%. The
+    * collision-COUNT shortlist breaks that frontier because counts
+    * across 32 tables rank candidates by similarity before any exact
+    * work: measured recall@5 = 0.90 (sf0.001) / 0.84 (sf0.01) / 0.94
+    * (sf0.1) at exactly 15% candidate fraction. At 100 TB the bucketed
+    * probe join and the per-query top-K shortlist both shuffle narrow
+    * (query_id, vec_id, count) rows — never vectors — and the budget is
+    * the operator's explicit cost dial; for sub-percent candidate
+    * fractions on a lake-scale corpus the IVF variant below remains the
+    * better-conditioned path.
     */
   val qAnnLsh: Q = Q.rowsOnly("q_ann_lsh") { (s, d) =>
     val q = quantized(s, d)
-    val planes = hyperplanes.map(h =>
-      array(h.map(v => lit(v)).toIndexedSeq: _*))
-    // per-table bucket id from sign bits of the hyperplane dots
-    val buckets = (0 until Tables_).map { t =>
-      (0 until BitsPerTable).map { b =>
-        when(call_function("graft_dot_q", col("qv"),
-          planes(t * BitsPerTable + b)) >= 0, lit(1L << b)).otherwise(0L)
-      }.reduce(_ + _)
-    }
-    // materialized: the probe side and the corpus side both read the
-    // bucket table, and the 96 hyperplane dots per vector should run once
-    // (this is the written LSH index of a production deployment)
-    val withBuckets = materialized(s, d, "lsh_buckets") {
-      q.select(col("vec_id"),
-        posexplode(array(buckets: _*)).as(Seq("table_id", "bucket")))
-    }
-    // multiprobe on the QUERY side only: each query also probes the
-    // BitsPerTable buckets at Hamming distance 1 (one sign-bit flip) in
-    // every table. The corpus index is untouched — probing costs
-    // |queries|·(1+bits) tiny rows against the same buckets and lifts
-    // recall without more tables (a vector just across one hyperplane is
-    // the dominant miss mode).
-    val qs = withBuckets.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("table_id"),
-        explode(array((col("bucket") +: (0 until BitsPerTable).map(b =>
-          col("bucket").bitwiseXOR(lit(1L << b)))): _*)).as("bucket"))
-    // dedup candidate (query, neighbor) id pairs FIRST — the distinct
-    // shuffles two longs, not 64-element vectors — then rejoin the cached
-    // quantized index for the exact pass
-    val candIds = withBuckets.join(broadcast(qs), Seq("table_id", "bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id").distinct()
+    // dedup candidate (query, neighbor) ids FIRST — the shortlist
+    // shuffles three longs, not 64-element vectors — then rejoin the
+    // cached quantized index for the exact pass
+    val candIds = annLshShortlist(s, d).select("query_id", "vec_id")
     val candidates = candIds
       .join(q.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
       .join(broadcast(q.filter(col("vec_id") < 10).select(
@@ -446,6 +451,72 @@ object Similarity {
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "rank", "cosine")
       .orderBy("query_id", "rank")
+  }
+
+  /** The LSH candidate shortlist: (query_id, vec_id, n_tables) — the top
+    * `max(ShortlistMin, ShortlistFrac · corpus)` corpus vectors per query
+    * by table-collision count (ties broken by vec_id — deterministic).
+    * Package-visible so the spec can assert the candidate-fraction cap
+    * directly.
+    */
+  private[graft] def annLshShortlist(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+    val planes = hyperplanes.map(h =>
+      array(h.map(v => lit(v)).toIndexedSeq: _*))
+    // per-table bucket id from sign bits of the hyperplane dots
+    val buckets = (0 until Tables_).map { t =>
+      (0 until BitsPerTable).map { b =>
+        when(call_function("graft_dot_q", col("qv"),
+          planes(t * BitsPerTable + b)) >= 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    // materialized: the probe side and the corpus side both read the
+    // bucket table, and the 256 hyperplane dots per vector should run
+    // once (this is the written LSH index of a production deployment)
+    val withBuckets = materialized(s, d, "lsh_buckets") {
+      q.select(col("vec_id"),
+        posexplode(array(buckets: _*)).as(Seq("table_id", "bucket")))
+    }
+    // query-directed multiprobe, QUERY side only (the corpus index is
+    // untouched): per table keep the signed dots, rank bits by |dot|
+    // ascending (least confident first) and probe every flip of ≤ 2 of
+    // the ProbeBits least-confident bits — 22 probe rows per (query,
+    // table), targeted where a near neighbor most likely fell across.
+    // A null-vector query has no meaningful signs: dropped (like IVF).
+    val perTable = array((0 until Tables_).map { t =>
+      struct(lit(t).as("table_id"),
+        array((0 until BitsPerTable).map(b =>
+          call_function("graft_dot_q", col("qv"),
+            planes(t * BitsPerTable + b))): _*).as("ds"))
+    }: _*)
+    val qs = q.filter(col("vec_id") < 10 && col("qv").isNotNull)
+      .select(col("vec_id").as("query_id"), explode(perTable).as("tb"))
+      .select(col("query_id"), col("tb.table_id").as("table_id"), col("tb.ds").as("ds"))
+      .withColumn("bucket", (0 until BitsPerTable).map(b =>
+        when(col("ds").getItem(b) >= 0, lit(1L << b)).otherwise(0L)).reduce(_ + _))
+      .withColumn("fl", expr(
+        s"slice(transform(array_sort(transform(sequence(0, ${BitsPerTable - 1}), " +
+          s"b -> struct(abs(ds[b]) AS a, b AS b))), s -> s.b), 1, $ProbeBits)"))
+      // masks: no flip, each single flip, each pair flip (distinct bits ⇒
+      // + is exact); XOR against the base bucket yields the probe buckets
+      .withColumn("mask", explode(expr(
+        s"concat(array(0L), transform(fl, b -> shiftleft(1L, b)), " +
+          s"flatten(transform(sequence(0, ${ProbeBits - 2}), i -> " +
+          s"transform(sequence(i + 1, ${ProbeBits - 1}), j -> " +
+          s"shiftleft(1L, fl[i]) + shiftleft(1L, fl[j])))))")))
+      .select(col("query_id"), col("table_id"),
+        col("bucket").bitwiseXOR(col("mask")).as("bucket"))
+    // a corpus vector occupies ONE bucket per table and probe buckets are
+    // distinct within a table, so the join hits each (query, vec, table)
+    // at most once: count(*) IS the table-collision count
+    val hits = withBuckets.join(broadcast(qs), Seq("table_id", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id").agg(count(lit(1)).as("n_tables"))
+    // budget probe: corpus count off the already-materialized quantized
+    // cache (same cheap-probe pattern as decontaminate's eval count)
+    val budget = math.max(ShortlistMin,
+      math.ceil(q.count() * ShortlistFrac).toInt)
+    TopK.perKey(hits, Seq("query_id"), "n_tables", "vec_id", budget)
   }
 
   private val IvfK = 16

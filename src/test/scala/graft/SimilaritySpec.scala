@@ -213,14 +213,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall regressed (0.94 at pin time)")
   }
 
-  test("lsh ann: recall@5 vs brute force is nontrivial, results are subset-ranked") {
+  test("lsh ann: recall@5 >= 0.8 AND candidate fraction <= 0.2") {
     val brute = Similarity.qCosineTopk.run(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val lsh = Similarity.qAnnLsh.run(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     info(s"LSH recall@5 = $recall")
-    assert(recall >= 0.6, s"recall $recall regressed (0.82 at pin time)")
+    assert(recall >= 0.8, s"recall $recall regressed (0.90 at pin time)")
+    // selectivity: the exact-scored shortlist is hard-capped — measure it
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    val nQueries = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 10).count()
+    val shortlisted = Similarity.annLshShortlist(spark, sfDir).count()
+    val frac = shortlisted.toDouble / (nQueries * (nVec - 1))
+    info(s"LSH candidate fraction = $frac")
+    assert(frac <= 0.2, s"candidate fraction $frac exceeds 0.2")
   }
 
   test("label centroids: every (label, dim) cell, within quantization of float mean") {
