@@ -21,23 +21,37 @@ object TopK {
     * operator plans through [[graft.plans.TopKStrategy]]; sessions not
     * built with GraftExtensions fall back to... nothing: the strategy is
     * required, which is why every graft session installs it.
+    *
+    * `maxRetainedPerPartition` is the no-spill safety rail: the exec
+    * fails fast (instead of OOMing) when k·|keys in one partition|
+    * crosses it — at that cardinality switch to the Window/row_number
+    * formulation, which sorts and spills.
     */
   def perKey(df: DataFrame, keys: Seq[String], orderCol: String,
-      tiebreakCol: String, k: Int): DataFrame = {
-    // sessions built by graft install the strategy via GraftExtensions;
-    // for any other session, attach it at first use (idempotent) — the
-    // runtime twin of GraftFunctions.register
+      tiebreakCol: String, k: Int,
+      maxRetainedPerPartition: Long =
+        graft.plans.TopKPerKeyExec.DefaultMaxRetained): DataFrame = {
+    // sessions built by graft install the strategy via GraftExtensions
+    // (injectPlannerStrategy → sessionState.planner, which
+    // experimental.extraStrategies does NOT reflect — check the planner's
+    // full strategy list or every graft session re-registers); for any
+    // other session, attach it at first use — the runtime twin of
+    // GraftFunctions.register. Synchronized: extraStrategies is a plain
+    // read-modify-write var, racy under concurrent first use.
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    graft.plans.TopKStrategy.synchronized {
+      if (!spark.sessionState.planner.strategies.contains(graft.plans.TopKStrategy) &&
+        !spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    }
     val lp = df.queryExecution.analyzed
     def attr(n: String) = lp.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"no column $n in ${lp.output.map(_.name)}"))
     val order = Seq(SortOrder(attr(orderCol), Descending),
       SortOrder(attr(tiebreakCol), Ascending))
     GraftSqlBridge.ofRows(df.sparkSession,
-      TopKPerKeyNode(k, keys.map(attr), order, lp))
+      TopKPerKeyNode(k, keys.map(attr), order, lp, maxRetainedPerPartition))
   }
 
   /** Native top-3 events per type by (value desc, event_id asc) — same

@@ -26,16 +26,20 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * presentation, as with any aggregate).
   *
   * Memory contract: a partition holds ≤ k retained rows per key — the
-  * same footprint class as a hash aggregate, WITHOUT spill support. For
-  * k·|keys per partition| beyond executor memory, use the Window
-  * formulation (sort-based, spills) — this operator's sweet spot is
-  * small k over data whose per-partition sort is the bottleneck.
+  * same footprint class as a hash aggregate, WITHOUT spill support. The
+  * exec FAILS FAST (with actionable guidance) when retained rows in one
+  * partition cross `maxRetainedPerPartition` instead of grinding into an
+  * executor OOM: for k·|keys per partition| beyond memory, use the
+  * Window formulation (sort-based, spills) — this operator's sweet spot
+  * is small k over data whose per-partition sort is the bottleneck.
   */
 final case class TopKPerKeyNode(
     k: Int,
     keys: Seq[Expression],
     order: Seq[SortOrder],
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxRetainedPerPartition: Long = TopKPerKeyExec.DefaultMaxRetained)
+  extends UnaryNode {
   require(k > 0, "k must be positive")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
@@ -44,17 +48,27 @@ final case class TopKPerKeyNode(
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(k, keys, order, child) =>
-      TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+    case TopKPerKeyNode(k, keys, order, child, maxRetained) =>
+      TopKPerKeyExec(k, keys, order, planLater(child), maxRetained) :: Nil
     case _ => Nil
   }
+}
+
+object TopKPerKeyExec {
+  /** Default retained-row cap per partition: ~8M rows ≈ a few hundred MB
+    * of UnsafeRow copies for typical narrow rows — far below executor
+    * memory, far above any sane top-k working set.
+    */
+  val DefaultMaxRetained: Long = 8L * 1024 * 1024
 }
 
 final case class TopKPerKeyExec(
     k: Int,
     keys: Seq[Expression],
     order: Seq[SortOrder],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    maxRetainedPerPartition: Long = TopKPerKeyExec.DefaultMaxRetained)
+  extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -66,8 +80,15 @@ final case class TopKPerKeyExec(
     val numKeys = keys
     val sortOrder = order
     val limit = k
+    val maxRetained = maxRetainedPerPartition
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(numKeys, childOutput)
+      // identity projection instead of asInstanceOf[UnsafeRow]: when the
+      // required distribution is already satisfied WITHOUT an inserted
+      // shuffle (SinglePartition input, row-based sources) the iterator
+      // can carry non-Unsafe InternalRows — the pattern Spark's own
+      // row-consuming execs use
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val base = GenerateOrdering.generate(sortOrder, childOutput)
       // PriorityQueue dequeues its MAX: ordered by the sort order itself,
       // the head is the WORST retained row — the eviction candidate
@@ -77,11 +98,25 @@ final case class TopKPerKeyExec(
       val heaps = scala.collection.mutable.LinkedHashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
       it.foreach { row =>
-        val u = row.asInstanceOf[UnsafeRow]
+        val u = row match {
+          case ur: UnsafeRow => ur
+          case other => toUnsafe(other)
+        }
         val key = keyProj(u)
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>
+            // fail fast on the no-spill contract: retained ≤ k rows per
+            // key, so the bound trips on KEY CARDINALITY, the one input
+            // property this operator cannot bound on its own — checked
+            // only when a new key appears, zero cost on the hot path
+            if ((heaps.size.toLong + 1) * limit > maxRetained)
+              throw new IllegalStateException(
+                s"TopKPerKeyExec retained-row cap exceeded: k=$limit × " +
+                  s"${heaps.size + 1} keys > $maxRetained rows buffered in one " +
+                  "partition with no spill support. Use the Window/row_number " +
+                  "formulation (sort-based, spills) for high-cardinality keys, " +
+                  "or raise maxRetainedPerPartition.")
             val h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](rowOrd)
             heaps.put(key.copy(), h) // the projection reuses its buffer: copy keys
             h

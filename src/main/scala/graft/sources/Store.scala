@@ -63,16 +63,22 @@ object Store {
     * silently (DROPMALFORMED) loses the signal a data-quality monitor
     * needs; failing the job (FAILFAST) lets one bad line kill a 100 TB
     * ingest.
+    *
+    * CALLER CONTRACT: both frames read through ONE cached relation of
+    * the raw input (Spark refuses to filter on the corrupt column of a
+    * lazy json relation — it is only populated during parsing). The
+    * returned `raw` handle is that cached DataFrame: the caller MUST
+    * `raw.unpersist()` once done, or the cache lives for the session
+    * (and at lake scale caching the whole raw input is itself the
+    * dominant cost — prefer [[withJsonlLenient]], which scopes the cache
+    * to a callback and always releases it).
     */
   def loadJsonlLenient(s: SparkSession, path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+      schema: StructType): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.col
     val corrupt = "_corrupt_record"
     val withCorrupt = StructType(schema.fields :+
       StructField(corrupt, org.apache.spark.sql.types.StringType, nullable = true))
-    // Spark refuses to filter on the corrupt column from a lazy json
-    // relation (it is only populated during parsing): cache first — the
-    // documented pattern for corrupt-record handling
     val raw = s.read.schema(withCorrupt)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corrupt)
@@ -80,7 +86,18 @@ object Store {
       .cache()
     val good = raw.filter(col(corrupt).isNull).drop(corrupt)
     val bad = raw.filter(col(corrupt).isNotNull).select(col(corrupt).as("raw"))
-    (good, bad)
+    (good, bad, raw)
+  }
+
+  /** Scoped form of [[loadJsonlLenient]]: runs `f` over (good, bad) and
+    * unpersists the shared raw cache in a finally — the pattern
+    * [[appendDeduped]] uses, and the one to prefer whenever the results
+    * are consumed (written/counted) within one scope.
+    */
+  def withJsonlLenient[T](s: SparkSession, path: String, schema: StructType)(
+      f: (DataFrame, DataFrame) => T): T = {
+    val (good, bad, raw) = loadJsonlLenient(s, path, schema)
+    try f(good, bad) finally raw.unpersist()
   }
 
   /** multiLine: the writer quotes embedded newlines, so the reader must

@@ -36,7 +36,7 @@ class StoreSpec extends SparkSpec {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path, "part-corrupt.json"),
       badLines.mkString("\n").getBytes("UTF-8"))
-    val (good, bad) = Store.loadJsonlLenient(spark, path, df.schema)
+    val (good, bad, raw) = Store.loadJsonlLenient(spark, path, df.schema)
     // every original row parses; blank lines are skipped by the reader,
     // the three malformed payloads land in quarantine with their raw text
     assert(good.count() == df.count())
@@ -44,6 +44,20 @@ class StoreSpec extends SparkSpec {
     val quarantined = bad.collect().map(_.getString(0)).toSet
     assert(quarantined.size == 3, s"got $quarantined")
     assert(quarantined.contains("{not json at all"))
+    // the shared cache is the caller's to release (the documented contract)
+    assert(raw.storageLevel.useMemory, "raw handle should be the cached relation")
+    raw.unpersist()
+    assert(!raw.storageLevel.useMemory)
+    // scoped variant: same split, cache auto-released (compare against
+    // the pre-call persistent set — the shared test session legitimately
+    // holds other caches, e.g. memoized similarity indexes)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val nGood = Store.withJsonlLenient(spark, path, df.schema) { (g, b) =>
+      assert(b.count() == 3); g.count()
+    }
+    assert(nGood == df.count())
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "withJsonlLenient leaked a cached relation")
   }
 
   test("csv round-trip preserves rows") {

@@ -30,6 +30,21 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asof data contract: (user_id, tus) is unique in events at every sf") {
+    // q_asof_join's Spark/oracle parity RESTS on this: if a purchase and a
+    // non-purchase event ever shared (user_id, tus), DuckDB's ASOF
+    // (tus >= p_tus) would match the purchase while the Spark running-last
+    // window only sees it if its event_id sorts earlier — the engines
+    // would diverge. A generator change breaking uniqueness must surface
+    // HERE, not as an opaque oracle hash mismatch.
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val dups = Tables.events(spark, sf)
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("tus"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+      assert(dups == 0L, s"$sf: $dups duplicate (user_id, tus) groups")
+    }
+  }
+
   test("range join: follow-up counts match a driver-side window scan") {
     val rows = Temporal.qRangeJoin.run(spark, sfDir).collect()
     val signups = events.filter(_._3 == "signup")

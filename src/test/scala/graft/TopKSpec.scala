@@ -75,6 +75,37 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("high-cardinality keys trip the retained-row cap, fail-fast not OOM") {
+    import spark.implicits._
+    // every row its own key: retained rows = |rows| — crosses a tiny cap
+    val df = (1L to 5000L).map(i => (i, s"key$i", i.toDouble))
+      .toDF("event_id", "event_type", "value").repartition(2)
+    val ex = intercept[org.apache.spark.SparkException] {
+      TopK.perKey(df, Seq("event_type"), "value", "event_id", 3,
+        maxRetainedPerPartition = 100L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("retained-row cap")),
+      s"unexpected failure: ${ex.getMessage}")
+    // same data, same call, default cap: completes fine
+    assert(TopK.perKey(df, Seq("event_type"), "value", "event_id", 3)
+      .count() == 5000L)
+  }
+
+  test("non-Unsafe input rows (already-distributed single partition) do not cast-crash") {
+    import spark.implicits._
+    // coalesce(1) satisfies ClusteredDistribution without an inserted
+    // shuffle, so the exec sees whatever row class the child emits — the
+    // identity-projection path must handle it
+    val df = (1L to 100L).map(i => (i, s"k${i % 3}", i.toDouble))
+      .toDF("event_id", "event_type", "value").coalesce(1)
+    val got = TopK.perKey(df, Seq("event_type"), "value", "event_id", 2)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got == Set(("k0", 99L), ("k0", 96L), ("k1", 100L), ("k1", 97L),
+      ("k2", 98L), ("k2", 95L)))
+  }
+
   test("plan is the bounded-heap exec — no Window, no per-partition sort") {
     val df = nativeTopK(3)
     val p = df.queryExecution.executedPlan.toString
