@@ -51,13 +51,25 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${t.getMessage}"); -1.0 }
       name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal timings: sub-ms resolution is noise, and a short line is
+    // robust — r2's raw-double line was long enough that the driver's
+    // capture truncated it ("parsed": null)
+    def f3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // failed sentinels must not SHRINK the total (a broken query would
     // read as a speedup): sum successes only, surface the failure count
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    // belt and braces for the driver handoff: the line on stdout (the
+    // contract) AND the same JSON at a fixed path, immune to interleaved
+    // log lines or tail truncation
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), json)
+    catch { case _: Exception => () }
+    println(json)
     spark.stop()
   }
 }

@@ -118,11 +118,15 @@ object Det {
   /** Integer half-up division: round(su / (n·p), r) with su an exact integer
     * column (units of 1/p), n = count. All arithmetic in decimal(38,0) so it
     * is exact and identical across engines; final /10^r is an exact-integer
-    * double division (deterministic IEEE).
+    * double division (deterministic IEEE). A ZERO (or null) denominator
+    * yields NULL — `nullif` guards the pmod, because under ANSI mode (the
+    * Spark 4 default) `pmod(x, 0)` THROWS where DuckDB's `// 0` nulls;
+    * this keeps an all-null group / empty count a NULL average in both
+    * engines instead of a job-killing exception on one.
     */
   private def halfUpAvg(su: Column, n0: Column, p: Long, r: Int): Column = {
     val rp  = math.pow(10, r).toLong
-    val n   = n0.cast(DecimalType(38, 0))
+    val n   = nullif(n0.cast(DecimalType(38, 0)), lit(0).cast(DecimalType(38, 0)))
     val num = abs(su) * (2 * rp) + n * p
     val den = n * (2 * p)
     val q   = ((num - pmod(num, den)) / den).cast(DecimalType(38, 0))

@@ -190,13 +190,12 @@ object Ingest {
       .orderBy("window_start", "event_type")
   }
 
-  /** Gap-based sessionization (30-min inactivity) via gaps-and-islands —
-    * the batch twin of the stateful streaming sessionizer. Timestamp
-    * arithmetic in exact epoch-µs integers.
+  /** Shared gaps-and-islands CTEs: per-EVENT session assignment (30-min
+    * inactivity gap), consumed by [[qSessionize]] (session grain) and
+    * [[qSessionLedger]] (session lifecycle) so the two cannot drift.
     */
-  val qSessionize: Q = Q(
-    "q_sessionize",
-    """WITH e AS (
+  private val sessionizedSql =
+    """e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
       |x AS (
       |  SELECT user_id, event_id, tus,
@@ -204,15 +203,16 @@ object Ingest {
       |           OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
       |y AS (
-      |  SELECT user_id, tus,
+      |  SELECT user_id, event_id, tus,
       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
       |                        ROWS UNBOUNDED PRECEDING) AS session_no
-      |  FROM x)
-      |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
-      |  COUNT(*) AS n_events, MIN(tus) AS start_us, MAX(tus) AS end_us
-      |FROM y GROUP BY user_id, session_no
-      |ORDER BY user_id, session_no""".stripMargin
-  ) { (s, d) =>
+      |  FROM x)""".stripMargin
+
+  /** Per-event session assignment: (user_id, event_id, tus, session_no).
+    * One keyed window shuffle; everything downstream aggregates on the
+    * same (user_id) clustering.
+    */
+  private def sessionizedEvents(s: org.apache.spark.sql.SparkSession, d: String) = {
     val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
@@ -221,9 +221,89 @@ object Ingest {
           col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1).otherwise(0))
       .withColumn("session_no",
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "event_id", "tus", "session_no")
+  }
+
+  /** Gap-based sessionization (30-min inactivity) via gaps-and-islands —
+    * the batch twin of the stateful streaming sessionizer. Timestamp
+    * arithmetic in exact epoch-µs integers.
+    */
+  val qSessionize: Q = Q(
+    "q_sessionize",
+    s"""WITH $sessionizedSql
+       |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       |  COUNT(*) AS n_events, MIN(tus) AS start_us, MAX(tus) AS end_us
+       |FROM y GROUP BY user_id, session_no
+       |ORDER BY user_id, session_no""".stripMargin
+  ) { (s, d) =>
+    sessionizedEvents(s, d)
       .groupBy("user_id", "session_no")
       .agg(count(lit(1)).as("n_events"), min(col("tus")).as("start_us"),
         max(col("tus")).as("end_us"))
+      .orderBy("user_id", "session_no")
+  }
+
+  /** Labeling-session lifecycle ledger (db_manager.start_label_session:
+    * 754, complete_label_session:764, abandon_label_session:783;
+    * label_sessions in schema.sql): the reference's session rows are
+    * INSERT-then-UPDATE state; a lake derives the same ledger from the
+    * event stream — sessions come from the shared gap sessionizer,
+    * labels-created/skipped from the queue ops' id-arithmetic status
+    * convention (event_id % 3 = 1 → completed label, = 2 → skipped).
+    * Lifecycle: a session still inside the 30-min gap horizon of the
+    * stream's end CANNOT have provably ended — reported `active` with
+    * NULL completed_us (the reference's pre-complete state); ended
+    * sessions with zero labels created are `abandoned` (quit early),
+    * the rest `completed`. avg_time_per_label is an exact integer
+    * division, NULL for zero labels in both engines.
+    */
+  val qSessionLedger: Q = Q(
+    "q_session_ledger",
+    s"""WITH $sessionizedSql,
+       |sess AS (
+       |  SELECT user_id, session_no, COUNT(*) AS n_events,
+       |    MIN(tus) AS started_us, MAX(tus) AS end_us,
+       |    CAST(SUM(CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS labels_created,
+       |    CAST(SUM(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS labels_skipped
+       |  FROM y GROUP BY 1, 2),
+       |mx AS (SELECT MAX(tus) AS mt FROM e)
+       |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       |  user_id % 7 AS annotator, n_events, started_us,
+       |  CASE WHEN end_us > mt - 1800000000 THEN NULL ELSE end_us END
+       |    AS completed_us,
+       |  CASE WHEN end_us > mt - 1800000000 THEN 'active'
+       |       WHEN labels_created > 0 THEN 'completed'
+       |       ELSE 'abandoned' END AS status,
+       |  labels_created, labels_skipped,
+       |  ${exactDivSql("end_us - started_us",
+                        "labels_created + labels_skipped", 0)}
+       |    AS avg_time_per_label_us
+       |FROM sess, mx ORDER BY user_id, session_no""".stripMargin
+  ) { (s, d) =>
+    val sess = sessionizedEvents(s, d)
+      .groupBy("user_id", "session_no")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("tus").as("started_us"), max("tus").as("end_us"),
+        sum(when(col("event_id") % 3 === 1, 1).otherwise(0)).as("labels_created"),
+        sum(when(col("event_id") % 3 === 2, 1).otherwise(0)).as("labels_skipped"))
+    val mx = Tables.events(s, d).agg(max(unix_micros(col("ts"))).as("mt"))
+    val active = col("end_us") > col("mt") - lit(1800000000L)
+    sess.crossJoin(broadcast(mx))
+      .select(
+        col("user_id"), col("session_no"),
+        (col("user_id") % 7).as("annotator"), col("n_events"),
+        col("started_us"),
+        when(active, lit(null)).otherwise(col("end_us")).as("completed_us"),
+        when(active, "active")
+          .when(col("labels_created") > 0, "completed")
+          .otherwise("abandoned").as("status"),
+        col("labels_created"), col("labels_skipped"),
+        exactDiv(col("end_us") - col("started_us"),
+          col("labels_created") + col("labels_skipped"), 0)
+          .as("avg_time_per_label_us"))
       .orderBy("user_id", "session_no")
   }
 
@@ -261,6 +341,69 @@ object Ingest {
         min("k").cast("long").as("min_k"), max("k").cast("long").as("max_k"),
         intAvg(col("k"), 2).as("avg_k"))
       .orderBy("event_type")
+  }
+
+  /** Run-tracking ledger (db_manager.start_scrape_run:266,
+    * complete_scrape_run:295, scrape_runs in schema.sql:83; monitor.py
+    * reads its history from this table): the run-lifecycle record the
+    * reference keeps as row UPDATEs, re-expressed event-sourced — a lake
+    * has no UPDATE, so the ledger is DERIVED from the event stream, one
+    * aggregation pass at run grain (runs = daily scrape cohorts, the
+    * grain q_run_deltas already reports on). Lifecycle simulation is id
+    * arithmetic like the queue ops: event_id % 97 == 0 plays a failed
+    * fetch. Status follows the schema's enum: the latest run is still
+    * `running` (open-ended, completed_at NULL — exactly the reference's
+    * pre-complete state), earlier runs are `completed` / `partial` /
+    * `failed` by their failure share. Timestamps stay in exact epoch-µs
+    * integers; the only window runs over the run-grain aggregate
+    * (O(#days) rows, the qRunDeltas contract).
+    */
+  val qRunLedger: Q = Q(
+    "q_run_ledger",
+    s"""WITH runs AS (
+       |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS run_id,
+       |    MIN(epoch_us(ts)) AS started_us,
+       |    MAX(epoch_us(ts)) AS ended_us,
+       |    COUNT(*) AS fetched,
+       |    CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS failed,
+       |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS apps_processed
+       |  FROM events GROUP BY 1),
+       |mx AS (SELECT MAX(run_id) AS last_run FROM runs)
+       |SELECT run_id, started_us,
+       |  CASE WHEN run_id = last_run THEN NULL ELSE ended_us END AS completed_us,
+       |  CASE WHEN run_id = last_run THEN NULL
+       |       ELSE ended_us - started_us END AS duration_us,
+       |  CASE WHEN run_id = last_run THEN 'running'
+       |       WHEN failed = 0 THEN 'completed'
+       |       WHEN failed < fetched THEN 'partial'
+       |       ELSE 'failed' END AS status,
+       |  fetched, fetched - failed AS inserted, failed, apps_processed
+       |FROM runs, mx ORDER BY run_id""".stripMargin
+  ) { (s, d) =>
+    val runs = Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("run_id"))
+      .agg(
+        min(unix_micros(col("ts"))).as("started_us"),
+        max(unix_micros(col("ts"))).as("ended_us"),
+        count(lit(1)).as("fetched"),
+        sum(when(col("event_id") % 97 === 0, 1).otherwise(0)).as("failed"),
+        countDistinct(col("event_type")).as("apps_processed"))
+    val mx = runs.agg(max("run_id").as("last_run"))
+    val open = col("run_id") === col("last_run")
+    runs.crossJoin(broadcast(mx))
+      .select(
+        col("run_id"), col("started_us"),
+        when(open, lit(null)).otherwise(col("ended_us")).as("completed_us"),
+        when(open, lit(null)).otherwise(col("ended_us") - col("started_us"))
+          .as("duration_us"),
+        when(open, "running")
+          .when(col("failed") === 0, "completed")
+          .when(col("failed") < col("fetched"), "partial")
+          .otherwise("failed").as("status"),
+        col("fetched"), (col("fetched") - col("failed")).as("inserted"),
+        col("failed"), col("apps_processed"))
+      .orderBy("run_id")
   }
 
   /** Cumulative lake growth (reporter.report_db_growth:72, lifted from a
@@ -345,5 +488,5 @@ object Ingest {
   val all: Seq[Q] = Seq(
     qIncrementalIngest, qIngestMetrics, qRunDeltas, qAnomalyZscore,
     qQualityMetrics, qWindowedCounts, qSessionize, qPropsExtract, qDbGrowth,
-    qSessionStats)
+    qSessionStats, qRunLedger, qSessionLedger)
 }

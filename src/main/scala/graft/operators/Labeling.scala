@@ -173,6 +173,83 @@ object Labeling {
       .orderBy("tier", "event_id")
   }
 
+  /** Queue state-transition ledger + current-state view
+    * (db_manager.complete_queue_item:693 — the UPDATE-to-completed write
+    * side of q_queue_claim — and reset_abandoned_assignments:705, which
+    * returns assigned-but-incomplete items to pending). A lake has no
+    * UPDATE: transitions are an APPEND-ONLY status log (here derived
+    * from the event stream — item_id/action/annotator by the same id
+    * arithmetic as the other queue ops), and "current state" is the
+    * keep-latest-per-key view (the 17e pattern: one deterministic
+    * max_by over (tus, event_id) — partial-aggregating, no per-group
+    * sort). The abandoned-assignment reset is a VIEW-side rule, exactly
+    * like the reference's bulk UPDATE: a current state of `assigned`
+    * whose claim is older than the 24 h TTL (vs the stream's end) reads
+    * as pending with its assignment cleared, and is flagged was_reset.
+    *
+    * Actions (event_id % 5): 0 → claim/assigned, 1 → completed,
+    * 2 → skipped, 3/4 → release/requeue → pending.
+    */
+  val qQueueState: Q = Q(
+    "q_queue_state",
+    s"""WITH log AS (
+       |  SELECT event_id % 499 AS item_id, epoch_us(ts) AS at_us,
+       |    event_id,
+       |    CASE event_id % 5 WHEN 0 THEN 'assigned' WHEN 1 THEN 'completed'
+       |         WHEN 2 THEN 'skipped' ELSE 'pending' END AS status,
+       |    CASE WHEN event_id % 5 = 0 THEN user_id % 7 ELSE NULL END
+       |      AS assigned_to
+       |  FROM events),
+       |cur AS (
+       |  SELECT item_id, status, assigned_to, at_us,
+       |    COUNT(*) OVER (PARTITION BY item_id) AS n_transitions
+       |  FROM log
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    PARTITION BY item_id ORDER BY at_us DESC, event_id DESC) = 1),
+       |mx AS (SELECT MAX(epoch_us(ts)) AS mt FROM events)
+       |SELECT item_id,
+       |  CASE WHEN status = 'assigned' AND at_us < mt - 86400000000
+       |       THEN 'pending' ELSE status END AS status,
+       |  CASE WHEN status = 'assigned' AND at_us < mt - 86400000000
+       |       THEN NULL ELSE assigned_to END AS assigned_to,
+       |  at_us AS last_change_us, CAST(n_transitions AS BIGINT) AS n_transitions,
+       |  status = 'assigned' AND at_us < mt - 86400000000 AS was_reset
+       |FROM cur, mx ORDER BY item_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val log = ev.select(
+      (col("event_id") % 499).as("item_id"),
+      unix_micros(col("ts")).as("at_us"),
+      col("event_id"),
+      when(col("event_id") % 5 === 0, "assigned")
+        .when(col("event_id") % 5 === 1, "completed")
+        .when(col("event_id") % 5 === 2, "skipped")
+        .otherwise("pending").as("status"),
+      when(col("event_id") % 5 === 0, col("user_id") % 7).as("assigned_to"))
+    // keep-latest via max_by on the (at_us, event_id) struct: ONE partial-
+    // aggregating pass (map-side combine), no per-group sort — at lake
+    // scale this beats the row_number window the oracle spells the same
+    // semantics with
+    val cur = log.groupBy("item_id").agg(
+      max_by(struct(col("status"), col("assigned_to"), col("at_us")),
+        struct(col("at_us"), col("event_id"))).as("last"),
+      count(lit(1)).as("n_transitions"))
+      .select(col("item_id"), col("last.status").as("status"),
+        col("last.assigned_to").as("assigned_to"),
+        col("last.at_us").as("at_us"), col("n_transitions"))
+    val mx = ev.agg(max(unix_micros(col("ts"))).as("mt"))
+    val stale = col("status") === "assigned" &&
+      col("at_us") < col("mt") - lit(86400000000L)
+    cur.crossJoin(broadcast(mx))
+      .select(
+        col("item_id"),
+        when(stale, "pending").otherwise(col("status")).as("status"),
+        when(stale, lit(null)).otherwise(col("assigned_to")).as("assigned_to"),
+        col("at_us").as("last_change_us"), col("n_transitions"),
+        stale.as("was_reset"))
+      .orderBy("item_id")
+  }
+
   /** Label distribution (db_manager.get_label_distribution): per-label
     * counts + exact-integer share over the deduped annotation set.
     */
@@ -369,5 +446,5 @@ object Labeling {
 
   val all: Seq[Q] = Seq(
     qSampleTiers, qBalancedSample, qMajorityVote, qTrainSplit, qAgreement,
-    qQueueProgress, qQueueClaim, qLabelDistribution)
+    qQueueProgress, qQueueClaim, qLabelDistribution, qQueueState)
 }
