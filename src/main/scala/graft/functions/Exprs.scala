@@ -171,6 +171,97 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Exact integer matrix–vector product: the dot of `vec`
+  * (ArrayType(LongType)) against EVERY row of a foldable matrix literal
+  * (ArrayType(ArrayType(LongType))) in one codegen'd pass, returning
+  * array<long> of the row dots. This is the bulk form of [[DotQ]] for
+  * model-against-row evaluation (LSH hyperplane banks, centroid tables):
+  * shipping a K-row model as K separate array literals with one DotQ each
+  * makes the analyzed tree O(K·D) nodes — at K=256, D=64 that cost tens
+  * of seconds of driver-side analysis + codegen per plan. Here the model
+  * folds ONCE into a primitive long[][] held in the codegen references
+  * array, the generated code is two short loops, and the per-row work is
+  * identical arithmetic to K DotQ calls (exact, order-independent,
+  * bit-identical to the oracle at any parallelism).
+  *
+  * Null vec → null (like DotQ); a vec whose length differs from the
+  * matrix row width → null (a truncated "plausible" result would mask
+  * malformed vectors). The matrix argument must be foldable and uniform —
+  * enforced at first evaluation, since a jagged model is a construction
+  * bug, not a data condition.
+  */
+case class MatVecQ(mat: Expression, vec: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def left: Expression = mat
+  override def right: Expression = vec
+  override def inputTypes =
+    Seq(ArrayType(ArrayType(LongType)), ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  /** The folded model: evaluated once at plan time, shared by every row. */
+  @transient private lazy val model: Array[Array[Long]] = {
+    require(mat.foldable, "graft_matvec_q: matrix argument must be foldable")
+    val m = mat.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val rows = Array.tabulate(m.numElements())(j => m.getArray(j).toLongArray())
+    require(rows.isEmpty || rows.forall(_.length == rows(0).length),
+      "graft_matvec_q: matrix rows must have uniform length")
+    rows
+  }
+  @transient private lazy val dim: Int =
+    if (model.isEmpty) 0 else model(0).length
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (model.nonEmpty && x.numElements() != dim) null
+    else {
+      val out = new Array[Long](model.length)
+      var j = 0
+      while (j < model.length) {
+        val row = model(j)
+        var acc = 0L
+        var i = 0
+        while (i < row.length) { acc += row(i) * x.getLong(i); i += 1 }
+        out(j) = acc
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("matvecModel", model, "long[][]")
+    nullSafeCodeGen(ctx, ev, (_, b) => {
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val row = ctx.freshName("row")
+      s"""
+         |if ($modelRef.length > 0 && $b.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$modelRef.length];
+         |  for (int $j = 0; $j < $modelRef.length; $j++) {
+         |    long[] $row = $modelRef[$j];
+         |    long $acc = 0L;
+         |    for (int $i = 0; $i < $row.length; $i++) {
+         |      $acc += $row[$i] * $b.getLong($i);
+         |    }
+         |    $out[$j] = $acc;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MatVecQ =
+    copy(mat = newLeft, vec = newRight)
+}
+
 /** Runtime registration of graft's native expressions so operators can use
   * them via `call_function` on any already-built session (Verify, Bench,
   * specs). Idempotent — re-registering replaces the same builder.
@@ -206,7 +297,10 @@ object GraftFunctions {
         arity("graft_rolling_hash", 1)(c => RollingHash(c.head))),
       (FunctionIdentifier("graft_simhash64"),
         info("graft_simhash64", classOf[SimHash64]),
-        arity("graft_simhash64", 1)(c => SimHash64(c.head))))
+        arity("graft_simhash64", 1)(c => SimHash64(c.head))),
+      (FunctionIdentifier("graft_matvec_q"),
+        info("graft_matvec_q", classOf[MatVecQ]),
+        arity("graft_matvec_q", 2)(c => MatVecQ(c(0), c(1)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -460,22 +460,28 @@ object Similarity {
     * directly.
     */
   private[graft] def annLshShortlist(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     val q = quantized(s, d)
-    val planes = hyperplanes.map(h =>
-      array(h.map(v => lit(v)).toIndexedSeq: _*))
-    // per-table bucket id from sign bits of the hyperplane dots
-    val buckets = (0 until Tables_).map { t =>
-      (0 until BitsPerTable).map { b =>
-        when(call_function("graft_dot_q", col("qv"),
-          planes(t * BitsPerTable + b)) >= 0, lit(1L << b)).otherwise(0L)
-      }.reduce(_ + _)
-    }
+    // the whole 256×64 hyperplane bank rides the plan as ONE literal into
+    // the codegen'd graft_matvec_q kernel (256 dots per vector in two
+    // generated loops). The earlier formulation shipped 256 separate
+    // 64-element array literals (one DotQ each) — an O(K·D)-node analyzed
+    // tree that cost ~30 s of driver-side analysis/codegen per cold plan.
+    val bank = typedlit(hyperplanes)
+    val dots = call_function("graft_matvec_q", bank, col("qv"))
     // materialized: the probe side and the corpus side both read the
     // bucket table, and the 256 hyperplane dots per vector should run
-    // once (this is the written LSH index of a production deployment)
+    // once (this is the written LSH index of a production deployment).
+    // A null vector has no signs: its dots are null and ds[..] IF()s
+    // land it in bucket 0 of every table, same as the per-plane form.
     val withBuckets = materialized(s, d, "lsh_buckets") {
-      q.select(col("vec_id"),
-        posexplode(array(buckets: _*)).as(Seq("table_id", "bucket")))
+      q.select(col("vec_id"), dots.as("ds256"))
+        .select(col("vec_id"), posexplode(expr(
+          s"transform(sequence(0, ${Tables_ - 1}), t -> " +
+            s"aggregate(sequence(0, ${BitsPerTable - 1}), 0L, " +
+            s"(acc, b) -> acc + IF(ds256[t * $BitsPerTable + b] >= 0, " +
+            s"shiftleft(1L, b), 0L)))"))
+          .as(Seq("table_id", "bucket")))
     }
     // query-directed multiprobe, QUERY side only (the corpus index is
     // untouched): per table keep the signed dots, rank bits by |dot|
@@ -483,17 +489,15 @@ object Similarity {
     // the ProbeBits least-confident bits — 22 probe rows per (query,
     // table), targeted where a near neighbor most likely fell across.
     // A null-vector query has no meaningful signs: dropped (like IVF).
-    val perTable = array((0 until Tables_).map { t =>
-      struct(lit(t).as("table_id"),
-        array((0 until BitsPerTable).map(b =>
-          call_function("graft_dot_q", col("qv"),
-            planes(t * BitsPerTable + b))): _*).as("ds"))
-    }: _*)
     val qs = q.filter(col("vec_id") < 10 && col("qv").isNotNull)
-      .select(col("vec_id").as("query_id"), explode(perTable).as("tb"))
-      .select(col("query_id"), col("tb.table_id").as("table_id"), col("tb.ds").as("ds"))
-      .withColumn("bucket", (0 until BitsPerTable).map(b =>
-        when(col("ds").getItem(b) >= 0, lit(1L << b)).otherwise(0L)).reduce(_ + _))
+      .select(col("vec_id").as("query_id"), dots.as("ds256"))
+      .select(col("query_id"), posexplode(expr(
+        s"transform(sequence(0, ${Tables_ - 1}), t -> " +
+          s"slice(ds256, t * $BitsPerTable + 1, $BitsPerTable))"))
+        .as(Seq("table_id", "ds")))
+      .withColumn("bucket", expr(
+        s"aggregate(sequence(0, ${BitsPerTable - 1}), 0L, " +
+          s"(acc, b) -> acc + IF(ds[b] >= 0, shiftleft(1L, b), 0L))"))
       .withColumn("fl", expr(
         s"slice(transform(array_sort(transform(sequence(0, ${BitsPerTable - 1}), " +
           s"b -> struct(abs(ds[b]) AS a, b AS b))), s -> s.b), 1, $ProbeBits)"))

@@ -89,6 +89,24 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(1).isNullAt(0), "mismatched lengths must yield null")
   }
 
+  test("matvec-q kernel: row dots match per-row dot-q, null on mismatch/null") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val mat = Array(Array(1L, 0L, 2L), Array(-1L, 3L, 0L), Array(7L, 7L, 7L))
+    val rows = Seq(
+      (1, Option(Array(2L, 3L, 5L))),
+      (2, Option(Array(1L, 1L))), // length mismatch -> null
+      (3, Option.empty[Array[Long]])) // null vec -> null
+      .toDF("id", "v")
+      .select(col("id"),
+        call_function("graft_matvec_q", typedlit(mat), col("v")).as("d"))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[Long](1).toList == List(12L, 7L, 70L),
+      "dots must equal the per-row DotQ results")
+    assert(rows(1).isNullAt(1), "vec shorter than matrix rows must yield null")
+    assert(rows(2).isNullAt(1), "null vec must yield null")
+  }
+
   test("identical texts share fingerprints") {
     val fp = TextOps.qFingerprint.run(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
