@@ -197,19 +197,47 @@ object Similarity {
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "minhash_pairs")(minhashPairsPlan(s, d))
 
+  /** Per-document shingle-hash ARRAYS — the zero-shuffle feed of the
+    * MinHash pipeline: shingling, hashing, the 32 permutation minima and
+    * the verification sets are all per-row array expressions over this,
+    * so NOTHING shuffles before the band-bucket join (the r2 formulation
+    * exploded ~100 rows per doc into a keyed cache and ran the signature
+    * and collect_set passes as co-partitioned aggregates — zero exchange
+    * too, but it materialized the corpus × shingle fan-out and paid the
+    * aggregation machinery; at 100 TB this form caches one narrow row
+    * per doc and keeps the whole signature stage embarrassingly
+    * parallel). Same tokenization/hash math as [[shinglesRaw]]:
+    * xxhash64 of the word-3-gram string.
+    */
+  private def docShingleHashes(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "doc_shingle_hashes") {
+      Tables.documents(s, d)
+        // small single-file inputs scan as ONE partition; spread rows so
+        // the per-row shingling runs at full parallelism (no-op at lake scale)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          split(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, size(w)-3), i -> " +
+            "xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))").as("hs"))
+    }
+
   private def minhashPairsPlan(s: SparkSession, d: String): DataFrame = {
-    // raw (non-distinct) shingles: min-aggregates and collect_set are
-    // duplicate-insensitive, so the distinct shuffle is pure overhead here
-    val sh = shinglesRaw(s, d).select("doc_id", "sh_h")
+    val sh = docShingleHashes(s, d)
     // bands materialized: the bucket self-join reads it from two aliased
-    // sides — without it the 32-aggregate signature pass runs twice
+    // sides — without it the signature pass runs twice. The signature is
+    // per-row: minhash i = min over the doc's shingle hashes of
+    // xxhash64(i, h) — bit-identical to the r2 min-aggregate form (same
+    // int-literal + long hash inputs), just computed without a groupBy.
     val bands = materialized(s, d, "minhash_bands") {
-      val minCols = (0 until MinhashK).map(i => min(xxhash64(lit(i), col("sh_h"))).as(s"h$i"))
-      val sigs = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      sigs.select(col("doc_id"), posexplode(array(
-        (0 until MinhashK / BandRows).map(b =>
-          xxhash64((b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i")): _*)): _*))
-        .as(Seq("band", "bhash")))
+      sh.select(col("doc_id"), expr(
+          s"transform(sequence(0, ${MinhashK - 1}), i -> " +
+            "array_min(transform(hs, h -> xxhash64(i, h))))").as("sig"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, ${MinhashK / BandRows - 1}), b -> " +
+            s"xxhash64(${(0 until BandRows).map(r => s"sig[$BandRows*b+$r]").mkString(", ")}))"))
+          .as(Seq("band", "bhash")))
     }
     val l = bands.select(col("doc_id").as("id_a"), col("band"), col("bhash"))
     val r = bands.select(col("doc_id").as("id_b"), col("band"), col("bhash"))
@@ -220,14 +248,13 @@ object Similarity {
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
     }
-    // exact verification within buckets only: gather the candidate docs'
-    // shingle-hash sets once and intersect per pair — O(|candidates|)
-    // long-array work instead of re-running the inverted-index self-join
-    // (set sizes equal the string-shingle sets modulo 2^-64 collisions)
+    // exact verification within buckets only: the candidate docs' shingle-
+    // hash SETS are per-row array_distinct over the cached arrays (set
+    // sizes equal the string-shingle sets modulo 2^-64 collisions)
     val ids = candidates.select(col("id_a").as("doc_id"))
       .unionByName(candidates.select(col("id_b").as("doc_id"))).distinct()
     val sets = sh.join(ids, Seq("doc_id"), "left_semi")
-      .groupBy("doc_id").agg(collect_set("sh_h").as("shs"))
+      .select(col("doc_id"), array_distinct(col("hs")).as("shs"))
     candidates
       .join(sets.select(col("doc_id").as("id_a"), col("shs").as("sa")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("shs").as("sb")), "id_b")
