@@ -262,6 +262,50 @@ case class MatVecQ(mat: Expression, vec: Expression)
     copy(mat = newLeft, vec = newRight)
 }
 
+/** Bloom-filter membership test against a FOLDABLE serialized
+  * `org.apache.spark.util.sketch.BloomFilter` (BinaryType literal): the
+  * map-side prefilter of the scale-adaptive joins. A bloom over K items at
+  * 1% false positives is ~1.2 bytes/item — ~50× smaller than broadcasting
+  * the item strings themselves — so an existence prefilter stays
+  * broadcastable long after the exact set outgrows an executor. False
+  * positives are expected (callers follow with an exact join on the
+  * survivors); false negatives are impossible, which is what makes the
+  * prefilter semantics-preserving.
+  *
+  * The sketch deserializes ONCE at plan time and rides the codegen
+  * references array (same pattern as [[MatVecQ]]'s model). Bytes are
+  * matched with `mightContainBinary(utf8)`, which is bit-identical to the
+  * builder's `putString`/UTF-8 path.
+  */
+case class BloomContains(bloom: Expression, item: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def left: Expression = bloom
+  override def right: Expression = item
+  override def inputTypes = Seq(org.apache.spark.sql.types.BinaryType, StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter = {
+    require(bloom.foldable, "graft_bloom_contains: bloom argument must be foldable")
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloom.eval().asInstanceOf[Array[Byte]]))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    filter.mightContainBinary(b.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, (_, b) =>
+      s"${ev.value} = $ref.mightContainBinary($b.getBytes());")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomContains =
+    copy(bloom = newLeft, item = newRight)
+}
+
 /** Runtime registration of graft's native expressions so operators can use
   * them via `call_function` on any already-built session (Verify, Bench,
   * specs). Idempotent — re-registering replaces the same builder.
@@ -300,7 +344,10 @@ object GraftFunctions {
         arity("graft_simhash64", 1)(c => SimHash64(c.head))),
       (FunctionIdentifier("graft_matvec_q"),
         info("graft_matvec_q", classOf[MatVecQ]),
-        arity("graft_matvec_q", 2)(c => MatVecQ(c(0), c(1)))))
+        arity("graft_matvec_q", 2)(c => MatVecQ(c(0), c(1)))),
+      (FunctionIdentifier("graft_bloom_contains"),
+        info("graft_bloom_contains", classOf[BloomContains]),
+        arity("graft_bloom_contains", 2)(c => BloomContains(c(0), c(1)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

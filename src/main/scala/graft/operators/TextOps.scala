@@ -195,6 +195,63 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary-growth curve (Heaps-law accumulation — the corpus-coverage
+    * diagnostic of a training-data pipeline: a vocabulary that keeps
+    * growing linearly signals unclean/unsaturated data; a flattening curve
+    * signals diminishing new-content returns). Docs are bucketed into
+    * arrival batches of 100 by doc_id; per batch: docs, total tokens, NEW
+    * terms (terms whose corpus-wide first occurrence — min doc_id — falls
+    * in the batch) and the running vocabulary size.
+    *
+    * Scale shape: one explode → groupBy(term) with map-side partial
+    * aggregation (the min(doc_id) per term), then all remaining work is
+    * at batch grain (O(#batches) rows — the qRunDeltas single-partition
+    * window contract). The corpus-wide term aggregate is the same shuffle
+    * the TF-IDF df count pays; nothing is quadratic and no driver collect.
+    */
+  val qVocabGrowth: Q = Q(
+    "q_vocab_growth",
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(doc_id // 100 AS BIGINT) AS batch_id,
+       |    list_filter(string_split($normSql, ' '), t -> t <> '') AS w
+       |  FROM documents),
+       |bt AS (
+       |  SELECT batch_id, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(w)) AS BIGINT) AS n_tokens
+       |  FROM toks GROUP BY 1),
+       |firstseen AS (
+       |  SELECT t AS term, MIN(doc_id) AS first_doc
+       |  FROM toks, UNNEST(w) AS u(t) GROUP BY 1),
+       |nb AS (
+       |  SELECT CAST(first_doc // 100 AS BIGINT) AS batch_id,
+       |    COUNT(*) AS n_new_terms
+       |  FROM firstseen GROUP BY 1)
+       |SELECT b.batch_id, n_docs, n_tokens,
+       |  COALESCE(n_new_terms, 0) AS n_new_terms,
+       |  CAST(SUM(COALESCE(n_new_terms, 0))
+       |       OVER (ORDER BY b.batch_id) AS BIGINT) AS vocab_size
+       |FROM bt b LEFT JOIN nb USING (batch_id)
+       |ORDER BY batch_id""".stripMargin
+  ) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), expr("doc_id DIV 100").as("batch_id"),
+        filter(split(norm, " "), t => t =!= "").as("w"))
+    val bt = toks.groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("w"))).cast("long").as("n_tokens"))
+    val nb = toks.select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy("term").agg(min("doc_id").as("first_doc"))
+      .groupBy(expr("first_doc DIV 100").as("batch_id"))
+      .agg(count(lit(1)).as("n_new_terms"))
+    // batch grain from here down — the window is over O(#batches) rows
+    bt.join(nb, Seq("batch_id"), "left")
+      .select(col("batch_id"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_new_terms"), lit(0L)).as("n_new_terms"))
+      .withColumn("vocab_size",
+        sum("n_new_terms").over(Window.orderBy("batch_id")))
+      .orderBy("batch_id")
+  }
+
   /** TF-IDF-style top terms per document (the relevance/keyword-weighting
     * op of a search or dedup-weighting pipeline): term frequency per doc ×
     * inverse document frequency, ranked per doc, top 5. The score is the
@@ -392,13 +449,25 @@ object TextOps {
   /** Eval-doc-count threshold under which the eval n-gram vocabulary
     * broadcasts (≈ tens of MB of 5-gram strings at typical doc sizes —
     * far under the broadcast limit). Library callers with a genuinely
-    * huge held-out set pass a smaller/zero value to force the shuffled
-    * branch; the spec exercises both.
+    * huge held-out set pass a smaller/zero value to force the scale
+    * branches; the spec exercises all three.
     */
   private[graft] val EvalBroadcastMaxDocs = 100000L
 
+  /** Eval-doc-count threshold for the bloom tier: above the broadcast
+    * cutoff but below this, a serialized bloom over the eval vocabulary
+    * (~1.2 bytes/n-gram at 1% fp — ~50× smaller than the strings) rides
+    * the plan as a literal into [[graft.functions.BloomContains]] and
+    * prunes ~99% of train n-grams MAP-SIDE before the exact sort-merge
+    * semi-join; only bloom survivors (true hits + ~1% fp) ever shuffle.
+    * Beyond this the bloom itself would be GB-scale: plain sort-merge.
+    */
+  private[graft] val EvalBloomMaxDocs = 10000000L
+
   private[graft] def decontaminate(s: SparkSession, d: String,
-      maxBroadcastEvalDocs: Long = EvalBroadcastMaxDocs): DataFrame = {
+      maxBroadcastEvalDocs: Long = EvalBroadcastMaxDocs,
+      maxBloomEvalDocs: Long = EvalBloomMaxDocs): DataFrame = {
+    GraftFunctions.register(s)
     val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
     // the adaptive probe: count eval DOCS (column-pruned scan of doc_id
     // only) — vocabulary size is linear in it, so it is the cheap stand-in
@@ -406,6 +475,7 @@ object TextOps {
     val nEvalDocs = Tables.documents(s, d).filter(isEval)
       .select("doc_id").count()
     val useBroadcast = nEvalDocs <= maxBroadcastEvalDocs
+    val useBloom = !useBroadcast && nEvalDocs <= maxBloomEvalDocs
     // above the threshold we KNOW the vocab side is huge — don't leave it
     // to Catalyst's size estimate (an aggregate's estimate can come out
     // tiny and re-introduce the broadcast): force the spill-safe
@@ -436,9 +506,24 @@ object TextOps {
     val evalVocab = evalNg.select("ng").distinct()
     // semi-join FIRST (broadcast or shuffled per the probe): train
     // n-grams never dedup unless they already hit eval vocabulary; the
-    // distinct then runs on that small contaminated subset only
-    val contaminatedNg = ngrams(evalSide = false).select("ng")
-      .join(hinted(evalVocab), "ng").distinct()
+    // distinct then runs on that small contaminated subset only. In the
+    // bloom tier the exact join stays — bloom false positives must not
+    // count as hits — but it now reads a ~100× thinner stream.
+    val trainNg = ngrams(evalSide = false).select("ng")
+    val trainSide =
+      if (!useBloom) trainNg
+      else {
+        // driver-held model (IVF-model pattern): one aggregation job
+        // builds the sketch, serialized bytes ride the plan as a literal.
+        // Sized from the doc-count probe (overestimating only wastes
+        // bloom bits, never correctness).
+        val bf = evalVocab.stat.bloomFilter("ng", math.max(nEvalDocs, 1L) * 512, 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        trainNg.filter(
+          call_function("graft_bloom_contains", lit(bos.toByteArray), col("ng")))
+      }
+    val contaminatedNg = trainSide.join(hinted(evalVocab), "ng").distinct()
     val hits = evalNg.join(hinted(contaminatedNg), "ng")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     val evalDocs = evalNg.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
@@ -452,6 +537,6 @@ object TextOps {
   }
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qLangId, qQualityScore, qTokenCount, qTfidfTerms, qFingerprint,
-    qRepetitionStats, qDecontaminate)
+    qDedupExact, qLangId, qQualityScore, qTokenCount, qVocabGrowth,
+    qTfidfTerms, qFingerprint, qRepetitionStats, qDecontaminate)
 }

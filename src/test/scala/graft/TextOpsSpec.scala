@@ -217,4 +217,41 @@ class TextOpsSpec extends SparkSpec {
     assert(shuffled.collect().map(key).toSet == bcast.map(key).toSet,
       "branches disagree")
   }
+
+  test("decontaminate: bloom-prefilter tier equals broadcast branch and really prefilters") {
+    // broadcast cap 0 + bloom cap high → the middle tier: bloom prefilter
+    // then exact sort-merge. False positives must be scrubbed by the
+    // exact join → identical rows to the broadcast branch.
+    val bloomed = TextOps.decontaminate(spark, sfDir,
+      maxBroadcastEvalDocs = 0L, maxBloomEvalDocs = Long.MaxValue)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("bloomcontains"),
+      s"bloom tier must apply the BloomContains prefilter:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("[ng#")),
+      "bloom tier must not statically broadcast an ng join")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_hits"),
+        r.getAs[Double]("contamination_frac"), r.getAs[Boolean]("contaminated"))
+    val bcast = TextOps.decontaminate(spark, sfDir).collect()
+    assert(bloomed.collect().map(key).toSet == bcast.map(key).toSet,
+      "bloom tier disagrees with broadcast branch")
+  }
+
+  test("bloom-contains kernel: no false negatives, null stays null") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq("alpha", "beta", "gamma").foreach(bf.putString)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val rows = Seq(Option("alpha"), Option("beta"), Option("zzz-not-inserted"), None)
+      .toDF("s")
+      .select(col("s"),
+        call_function("graft_bloom_contains", lit(bos.toByteArray), col("s")).as("hit"))
+      .collect()
+    assert(rows(0).getBoolean(1) && rows(1).getBoolean(1),
+      "inserted items must always hit (no false negatives)")
+    assert(rows(3).isNullAt(1), "null item must yield null")
+  }
 }
