@@ -584,7 +584,7 @@ object Similarity {
         c.getField("_1").as("cid")))
   }
 
-  private def ivfModel(s: SparkSession, d: String): Array[(Int, Array[Long], Long)] =
+  private[graft] def ivfModel(s: SparkSession, d: String): Array[(Int, Array[Long], Long)] =
     ivfModels.getOrElseUpdate((s, d), {
       val q = quantized(s, d).filter(col("qv").isNotNull)
       val seeds = q.orderBy("vec_id").limit(IvfK)
@@ -617,6 +617,64 @@ object Similarity {
       }
     })
 
+  /** Every non-null vector's nearest-centroid assignment (vec_id, cid) —
+    * the written IVF index; shared by [[qAnnIvf]] and [[qEmbedClusters]].
+    * Narrow per-row argmin over the typedlit model; co-partitioned with
+    * the corpus, nothing shuffles.
+    */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+    val model = ivfModel(s, d)
+    materialized(s, d, "ivf_assign") {
+      quantized(s, d).filter(col("qv").isNotNull)
+        .withColumn("cid",
+          array_min(centDists(model, col("qv"), col("n2")))
+            .getField("cid"))
+        .select("vec_id", "cid")
+    }
+  }
+
+  /** Corpus clustering rollup (rows-only; spec pins the full model +
+    * assignment chain against a driver-side recompute): every vector
+    * assigned to its nearest IVF centroid, rolled up to cluster grain
+    * with label purity — the curation diagnostic of an embedding-space
+    * partitioning (a low-purity cluster means the embedding space and
+    * the labels disagree there; a tiny purity-1.0 cluster is a
+    * candidate near-dup clique). Columns: cluster_id, n_vectors,
+    * top_label (smallest label on count ties — deterministic),
+    * top_label_n, purity (= top_label_n / n_vectors, exact 4-dp).
+    *
+    * Scale shape: the assignment is the same narrow per-row argmin the
+    * ANN index pays (shared cache); the rollup is two map-side-combine
+    * aggregations at (cluster × label) then cluster grain — O(K) rows
+    * out. No driver collect beyond the K×64-long model build.
+    */
+  val qEmbedClusters: Q = Q.rowsOnly("q_embed_clusters") { (s, d) =>
+    val q = quantized(s, d)
+    val model = ivfModel(s, d)
+    if (model.isEmpty) {
+      // day-one empty lake: keep the schema, emit no rows
+      q.filter(lit(false)).select(
+        lit(0).as("cluster_id"), lit(0L).as("n_vectors"),
+        col("label").as("top_label"), lit(0L).as("top_label_n"),
+        lit(0.0).as("purity"))
+    } else {
+      val byLabel = ivfAssigned(s, d)
+        .join(q.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("cid")
+        .orderBy(col("n").desc, col("label").asc)
+      byLabel
+        .withColumn("n_vectors", sum("n").over(Window.partitionBy("cid")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("cid").as("cluster_id"), col("n_vectors"),
+          col("label").as("top_label"), col("n").as("top_label_n"),
+          graft.functions.Det.exactDiv(col("n"), col("n_vectors"), 4)
+            .as("purity"))
+        .orderBy("cluster_id")
+    }
+  }
+
   /** IVF-bucketed ANN (rows-only; spec checks recall vs brute force): the
     * complement of [[qAnnLsh]] on the same quantized index. K=16 inverted
     * lists from deterministic k-means-lite centroids; every vector is
@@ -635,13 +693,7 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
           lit(1).as("rank"), lit(0.0).as("cosine"))
     } else {
-      val assigned = materialized(s, d, "ivf_assign") {
-        q.filter(col("qv").isNotNull)
-          .withColumn("cid",
-            array_min(centDists(model, col("qv"), col("n2")))
-              .getField("cid"))
-          .select("vec_id", "cid")
-      }
+      val assigned = ivfAssigned(s, d)
       // nprobe nearest lists per query: sort the K (dist, cid) structs,
       // keep the head — no window needed for a K-element array. A query
       // with a null vector has no meaningful probes: drop it here (the
@@ -845,6 +897,6 @@ object Similarity {
 
   val all: Seq[Q] = Seq(
     qNgramJaccard, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
-    qCosineTopk, qAnnLsh, qAnnIvf, qDedupClusters, qDedupSurvivors,
-    qLabelCentroids)
+    qCosineTopk, qAnnLsh, qAnnIvf, qEmbedClusters, qDedupClusters,
+    qDedupSurvivors, qLabelCentroids)
 }

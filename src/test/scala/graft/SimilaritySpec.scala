@@ -13,6 +13,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embed clusters: assignment + purity rollup match a driver-side recompute") {
+    // full-chain pin: quantization, the deterministic IVF model (exposed
+    // private[graft]), nearest-centroid argmin with cid tie-break, and
+    // the purity rollup — recomputed independently on the driver
+    val model = Similarity.ivfModel(spark, sfDir)
+    assert(model.nonEmpty)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map { r =>
+        val emb = r.getSeq[Float](1)
+        (r.getLong(0), r.getInt(2),
+          if (emb == null) null
+          else emb.map(x => math.round(x.toDouble * 10000)).toArray)
+      }
+    val expected = vecs.filter(_._3 != null).map { case (_, label, qv) =>
+      val n2 = qv.map(x => x * x).sum
+      val cid = model.map { case (c, cent, n2c) =>
+        (n2 + n2c - 2L * qv.zip(cent).map { case (a, b) => a * b }.sum, c)
+      }.min._2
+      (cid, label)
+    }.groupBy(_._1).map { case (cid, members) =>
+      val byLabel = members.groupBy(_._2).view.mapValues(_.length)
+      val (topLabel, topN) = byLabel.toSeq.minBy { case (l, n) => (-n, l) }
+      val n = members.length
+      // Det.exactDiv half-up at 4 dp: floor((2·num·10⁴ + den) / (2·den))
+      (cid, n.toLong, topLabel, topN.toLong,
+        ((2L * topN * 10000L + n) / (2L * n)).toDouble / 10000.0)
+    }.toSet
+    val got = Similarity.qEmbedClusters.run(spark, sfDir).collect().map { r =>
+      (r.getAs[Int]("cluster_id"), r.getAs[Long]("n_vectors"),
+        r.getAs[Int]("top_label"), r.getAs[Long]("top_label_n"),
+        r.getAs[Double]("purity"))
+    }.toSet
+    assert(got == expected, s"cluster rollup mismatch:\n got=$got\n exp=$expected")
+  }
+
   test("ngram jaccard: symmetric-free (a<b), jaccard in (0,1], dups found") {
     val rows = Similarity.qNgramJaccard.run(spark, sfDir).collect()
     assert(rows.nonEmpty, "expected near-dup pairs (corpus has exact dups)")
