@@ -106,6 +106,62 @@ object IngestStream {
 
   final case class SessState(startUs: Long, endUs: Long, n: Long)
 
+  /** Current queue-item state — one streaming-maintained view row. */
+  final case class QueueItemState(item_id: Long, status: String,
+      assigned_to: java.lang.Long, last_change_us: Long,
+      last_event_id: Long, n_transitions: Long)
+
+  /** Event-sourced queue current-state store — the streaming twin of
+    * [[graft.operators.Labeling.qQueueState]] (reference
+    * complete_queue_item db_manager.py:693 as a continuously-maintained
+    * view instead of an UPDATE): mapGroupsWithState keyed by item, where
+    * the state IS the view row. Keep-latest = the same (at_us, event_id)
+    * ordering the batch op's max_by uses, applied incrementally — late or
+    * out-of-order arrivals bump n_transitions but only a strictly newer
+    * event changes the visible status. Emits the refreshed row for every
+    * item touched by the micro-batch (Update output mode).
+    *
+    * State boundedness: one row per DISTINCT item — the reference queue
+    * table's cardinality (catalog-sized, not stream-length-sized), which
+    * is why this op uses NoTimeout where the sessionizer must expire: a
+    * current-state store only "forgets" when the item is deleted. The
+    * 24 h abandoned-assignment reset stays a VIEW-side projection (same
+    * rule as batch) because it is relative to read time, not arrival.
+    */
+  def queueState(events: Dataset[Event]): Dataset[QueueItemState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_id % 499)
+      .mapGroupsWithState[QueueItemState, QueueItemState](
+        GroupStateTimeout.NoTimeout) {
+        (itemId: Long, it: Iterator[Event], state: GroupState[QueueItemState]) =>
+          var cur = state.getOption
+          it.foreach { e =>
+            val tUs = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+            val m = e.event_id % 5
+            val status =
+              if (m == 0) "assigned" else if (m == 1) "completed"
+              else if (m == 2) "skipped" else "pending"
+            val asg: java.lang.Long =
+              if (m == 0) java.lang.Long.valueOf(e.user_id % 7) else null
+            cur = Some(cur match {
+              case None =>
+                QueueItemState(itemId, status, asg, tUs, e.event_id, 1L)
+              case Some(s) =>
+                val newer = tUs > s.last_change_us ||
+                  (tUs == s.last_change_us && e.event_id > s.last_event_id)
+                if (newer)
+                  QueueItemState(itemId, status, asg, tUs, e.event_id,
+                    s.n_transitions + 1)
+                else s.copy(n_transitions = s.n_transitions + 1)
+            })
+          }
+          val out = cur.get
+          state.update(out)
+          out
+      }
+  }
+
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events

@@ -90,6 +90,31 @@ class PlanAuditSpec extends SparkSpec {
       "tfidf scan not pruned: " + scan)
   }
 
+  test("vocab growth: pruned scans and a partial-aggregated term shuffle") {
+    val p = plan("q_vocab_growth")
+    val scans = p.split("\n").filter(_.contains("ReadSchema"))
+    assert(scans.nonEmpty && scans.forall(s =>
+      !s.contains("source") && !s.contains("n_chars") && !s.contains("lang")),
+      "vocab-growth scans not pruned to doc_id+text:\n" + scans.mkString("\n"))
+    // the corpus-wide term aggregate must partial-combine map-side
+    // (HashAggregate below AND above its Exchange), or hot terms flood
+    // one reducer at 100 TB
+    assert(p.contains("partial_min") || p.contains("partial"),
+      "term min(doc_id) aggregate has no map-side partial:\n" + p)
+  }
+
+  test("embed clusters: rollup stays at cluster grain — no corpus-wide window") {
+    val p = plan("q_embed_clusters")
+    // the only Window ops allowed run AFTER the (cid,label) aggregate
+    // (K×L rows); a Window directly over the vec-grain assignment would
+    // single-partition the corpus
+    val lines = p.split("\n")
+    val aggIdx = lines.indexWhere(l => l.contains("HashAggregate"))
+    val winIdx = lines.indexWhere(l => l.contains("Window"))
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx,
+      s"window must sit above the cluster-grain aggregate (win@$winIdx agg@$aggIdx):\n" + p)
+  }
+
   test("hot expressions stay inside whole-stage codegen") {
     // execute first: codegen spans only appear in the finalized AQE plan
     val df = SparkEntry.queries("q_quality_score")(spark, sfDir)

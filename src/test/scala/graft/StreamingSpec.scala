@@ -207,6 +207,45 @@ class StreamingSpec extends SparkSpec {
     typed.collect() // the decode itself must not throw
   }
 
+  test("streaming queue-state store converges to the batch current-state view") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // the real events table, streamed in 3 arbitrary micro-batches: the
+    // final per-item state must equal the batch keep-latest view
+    val evs = IngestStream.fromRaw(Tables.events(spark, sfDir)).collect().toSeq
+    val batches = evs.grouped(evs.size / 3 + 1).toSeq
+    val mem = MemoryStream[Event]
+    val q = IngestStream.queueState(mem.toDS()).toDF().writeStream
+      .format("memory").queryName("queue_state_stream")
+      .outputMode("update").start()
+    try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    // the memory sink appends each update: per item the final state is
+    // the row with the max (monotonic) n_transitions
+    val streamed = spark.table("queue_state_stream").collect()
+      .groupBy(_.getAs[Long]("item_id"))
+      .map { case (_, rs) => rs.maxBy(_.getAs[Long]("n_transitions")) }
+    // apply the batch op's view-side 24h abandoned reset before comparing
+    val mt = evs.map(e => e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000).max
+    val got = streamed.map { r =>
+      val status = r.getAs[String]("status")
+      val atUs = r.getAs[Long]("last_change_us")
+      val stale = status == "assigned" && atUs < mt - 86400000000L
+      (r.getAs[Long]("item_id"),
+        if (stale) "pending" else status,
+        if (stale) None else Option(r.getAs[java.lang.Long]("assigned_to")).map(_.longValue),
+        atUs, r.getAs[Long]("n_transitions"), stale)
+    }.toSet
+    val batch = graft.operators.Labeling.qQueueState.run(spark, sfDir).collect()
+      .map { r =>
+        (r.getAs[Long]("item_id"), r.getAs[String]("status"),
+          Option(r.getAs[java.lang.Long]("assigned_to")).map(_.longValue),
+          r.getAs[Long]("last_change_us"), r.getAs[Long]("n_transitions"),
+          r.getAs[Boolean]("was_reset"))
+      }.toSet
+    assert(got == batch, "streaming state store diverges from batch view")
+  }
+
   test("batch and streaming windowed-count plans share one definition") {
     import spark.implicits._
     // run the streaming transformation in batch mode over the real table
