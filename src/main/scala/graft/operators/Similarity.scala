@@ -486,7 +486,9 @@ object Similarity {
     * Package-visible so the spec can assert the candidate-fraction cap
     * directly.
     */
-  private[graft] def annLshShortlist(s: SparkSession, d: String): DataFrame = {
+  private[graft] def annLshShortlist(s: SparkSession, d: String,
+      queryFilter: Column = col("vec_id") < 10,
+      broadcastProbes: Boolean = true): DataFrame = {
     GraftFunctions.register(s)
     val q = quantized(s, d)
     // the whole 256×64 hyperplane bank rides the plan as ONE literal into
@@ -516,7 +518,7 @@ object Similarity {
     // the ProbeBits least-confident bits — 22 probe rows per (query,
     // table), targeted where a near neighbor most likely fell across.
     // A null-vector query has no meaningful signs: dropped (like IVF).
-    val qs = q.filter(col("vec_id") < 10 && col("qv").isNotNull)
+    val qs = q.filter(queryFilter && col("qv").isNotNull)
       .select(col("vec_id").as("query_id"), dots.as("ds256"))
       .select(col("query_id"), posexplode(expr(
         s"transform(sequence(0, ${Tables_ - 1}), t -> " +
@@ -539,8 +541,12 @@ object Similarity {
         col("bucket").bitwiseXOR(col("mask")).as("bucket"))
     // a corpus vector occupies ONE bucket per table and probe buckets are
     // distinct within a table, so the join hits each (query, vec, table)
-    // at most once: count(*) IS the table-collision count
-    val hits = withBuckets.join(broadcast(qs), Seq("table_id", "bucket"))
+    // at most once: count(*) IS the table-collision count. A small query
+    // set broadcasts its probe rows; a corpus-wide query set (the k-NN
+    // self-join) shuffles both sides on (table_id, bucket) — the probe
+    // table is |queries|·T·22 narrow rows, linear in the corpus.
+    val probeSide = if (broadcastProbes) broadcast(qs) else qs
+    val hits = withBuckets.join(probeSide, Seq("table_id", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id").agg(count(lit(1)).as("n_tables"))
     // budget probe: corpus count off the already-materialized quantized
@@ -723,6 +729,62 @@ object Similarity {
     }
   }
 
+  /** ANN k-NN SELF-join (rows-only; spec pins recall ≥ 0.8 and candidate
+    * fraction ≤ 0.2 vs a full brute-force driver recompute): every
+    * non-null vector's top-5 cosine neighbors — the semantic-dedup /
+    * nearest-neighbor-graph pass of a curation pipeline run corpus-wide
+    * (the q_ann_* ops answer point queries; dedup needs the whole graph).
+    *
+    * Uses the [[annLshShortlist]] machinery with EVERY vector as a query:
+    * collision-count ranking across the 32 hyperplane tables shortlists
+    * each vector's top-15% most-colliding peers, and only those pay an
+    * exact integer dot. (The IVF-list formulation was measured at recall
+    * 0.37 @ 12.5% candidates on this near-isotropic corpus — its probe-2
+    * lists are a coarse 16-way partition, while collision COUNTS give a
+    * per-pair similarity proxy; at equal candidate budgets the shortlist
+    * recalls 0.84.)
+    *
+    * Scale shape: the probe table is |corpus|·32·22 narrow rows — too big
+    * to broadcast, so the bucket join shuffles BOTH sides on (table_id,
+    * bucket), which is linear in corpus size; the per-query budget then
+    * caps the quadratic exact-rescore term at budget·n. The top-5 cut
+    * runs on the bounded-heap [[TopK.perKey]] operator — no corpus-wide
+    * window sort.
+    *
+    * Honest cost accounting: on a NEAR-ISOTROPIC corpus the collision
+    * join emits ~T·probes/2^bits ≈ 2.75 hit-rows per vector PAIR (11M at
+    * n=2000) — narrow count-aggregate rows, map-side combinable, ~5×
+    * cheaper than brute force's 64-wide dots but still Θ(n²) traffic;
+    * this is the ρ→1 regime where no LSH family is sublinear (single-flip
+    * multiprobe was measured at 0.72 recall — below floor — so the pair
+    * flips stay). On REAL clustered embeddings collisions concentrate in
+    * near pairs and the same plan's hit volume drops toward the 0.15·n²
+    * shortlist bound; for lake-scale corpora the right preconditioner is
+    * coarse partitioning (IVF lists at K ∝ √n) before this pass.
+    */
+  val qKnnJoin: Q = Q.rowsOnly("q_knn_join") { (s, d) =>
+    GraftFunctions.register(s)
+    val q = quantized(s, d)
+    val candIds = annLshShortlist(s, d,
+      queryFilter = lit(true), broadcastProbes = false)
+      .select("query_id", "vec_id")
+    val scored = candIds
+      .join(q.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
+      .join(q.select(col("vec_id").as("query_id"), col("qv").as("qq"),
+        col("n2").as("n2q")), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(call_function("graft_dot_q", col("qq"), col("qv")),
+          col("n2q"), col("n2")).as("cosine"))
+    // bounded-heap top-5 per query (no corpus-wide window sort); the
+    // rank window then runs over ≤5 rows per key — spill-free
+    TopK.perKey(scored, Seq("query_id"), "cosine", "neighbor_id", 5)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
   /** Connected components over an undirected pair graph (columns id_a <
     * id_b). Output: (id, label) with label = the component's minimum id —
     * the canonical keeper in a dedup pipeline.
@@ -897,6 +959,6 @@ object Similarity {
 
   val all: Seq[Q] = Seq(
     qNgramJaccard, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
-    qCosineTopk, qAnnLsh, qAnnIvf, qEmbedClusters, qDedupClusters,
-    qDedupSurvivors, qLabelCentroids)
+    qCosineTopk, qAnnLsh, qAnnIvf, qEmbedClusters, qKnnJoin,
+    qDedupClusters, qDedupSurvivors, qLabelCentroids)
 }

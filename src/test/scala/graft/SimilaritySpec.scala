@@ -48,6 +48,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected, s"cluster rollup mismatch:\n got=$got\n exp=$expected")
   }
 
+  test("knn join: corpus-wide top-5 recall >= 0.8 vs brute force; candidates bounded") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().flatMap { r =>
+        Option(r.getSeq[Float](1)).map(emb =>
+          (r.getLong(0), emb.map(x => math.round(x.toDouble * 10000)).toArray))
+      }
+    val n2 = vecs.map { case (id, v) => id -> v.map(x => x * x).sum }.toMap
+    def cos(a: Array[Long], b: Array[Long], na: Long, nb: Long): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    val brute = vecs.map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (jd, w) => (jd, cos(v, w, n2(id), n2(jd))) }
+        .sortBy { case (jd, c) => (-c, jd) }.take(5).map(_._1).toSet
+    }.toMap
+    val got = Similarity.qKnnJoin.run(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(got.keySet == brute.keySet, "every non-null vector must get neighbors")
+    val recall = got.map { case (id, nbrs) =>
+      (nbrs & brute(id)).size.toDouble / brute(id).size
+    }.sum / got.size
+    info(f"knn-join recall@5 = $recall%.2f over ${got.size} queries")
+    assert(recall >= 0.8, f"recall $recall%.2f below floor")
+    // the exact-rescore volume is the shortlist itself: it must stay a
+    // budgeted fraction of all pairs — the self-join must not degenerate
+    // to all-pairs
+    val shortlist = Similarity.annLshShortlist(spark, sfDir,
+      queryFilter = org.apache.spark.sql.functions.lit(true),
+      broadcastProbes = false).count()
+    val nPairs = vecs.length.toLong * (vecs.length - 1)
+    val frac = shortlist.toDouble / nPairs
+    info(f"knn-join candidate fraction = $frac%.3f")
+    assert(frac <= 0.2, f"candidate volume $frac%.2f of all-pairs — not budgeted")
+  }
+
   test("ngram jaccard: symmetric-free (a<b), jaccard in (0,1], dups found") {
     val rows = Similarity.qNgramJaccard.run(spark, sfDir).collect()
     assert(rows.nonEmpty, "expected near-dup pairs (corpus has exact dups)")
