@@ -195,6 +195,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing (concat-and-split, the pretraining batcher's shape):
+    * documents are concatenated in deterministic (doc_id) order within
+    * each source and split into fixed 2048-token chunks; a document's
+    * chunk is where its FIRST token lands (docs may straddle boundaries —
+    * exactly how a GPT-style loader packs). Output is chunk grain:
+    * packing docs into each chunk with first/last doc, doc count, and
+    * the summed token counts of the docs starting there.
+    *
+    * Scale shape: one whitespace token count per row (no explode), then a
+    * running sum windowed BY SOURCE in doc_id order — the window
+    * partitions on the shard key, which is how a production packer runs
+    * too (each shard packs independently; a global pack order would
+    * serialize the lake). Chunk rollup is a map-side-combinable
+    * aggregate at (source, chunk) grain.
+    */
+  val qSeqPack: Q = Q(
+    "q_seq_pack",
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    len(list_filter(string_split($normSql, ' '), t -> t <> '')) AS n_tok
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, source, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_tok
+       |  FROM toks)
+       |SELECT source, CAST(start_tok // 2048 AS BIGINT) AS chunk_id,
+       |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |FROM cum GROUP BY 1, 2 ORDER BY source, chunk_id""".stripMargin
+  ) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(norm, " "), t => t =!= "")).cast("long").as("n_tok"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("start_tok", sum("n_tok").over(w) - col("n_tok"))
+      .groupBy(col("source"), expr("start_tok DIV 2048").as("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        sum("n_tok").cast("long").as("n_tokens"))
+      .orderBy("source", "chunk_id")
+  }
+
   /** Vocabulary-growth curve (Heaps-law accumulation — the corpus-coverage
     * diagnostic of a training-data pipeline: a vocabulary that keeps
     * growing linearly signals unclean/unsaturated data; a flattening curve
@@ -538,5 +583,5 @@ object TextOps {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qLangId, qQualityScore, qTokenCount, qVocabGrowth,
-    qTfidfTerms, qFingerprint, qRepetitionStats, qDecontaminate)
+    qSeqPack, qTfidfTerms, qFingerprint, qRepetitionStats, qDecontaminate)
 }
