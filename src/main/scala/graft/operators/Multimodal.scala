@@ -163,6 +163,76 @@ object Multimodal {
       .orderBy("frameIdx")
   }
 
+  /** Perceptual-hash STUB (aHash shape): 64-bit signature where bit b
+    * compares the b-th of 64 equal payload blocks against the global mean
+    * — in production this runs on decoded/resized pixel data; on the
+    * opaque payload it is the same per-row kernel with the codec swapped
+    * out. Comparisons are exact cross-multiplied integers (blockSum·n >
+    * totalSum·blockLen) — no float means, so the signature is
+    * bit-reproducible anywhere. Empty payloads hash to 0 (sentinel).
+    */
+  def phashStub(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) 0L
+    else {
+      var total = 0L
+      var i = 0
+      while (i < n) { total += payload(i) & 0xff; i += 1 }
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        val from = (b.toLong * n / 64).toInt
+        val until = ((b + 1).toLong * n / 64).toInt
+        var s = 0L
+        i = from
+        while (i < until) { s += payload(i) & 0xff; i += 1 }
+        if (until > from && s * n > total * (until - from)) fp |= 1L << b
+        b += 1
+      }
+      fp
+    }
+  }
+
+  /** Batched perceptual hashing: narrow mapPartitions — payloads never
+    * shuffle; only (asset_id, phash) longs leave the stage.
+    */
+  def perceptualHashes(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.grouped(BatchSize).flatMap(
+      _.map(a => (a.assetId, phashStub(a.payload)))))
+      .toDF("asset_id", "phash")
+  }
+
+  /** Media near-duplicate pairs (library op, spec-covered like the Store
+    * sinks — NOT a registry query: on the synthetic corpus byte-level
+    * signatures of distinct texts sit at Hamming ≥ 9, so the ≤ 3 radius
+    * that makes pigeonhole banding selective returns rows only where
+    * payloads genuinely repeat, which small SFs don't have): perceptual
+    * hashes → SimHash-style pigeonhole band join (Hamming ≤ 3 ⇒ at least
+    * one of 4 16-bit chunks equal) → exact bit_count(xor) within buckets.
+    * This is the image/audio member of the dedup family — the banding and
+    * verification shape is identical to q_dedup_simhash, only the
+    * signature kernel differs (and on a real lake, the decode behind it).
+    */
+  def mediaNeardup(assets: Dataset[MediaAsset]): DataFrame = {
+    val fp = perceptualHashes(assets).filter(col("phash") =!= 0L)
+    val bands = fp.select(col("asset_id"), col("phash"), posexplode(array(
+      (0 until 4).map(k =>
+        shiftrightunsigned(col("phash"), k * 16).bitwiseAND(0xffff)): _*))
+      .as(Seq("band", "chunk")))
+    val l = bands.select(col("asset_id").as("id_a"), col("phash").as("fp_a"),
+      col("band"), col("chunk"))
+    val r = bands.select(col("asset_id").as("id_b"), col("phash").as("fp_b"),
+      col("band"), col("chunk"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Metadata-only rollup over the binary assets (oracle-checked): the
     * payload participates only through octet_length; Catalyst prunes and
     * pushes the rest. fmt/meta derivation mirrored exactly in DuckDB.

@@ -94,6 +94,45 @@ class MultimodalSpec extends SparkSpec {
     assert(h("foobar") == java.lang.Long.parseUnsignedLong("85944171f73967e8", 16))
   }
 
+  test("media neardup: banded pair set equals the driver all-pairs recompute") {
+    import spark.implicits._
+    // crafted corpus: two exact-dup payloads, a near-dup (few changed
+    // bytes -> low hamming), and structurally different payloads. The
+    // pigeonhole band join must find EXACTLY the Hamming<=3 pairs (4
+    // chunks, <=3 flipped bits => one chunk always intact — banding is a
+    // candidate generator, never a recall cut at this radius).
+    def pat(seed: Int): Array[Byte] =
+      Array.tabulate(256)(i => (((i / 4) * 37 + seed * ((i / 64) + 1)) % 251).toByte)
+    val near = pat(0).clone(); near(3) = (near(3) + 120).toByte // nudge one block
+    val meta = MediaMeta("png", 8, 8, -1)
+    val crafted = Seq(
+      MediaAsset(0L, "s", meta, pat(0)), MediaAsset(1L, "s", meta, pat(0)),
+      MediaAsset(2L, "s", meta, near),
+      MediaAsset(3L, "s", meta, pat(7)), MediaAsset(4L, "s", meta, pat(13)),
+      MediaAsset(5L, "s", meta, Array.emptyByteArray)) // empty: excluded
+    def expectedOf(as: Seq[MediaAsset]) = (for {
+      a <- as; b <- as if a.assetId < b.assetId
+      fa = Multimodal.phashStub(a.payload) if fa != 0L
+      fb = Multimodal.phashStub(b.payload) if fb != 0L
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a.assetId, b.assetId, h)).toSet
+    val expected = expectedOf(crafted)
+    assert(expected.contains((0L, 1L, 0)), "exact dups must pair at hamming 0")
+    assert(expected.exists(p => p._1 == 2L || p._2 == 2L),
+      "the nudged payload must still pair within radius 3")
+    val got = Multimodal.mediaNeardup(spark.createDataset(crafted)).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got == expected, s"crafted pair sets differ: got $got expected $expected")
+    // and on the real corpus the band join stays exact (both sides may
+    // legitimately be empty at small SFs — equality is the contract)
+    val realGot = Multimodal.mediaNeardup(Multimodal.assets(spark, sfDir))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).toSet
+    val realExpected = expectedOf(Multimodal.assets(spark, sfDir).collect().toSeq)
+    assert(realGot == realExpected, "real-corpus pair sets differ")
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val plan = Multimodal.qBinaryMeta.run(spark, sfDir)
       .queryExecution.executedPlan.toString
