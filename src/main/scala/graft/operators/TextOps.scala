@@ -195,6 +195,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-weighted importance sampling (the data-selection primitive of
+    * corpus curation — the stratified samplers draw fixed COUNTS; this
+    * keeps each document with probability proportional to a per-document
+    * weight): weight = min(n_chars, 500)/500 (a monotone length proxy in
+    * [0,1] — swap in any quality model), decision = fixed-width hex
+    * compare of md5(doc_id)'s first 4 chars against the weight mapped to
+    * a 16-bit threshold. Deterministic, seedless, embarrassingly
+    * parallel, and identical in both engines (the hash-Bernoulli trick
+    * q_train_split's md5 ordering already relies on, as a per-row
+    * threshold instead of a rank). Output is the per-source selection
+    * report; the kept set itself is the same predicate unaggregated.
+    */
+  val qWeightedSample: Q = Q(
+    "q_weighted_sample",
+    s"""WITH w AS (
+       |  SELECT doc_id, source,
+       |    printf('%04x', LEAST(65535, LEAST(n_chars, 500) * 65536 // 500))
+       |      AS thresh,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS u
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN u < thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ${exactDivSql("SUM(CASE WHEN u < thresh THEN 1 ELSE 0 END)",
+                        "COUNT(*)", 4)} AS keep_rate
+       |FROM w GROUP BY 1 ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val thresh = format_string("%04x",
+      least(lit(65535), expr("least(n_chars, 500) * 65536 div 500")))
+    // coalesce: a null n_chars yields a null comparison — the oracle's
+    // CASE lands it in ELSE 0, so the Spark side must count it 0 too
+    val kept = coalesce(
+      (substring(md5(col("doc_id").cast("string")), 1, 4) < thresh).cast("int"),
+      lit(0))
+    Tables.documents(s, d)
+      .select(col("source"), kept.as("k"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("k")).cast("long").as("n_kept"),
+        exactDiv(sum(col("k")), count(lit(1)), 4).as("keep_rate"))
+      .orderBy("source")
+  }
+
   /** Sequence packing (concat-and-split, the pretraining batcher's shape):
     * documents are concatenated in deterministic (doc_id) order within
     * each source and split into fixed 2048-token chunks; a document's
@@ -583,5 +625,6 @@ object TextOps {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qLangId, qQualityScore, qTokenCount, qVocabGrowth,
-    qSeqPack, qTfidfTerms, qFingerprint, qRepetitionStats, qDecontaminate)
+    qSeqPack, qWeightedSample, qTfidfTerms, qFingerprint, qRepetitionStats,
+    qDecontaminate)
 }
