@@ -209,48 +209,42 @@ object Similarity {
     * parallel). Same tokenization/hash math as [[shinglesRaw]]:
     * xxhash64 of the word-3-gram string.
     */
-  private def docShingleHashes(s: SparkSession, d: String): DataFrame =
-    materialized(s, d, "doc_shingle_hashes") {
-      Tables.documents(s, d)
-        // small single-file inputs scan as ONE partition; spread rows so
-        // the per-row shingling runs at full parallelism (no-op at lake scale)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"),
-          split(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, size(w)-3), i -> " +
-            "xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))").as("hs"))
-    }
+  /** Per-doc shingle-hash arrays for an arbitrary (doc_id, text) frame —
+    * the DataFrame-parameterized core [[docShingleHashes]] memoizes per
+    * dir, and the incremental path feeds with just the new slice.
+    */
+  private def shingleHashesOf(docs: DataFrame): DataFrame =
+    docs
+      // small single-file inputs scan as ONE partition; spread rows so
+      // the per-row shingling runs at full parallelism (no-op at lake scale)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, size(w)-3), i -> " +
+          "xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))").as("hs"))
 
-  private def minhashPairsPlan(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingleHashes(s, d)
-    // bands materialized: the bucket self-join reads it from two aliased
-    // sides — without it the signature pass runs twice. The signature is
-    // per-row: minhash i = min over the doc's shingle hashes of
-    // xxhash64(i, h) — bit-identical to the r2 min-aggregate form (same
-    // int-literal + long hash inputs), just computed without a groupBy.
-    val bands = materialized(s, d, "minhash_bands") {
-      sh.select(col("doc_id"), expr(
-          s"transform(sequence(0, ${MinhashK - 1}), i -> " +
-            "array_min(transform(hs, h -> xxhash64(i, h))))").as("sig"))
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, ${MinhashK / BandRows - 1}), b -> " +
-            s"xxhash64(${(0 until BandRows).map(r => s"sig[$BandRows*b+$r]").mkString(", ")}))"))
-          .as(Seq("band", "bhash")))
-    }
-    val l = bands.select(col("doc_id").as("id_a"), col("band"), col("bhash"))
-    val r = bands.select(col("doc_id").as("id_b"), col("band"), col("bhash"))
-    // candidates materialized: consumed three times below (two id-side
-    // semi-joins + the final pair filter); it is tiny (collision pairs only)
-    val candidates = materialized(s, d, "minhash_candidates") {
-      l.join(r, Seq("band", "bhash"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-    }
-    // exact verification within buckets only: the candidate docs' shingle-
-    // hash SETS are per-row array_distinct over the cached arrays (set
-    // sizes equal the string-shingle sets modulo 2^-64 collisions)
+  /** Banded MinHash signatures of a shingle-hash frame: per-row minhash i
+    * = min over the doc's shingle hashes of xxhash64(i, h) — bit-identical
+    * to the r2 min-aggregate form (same int-literal + long hash inputs),
+    * just computed without a groupBy. A row depends on ITS document only,
+    * which is what makes the incremental path exact by construction.
+    */
+  private def bandsOf(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), expr(
+        s"transform(sequence(0, ${MinhashK - 1}), i -> " +
+          "array_min(transform(hs, h -> xxhash64(i, h))))").as("sig"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${MinhashK / BandRows - 1}), b -> " +
+          s"xxhash64(${(0 until BandRows).map(r => s"sig[$BandRows*b+$r]").mkString(", ")}))"))
+        .as(Seq("band", "bhash")))
+
+  /** Exact Jaccard verification of candidate pairs against shingle-hash
+    * sets drawn from `sh` (set sizes equal the string-shingle sets modulo
+    * 2^-64 collisions).
+    */
+  private def verifyPairs(candidates: DataFrame, sh: DataFrame): DataFrame = {
     val ids = candidates.select(col("id_a").as("doc_id"))
       .unionByName(candidates.select(col("id_b").as("doc_id"))).distinct()
     val sets = sh.join(ids, Seq("doc_id"), "left_semi")
@@ -263,6 +257,57 @@ object Similarity {
           (size(col("sa")) + size(col("sb"))
             - size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+  }
+
+  /** Incremental near-dup maintenance — the production "index the daily
+    * increment" path: given the EXISTING corpus and a NEW slice, emit
+    * exactly the verified near-dup pairs that involve at least one new
+    * document (new-vs-new and new-vs-old), WITHOUT re-banding or
+    * re-verifying old-vs-old. Because signatures and verification sets
+    * are per-row (no corpus-level state), this is exact by construction:
+    * pairs(old ∪ new) = pairs(old) ∪ increment(old, new) — the spec pins
+    * that identity. At 100 TB the old bands/sets live as written index
+    * tables (Store.appendDeduped's lake pattern); each increment
+    * re-hashes only its own documents and band-joins against the index.
+    */
+  def minhashIncrement(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val shOld = shingleHashesOf(oldDocs)
+    val shNew = shingleHashesOf(newDocs)
+    val bNew = bandsOf(shNew)
+    val bAll = bandsOf(shOld).unionByName(bNew)
+    // one side is always NEW; normalize to id_a < id_b, dedup multi-band
+    val candidates = bNew.select(col("doc_id").as("id_n"), col("band"), col("bhash"))
+      .join(bAll.select(col("doc_id").as("id_o"), col("band"), col("bhash")),
+        Seq("band", "bhash"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .distinct()
+    verifyPairs(candidates, shOld.unionByName(shNew))
+  }
+
+  private def docShingleHashes(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "doc_shingle_hashes")(
+      shingleHashesOf(Tables.documents(s, d)))
+
+  private def minhashPairsPlan(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingleHashes(s, d)
+    // bands materialized: the bucket self-join reads it from two aliased
+    // sides — without it the signature pass runs twice
+    val bands = materialized(s, d, "minhash_bands")(bandsOf(sh))
+    val l = bands.select(col("doc_id").as("id_a"), col("band"), col("bhash"))
+    val r = bands.select(col("doc_id").as("id_b"), col("band"), col("bhash"))
+    // candidates materialized: consumed three times below (two id-side
+    // semi-joins + the final pair filter); it is tiny (collision pairs only)
+    val candidates = materialized(s, d, "minhash_candidates") {
+      l.join(r, Seq("band", "bhash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
+    // exact verification within buckets only ([[verifyPairs]]): the
+    // candidate docs' shingle-hash SETS are per-row array_distinct over
+    // the cached arrays
+    verifyPairs(candidates, sh)
   }
 
   /** SimHash near-dup (rows-only; spec): 64-bit fingerprint where bit b is

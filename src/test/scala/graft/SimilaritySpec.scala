@@ -13,6 +13,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash: pairs(old ∪ new) = pairs(old) ∪ increment(old, new)") {
+    // split the corpus into an "existing lake" and a "daily increment";
+    // the incremental path must produce exactly the full-corpus pair set
+    // when unioned with the old-only pairs — no missed cross pairs, no
+    // re-verified old pairs leaking in
+    val docs = Tables.documents(spark, sfDir)
+    val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val newDocs = docs.filter(col("doc_id") % 3 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val full = pairSet(Similarity.qDedupMinhash.run(spark, sfDir))
+    val oldOnly = pairSet(Similarity.minhashIncrement(
+      oldDocs.filter(lit(false)), oldDocs)) // empty old ⇒ plain self-pairs of old
+    val inc = pairSet(Similarity.minhashIncrement(oldDocs, newDocs))
+    assert(inc.nonEmpty, "increment must surface cross/new pairs on this corpus")
+    assert(inc.forall { case (a, b) => a % 3 == 0 || b % 3 == 0 },
+      "every incremental pair must involve a new doc")
+    assert((oldOnly ++ inc) == full,
+      s"identity broken: old ${oldOnly.size} + inc ${inc.size} != full ${full.size}")
+  }
+
   test("embed clusters: assignment + purity rollup match a driver-side recompute") {
     // full-chain pin: quantization, the deterministic IVF model (exposed
     // private[graft]), nearest-centroid argmin with cid tie-break, and
