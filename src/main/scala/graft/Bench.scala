@@ -35,7 +35,8 @@ object Bench {
     warm("events")(Tables.events(spark, sfDir).count())
     // the heavy warm list derives from the registry (plus the cheap text/
     // labeling codegen paths) so a renamed query cannot silently drop out
-    (operators.Similarity.all.map(_.name) ++ Seq("q_dedup_exact", "q_agreement"))
+    (operators.Similarity.all.map(_.name) ++
+      Seq("q_dedup_exact", "q_agreement", "q_queue_state"))
       .foreach(q => warm(q)(
         SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()))
     // the warm-up pinned sf0.001 similarity indexes the timed loop never

@@ -85,8 +85,10 @@ object Det {
     * exact integer DECIMAL: one decimal rescale (precision picked so
     * Spark's precision-loss adjustment cannot truncate the scale — the
     * product must keep ≤ 38-scale-1 integer digits, hence the
-    * DECIMAL(37-scale,0) cast; totals beyond 10^(37-scale) overflow to
-    * NULL rather than silently rounding) and ONE decimal→double
+    * DECIMAL(37-scale,0) cast; a total beyond 10^(37-scale) FAILS LOUD —
+    * under ANSI mode, which this project runs, the narrowing cast throws
+    * NUMERIC_VALUE_OUT_OF_RANGE rather than silently rounding or
+    * returning a plausible wrong value) and ONE decimal→double
     * conversion — the same single correctly-rounded step as the oracle's
     * CAST(SUM(decimal) AS DOUBLE).
     */

@@ -193,13 +193,14 @@ object Multimodal {
     }
   }
 
-  /** Batched perceptual hashing: narrow mapPartitions — payloads never
-    * shuffle; only (asset_id, phash) longs leave the stage.
+  /** Per-asset perceptual hashing: a narrow map — payloads never shuffle;
+    * only (asset_id, phash) longs leave the stage. Unlike the decode/
+    * resize stubs there is no cross-element codec state to amortize, so
+    * no grouped() batching (it would only buffer payloads for nothing).
     */
   def perceptualHashes(assets: Dataset[MediaAsset]): DataFrame = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.grouped(BatchSize).flatMap(
-      _.map(a => (a.assetId, phashStub(a.payload)))))
+    assets.map(a => (a.assetId, phashStub(a.payload)))
       .toDF("asset_id", "phash")
   }
 

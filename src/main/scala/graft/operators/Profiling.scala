@@ -83,9 +83,11 @@ object Profiling {
     * run in doubles, on bit-identical exact inputs, with identical
     * association order in both engines.
     *
-    * Exactness headroom (documented contract, fail-null not silently
-    * wrong): |dv·100| < 2¹⁹ per row (|value − mean| ≤ ~5 242 — the events
-    * domain is rating-like, max 560), Σ|dv|³ ≤ 10²⁵, Σdv⁴ ≤ 10²¹.
+    * Exactness headroom (documented contract, fail-LOUD not silently
+    * wrong — under ANSI mode an out-of-range narrowing throws
+    * NUMERIC_VALUE_OUT_OF_RANGE rather than nulling): |dv·100| < 2¹⁹ per
+    * row (|value − mean| ≤ ~5 242 — the events domain is rating-like,
+    * max 560), Σ|dv|³ ≤ 10²⁵, Σdv⁴ ≤ 10²¹.
     */
   val qMoments: Q = Q(
     "q_moments",

@@ -57,20 +57,30 @@ object Similarity {
     * needs — and their per-doc aggregations run with zero exchange
     * because the repartition-before-explode already keys by doc_id.
     */
+  /** Per-doc word-3-gram shingle STRING arrays — the ONE tokenization
+    * definition every shingle consumer (string explode for the exact
+    * n-gram counter, per-row hash arrays for MinHash) derives from, so
+    * the cross-consumer bit-identity the recall specs rely on cannot
+    * drift between hand-synchronized copies.
+    */
+  private def shingleStrings(docs: DataFrame): DataFrame =
+    docs
+      // small single-file inputs scan as ONE partition; spread the rows so
+      // per-row shingling runs at full parallelism (at lake scale the scan
+      // is already multi-split and this is a cheap no-op guard against
+      // tiny-file skew)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
+        .as("shArr"))
+
   private def shinglesRaw(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "shingles_raw") {
-      Tables.documents(s, d)
-        // small single-file inputs scan as ONE partition; spread the rows
-        // before the explode so shingling runs at full parallelism (at lake
-        // scale the scan is already multi-split and this is a cheap no-op
-        // guard against tiny-file skew)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"),
-          split(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-          .as("sh"))
+      shingleStrings(Tables.documents(s, d))
+        .select(col("doc_id"), explode(col("shArr")).as("sh"))
         // one strong 64-bit hash per shingle, computed once at index build:
         // every repeated-hash consumer (the 32 minhash permutations, the
         // bucket-verification set intersections) mixes this fixed-width long
@@ -211,19 +221,13 @@ object Similarity {
     */
   /** Per-doc shingle-hash arrays for an arbitrary (doc_id, text) frame —
     * the DataFrame-parameterized core [[docShingleHashes]] memoizes per
-    * dir, and the incremental path feeds with just the new slice.
+    * dir, and the incremental path feeds with just the new slice. Derives
+    * from [[shingleStrings]] so the tokenization cannot drift from the
+    * string-shingle consumers.
     */
   private def shingleHashesOf(docs: DataFrame): DataFrame =
-    docs
-      // small single-file inputs scan as ONE partition; spread rows so
-      // the per-row shingling runs at full parallelism (no-op at lake scale)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"),
-        split(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), expr(
-        "transform(sequence(0, size(w)-3), i -> " +
-          "xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))").as("hs"))
+    shingleStrings(docs).select(col("doc_id"),
+      expr("transform(shArr, x -> xxhash64(x))").as("hs"))
 
   /** Banded MinHash signatures of a shingle-hash frame: per-row minhash i
     * = min over the doc's shingle hashes of xxhash64(i, h) — bit-identical
@@ -284,6 +288,34 @@ object Similarity {
         greatest(col("id_n"), col("id_o")).as("id_b"))
       .distinct()
     verifyPairs(candidates, shOld.unionByName(shNew))
+  }
+
+  /** Scoped form of [[minhashIncrement]] (the Store.loadJsonlLenientScoped
+    * pattern): the shingle-hash frames feed BOTH the band join and the
+    * verification pass from multiple aliased subtrees, so the plain form
+    * re-shingles the slices per consumer (acceptable for one-shot calls;
+    * exchange reuse absorbs some of it). This form persists them for the
+    * duration of `f` and unpersists in a finally — the shape a production
+    * daily-increment job wants (at 100 TB the old side would instead be a
+    * WRITTEN band/set index, making the persist unnecessary).
+    */
+  def minhashIncrementScoped[T](oldDocs: DataFrame, newDocs: DataFrame)
+      (f: DataFrame => T): T = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shOld = shingleHashesOf(oldDocs).persist(lvl)
+    val shNew = shingleHashesOf(newDocs).persist(lvl)
+    try {
+      val bNew = bandsOf(shNew)
+      val bAll = bandsOf(shOld).unionByName(bNew)
+      val candidates = bNew.select(col("doc_id").as("id_n"), col("band"), col("bhash"))
+        .join(bAll.select(col("doc_id").as("id_o"), col("band"), col("bhash")),
+          Seq("band", "bhash"))
+        .filter(col("id_n") =!= col("id_o"))
+        .select(least(col("id_n"), col("id_o")).as("id_a"),
+          greatest(col("id_n"), col("id_o")).as("id_b"))
+        .distinct()
+      f(verifyPairs(candidates, shOld.unionByName(shNew)))
+    } finally { shOld.unpersist(); shNew.unpersist() }
   }
 
   private def docShingleHashes(s: SparkSession, d: String): DataFrame =

@@ -547,9 +547,14 @@ object TextOps {
     * the plan as a literal into [[graft.functions.BloomContains]] and
     * prunes ~99% of train n-grams MAP-SIDE before the exact sort-merge
     * semi-join; only bloom survivors (true hits + ~1% fp) ever shuffle.
-    * Beyond this the bloom itself would be GB-scale: plain sort-merge.
+    * Sizing arithmetic behind the cutoff: the sketch is sized at 512
+    * n-grams/doc, ≈1.2 bytes each ⇒ 250k docs ≈ 128M items ≈ a ~150 MB
+    * plan constant — heavy but shippable. An order of magnitude more and
+    * the serialized sketch approaches the JVM's 2 GB contiguous-array
+    * limit (writeTo would throw, not degrade), so beyond this cutoff the
+    * operator drops to the plain sort-merge tier instead.
     */
-  private[graft] val EvalBloomMaxDocs = 10000000L
+  private[graft] val EvalBloomMaxDocs = 250000L
 
   private[graft] def decontaminate(s: SparkSession, d: String,
       maxBroadcastEvalDocs: Long = EvalBroadcastMaxDocs,

@@ -97,6 +97,12 @@ final case class TopKPerKeyExec(
       }
       val heaps = scala.collection.mutable.LinkedHashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
+      // fail fast on the no-spill contract, counting rows ACTUALLY
+      // buffered (a worst-case keys·k bound throws spuriously for large k
+      // over sparse keys — e.g. the ANN shortlist's k = 15% of the corpus
+      // where most keys hold far fewer than k rows); the counter moves
+      // only when a heap grows, zero cost on the replace path
+      var retained = 0L
       it.foreach { row =>
         val u = row match {
           case ur: UnsafeRow => ur
@@ -106,22 +112,21 @@ final case class TopKPerKeyExec(
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>
-            // fail fast on the no-spill contract: retained ≤ k rows per
-            // key, so the bound trips on KEY CARDINALITY, the one input
-            // property this operator cannot bound on its own — checked
-            // only when a new key appears, zero cost on the hot path
-            if ((heaps.size.toLong + 1) * limit > maxRetained)
-              throw new IllegalStateException(
-                s"TopKPerKeyExec retained-row cap exceeded: k=$limit × " +
-                  s"${heaps.size + 1} keys > $maxRetained rows buffered in one " +
-                  "partition with no spill support. Use the Window/row_number " +
-                  "formulation (sort-based, spills) for high-cardinality keys, " +
-                  "or raise maxRetainedPerPartition.")
             val h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](rowOrd)
             heaps.put(key.copy(), h) // the projection reuses its buffer: copy keys
             h
         }
-        if (heap.size < limit) heap += u.copy() // iterator reuses row buffers too
+        if (heap.size < limit) {
+          retained += 1
+          if (retained > maxRetained)
+            throw new IllegalStateException(
+              s"TopKPerKeyExec retained-row cap exceeded: $retained rows " +
+                s"(k=$limit over ${heaps.size} keys) buffered in one " +
+                "partition with no spill support. Use the Window/row_number " +
+                "formulation (sort-based, spills) for high-cardinality keys, " +
+                "or raise maxRetainedPerPartition.")
+          heap += u.copy() // iterator reuses row buffers too
+        }
         else if (base.compare(u, heap.head) < 0) { heap.dequeue(); heap += u.copy() }
       }
       heaps.valuesIterator.flatMap(_.iterator.map(_.asInstanceOf[InternalRow]))

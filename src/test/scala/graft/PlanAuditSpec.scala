@@ -98,8 +98,9 @@ class PlanAuditSpec extends SparkSpec {
       "vocab-growth scans not pruned to doc_id+text:\n" + scans.mkString("\n"))
     // the corpus-wide term aggregate must partial-combine map-side
     // (HashAggregate below AND above its Exchange), or hot terms flood
-    // one reducer at 100 TB
-    assert(p.contains("partial_min") || p.contains("partial"),
+    // one reducer at 100 TB — assert the SPECIFIC partial (a bare
+    // "partial" matches the batch-grain aggregates and guards nothing)
+    assert(p.contains("partial_min"),
       "term min(doc_id) aggregate has no map-side partial:\n" + p)
   }
 

@@ -26,7 +26,7 @@ class SimilaritySpec extends SparkSpec {
     val full = pairSet(Similarity.qDedupMinhash.run(spark, sfDir))
     val oldOnly = pairSet(Similarity.minhashIncrement(
       oldDocs.filter(lit(false)), oldDocs)) // empty old ⇒ plain self-pairs of old
-    val inc = pairSet(Similarity.minhashIncrement(oldDocs, newDocs))
+    val inc = Similarity.minhashIncrementScoped(oldDocs, newDocs)(pairSet)
     assert(inc.nonEmpty, "increment must surface cross/new pairs on this corpus")
     assert(inc.forall { case (a, b) => a % 3 == 0 || b % 3 == 0 },
       "every incremental pair must involve a new doc")

@@ -196,10 +196,15 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("decontaminate: shuffled-semi-join branch (huge eval) equals broadcast branch") {
-    // default threshold → broadcast branch; threshold 0 → every eval set
-    // counts as "too big to broadcast" → shuffled joins. Same rows out.
+    // default threshold → broadcast branch; both thresholds 0 → every
+    // eval set counts as too big for broadcast AND bloom → the plain
+    // sort-merge tier (the 100 TB fallback). Same rows out.
     val bcast = TextOps.decontaminate(spark, sfDir).collect()
-    val shuffled = TextOps.decontaminate(spark, sfDir, maxBroadcastEvalDocs = 0L)
+    val shuffled = TextOps.decontaminate(spark, sfDir,
+      maxBroadcastEvalDocs = 0L, maxBloomEvalDocs = 0L)
+    assert(!shuffled.queryExecution.executedPlan.toString
+      .toLowerCase.contains("bloomcontains"),
+      "forced sort-merge tier must not apply the bloom prefilter")
     // the forced branch must really drop the broadcast hint on the
     // N-GRAM joins (the vocab-sized ones). The final doc_id outer join of
     // two doc-grain aggregates may still auto-broadcast — that is size

@@ -93,6 +93,18 @@ class TopKSpec extends SparkSpec {
       .count() == 5000L)
   }
 
+  test("large k over sparse keys does not trip the cap spuriously") {
+    import spark.implicits._
+    // k=5000 but every key holds ONE row: actual retained = 2000 rows,
+    // far under the 3000 cap — a worst-case (keys+1)·k bound would have
+    // thrown at the very first key (1×5000 > 3000). This is the ANN
+    // shortlist's shape (k = 15% of corpus, most keys sparse).
+    val df = (1L to 2000L).map(i => (i, s"key$i", i.toDouble))
+      .toDF("event_id", "event_type", "value").coalesce(1)
+    assert(TopK.perKey(df, Seq("event_type"), "value", "event_id", 5000,
+      maxRetainedPerPartition = 3000L).count() == 2000L)
+  }
+
   test("non-Unsafe input rows (already-distributed single partition) do not cast-crash") {
     import spark.implicits._
     // coalesce(1) satisfies ClusteredDistribution without an inserted
