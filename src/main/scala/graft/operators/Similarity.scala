@@ -73,8 +73,16 @@ object Similarity {
       .select(col("doc_id"),
         split(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ").as("w"))
       .filter(size(col("w")) >= 3)
+      // the IF makes the expression TOTAL: InferFiltersFromGenerate
+      // derives size(transform(...))>0 from a downstream explode and
+      // merges it into this filter, where codegen's subexpression
+      // elimination evaluates the shared transform BEFORE the size guard
+      // can short-circuit — on a short array, sequence(0, size-3) turns
+      // descending and the ANSI index lookup throws. Guarded, short rows
+      // yield array() (then filtered) instead of a crash.
       .select(col("doc_id"), expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
+        "IF(size(w) >= 3, transform(sequence(0, size(w)-3), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2])), array())")
         .as("shArr"))
 
   private def shinglesRaw(s: SparkSession, d: String): DataFrame =

@@ -154,5 +154,39 @@ object Temporal {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(qAsofJoin, qRangeJoin, qRollupEvents, qLatestPerKey)
+  /** SCD-2 validity-interval history (the HISTORY twin of
+    * [[qLatestPerKey]]'s SCD-1 snapshot — the reference's UPDATE-in-place
+    * rows re-expressed as the append-only audit view a lakehouse keeps):
+    * each change event per key becomes a versioned row with
+    * [valid_from_us, valid_to_us) from one `lead` over the same keyed
+    * shuffle the snapshot pays — no self-join, no second pass; the open
+    * version has NULL valid_to and is_current = true. Version numbers
+    * ride the identical window as row_number.
+    */
+  val qScd2History: Q = Q(
+    "q_scd2_history",
+    s"""WITH $evSql
+       |SELECT user_id,
+       |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       |  event_id, event_type, value,
+       |  tus AS valid_from_us,
+       |  LEAD(tus) OVER w AS valid_to_us,
+       |  LEAD(tus) OVER w IS NULL AS is_current
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+       |ORDER BY user_id, version""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    ev(s, d)
+      .select(col("user_id"),
+        row_number().over(w).cast("long").as("version"),
+        col("event_id"), col("event_type"), col("value"),
+        col("tus").as("valid_from_us"),
+        lead(col("tus"), 1).over(w).as("valid_to_us"),
+        lead(col("tus"), 1).over(w).isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val all: Seq[Q] = Seq(qAsofJoin, qRangeJoin, qRollupEvents, qLatestPerKey,
+    qScd2History)
 }
