@@ -63,7 +63,22 @@ object Similarity {
     * the cross-consumer bit-identity the recall specs rely on cannot
     * drift between hand-synchronized copies.
     */
-  private def shingleStrings(docs: DataFrame): DataFrame =
+  /** The 3-gram shingle-array expression over a token column `w` — the
+    * ONE textual definition both the explode path and the per-row hash
+    * path compile, so tokenization cannot drift between them.
+    *
+    * get() (null past the end) makes the lambda TOTAL — on a short array
+    * sequence(0, size-3) turns descending and a bare ANSI index lookup
+    * throws if the expression is ever evaluated before the size guard.
+    */
+  private val ShingleArrExpr =
+    "transform(sequence(0, size(w)-3), " +
+      "i -> concat_ws(' ', get(w, i), get(w, i+1), get(w, i+2)))"
+
+  /** Tokenized docs (doc_id, w) with the ≥3-token filter applied — the
+    * shared front of every shingle consumer.
+    */
+  private def tokenized(docs: DataFrame): DataFrame =
     docs
       // small single-file inputs scan as ONE partition; spread the rows so
       // per-row shingling runs at full parallelism (at lake scale the scan
@@ -73,22 +88,18 @@ object Similarity {
       .select(col("doc_id"),
         split(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      // the IF makes the expression TOTAL: InferFiltersFromGenerate
-      // derives size(transform(...))>0 from a downstream explode and
-      // merges it into this filter, where codegen's subexpression
-      // elimination evaluates the shared transform BEFORE the size guard
-      // can short-circuit — on a short array, sequence(0, size-3) turns
-      // descending and the ANSI index lookup throws. Guarded, short rows
-      // yield array() (then filtered) instead of a crash.
-      .select(col("doc_id"), expr(
-        "IF(size(w) >= 3, transform(sequence(0, size(w)-3), " +
-          "i -> concat_ws(' ', w[i], w[i+1], w[i+2])), array())")
-        .as("shArr"))
 
   private def shinglesRaw(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "shingles_raw") {
-      shingleStrings(Tables.documents(s, d))
-        .select(col("doc_id"), explode(col("shArr")).as("sh"))
+      tokenized(Tables.documents(s, d))
+        // the transform stays INLINE in the generator: exploding a NAMED
+        // array column instead lets InferFiltersFromGenerate (which only
+        // fires on cheap/attribute generator children) add
+        // size(col)>0/isnotnull(col) predicates that column substitution
+        // then expands into whole-pipeline re-evaluations pushed below
+        // the repartition — measured 25× slower on the index build (and
+        // the expanded predicate crashes the ANSI edge case get() guards)
+        .select(col("doc_id"), explode(expr(ShingleArrExpr)).as("sh"))
         // one strong 64-bit hash per shingle, computed once at index build:
         // every repeated-hash consumer (the 32 minhash permutations, the
         // bucket-verification set intersections) mixes this fixed-width long
@@ -229,13 +240,13 @@ object Similarity {
     */
   /** Per-doc shingle-hash arrays for an arbitrary (doc_id, text) frame —
     * the DataFrame-parameterized core [[docShingleHashes]] memoizes per
-    * dir, and the incremental path feeds with just the new slice. Derives
-    * from [[shingleStrings]] so the tokenization cannot drift from the
-    * string-shingle consumers.
+    * dir, and the incremental path feeds with just the new slice.
+    * Compiles the same [[ShingleArrExpr]] as the explode path, so the
+    * tokenization cannot drift between consumers.
     */
   private def shingleHashesOf(docs: DataFrame): DataFrame =
-    shingleStrings(docs).select(col("doc_id"),
-      expr("transform(shArr, x -> xxhash64(x))").as("hs"))
+    tokenized(docs).select(col("doc_id"),
+      expr(s"transform($ShingleArrExpr, x -> xxhash64(x))").as("hs"))
 
   /** Banded MinHash signatures of a shingle-hash frame: per-row minhash i
     * = min over the doc's shingle hashes of xxhash64(i, h) — bit-identical

@@ -466,11 +466,11 @@ object TextOps {
       sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
       max("c").as("top_c"))
     val bgc = docs.filter(size(col("w")) >= 2)
-      // IF-guarded for the same InferFiltersFromGenerate + subexpr-
+      // get()-guarded for the same InferFiltersFromGenerate + subexpr-
       // elimination hazard documented at Similarity.shingleStrings
       .select(col("doc_id"), explode(expr(
-        "IF(size(w) >= 2, transform(sequence(0, size(w)-2), " +
-          "i -> concat_ws(' ', w[i], w[i+1])), array())"))
+        "transform(sequence(0, size(w)-2), " +
+          "i -> concat_ws(' ', get(w, i), get(w, i+1)))"))
         .as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
     val perbg = bgc.groupBy("doc_id").agg(
@@ -591,11 +591,11 @@ object TextOps {
         // phantom ""-token guard: see qRepetitionStats
         .select(col("doc_id"), filter(split(norm, " "), t => t =!= "").as("w"))
         .filter(size(col("w")) >= 5)
-        // IF-guarded for the same InferFiltersFromGenerate + subexpr-
+        // get()-guarded for the same InferFiltersFromGenerate + subexpr-
         // elimination hazard documented at Similarity.shingleStrings
         .select(col("doc_id"), explode(expr(
-          "IF(size(w) >= 5, transform(sequence(0, size(w)-5), " +
-            "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])), array())"))
+          "transform(sequence(0, size(w)-5), i -> concat_ws(' ', " +
+            "get(w, i), get(w, i+1), get(w, i+2), get(w, i+3), get(w, i+4)))"))
           .as("ng"))
     }
     // only the (bounded) eval side pays a per-doc distinct — train n-grams
