@@ -416,6 +416,49 @@ object Ingest {
     * day-grain aggregate — O(#days) rows at any corpus size, same
     * contract as [[qRunDeltas]].
     */
+  /** Cohort retention triangle (the user-level generalization of
+    * report_db_growth's new-user curve — the standard "did the users a
+    * scrape/launch day brought stay active" diagnostic): cohort = the
+    * user's first active day; for every (cohort, day-offset), the count
+    * of cohort users active that day and the exact retention rate.
+    *
+    * Scale shape: one distinct over (user, day) — map-side combinable —
+    * then a user-keyed join against the per-user cohort aggregate (same
+    * shuffle key), and everything after is cohort-grain (O(days²/2)
+    * rows). No windows over the fact stream, no driver collect.
+    */
+  val qRetention: Q = Q(
+    "q_retention",
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+       |  FROM events WHERE user_id IS NOT NULL),
+       |ch AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1),
+       |sz AS (SELECT cohort_day, COUNT(*) AS n_cohort FROM ch GROUP BY 1),
+       |act AS (
+       |  SELECT c.cohort_day, u.day - c.cohort_day AS day_offset,
+       |    COUNT(*) AS n_active
+       |  FROM ud u JOIN ch c USING (user_id) GROUP BY 1, 2)
+       |SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort,
+       |  CAST(day_offset AS BIGINT) AS day_offset, n_active, n_cohort,
+       |  ${exactDivSql("n_active", "n_cohort", 4)} AS retention_rate
+       |FROM act a JOIN sz ON a.cohort_day = sz.cohort_day
+       |ORDER BY cohort, day_offset""".stripMargin
+  ) { (s, d) =>
+    val ud = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val cohort = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("n_cohort"))
+    ud.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_day")
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        col("day_offset"), col("n_active"), col("n_cohort"),
+        exactDiv(col("n_active"), col("n_cohort"), 4).as("retention_rate"))
+      .orderBy("cohort", "day_offset")
+  }
+
   val qDbGrowth: Q = Q(
     "q_db_growth",
     """WITH dly AS (
@@ -488,5 +531,5 @@ object Ingest {
   val all: Seq[Q] = Seq(
     qIncrementalIngest, qIngestMetrics, qRunDeltas, qAnomalyZscore,
     qQualityMetrics, qWindowedCounts, qSessionize, qPropsExtract, qDbGrowth,
-    qSessionStats, qRunLedger, qSessionLedger)
+    qRetention, qSessionStats, qRunLedger, qSessionLedger)
 }
