@@ -406,16 +406,6 @@ object Ingest {
       .orderBy("run_id")
   }
 
-  /** Cumulative lake growth (reporter.report_db_growth:72, lifted from a
-    * point-in-time snapshot to the full growth curve): per-day new rows,
-    * FIRST-SEEN users (each user counted once, on the day of their first
-    * event — "active today" would recount returners and overstate
-    * growth), and the running cumulative row total. Two full-width
-    * aggregates, both partial-combining before their shuffles (per-day
-    * counts; per-user min-day); the running sum windows over the
-    * day-grain aggregate — O(#days) rows at any corpus size, same
-    * contract as [[qRunDeltas]].
-    */
   /** Cohort retention triangle (the user-level generalization of
     * report_db_growth's new-user curve — the standard "did the users a
     * scrape/launch day brought stay active" diagnostic): cohort = the
@@ -459,6 +449,16 @@ object Ingest {
       .orderBy("cohort", "day_offset")
   }
 
+  /** Cumulative lake growth (reporter.report_db_growth:72, lifted from a
+    * point-in-time snapshot to the full growth curve): per-day new rows,
+    * FIRST-SEEN users (each user counted once, on the day of their first
+    * event — "active today" would recount returners and overstate
+    * growth), and the running cumulative row total. Two full-width
+    * aggregates, both partial-combining before their shuffles (per-day
+    * counts; per-user min-day); the running sum windows over the
+    * day-grain aggregate — O(#days) rows at any corpus size, same
+    * contract as [[qRunDeltas]].
+    */
   val qDbGrowth: Q = Q(
     "q_db_growth",
     """WITH dly AS (

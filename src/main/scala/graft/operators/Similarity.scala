@@ -50,19 +50,6 @@ object Similarity {
     ivfModels.clear()
   }
 
-  /** Raw (non-distinct) word 3-gram shingles per document (docs with ≥3
-    * tokens), hash-partitioned by doc_id. Duplicate-insensitive consumers
-    * (the MinHash min-aggregates, the collect_set verification sets) read
-    * THIS — skipping the full-width distinct shuffle the n-gram counter
-    * needs — and their per-doc aggregations run with zero exchange
-    * because the repartition-before-explode already keys by doc_id.
-    */
-  /** Per-doc word-3-gram shingle STRING arrays — the ONE tokenization
-    * definition every shingle consumer (string explode for the exact
-    * n-gram counter, per-row hash arrays for MinHash) derives from, so
-    * the cross-consumer bit-identity the recall specs rely on cannot
-    * drift between hand-synchronized copies.
-    */
   /** The 3-gram shingle-array expression over a token column `w` — the
     * ONE textual definition both the explode path and the per-row hash
     * path compile, so tokenization cannot drift between them.
@@ -89,6 +76,11 @@ object Similarity {
         split(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ").as("w"))
       .filter(size(col("w")) >= 3)
 
+  /** Raw (non-distinct) exploded word 3-gram shingles per document,
+    * hash-partitioned by doc_id. The string-grain consumers (the exact
+    * n-gram counter via [[shingles]]) read this; the MinHash pipeline
+    * reads [[docShingleHashes]]'s per-row arrays instead.
+    */
   private def shinglesRaw(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "shingles_raw") {
       tokenized(Tables.documents(s, d))

@@ -467,7 +467,7 @@ object TextOps {
       max("c").as("top_c"))
     val bgc = docs.filter(size(col("w")) >= 2)
       // get()-guarded for the same InferFiltersFromGenerate + subexpr-
-      // elimination hazard documented at Similarity.shingleStrings
+      // elimination hazard documented at Similarity.ShingleArrExpr/shinglesRaw
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w)-2), " +
           "i -> concat_ws(' ', get(w, i), get(w, i+1)))"))
@@ -592,7 +592,7 @@ object TextOps {
         .select(col("doc_id"), filter(split(norm, " "), t => t =!= "").as("w"))
         .filter(size(col("w")) >= 5)
         // get()-guarded for the same InferFiltersFromGenerate + subexpr-
-        // elimination hazard documented at Similarity.shingleStrings
+        // elimination hazard documented at Similarity.ShingleArrExpr/shinglesRaw
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(w)-5), i -> concat_ws(' ', " +
             "get(w, i), get(w, i+1), get(w, i+2), get(w, i+3), get(w, i+4)))"))
