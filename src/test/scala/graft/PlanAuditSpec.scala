@@ -116,6 +116,26 @@ class PlanAuditSpec extends SparkSpec {
       s"window must sit above the cluster-grain aggregate (win@$winIdx agg@$aggIdx):\n" + p)
   }
 
+  test("retention: user-keyed aggregates partial-combine; triangle stays cohort-grain") {
+    val p = plan("q_retention")
+    // the (user, day) distinct and the per-user min must partial-combine
+    // map-side or hot users flood one reducer at 100 TB
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "retention aggregates lost their map-side partials:\n" + p)
+    // no window over the fact stream — everything after the joins is
+    // cohort-grain aggregation
+    assert(!p.contains("Window"), "retention must not window the fact stream:\n" + p)
+  }
+
+  test("scd2 history: one keyed window pass, no self-join of the stream") {
+    val p = plan("q_scd2_history")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "SCD-2 must derive validity intervals from a window, not a join:\n" + p)
+    assert(p.split("\n").count(_.trim.startsWith("Window")) <= 1 ||
+      p.split("Window").length <= 3, // lead + row_number may fuse into one Window op
+      "more window passes than the single keyed shuffle contract:\n" + p)
+  }
+
   test("hot expressions stay inside whole-stage codegen") {
     // execute first: codegen spans only appear in the finalized AQE plan
     val df = SparkEntry.queries("q_quality_score")(spark, sfDir)
