@@ -406,6 +406,63 @@ object Ingest {
       .orderBy("run_id")
   }
 
+  /** Conversion funnel (first-touch attribution — the ordered-event
+    * question every event pipeline answers: of the users who signed up
+    * each day, how many purchased within 7 days, and how fast): first
+    * signup per user, earliest purchase inside the 7-day window after
+    * it, day-grain conversion rates and exact mean time-to-convert
+    * (NULL when nobody converted — zero-denominator exactDiv is NULL in
+    * both engines).
+    *
+    * Scale shape: both sides of the window join key on user_id (one hash
+    * shuffle, never a cross product — the qRangeJoin contract); the
+    * per-user firsts partial-combine map-side; output is day-grain.
+    */
+  val qFunnel: Q = Q(
+    "q_funnel",
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tus
+       |  FROM events WHERE user_id IS NOT NULL),
+       |su AS (SELECT user_id, MIN(tus) AS signup_us
+       |       FROM e WHERE event_type = 'signup' GROUP BY 1),
+       |cv AS (
+       |  SELECT s.user_id, s.signup_us, MIN(p.tus) AS purchase_us
+       |  FROM su s LEFT JOIN e p
+       |    ON p.user_id = s.user_id AND p.event_type = 'purchase'
+       |   AND p.tus > s.signup_us AND p.tus <= s.signup_us + 604800000000
+       |  GROUP BY 1, 2)
+       |SELECT strftime(make_timestamp(signup_us), '%Y-%m-%d') AS signup_day,
+       |  COUNT(*) AS n_signups,
+       |  CAST(COUNT(purchase_us) AS BIGINT) AS n_converted,
+       |  ${exactDivSql("COUNT(purchase_us)", "COUNT(*)", 4)} AS conversion_rate,
+       |  ${exactDivSql("SUM(purchase_us - signup_us)", "COUNT(purchase_us)", 0)}
+       |    AS avg_us_to_convert
+       |FROM cv GROUP BY 1 ORDER BY signup_day""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tus").as("signup_us")).as("s")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("tus").as("ptus")).as("p")
+    su.join(p,
+        col("s.user_id") === col("p.p_user") &&
+          col("ptus") > col("signup_us") &&
+          col("ptus") <= col("signup_us") + 604800000000L,
+        "left")
+      .groupBy(col("s.user_id"), col("signup_us"))
+      .agg(min("ptus").as("purchase_us"))
+      .groupBy(date_format(timestamp_micros(col("signup_us")), "yyyy-MM-dd")
+        .as("signup_day"))
+      .agg(count(lit(1)).as("n_signups"),
+        count(col("purchase_us")).as("n_converted"),
+        exactDiv(count(col("purchase_us")), count(lit(1)), 4)
+          .as("conversion_rate"),
+        exactDiv(sum(col("purchase_us") - col("signup_us")),
+          count(col("purchase_us")), 0).as("avg_us_to_convert"))
+      .orderBy("signup_day")
+  }
+
   /** Cohort retention triangle (the user-level generalization of
     * report_db_growth's new-user curve — the standard "did the users a
     * scrape/launch day brought stay active" diagnostic): cohort = the
@@ -531,5 +588,5 @@ object Ingest {
   val all: Seq[Q] = Seq(
     qIncrementalIngest, qIngestMetrics, qRunDeltas, qAnomalyZscore,
     qQualityMetrics, qWindowedCounts, qSessionize, qPropsExtract, qDbGrowth,
-    qRetention, qSessionStats, qRunLedger, qSessionLedger)
+    qRetention, qFunnel, qSessionStats, qRunLedger, qSessionLedger)
 }
