@@ -362,12 +362,27 @@ object Profiling {
   }
 
   /** Spam-style repeated-character detection (analyzer.analyze_text_quality:193
-    * `(.)\1{4,}`) — Java-regex backreference, not expressible in the RE2
-    * oracle, so rows-only + spec-tested.
+    * `(.)\1{4,}`). The reference's backreference is inexpressible in the
+    * oracle's RE2 — instead of settling for a rows-only check, BOTH
+    * engines run the identical backref-free enumerated alternation
+    * (`a{5,}|b{5,}|…` over ASCII alphanumerics + space, where spam runs
+    * live), which is hash-exact; a spec separately pins that on this
+    * corpus the enumeration agrees with the true backref per document.
     */
-  val qRepeatedChars: Q = Q.rowsOnly("q_repeated_chars") { (s, d) =>
+  private[graft] val RepeatRunPattern: String =
+    (('a' to 'z') ++ ('0' to '9') ++ Seq(' '))
+      .map(c => s"$c{5,}").mkString("|")
+
+  val qRepeatedChars: Q = Q(
+    "q_repeated_chars",
+    s"""SELECT regexp_matches(text, '$RepeatRunPattern') AS has_repeated_run,
+       |  COUNT(*) AS n_docs
+       |FROM documents WHERE text IS NOT NULL
+       |GROUP BY 1 ORDER BY has_repeated_run""".stripMargin
+  ) { (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text").rlike("(.)\\1{4,}").as("has_repeated_run"))
+      .filter(col("text").isNotNull)
+      .select(col("text").rlike(RepeatRunPattern).as("has_repeated_run"))
       .groupBy("has_repeated_run")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("has_repeated_run")

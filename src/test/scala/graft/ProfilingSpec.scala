@@ -56,16 +56,24 @@ class ProfilingSpec extends SparkSpec {
     assert(ps(0) <= ps(1) && ps(1) <= ps(2))
   }
 
-  test("repeated-chars operator flags 5+ runs over the corpus") {
-    // run the REGISTERED operator (not an inline copy of its pattern):
-    // an edit to its regex must fail here
-    val total = Tables.documents(spark, sfDir).count()
-    val withRuns = Tables.documents(spark, sfDir)
+  test("repeated-chars: enumerated pattern agrees with the true backref on this corpus") {
+    // the oracle-able enumeration (ASCII alphanumerics + space) must flag
+    // EXACTLY the docs the reference's (.)\1{4,} backref flags — valid on
+    // this corpus because its text is ASCII; a corpus change that breaks
+    // the agreement surfaces here rather than as silent undercounting
+    val docs = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+    val total = docs.count()
+    val backref = docs
       .filter(org.apache.spark.sql.functions.col("text").rlike("(.)\\1{4,}")).count()
+    val enumerated = docs
+      .filter(org.apache.spark.sql.functions.col("text")
+        .rlike(graft.operators.Profiling.RepeatRunPattern)).count()
+    assert(enumerated == backref,
+      s"enumeration flags $enumerated docs, backref flags $backref")
     val byFlag = graft.operators.Profiling.qRepeatedChars.run(spark, sfDir).collect()
-      .map(r => Option(r.getAs[java.lang.Boolean]("has_repeated_run")) ->
-        r.getAs[Long]("n_docs")).toMap
-    assert(byFlag.getOrElse(Some(java.lang.Boolean.TRUE), 0L) == withRuns)
+      .map(r => r.getAs[Boolean]("has_repeated_run") -> r.getAs[Long]("n_docs")).toMap
+    assert(byFlag.getOrElse(true, 0L) == backref)
     assert(byFlag.values.sum == total)
   }
 
