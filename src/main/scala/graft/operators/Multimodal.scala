@@ -156,10 +156,27 @@ object Multimodal {
     * the flatMap kernel is not SQL-expressible; the spec pins exact
     * per-asset frame counts and checksums).
     */
-  val qFrameSample: Q = Q.rowsOnly("q_frame_sample") { (s, d) =>
+  val qFrameSample: Q = Q(
+    "q_frame_sample",
+    // the flatMap kernel itself is not SQL-expressible, but its window
+    // ARITHMETIC is: every 4th 32-byte window of the payload, with the
+    // tail window truncated — so the rollup gets a real hash oracle that
+    // pins the typed flatMap end-to-end (frame counts AND byte totals)
+    """WITH f AS (
+      |  SELECT doc_id, i AS "frameIdx",
+      |    LEAST(32, strlen(text) - i * 32) AS fb
+      |  FROM documents,
+      |    UNNEST(generate_series(0, CAST((strlen(COALESCE(text, '')) - 1) // 32 AS BIGINT))) AS t(i)
+      |  WHERE strlen(COALESCE(text, '')) > 0 AND i % 4 = 0)
+      |SELECT "frameIdx", COUNT(*) AS n_frames,
+      |  CAST(SUM(fb) AS BIGINT) AS total_bytes
+      |FROM f GROUP BY 1 ORDER BY "frameIdx"""".stripMargin
+  ) { (s, d) =>
     sampleFrames(assets(s, d), 32, 4).toDF()
-      .groupBy("frameIdx")
-      .agg(count(lit(1)).as("n_frames"), sum("frameBytes").as("total_bytes"))
+      // long-typed grain/total: generate_series in the oracle is BIGINT
+      .groupBy(col("frameIdx").cast("long").as("frameIdx"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum("frameBytes").cast("long").as("total_bytes"))
       .orderBy("frameIdx")
   }
 
@@ -260,11 +277,21 @@ object Multimodal {
     * (rows-only: the batched mapPartitions is not SQL-expressible; the
     * spec pins exact feature values instead).
     */
-  val qMediaFeatures: Q = Q.rowsOnly("q_media_features") { (s, d) =>
+  val qMediaFeatures: Q = Q(
+    "q_media_features",
+    // the batched mapPartitions decode is not SQL-expressible, but the
+    // stub's nBytes is the payload length and fmt is doc_id-derived — so
+    // the rollup hash-checks the full binary→batch→decode→aggregate path
+    """SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+      |    ELSE 'wav' END AS fmt,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(strlen(COALESCE(text, ''))) AS BIGINT) AS total_bytes
+      |FROM documents GROUP BY 1 ORDER BY fmt""".stripMargin
+  ) { (s, d) =>
     extractFeatures(assets(s, d)).toDF()
       .groupBy("fmt")
       .agg(count(lit(1)).as("n"),
-        sum("nBytes").as("total_bytes"))
+        sum("nBytes").cast("long").as("total_bytes"))
       .orderBy("fmt")
   }
 
