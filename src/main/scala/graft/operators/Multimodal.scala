@@ -152,9 +152,10 @@ object Multimodal {
     }
   }
 
-  /** Frame-sampling rollup through the full binary→window path (rows-only:
-    * the flatMap kernel is not SQL-expressible; the spec pins exact
-    * per-asset frame counts and checksums).
+  /** Frame-sampling rollup through the full binary→window path: the
+    * flatMap kernel stays native, but its window arithmetic is mirrored
+    * in the oracle, so the rollup is hash-exact; the spec additionally
+    * pins per-asset frame counts and checksums.
     */
   val qFrameSample: Q = Q(
     "q_frame_sample",
@@ -273,9 +274,10 @@ object Multimodal {
       .orderBy("source", "fmt")
   }
 
-  /** Feature rollup through the full binary→decode-stub→features path
-    * (rows-only: the batched mapPartitions is not SQL-expressible; the
-    * spec pins exact feature values instead).
+  /** Feature rollup through the full binary→decode-stub→features path:
+    * the batched mapPartitions stays native, but the stub's nBytes/fmt
+    * derivation is mirrored in the oracle, so the rollup is hash-exact;
+    * the spec additionally pins exact feature values.
     */
   val qMediaFeatures: Q = Q(
     "q_media_features",

@@ -330,9 +330,9 @@ object Profiling {
   }
 
   /** Suspicious / low-quality text flags (deep_analysis 5f). The
-    * repeated-chars flag needs a regex backreference (Java-only; RE2 used
-    * by the oracle lacks it) so it lives in the spec-tested rows-only
-    * variant below.
+    * repeated-chars flag would need a regex backreference (Java-only; RE2
+    * used by the oracle lacks it) so it lives in [[qRepeatedChars]] below,
+    * oracle-checked via the backref-free enumerated alternation.
     */
   val qQualityFlags: Q = Q(
     "q_quality_flags",
@@ -365,13 +365,26 @@ object Profiling {
     * `(.)\1{4,}`). The reference's backreference is inexpressible in the
     * oracle's RE2 — instead of settling for a rows-only check, BOTH
     * engines run the identical backref-free enumerated alternation
-    * (`a{5,}|b{5,}|…` over ASCII alphanumerics + space, where spam runs
-    * live), which is hash-exact; a spec separately pins that on this
-    * corpus the enumeration agrees with the true backref per document.
+    * (`a{5,}|b{5,}|…` over printable ASCII, where spam runs live), which
+    * is hash-exact. The DOCUMENTED narrowing vs the true backref: only
+    * the enumerated characters are detected — a run of an unlisted
+    * character (non-ASCII, or the 4 regex-structural chars left out)
+    * passes unflagged. A spec pins the contract on crafted positives
+    * (lowercase/uppercase/digit/space/punct runs flagged; a unicode run
+    * is the known difference), because the synthetic corpus itself
+    * contains no 5+ run at any SF.
     */
-  private[graft] val RepeatRunPattern: String =
-    (('a' to 'z') ++ ('0' to '9') ++ Seq(' '))
-      .map(c => s"$c{5,}").mkString("|")
+  private[graft] val RepeatRunPattern: String = {
+    val alnum = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ Seq(' '))
+      .map(c => s"$c{5,}")
+    // punctuation via single-char classes — identical semantics in Java
+    // regex and RE2 without per-engine escaping rules ('[', ']', '^', '\'
+    // stay out: the chars whose class form is itself structural; the two
+    // quote chars stay out because the pattern embeds in a single-quoted
+    // SQL literal)
+    val punct = "!?.,;:-_*#@$%&+=/()<>~`|".map(c => s"[$c]{5,}")
+    (alnum ++ punct).mkString("|")
+  }
 
   val qRepeatedChars: Q = Q(
     "q_repeated_chars",

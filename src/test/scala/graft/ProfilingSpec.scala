@@ -56,25 +56,40 @@ class ProfilingSpec extends SparkSpec {
     assert(ps(0) <= ps(1) && ps(1) <= ps(2))
   }
 
-  test("repeated-chars: enumerated pattern agrees with the true backref on this corpus") {
-    // the oracle-able enumeration (ASCII alphanumerics + space) must flag
-    // EXACTLY the docs the reference's (.)\1{4,} backref flags — valid on
-    // this corpus because its text is ASCII; a corpus change that breaks
-    // the agreement surfaces here rather than as silent undercounting
-    val docs = Tables.documents(spark, sfDir)
-      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
-    val total = docs.count()
-    val backref = docs
-      .filter(org.apache.spark.sql.functions.col("text").rlike("(.)\\1{4,}")).count()
-    val enumerated = docs
-      .filter(org.apache.spark.sql.functions.col("text")
-        .rlike(graft.operators.Profiling.RepeatRunPattern)).count()
-    assert(enumerated == backref,
-      s"enumeration flags $enumerated docs, backref flags $backref")
+  test("repeated-chars: enumerated pattern flags crafted positives like the backref") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the corpus has NO 5+ runs at any SF, so agreement there is vacuous;
+    // the contract is pinned on crafted positives instead. Every listed
+    // ASCII class must flag exactly like the reference's (.)\1{4,};
+    // a run of an UNLISTED char (unicode here) is the documented
+    // difference — backref flags it, the enumeration does not.
+    val positives = Seq(
+      "aaaaa trailing", "SHOUTING AAAAA", "digits 77777 here",
+      "spaces      in the middle", "wow!!!!!", "dash----- run",
+      "dots..... end", "stars ***** x")
+    val negatives = Seq(
+      "aaaa only four", "no runs at all here", "ab ab ab ab ab",
+      "AAaaAA alternating", "!!!! four bangs", "")
+    val unicodeRun = "héééééx" // ééééé: backref-only, no ASCII run
+    val df = (positives ++ negatives :+ unicodeRun).toDF("text")
+    val got = df.select(col("text"),
+      col("text").rlike(graft.operators.Profiling.RepeatRunPattern).as("en"),
+      col("text").rlike("(.)\\1{4,}").as("bk")).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    positives.foreach { t =>
+      assert(got(t) == ((true, true)), s"'$t' must flag in both forms: ${got(t)}") }
+    negatives.foreach { t =>
+      assert(got(t) == ((false, false)), s"'$t' must flag in neither form: ${got(t)}") }
+    assert(got(unicodeRun) == ((false, true)),
+      "unicode run is the documented enumeration gap (backref-only)")
+    // and on the real corpus the registered operator accounts every doc
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
     val byFlag = graft.operators.Profiling.qRepeatedChars.run(spark, sfDir).collect()
       .map(r => r.getAs[Boolean]("has_repeated_run") -> r.getAs[Long]("n_docs")).toMap
-    assert(byFlag.getOrElse(true, 0L) == backref)
-    assert(byFlag.values.sum == total)
+    assert(byFlag.values.sum == docs.count())
+    assert(byFlag.getOrElse(true, 0L) ==
+      docs.filter(col("text").rlike(graft.operators.Profiling.RepeatRunPattern)).count())
   }
 
   test("pearson: exact-integer coefficient matches double corr per key") {
