@@ -63,14 +63,23 @@ object Bench {
     // read as a speedup): sum successes only, surface the failure count
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
+    // the driver keeps only a byte-bounded TAIL of stdout, so anything at
+    // the HEAD of a long line is what gets truncated (BENCH_r03 lost its
+    // total/failed exactly this way, two rounds running): put the summary
+    // fields AFTER the per-query map so the end of the line carries them
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","failed":$failed,"value":${f3(total)}}"""
+    val summary =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"sf":"$sfDir"}"""
     // belt and braces for the driver handoff: the line on stdout (the
     // contract) AND the same JSON at a fixed path, immune to interleaved
     // log lines or tail truncation
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), json)
     catch { case _: Exception => () }
     println(json)
+    // a second, tiny, complete JSON line printed LAST: whatever tail the
+    // driver keeps, this line survives intact and parses on its own
+    println(summary)
     spark.stop()
   }
 }

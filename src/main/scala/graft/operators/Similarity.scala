@@ -508,10 +508,34 @@ object Similarity {
     * tables, random bucket-mates in ~1), so ranking candidates by it and
     * HARD-CAPPING the exact-evaluation budget bounds candidate fraction
     * by construction — the recall/selectivity knob the raw candidate
-    * union lacks.
+    * union lacks. The fractional budget is a POINT-QUERY cost dial only:
+    * the corpus-wide self-join uses the constant [[KnnShortlist]].
     */
   private[operators] val ShortlistMin = 75
   private[operators] val ShortlistFrac = 0.15
+
+  /** Per-query exact-rescore budget of the k-NN SELF-join: max(75,
+    * ⌈3.4·√n⌉). With every vector a query, a budget PROPORTIONAL to n
+    * makes exact work Θ(0.15·n²) by construction (the r3 flaw); a flat
+    * constant was measured at recall 0.76 at sf0.1 — below floor. The
+    * √n law is the measured knee: exact work is Θ(n^1.5) (subquadratic),
+    * the candidate FRACTION falls as 3.4/√n (spec-pinned: fraction at
+    * sf0.1 < fraction at sf0.01), and recall holds at 0.87/0.84
+    * (sf0.001/sf0.1) with the symmetric collision fold ranking on both
+    * probe directions' signal.
+    */
+  private[graft] def knnBudget(n: Long): Int =
+    math.max(ShortlistMin, math.ceil(3.4 * math.sqrt(n.toDouble)).toInt)
+
+  /** Probe-flip bits of the SELF-join (vs [[ProbeBits]] = 6 for point
+    * queries): m = 4 → 1 + 4 + C(4,2) = 11 probe buckets per (query,
+    * table), HALF the collision-join volume of the point-query 22. The
+    * symmetric fold recovers the lost signal (both directions' collisions
+    * sum), measured recall 0.871/0.836 at sf0.001/sf0.1 vs 0.902/0.875
+    * for m = 6 at twice the traffic — the knee of the volume/recall
+    * curve.
+    */
+  private[graft] val KnnProbeBits = 4
   private[operators] lazy val hyperplanes: Array[Array[Long]] = {
     def splitmix(seed: Long): Long = {
       var z = seed + 0x9e3779b97f4a7c15L
@@ -576,7 +600,10 @@ object Similarity {
     */
   private[graft] def annLshShortlist(s: SparkSession, d: String,
       queryFilter: Column = col("vec_id") < 10,
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true,
+      budget: Option[Int] = None,
+      symmetric: Boolean = false,
+      probeBits: Int = ProbeBits): DataFrame = {
     GraftFunctions.register(s)
     val q = quantized(s, d)
     // the whole 256×64 hyperplane bank rides the plan as ONE literal into
@@ -589,10 +616,15 @@ object Similarity {
     // materialized: the probe side and the corpus side both read the
     // bucket table, and the 256 hyperplane dots per vector should run
     // once (this is the written LSH index of a production deployment).
-    // A null vector has no signs: its dots are null and ds[..] IF()s
-    // land it in bucket 0 of every table, same as the per-plane form.
+    // A null vector has no signs: EXCLUDED from the index (it would sit
+    // in bucket 0 of every table, enter collision shortlists and reach
+    // exact rescoring where its cosine evaluates to null — a null-cosine
+    // neighbor row could then surface when a query has few real
+    // candidates). Dropping it here covers every consumer: shortlists
+    // only ever emit vec_ids that are in the bucket table.
     val withBuckets = materialized(s, d, "lsh_buckets") {
-      q.select(col("vec_id"), dots.as("ds256"))
+      q.filter(col("qv").isNotNull)
+        .select(col("vec_id"), dots.as("ds256"))
         .select(col("vec_id"), posexplode(expr(
           s"transform(sequence(0, ${Tables_ - 1}), t -> " +
             s"aggregate(sequence(0, ${BitsPerTable - 1}), 0L, " +
@@ -617,13 +649,13 @@ object Similarity {
           s"(acc, b) -> acc + IF(ds[b] >= 0, shiftleft(1L, b), 0L))"))
       .withColumn("fl", expr(
         s"slice(transform(array_sort(transform(sequence(0, ${BitsPerTable - 1}), " +
-          s"b -> struct(abs(ds[b]) AS a, b AS b))), s -> s.b), 1, $ProbeBits)"))
+          s"b -> struct(abs(ds[b]) AS a, b AS b))), s -> s.b), 1, $probeBits)"))
       // masks: no flip, each single flip, each pair flip (distinct bits ⇒
       // + is exact); XOR against the base bucket yields the probe buckets
       .withColumn("mask", explode(expr(
         s"concat(array(0L), transform(fl, b -> shiftleft(1L, b)), " +
-          s"flatten(transform(sequence(0, ${ProbeBits - 2}), i -> " +
-          s"transform(sequence(i + 1, ${ProbeBits - 1}), j -> " +
+          s"flatten(transform(sequence(0, ${probeBits - 2}), i -> " +
+          s"transform(sequence(i + 1, ${probeBits - 1}), j -> " +
           s"shiftleft(1L, fl[i]) + shiftleft(1L, fl[j])))))")))
       .select(col("query_id"), col("table_id"),
         col("bucket").bitwiseXOR(col("mask")).as("bucket"))
@@ -634,14 +666,32 @@ object Similarity {
     // self-join) shuffles both sides on (table_id, bucket) — the probe
     // table is |queries|·T·22 narrow rows, linear in the corpus.
     val probeSide = if (broadcastProbes) broadcast(qs) else qs
-    val hits = withBuckets.join(probeSide, Seq("table_id", "bucket"))
+    val rawHits = withBuckets.join(probeSide, Seq("table_id", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id").agg(count(lit(1)).as("n_tables"))
-    // budget probe: corpus count off the already-materialized quantized
-    // cache (same cheap-probe pattern as decontaminate's eval count)
-    val budget = math.max(ShortlistMin,
-      math.ceil(q.count() * ShortlistFrac).toInt)
-    TopK.perKey(hits, Seq("query_id"), "n_tables", "vec_id", budget)
+    // self-join (symmetric): fold hits to UNORDERED pairs before the
+    // count — c_sym(a,b) = c(a→b) + c(b→a) sums both probe directions'
+    // collision evidence (2× the ranking signal at the same join
+    // volume, which is what lets the constant KnnShortlist budget hold
+    // recall), and the aggregate carries half the groups; the pair
+    // counts are mirrored back per query AFTER aggregation (tiny).
+    val hits =
+      if (symmetric) {
+        val sym = rawHits
+          .select(least(col("query_id"), col("vec_id")).as("id_a"),
+            greatest(col("query_id"), col("vec_id")).as("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_tables"))
+        sym.select(col("id_a").as("query_id"), col("id_b").as("vec_id"), col("n_tables"))
+          .unionByName(sym.select(col("id_b").as("query_id"),
+            col("id_a").as("vec_id"), col("n_tables")))
+      } else
+        rawHits.groupBy("query_id", "vec_id").agg(count(lit(1)).as("n_tables"))
+    // default budget probe: corpus count off the already-materialized
+    // quantized cache (same cheap-probe pattern as decontaminate's eval
+    // count) — the point-query cost dial; the self-join passes the
+    // constant KnnShortlist instead
+    val b = budget.getOrElse(math.max(ShortlistMin,
+      math.ceil(q.count() * ShortlistFrac).toInt))
+    TopK.perKey(hits, Seq("query_id"), "n_tables", "vec_id", b)
   }
 
   private val IvfK = 16
@@ -832,29 +882,43 @@ object Similarity {
     * per-pair similarity proxy; at equal candidate budgets the shortlist
     * recalls 0.84.)
     *
-    * Scale shape: the probe table is |corpus|·32·22 narrow rows — too big
-    * to broadcast, so the bucket join shuffles BOTH sides on (table_id,
-    * bucket), which is linear in corpus size; the per-query budget then
-    * caps the quadratic exact-rescore term at budget·n. The top-5 cut
-    * runs on the bounded-heap [[TopK.perKey]] operator — no corpus-wide
-    * window sort.
+    * Scale shape: the probe table is |corpus|·32·11 narrow rows
+    * ([[KnnProbeBits]] m=4 masks — half the point-query probe volume;
+    * the symmetric fold recovers the signal) — too big to broadcast, so
+    * the bucket join shuffles BOTH sides on (table_id, bucket), linear
+    * in corpus size. The exact-rescore budget is [[knnBudget]] =
+    * max(75, ⌈3.4·√n⌉) per query: the r3 fractional budget made exact
+    * work Θ(0.15·n²) by construction, a flat constant was measured at
+    * recall 0.76 at sf0.1 (below floor) — the √n law keeps exact work
+    * Θ(n^1.5) and the candidate FRACTION falls as 3.4/√n (spec-pinned:
+    * fraction at sf0.1 < fraction at sf0.01). Recall holds at the
+    * smaller budget/probe set because collision counts are folded over
+    * UNORDERED pairs first — both probe directions' hits sum into one
+    * c_sym(a,b) ranking signal (measured: the fold alone lifted recall
+    * 0.85 → 0.90 at the r3 budget; the shipped m=4/√n point sits at
+    * 0.871 sf0.001 / 0.836 sf0.1). The top-5 cut runs on the
+    * bounded-heap [[TopK.perKey]] operator — no corpus-wide window sort.
     *
     * Honest cost accounting: on a NEAR-ISOTROPIC corpus the collision
-    * join emits ~T·probes/2^bits ≈ 2.75 hit-rows per vector PAIR (11M at
-    * n=2000) — narrow count-aggregate rows, map-side combinable, ~5×
+    * join emits ~T·probes/2^bits ≈ 1.4 hit-rows per vector PAIR (5.5M at
+    * n=2000) — narrow count-aggregate rows, map-side combinable, ~10×
     * cheaper than brute force's 64-wide dots but still Θ(n²) traffic;
     * this is the ρ→1 regime where no LSH family is sublinear (single-flip
-    * multiprobe was measured at 0.72 recall — below floor — so the pair
-    * flips stay). On REAL clustered embeddings collisions concentrate in
-    * near pairs and the same plan's hit volume drops toward the 0.15·n²
-    * shortlist bound; for lake-scale corpora the right preconditioner is
-    * coarse partitioning (IVF lists at K ∝ √n) before this pass.
+    * multiprobe was measured at 0.73 recall even with the symmetric fold
+    * — below floor — so the pair flips stay). On REAL clustered
+    * embeddings collisions concentrate in near pairs and the hit volume
+    * drops toward the budget·n shortlist bound; for lake-scale corpora
+    * the right preconditioner is coarse partitioning (IVF lists at
+    * K ∝ √n) before this pass — measured at recall 0.37 on THIS
+    * isotropic corpus, which is why the collision-count form ships.
     */
   val qKnnJoin: Q = Q.rowsOnly("q_knn_join") { (s, d) =>
     GraftFunctions.register(s)
     val q = quantized(s, d)
     val candIds = annLshShortlist(s, d,
-      queryFilter = lit(true), broadcastProbes = false)
+      queryFilter = lit(true), broadcastProbes = false,
+      budget = Some(knnBudget(q.count())), symmetric = true,
+      probeBits = KnnProbeBits)
       .select("query_id", "vec_id")
     val scored = candIds
       .join(q.select(col("vec_id"), col("qv"), col("n2")), "vec_id")

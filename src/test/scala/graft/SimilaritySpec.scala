@@ -96,13 +96,28 @@ class SimilaritySpec extends SparkSpec {
     // the exact-rescore volume is the shortlist itself: it must stay a
     // budgeted fraction of all pairs — the self-join must not degenerate
     // to all-pairs
-    val shortlist = Similarity.annLshShortlist(spark, sfDir,
-      queryFilter = org.apache.spark.sql.functions.lit(true),
-      broadcastProbes = false).count()
-    val nPairs = vecs.length.toLong * (vecs.length - 1)
-    val frac = shortlist.toDouble / nPairs
+    def knnFraction(dir: String): Double = {
+      val nAll = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val shortlist = Similarity.annLshShortlist(spark, dir,
+        queryFilter = org.apache.spark.sql.functions.lit(true),
+        broadcastProbes = false,
+        budget = Some(Similarity.knnBudget(nAll)), symmetric = true,
+        probeBits = Similarity.KnnProbeBits).count()
+      val n = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("embedding").isNotNull).count()
+      shortlist.toDouble / (n * (n - 1))
+    }
+    val frac = knnFraction(sfDir)
     info(f"knn-join candidate fraction = $frac%.3f")
     assert(frac <= 0.2, f"candidate volume $frac%.2f of all-pairs — not budgeted")
+    // the budget is CONSTANT per query, so the candidate fraction must
+    // FALL as the corpus grows — the Θ(n²)-by-construction guard (a
+    // fractional budget would hold these equal)
+    val frac001 = knnFraction("/root/testdata/sf0.01")
+    val frac01 = knnFraction("/root/testdata/sf0.1")
+    info(f"knn-join candidate fraction sf0.01 = $frac001%.4f, sf0.1 = $frac01%.4f")
+    assert(frac01 < frac001,
+      f"fraction must fall with corpus size: sf0.1 $frac01%.4f !< sf0.01 $frac001%.4f")
   }
 
   test("ngram jaccard: symmetric-free (a<b), jaccard in (0,1], dups found") {
