@@ -262,6 +262,95 @@ case class MatVecQ(mat: Expression, vec: Expression)
     copy(mat = newLeft, vec = newRight)
 }
 
+/** Repeated-character-run detector (SURVEY §2.3 #26): true iff the string
+  * contains ≥ [[RepeatedRun.MinRun]] CONSECUTIVE occurrences of one
+  * enumerated ASCII character — exactly the language of the oracle's
+  * backref-free alternation `a{5,}|b{5,}|…` (built from the same
+  * [[RepeatedRun.Alnum]]/[[RepeatedRun.Punct]] definition, so the two
+  * cannot drift). The regex form costs an 87-branch alternation NFA per
+  * row on the Spark side (~7× the pre-promotion scan, the one real r3
+  * bench regression); this kernel is ONE O(len) byte scan with early
+  * exit, codegen'd into the whole-stage pipeline.
+  *
+  * Scanning UTF-8 BYTES is exact for an ASCII character class: a
+  * multi-byte code point's bytes are all ≥ 0x80, so an enumerated ASCII
+  * byte can only occur as that ASCII character, and a 5-byte run of it is
+  * precisely a 5-char run in the decoded string.
+  */
+case class RepeatedRun(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bs = input.asInstanceOf[UTF8String].getBytes
+    val allowed = RepeatedRun.Allowed
+    var run = 1
+    var i = 1
+    while (i < bs.length) {
+      if (bs(i) == bs(i - 1)) {
+        run += 1
+        if (run >= RepeatedRun.MinRun && allowed(bs(i) & 0xff)) return true
+      } else run = 1
+      i += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val allowed = ctx.addReferenceObj("repeatedRunAllowed", RepeatedRun.Allowed,
+      "boolean[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val bs = ctx.freshName("bs")
+      val i = ctx.freshName("i")
+      val run = ctx.freshName("run")
+      val found = ctx.freshName("found")
+      s"""
+         |byte[] $bs = $c.getBytes();
+         |boolean $found = false;
+         |int $run = 1;
+         |for (int $i = 1; $i < $bs.length && !$found; $i++) {
+         |  if ($bs[$i] == $bs[$i - 1]) {
+         |    $run++;
+         |    if ($run >= ${RepeatedRun.MinRun} && $allowed[$bs[$i] & 0xff]) {
+         |      $found = true;
+         |    }
+         |  } else {
+         |    $run = 1;
+         |  }
+         |}
+         |${ev.value} = $found;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepeatedRun =
+    copy(child = newChild)
+}
+
+object RepeatedRun {
+  /** Run length that flags (the reference's `(.)\1{4,}` = 5 total). */
+  val MinRun = 5
+
+  /** Characters whose regex form is the bare `c{5,}` branch. */
+  val Alnum: Seq[Char] = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ Seq(' ')
+
+  /** Characters embedded as single-char classes `[c]{5,}` ('[', ']', '^',
+    * '\' stay out: their class form is itself structural; the two quote
+    * chars stay out because the oracle pattern embeds in a single-quoted
+    * SQL literal).
+    */
+  val Punct: String = "!?.,;:-_*#@$%&+=/()<>~`|"
+
+  /** Byte-indexed membership of the enumerated set (non-ASCII all false). */
+  val Allowed: Array[Boolean] = {
+    val a = new Array[Boolean](256)
+    (Alnum ++ Punct).foreach(c => a(c.toInt) = true)
+    a
+  }
+}
+
 /** Bloom-filter membership test against a FOLDABLE serialized
   * `org.apache.spark.util.sketch.BloomFilter` (BinaryType literal): the
   * map-side prefilter of the scale-adaptive joins. A bloom over K items at
@@ -347,7 +436,10 @@ object GraftFunctions {
         arity("graft_matvec_q", 2)(c => MatVecQ(c(0), c(1)))),
       (FunctionIdentifier("graft_bloom_contains"),
         info("graft_bloom_contains", classOf[BloomContains]),
-        arity("graft_bloom_contains", 2)(c => BloomContains(c(0), c(1)))))
+        arity("graft_bloom_contains", 2)(c => BloomContains(c(0), c(1)))),
+      (FunctionIdentifier("graft_repeated_run"),
+        info("graft_repeated_run", classOf[RepeatedRun]),
+        arity("graft_repeated_run", 1)(c => RepeatedRun(c.head))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

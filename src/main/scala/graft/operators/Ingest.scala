@@ -406,6 +406,122 @@ object Ingest {
       .orderBy("run_id")
   }
 
+  /** Per-(run, app) health breakdown (monitor._build_app_health:395 — the
+    * table an operator scans when one app's scraper breaks): for every
+    * (run_id, app) cell, fetched/skipped/inserted counts, error count,
+    * duration, and the reference's exact status rules — `error` when the
+    * app hit any error in the run, `stale` when it fetched rows but
+    * inserted none (everything deduped away — the scraper is re-reading
+    * old pages), else `ok`. Conventions shared with the ledger family:
+    * run = ingest day, app = event_type, an error event is event_id %
+    * 97 = 0 (qRunLedger), an already-ingested event is event_id % 2 = 0
+    * (qIngestMetrics). Duration is exact µs rounded half-up to 2 dp in
+    * BOTH engines.
+    *
+    * Scale shape: ONE map-side-combinable aggregate at (run, app) grain —
+    * no windows, no joins; output is O(#runs · #apps) rows.
+    */
+  def appHealth(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("run_id"),
+        col("event_type").as("app_id"))
+      .agg(
+        count(lit(1)).as("fetched"),
+        sum(when(col("event_id") % 2 === 0, 1).otherwise(0)).as("skipped"),
+        sum(when(col("event_id") % 97 === 0, 1).otherwise(0)).as("error_cnt"),
+        min(unix_micros(col("ts"))).as("started_us"),
+        max(unix_micros(col("ts"))).as("ended_us"))
+      .select(
+        col("run_id"), col("app_id"),
+        when(col("error_cnt") > 0, "error")
+          .when(col("fetched") - col("skipped") === 0 && col("fetched") > 0, "stale")
+          .otherwise("ok").as("status"),
+        col("fetched"),
+        (col("fetched") - col("skipped")).as("inserted"),
+        col("skipped"), col("error_cnt"),
+        exactDiv(col("ended_us") - col("started_us"), lit(1000000L), 2)
+          .as("duration_secs"))
+      .orderBy("run_id", "app_id")
+
+  /** Run-grain health report (monitor's HealthReport row — the metrics
+    * store_report persists): one row per run with fetched/skipped/
+    * inserted/error counts, dedup rate, apps processed/failed, and run
+    * duration. Shares every convention with [[appHealth]]/[[qRunLedger]].
+    */
+  def healthReport(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("run_id"))
+      .agg(
+        count(lit(1)).as("fetched"),
+        sum(when(col("event_id") % 2 === 0, 1).otherwise(0)).as("skipped"),
+        sum(when(col("event_id") % 97 === 0, 1).otherwise(0)).as("error_cnt"),
+        countDistinct(col("event_type")).as("apps_processed"),
+        countDistinct(when(col("event_id") % 97 === 0, col("event_type")))
+          .as("apps_failed"),
+        min(unix_micros(col("ts"))).as("started_us"),
+        max(unix_micros(col("ts"))).as("ended_us"))
+      .select(col("run_id"), col("fetched"),
+        (col("fetched") - col("skipped")).as("inserted"),
+        col("skipped"), col("error_cnt"),
+        exactDiv(lit(100) * col("skipped"), col("fetched"), 2).as("dedup_rate_pct"),
+        col("apps_processed"), col("apps_failed"),
+        exactDiv(col("ended_us") - col("started_us"), lit(1000000L), 2)
+          .as("duration_secs"))
+
+  /** Health-report persistence (monitor.store_report:423 — INSERT OR
+    * REPLACE INTO ingestion_metrics keyed by run_id, here as the lake's
+    * idempotent keyed append): persist ONE run's report row; re-storing
+    * an already-persisted run is a no-op (returns 0). The sink is a
+    * plain parquet directory — the queryable metrics history
+    * get_recent_health_reports reads back.
+    */
+  def storeReport(events: org.apache.spark.sql.DataFrame, path: String,
+      runId: String): Long =
+    graft.sources.Store.appendDeduped(
+      healthReport(events).filter(col("run_id") === runId), path, "run_id")
+
+  /** Metrics backfill (monitor.backfill_metrics:510 — reconstruct reports
+    * for historical runs with no ingestion_metrics entry): recompute the
+    * full run-grain history from the event log and append ONLY the runs
+    * missing from the sink ([[graft.sources.Store.appendDeduped]]'s
+    * anti-join IS the reference's `LEFT JOIN ingestion_metrics … WHERE
+    * im.run_id IS NULL`). Returns the number of backfilled runs; a
+    * second call is a no-op.
+    */
+  def backfillReports(events: org.apache.spark.sql.DataFrame, path: String): Long =
+    graft.sources.Store.appendDeduped(healthReport(events), path, "run_id")
+
+  /** Read back the most recent `limit` persisted reports
+    * (monitor.get_recent_health_reports:463 — ORDER BY run_id DESC
+    * LIMIT ?). A TopK-shaped read: order-by-limit plans as
+    * TakeOrderedAndProject, never a full sort of the history.
+    */
+  def recentReports(s: org.apache.spark.sql.SparkSession, path: String,
+      limit: Int): org.apache.spark.sql.DataFrame =
+    s.read.parquet(path).orderBy(col("run_id").desc).limit(limit)
+
+  val qAppHealth: Q = Q(
+    "q_app_health",
+    s"""WITH g AS (
+       |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS run_id,
+       |    event_type AS app_id,
+       |    COUNT(*) AS fetched,
+       |    CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS skipped,
+       |    CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS error_cnt,
+       |    MIN(epoch_us(ts)) AS started_us,
+       |    MAX(epoch_us(ts)) AS ended_us
+       |  FROM events GROUP BY 1, 2)
+       |SELECT run_id, app_id,
+       |  CASE WHEN error_cnt > 0 THEN 'error'
+       |       WHEN fetched - skipped = 0 AND fetched > 0 THEN 'stale'
+       |       ELSE 'ok' END AS status,
+       |  fetched, fetched - skipped AS inserted, skipped, error_cnt,
+       |  ${exactDivSql("ended_us - started_us", "1000000", 2)} AS duration_secs
+       |FROM g ORDER BY run_id, app_id""".stripMargin
+  ) { (s, d) => appHealth(Tables.events(s, d)) }
+
   /** Conversion funnel (first-touch attribution — the ordered-event
     * question every event pipeline answers: of the users who signed up
     * each day, how many purchased within 7 days, and how fast): first
@@ -588,5 +704,6 @@ object Ingest {
   val all: Seq[Q] = Seq(
     qIncrementalIngest, qIngestMetrics, qRunDeltas, qAnomalyZscore,
     qQualityMetrics, qWindowedCounts, qSessionize, qPropsExtract, qDbGrowth,
-    qRetention, qFunnel, qSessionStats, qRunLedger, qSessionLedger)
+    qRetention, qFunnel, qSessionStats, qRunLedger, qSessionLedger,
+    qAppHealth)
 }

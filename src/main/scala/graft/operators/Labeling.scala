@@ -360,20 +360,27 @@ object Labeling {
     * int(n*ratio) arithmetic as the reference, shuffle replaced by the
     * reproducible hash order.
     */
-  val qTrainSplit: Q = Q(
-    "q_train_split",
-    """WITH rk AS (
+  /** Shared split-assignment CTE — [[qTrainSplit]] emits it directly,
+    * [[qSplitMetadata]] rolls it up; one definition so they cannot drift.
+    */
+  private val splitSql =
+    """rk AS (
       |  SELECT doc_id, lang,
       |    row_number() OVER (PARTITION BY lang
       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
       |    COUNT(*) OVER (PARTITION BY lang) AS n
-      |  FROM documents)
-      |SELECT doc_id, lang,
-      |  CASE WHEN rn <= (8 * n) // 10 THEN 'train'
-      |       WHEN rn <= (8 * n) // 10 + n // 10 THEN 'val'
-      |       ELSE 'test' END AS split
-      |FROM rk ORDER BY doc_id""".stripMargin
-  ) { (s, d) =>
+      |  FROM documents),
+      |sp AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN rn <= (8 * n) // 10 THEN 'train'
+      |         WHEN rn <= (8 * n) // 10 + n // 10 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM rk)""".stripMargin
+
+  /** The (doc_id, lang, split) assignment frame behind both split
+    * queries.
+    */
+  private def splitFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
     val w = Window.partitionBy("lang")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     Tables.documents(s, d)
@@ -385,7 +392,60 @@ object Labeling {
           .when(col("rn") <= expr("(8 * n) div 10 + n div 10"), "val")
           .otherwise("test"))
       .select("doc_id", "lang", "split")
-      .orderBy("doc_id")
+  }
+
+  val qTrainSplit: Q = Q(
+    "q_train_split",
+    s"""WITH $splitSql
+       |SELECT doc_id, lang, split
+       |FROM sp ORDER BY doc_id""".stripMargin
+  ) { (s, d) => splitFrame(s, d).orderBy("doc_id") }
+
+  /** Export metadata rollup (exporter._build_metadata/split_stats:233 —
+    * the summary emitted alongside every export): per (split, label)
+    * example counts plus the per-split totals and apps-represented
+    * (distinct source) the reference's split_stats computes, flattened to
+    * (split, label) grain so it is one relational result instead of
+    * nested JSON. label = lang (the stratification class, as in
+    * q_train_split); label_pct is the exact half-up share.
+    *
+    * Scale shape: the split assignment is the shared [[splitFrame]]; the
+    * source join keys on doc_id (one shuffle, or zero against a bucketed
+    * doc table); both rollups are map-side-combinable aggregates and the
+    * per-split totals (3 rows) broadcast back.
+    */
+  val qSplitMetadata: Q = Q(
+    "q_split_metadata",
+    s"""WITH $splitSql,
+       |j AS (
+       |  SELECT sp.split, sp.lang, d.source
+       |  FROM sp JOIN documents d ON d.doc_id = sp.doc_id),
+       |per AS (
+       |  SELECT split, COUNT(*) AS split_total,
+       |    CAST(COUNT(DISTINCT source) AS BIGINT) AS apps_represented
+       |  FROM j GROUP BY 1)
+       |SELECT j.split, j.lang AS label, COUNT(*) AS n_examples,
+       |  per.split_total, per.apps_represented,
+       |  ${graft.functions.Det.exactDivSql("100 * COUNT(*)", "per.split_total", 2)}
+       |    AS label_pct
+       |FROM j JOIN per ON j.split = per.split
+       |GROUP BY j.split, j.lang, per.split_total, per.apps_represented
+       |ORDER BY j.split, label""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.Det.exactDiv
+    val j = splitFrame(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+    val per = j.groupBy("split")
+      .agg(count(lit(1)).as("split_total"),
+        countDistinct(col("source")).as("apps_represented"))
+    j.groupBy(col("split"), col("lang").as("label"))
+      .agg(count(lit(1)).as("n_examples"))
+      .join(broadcast(per), "split")
+      .select(col("split"), col("label"), col("n_examples"),
+        col("split_total"), col("apps_represented"),
+        exactDiv(lit(100) * col("n_examples"), col("split_total"), 2)
+          .as("label_pct"))
+      .orderBy("split", "label")
   }
 
   /** Inter-annotator agreement (reporter.report_agreement:111): observed
@@ -446,5 +506,6 @@ object Labeling {
 
   val all: Seq[Q] = Seq(
     qSampleTiers, qBalancedSample, qMajorityVote, qTrainSplit, qAgreement,
-    qQueueProgress, qQueueClaim, qLabelDistribution, qQueueState)
+    qQueueProgress, qQueueClaim, qLabelDistribution, qQueueState,
+    qSplitMetadata)
 }

@@ -364,25 +364,26 @@ object Profiling {
   /** Spam-style repeated-character detection (analyzer.analyze_text_quality:193
     * `(.)\1{4,}`). The reference's backreference is inexpressible in the
     * oracle's RE2 — instead of settling for a rows-only check, BOTH
-    * engines run the identical backref-free enumerated alternation
-    * (`a{5,}|b{5,}|…` over printable ASCII, where spam runs live), which
-    * is hash-exact. The DOCUMENTED narrowing vs the true backref: only
-    * the enumerated characters are detected — a run of an unlisted
-    * character (non-ASCII, or the 4 regex-structural chars left out)
-    * passes unflagged. A spec pins the contract on crafted positives
-    * (lowercase/uppercase/digit/space/punct runs flagged; a unicode run
-    * is the known difference), because the synthetic corpus itself
-    * contains no 5+ run at any SF.
+    * engines compute the identical backref-free enumerated-run language,
+    * which is hash-exact. The ORACLE runs it as the alternation
+    * `a{5,}|b{5,}|…`; the SPARK side runs the codegen'd
+    * [[graft.functions.RepeatedRun]] kernel — one O(len) byte scan with
+    * early exit, replacing the 87-branch alternation NFA per row the r3
+    * promotion paid (~7× the pre-promotion scan). Both derive from ONE
+    * char-set definition (RepeatedRun.Alnum/Punct) so they cannot drift;
+    * a spec pins kernel ≡ regex on crafted strings AND corpus-wide.
+    * The DOCUMENTED narrowing vs the true backref: only the enumerated
+    * characters are detected — a run of an unlisted character
+    * (non-ASCII, or the 4 regex-structural chars left out) passes
+    * unflagged. The synthetic corpus itself contains no 5+ run at any SF.
     */
   private[graft] val RepeatRunPattern: String = {
-    val alnum = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ Seq(' '))
-      .map(c => s"$c{5,}")
+    import graft.functions.RepeatedRun
+    val alnum = RepeatedRun.Alnum.map(c => s"$c{${RepeatedRun.MinRun},}")
     // punctuation via single-char classes — identical semantics in Java
-    // regex and RE2 without per-engine escaping rules ('[', ']', '^', '\'
-    // stay out: the chars whose class form is itself structural; the two
-    // quote chars stay out because the pattern embeds in a single-quoted
-    // SQL literal)
-    val punct = "!?.,;:-_*#@$%&+=/()<>~`|".map(c => s"[$c]{5,}")
+    // regex and RE2 without per-engine escaping rules (see RepeatedRun.Punct
+    // for the exclusions)
+    val punct = RepeatedRun.Punct.map(c => s"[$c]{${RepeatedRun.MinRun},}")
     (alnum ++ punct).mkString("|")
   }
 
@@ -393,9 +394,11 @@ object Profiling {
        |FROM documents WHERE text IS NOT NULL
        |GROUP BY 1 ORDER BY has_repeated_run""".stripMargin
   ) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       .filter(col("text").isNotNull)
-      .select(col("text").rlike(RepeatRunPattern).as("has_repeated_run"))
+      .select(call_function("graft_repeated_run", col("text"))
+        .as("has_repeated_run"))
       .groupBy("has_repeated_run")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("has_repeated_run")

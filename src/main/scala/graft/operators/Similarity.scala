@@ -284,9 +284,16 @@ object Similarity {
     * that identity. At 100 TB the old bands/sets live as written index
     * tables (Store.appendDeduped's lake pattern); each increment
     * re-hashes only its own documents and band-joins against the index.
+    *
+    * Re-ingested doc_ids (present in BOTH slices) resolve new-version-wins:
+    * the old slice is anti-joined against the new slice's ids first —
+    * without it, a duplicated id would fan out the per-doc set joins in
+    * verification and emit duplicate candidate pairs, silently breaking
+    * the pairs(old)∪increment identity.
     */
   def minhashIncrement(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    val shOld = shingleHashesOf(oldDocs)
+    val old = oldDocs.join(newDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val shOld = shingleHashesOf(old)
     val shNew = shingleHashesOf(newDocs)
     val bNew = bandsOf(shNew)
     val bAll = bandsOf(shOld).unionByName(bNew)
@@ -313,7 +320,9 @@ object Similarity {
   def minhashIncrementScoped[T](oldDocs: DataFrame, newDocs: DataFrame)
       (f: DataFrame => T): T = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val shOld = shingleHashesOf(oldDocs).persist(lvl)
+    // new-version-wins on re-ingested doc_ids, like [[minhashIncrement]]
+    val old = oldDocs.join(newDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val shOld = shingleHashesOf(old).persist(lvl)
     val shNew = shingleHashesOf(newDocs).persist(lvl)
     try {
       val bNew = bandsOf(shNew)

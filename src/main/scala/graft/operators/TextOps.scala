@@ -206,6 +206,14 @@ object TextOps {
     * q_train_split's md5 ordering already relies on, as a per-row
     * threshold instead of a rank). Output is the per-source selection
     * report; the kept set itself is the same predicate unaggregated.
+    *
+    * Saturation note: the threshold clamps at 0xffff, so a max-weight
+    * document (weight 1.0) keeps with probability 65535/65536, not
+    * exactly 1 — the strict `u < thresh` compare leaves the single
+    * u = 'ffff' hash value out. Identical in both engines (hash-exact),
+    * and 2⁻¹⁶ under the stated "proportional to weight" contract; a
+    * caller needing keep-always semantics at weight 1.0 should use
+    * `u <= thresh` with thresh = weight·65536 − 1.
     */
   val qWeightedSample: Q = Q(
     "q_weighted_sample",
@@ -245,13 +253,30 @@ object TextOps {
     * packing docs into each chunk with first/last doc, doc count, and
     * the summed token counts of the docs starting there.
     *
-    * Scale shape: one whitespace token count per row (no explode), then a
-    * running sum windowed BY SOURCE in doc_id order — the window
-    * partitions on the shard key, which is how a production packer runs
-    * too (each shard packs independently; a global pack order would
-    * serialize the lake). Chunk rollup is a map-side-combinable
-    * aggregate at (source, chunk) grain.
+    * Scale shape: one whitespace token count per row (no explode), then
+    * the running sum via the standard TWO-LEVEL parallel prefix-sum
+    * decomposition — `source` has O(few) distinct values, so a window
+    * partitioned on source alone would stream a whole source's documents
+    * through ONE task (tens of TB at lake scale; the r3 flaw):
+    *   1. prefix-sum WITHIN (source, doc_id DIV [[PackBlock]]) blocks —
+    *      the doc-grain window partitions on the block key, parallelism
+    *      = #blocks (plan-guarded in PlanAuditSpec);
+    *   2. block totals prefix-summed at BLOCK grain (O(#blocks) rows
+    *      through the per-source window, never documents);
+    *   3. a tiny broadcast offset join: start = block offset + local
+    *      prefix − own count.
+    * Chunk rollup is a map-side-combinable aggregate at (source, chunk)
+    * grain. Identical arithmetic to the single-window oracle.
     */
+  /** Documents per prefix-sum block (by doc_id value): the parallelism ×
+    * block-table-size dial of the two-level pack. 128 keeps every test SF
+    * genuinely multi-block (4 blocks/source at sf0.01, 40 at sf0.1); a
+    * production lake sets it so #blocks/source sits in the 10⁴–10⁶ range
+    * the broadcast offset table tolerates (beyond that, recurse the
+    * decomposition one more level — same identity).
+    */
+  private[graft] val PackBlock = 128
+
   val qSeqPack: Q = Q(
     "q_seq_pack",
     s"""WITH toks AS (
@@ -271,10 +296,24 @@ object TextOps {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(filter(split(norm, " "), t => t =!= "")).cast("long").as("n_tok"))
-    val w = Window.partitionBy("source").orderBy("doc_id")
+      .withColumn("blk", expr(s"doc_id DIV $PackBlock"))
+    // level 1: prefix-sum within (source, block) — parallel over blocks
+    val wBlk = Window.partitionBy("source", "blk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks
-      .withColumn("start_tok", sum("n_tok").over(w) - col("n_tok"))
+    val local = toks.withColumn("local_cum", sum("n_tok").over(wBlk))
+    // level 2: block-grain offsets — the per-source window sees only
+    // O(#blocks) rows (the exchange reuses level 1's (source, blk)
+    // shuffle: same keys)
+    val wSrc = Window.partitionBy("source").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = toks.groupBy("source", "blk")
+      .agg(sum("n_tok").as("blk_tot"))
+      .withColumn("blk_off", sum("blk_tot").over(wSrc) - col("blk_tot"))
+      .select("source", "blk", "blk_off")
+    // level 3: tiny broadcast join carries each block's offset back to
+    // its documents; start = offset + local prefix − own count
+    local.join(broadcast(offsets), Seq("source", "blk"))
+      .withColumn("start_tok", col("blk_off") + col("local_cum") - col("n_tok"))
       .groupBy(col("source"), expr("start_tok DIV 2048").as("chunk_id"))
       .agg(count(lit(1)).as("n_docs"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),

@@ -22,10 +22,12 @@ object TopK {
     * built with GraftExtensions fall back to... nothing: the strategy is
     * required, which is why every graft session installs it.
     *
-    * `maxRetainedPerPartition` is the no-spill safety rail: the exec
-    * fails fast (instead of OOMing) when k·|keys in one partition|
-    * crosses it — at that cardinality switch to the Window/row_number
-    * formulation, which sorts and spills.
+    * `maxRetainedPerPartition` is the heap-memory rail: when rows
+    * actually buffered in one partition cross it (huge k·|keys|), that
+    * partition degrades automatically to sort-based eviction through
+    * Spark's spill-capable external sorter — the Window/row_number
+    * physical shape, selected per-partition at runtime — instead of
+    * throwing or OOMing. Same rows out on either path.
     */
   def perKey(df: DataFrame, keys: Seq[String], orderCol: String,
       tiebreakCol: String, k: Int,

@@ -1,12 +1,15 @@
 package graft.plans
 
+import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Whole-operator extension demo (SURVEY §4 / the custom-operator ladder's
   * last rung): top-k rows per key as a FIRST-CLASS physical operator.
@@ -26,12 +29,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * presentation, as with any aggregate).
   *
   * Memory contract: a partition holds ≤ k retained rows per key — the
-  * same footprint class as a hash aggregate, WITHOUT spill support. The
-  * exec FAILS FAST (with actionable guidance) when retained rows in one
-  * partition cross `maxRetainedPerPartition` instead of grinding into an
-  * executor OOM: for k·|keys per partition| beyond memory, use the
-  * Window formulation (sort-based, spills) — this operator's sweet spot
-  * is small k over data whose per-partition sort is the bottleneck.
+  * same footprint class as a hash aggregate. When retained rows in one
+  * partition cross `maxRetainedPerPartition` (huge k·|keys|), the
+  * partition DEGRADES to sort-based eviction instead of throwing or
+  * grinding into an executor OOM: the buffered heaps plus the remaining
+  * input stream into Spark's spill-capable external row sorter (ordered
+  * by key, then the sort order), and the sorted stream emits the first k
+  * rows of each key group — exactly the Window/row_number physical shape,
+  * chosen per-partition at runtime. Same rows out on either path
+  * (spec-pinned); the heap path remains the O(n log k), sort-free fast
+  * path every sane-cardinality partition takes.
   */
 final case class TopKPerKeyNode(
     k: Int,
@@ -97,13 +104,16 @@ final case class TopKPerKeyExec(
       }
       val heaps = scala.collection.mutable.LinkedHashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
-      // fail fast on the no-spill contract, counting rows ACTUALLY
-      // buffered (a worst-case keys·k bound throws spuriously for large k
-      // over sparse keys — e.g. the ANN shortlist's k = 15% of the corpus
-      // where most keys hold far fewer than k rows); the counter moves
-      // only when a heap grows, zero cost on the replace path
+      // the cap counts rows ACTUALLY buffered (a worst-case keys·k bound
+      // would trip spuriously for large k over sparse keys — e.g. the ANN
+      // shortlist's k = 15% of the corpus where most keys hold far fewer
+      // than k rows); the counter moves only when a heap grows, zero cost
+      // on the replace path. Crossing it switches this partition to the
+      // sort-based eviction path below — degrade, never throw/OOM
       var retained = 0L
-      it.foreach { row =>
+      var overflow = false
+      while (it.hasNext && !overflow) {
+        val row = it.next()
         val u = row match {
           case ur: UnsafeRow => ur
           case other => toUnsafe(other)
@@ -118,18 +128,55 @@ final case class TopKPerKeyExec(
         }
         if (heap.size < limit) {
           retained += 1
-          if (retained > maxRetained)
-            throw new IllegalStateException(
-              s"TopKPerKeyExec retained-row cap exceeded: $retained rows " +
-                s"(k=$limit over ${heaps.size} keys) buffered in one " +
-                "partition with no spill support. Use the Window/row_number " +
-                "formulation (sort-based, spills) for high-cardinality keys, " +
-                "or raise maxRetainedPerPartition.")
+          if (retained > maxRetained) overflow = true
           heap += u.copy() // iterator reuses row buffers too
         }
         else if (base.compare(u, heap.head) < 0) { heap.dequeue(); heap += u.copy() }
       }
-      heaps.valuesIterator.flatMap(_.iterator.map(_.asInstanceOf[InternalRow]))
+      if (!overflow)
+        heaps.valuesIterator.flatMap(_.iterator.map(_.asInstanceOf[InternalRow]))
+      else {
+        // Sort-based eviction: the heap working set crossed the cap, so
+        // buffering k rows per key no longer fits memory. Feed everything
+        // retained so far plus the rest of the input into Spark's
+        // spill-capable external row sorter, ordered by (keys, sort
+        // order); the sorted stream then yields each key's rows
+        // best-first, and the first k per key group are exactly the
+        // heap-path rows. Constant sort prefix (comparisons fall through
+        // to the full record comparator): correct, and this path is the
+        // degraded lane — the heap path is where performance lives.
+        logWarning(s"TopKPerKeyExec: retained-row cap $maxRetained crossed " +
+          s"(k=$limit over ${heaps.size}+ keys); degrading this partition " +
+          "to sort-based eviction (spillable)")
+        val fullOrder = numKeys.map(k => SortOrder(k, Ascending)) ++ sortOrder
+        val ord = GenerateOrdering.generate(fullOrder, childOutput)
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val zero = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow) = {
+            zero.isNull = false; zero.value = 0L; zero
+          }
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          DataTypeUtils.fromAttributes(childOutput), ord,
+          PrefixComparators.LONG, prefixComputer,
+          SparkEnv.get.memoryManager.pageSizeBytes, false)
+        heaps.valuesIterator.foreach(_.foreach(sorter.insertRow))
+        heaps.clear()
+        while (it.hasNext) {
+          it.next() match {
+            case ur: UnsafeRow => sorter.insertRow(ur)
+            case other => sorter.insertRow(toUnsafe(other))
+          }
+        }
+        var curKey: UnsafeRow = null
+        var emitted = 0
+        sorter.sort().filter { row =>
+          val k = keyProj(row)
+          if (curKey == null || k != curKey) { curKey = k.copy(); emitted = 0 }
+          emitted += 1
+          emitted <= limit
+        }
+      }
     }
   }
 

@@ -12,6 +12,75 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("app health: error beats stale beats ok; counts reconcile") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // crafted (run, app) cells exercising every status rule — the corpus
+    // never produces 'stale' (a large cell with only even event_ids has
+    // probability ~2^-n), so the reference's middle branch is pinned here:
+    //  appA: a % 97 error event AND all-even ids → error wins over stale
+    //  appB: all ids even (every row deduped away) → stale
+    //  appC: a normal mix → ok
+    val base = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val rows = Seq(
+      (0L, "appA", ts(0)), (194L, "appA", ts(10)),   // 0 % 97 = 0 → error
+      (2L, "appB", ts(0)), (4L, "appB", ts(30)),     // even, no %97 → stale
+      (1L, "appC", ts(0)), (2L, "appC", ts(45)), (3L, "appC", ts(90)))
+    val ev = rows.toDF("event_id", "event_type", "ts")
+    val got = Ingest.appHealth(ev).collect()
+      .map(r => r.getAs[String]("app_id") -> r).toMap
+    assert(got("appA").getAs[String]("status") == "error")
+    assert(got("appB").getAs[String]("status") == "stale")
+    assert(got("appC").getAs[String]("status") == "ok")
+    // counts reconcile: fetched = inserted + skipped; duration exact 2dp
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("fetched") ==
+        r.getAs[Long]("inserted") + r.getAs[Long]("skipped"))
+    }
+    assert(got("appB").getAs[Long]("inserted") == 0L)
+    assert(got("appC").getAs[Double]("duration_secs") == 5400.0)
+    // and on the real corpus every cell carries a consistent status
+    val corpus = Ingest.qAppHealth.run(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val status = r.getAs[String]("status")
+      if (r.getAs[Long]("error_cnt") > 0) assert(status == "error")
+      else if (r.getAs[Long]("inserted") == 0 && r.getAs[Long]("fetched") > 0)
+        assert(status == "stale")
+      else assert(status == "ok")
+    }
+  }
+
+  test("health reports: store is idempotent, backfill fills exactly the gaps") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_health").toString
+    val path = s"$dir/metrics"
+    val ev = Tables.events(spark, sfDir)
+    val runs = Ingest.healthReport(ev).collect()
+      .map(r => r.getAs[String]("run_id")).sorted
+    assert(runs.length > 2, "need several runs for the backfill scenario")
+    // store one run, twice: second call is the INSERT OR REPLACE no-op
+    assert(Ingest.storeReport(ev, path, runs.head) == 1L)
+    assert(Ingest.storeReport(ev, path, runs.head) == 0L)
+    // backfill reconstructs exactly the missing history
+    assert(Ingest.backfillReports(ev, path) == runs.length - 1L)
+    assert(Ingest.backfillReports(ev, path) == 0L, "backfill must be idempotent")
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == runs.length)
+    assert(stored.select("run_id").collect().map(_.getString(0)).sorted
+      .sameElements(runs), "history must cover every run exactly once")
+    // read-back: latest N, descending, and the report row round-trips
+    val recent = Ingest.recentReports(spark, path, 3).collect()
+    assert(recent.map(_.getAs[String]("run_id")).toSeq ==
+      runs.reverse.take(3).toSeq)
+    recent.foreach { r =>
+      assert(r.getAs[Long]("fetched") ==
+        r.getAs[Long]("inserted") + r.getAs[Long]("skipped"))
+      assert(r.getAs[Long]("apps_failed") <= r.getAs[Long]("apps_processed"))
+    }
+  }
+
   test("incremental ingest: no already-ingested key survives the anti-join") {
     val rows = Ingest.qIncrementalIngest.run(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -69,6 +69,35 @@ class LabelingSpec extends SparkSpec {
     }
   }
 
+  test("split metadata: reconciles exactly with the split assignment") {
+    import org.apache.spark.sql.functions.col
+    val split = Labeling.qTrainSplit.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("split")))
+    val srcOf = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source"))
+      .toMap
+    val meta = Labeling.qSplitMetadata.run(spark, sfDir).collect()
+    val byCell = split.groupBy(t => (t._3, t._2))
+    meta.foreach { r =>
+      val key = (r.getAs[String]("split"), r.getAs[String]("label"))
+      assert(r.getAs[Long]("n_examples") == byCell(key).length.toLong,
+        s"cell $key count mismatch")
+    }
+    assert(meta.map(r => (r.getAs[String]("split"), r.getAs[String]("label")))
+      .toSet == byCell.keySet, "metadata must cover every (split, label) cell")
+    // per-split totals and apps-represented match a driver recompute
+    val bySplit = split.groupBy(_._3)
+    meta.groupBy(_.getAs[String]("split")).foreach { case (sp, rs) =>
+      val docs = bySplit(sp)
+      assert(rs.head.getAs[Long]("split_total") == docs.length.toLong)
+      assert(rs.map(_.getAs[Long]("n_examples")).sum == docs.length.toLong,
+        s"label cells must partition split $sp")
+      assert(rs.head.getAs[Long]("apps_represented") ==
+        docs.map(t => srcOf(t._1)).distinct.length.toLong)
+    }
+  }
+
   test("queue progress: statuses partition the queue") {
     val prog = Labeling.qQueueProgress.run(spark, sfDir).collect()
     val queueTotal = Labeling.qSampleTiers.run(spark, sfDir).count()

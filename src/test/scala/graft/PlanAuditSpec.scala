@@ -136,6 +136,25 @@ class PlanAuditSpec extends SparkSpec {
       "more window passes than the single keyed shuffle contract:\n" + p)
   }
 
+  test("seq pack: doc-grain window partitions on the block key, never source alone") {
+    val p = plan("q_seq_pack")
+    // the two-level prefix sum: every window spec that orders by doc_id
+    // (the document stream) must partition on BOTH source and blk — a
+    // source-only document window is the single-task-per-source
+    // bottleneck the decomposition exists to remove. The block-grain
+    // window (orders by blk) legitimately partitions by source alone:
+    // it sees O(#blocks) rows.
+    val docWindows = p.split("\n").filter(l =>
+      l.contains("windowspecdefinition") && l.contains("doc_id#"))
+    assert(docWindows.nonEmpty, "no document-stream window found:\n" + p)
+    assert(docWindows.forall(_.contains("blk#")),
+      "a doc-grain window lost its block partition key (single task per source):\n" +
+        docWindows.mkString("\n"))
+    // the offset table must broadcast back to the document stream
+    assert(p.contains("BroadcastHashJoin"),
+      "block offsets must broadcast, not shuffle the doc stream:\n" + p)
+  }
+
   test("hot expressions stay inside whole-stage codegen") {
     // execute first: codegen spans only appear in the finalized AQE plan
     val df = SparkEntry.queries("q_quality_score")(spark, sfDir)

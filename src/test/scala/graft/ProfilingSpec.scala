@@ -72,17 +72,38 @@ class ProfilingSpec extends SparkSpec {
       "aaaa only four", "no runs at all here", "ab ab ab ab ab",
       "AAaaAA alternating", "!!!! four bangs", "")
     val unicodeRun = "héééééx" // ééééé: backref-only, no ASCII run
+    // a 5-run of a multi-byte char whose UTF-8 bytes repeat must NOT trip
+    // the kernel's byte scan (continuation bytes are >= 0x80, outside the
+    // enumerated set — the reason byte scanning is exact for ASCII)
     val df = (positives ++ negatives :+ unicodeRun).toDF("text")
+    graft.functions.GraftFunctions.register(spark)
     val got = df.select(col("text"),
       col("text").rlike(graft.operators.Profiling.RepeatRunPattern).as("en"),
-      col("text").rlike("(.)\\1{4,}").as("bk")).collect()
-      .map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+      col("text").rlike("(.)\\1{4,}").as("bk"),
+      org.apache.spark.sql.functions
+        .call_function("graft_repeated_run", col("text")).as("kr")).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+      .toMap
     positives.foreach { t =>
-      assert(got(t) == ((true, true)), s"'$t' must flag in both forms: ${got(t)}") }
+      assert(got(t) == ((true, true, true)),
+        s"'$t' must flag in all three forms: ${got(t)}") }
     negatives.foreach { t =>
-      assert(got(t) == ((false, false)), s"'$t' must flag in neither form: ${got(t)}") }
-    assert(got(unicodeRun) == ((false, true)),
-      "unicode run is the documented enumeration gap (backref-only)")
+      assert(got(t) == ((false, false, false)),
+        s"'$t' must flag in none: ${got(t)}") }
+    assert(got(unicodeRun) == ((false, true, false)),
+      "unicode run is the documented enumeration gap (backref-only); the " +
+        "kernel must agree with the enumeration, not the backref")
+    // kernel ≡ enumeration on the regex-structural edge chars left OUT of
+    // the pattern, and exactly at the 4/5 boundary of every class
+    val edge = Seq("[[[[[", "\\\\\\\\\\", "^^^^^", "'''''", "qqqq", "qqqqq",
+      ";;;;", ";;;;;", "    x    ", "     ", "ab[[[[[cd")
+    val got2 = spark.createDataset(edge).toDF("text").select(col("text"),
+      col("text").rlike(graft.operators.Profiling.RepeatRunPattern).as("en"),
+      org.apache.spark.sql.functions
+        .call_function("graft_repeated_run", col("text")).as("kr")).collect()
+    got2.foreach { r =>
+      assert(r.getBoolean(1) == r.getBoolean(2),
+        s"kernel diverges from enumeration on '${r.getString(0)}'") }
     // and on the real corpus the registered operator accounts every doc
     val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
     val byFlag = graft.operators.Profiling.qRepeatedChars.run(spark, sfDir).collect()

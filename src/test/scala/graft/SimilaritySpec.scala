@@ -32,6 +32,19 @@ class SimilaritySpec extends SparkSpec {
       "every incremental pair must involve a new doc")
     assert((oldOnly ++ inc) == full,
       s"identity broken: old ${oldOnly.size} + inc ${inc.size} != full ${full.size}")
+    // re-ingestion: doc_ids present in BOTH slices resolve new-version-
+    // wins (old side anti-joined away). With complete overlap the old
+    // slice contributes nothing — the increment must equal the plain
+    // self-pairs, with no duplicate rows from the per-doc set joins
+    val reingested = Similarity.minhashIncrementScoped(docs, docs) { df =>
+      val rows = df.collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      assert(rows.length == rows.toSet.size,
+        "duplicate pair rows — the disjointness guard regressed")
+      rows.toSet
+    }
+    assert(reingested == full,
+      "full-overlap re-ingestion must equal the corpus self-pairs")
   }
 
   test("embed clusters: assignment + purity rollup match a driver-side recompute") {

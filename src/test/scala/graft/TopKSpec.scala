@@ -75,22 +75,32 @@ class TopKSpec extends SparkSpec {
     }
   }
 
-  test("high-cardinality keys trip the retained-row cap, fail-fast not OOM") {
+  test("high-cardinality keys cross the cap: sort-based fallback, identical rows") {
     import spark.implicits._
     // every row its own key: retained rows = |rows| — crosses a tiny cap
-    val df = (1L to 5000L).map(i => (i, s"key$i", i.toDouble))
+    // partway through each partition, so the fallback must merge the
+    // already-buffered heaps WITH the remaining stream correctly
+    val df = (1L to 5000L).map(i => (i, s"key${i % 500}", i.toDouble))
       .toDF("event_id", "event_type", "value").repartition(2)
-    val ex = intercept[org.apache.spark.SparkException] {
-      TopK.perKey(df, Seq("event_type"), "value", "event_id", 3,
-        maxRetainedPerPartition = 100L).collect()
-    }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
-    assert(messages(ex).exists(m => m != null && m.contains("retained-row cap")),
-      s"unexpected failure: ${ex.getMessage}")
-    // same data, same call, default cap: completes fine
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    val expect = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val got = TopK.perKey(df, Seq("event_type"), "value", "event_id", 3,
+      maxRetainedPerPartition = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == expect,
+      s"fallback path diverged from window form: ${got.size} vs ${expect.size}")
+    // degenerate extreme: cap 1 — effectively the whole partition sorts
+    val got1 = TopK.perKey(df, Seq("event_type"), "value", "event_id", 3,
+      maxRetainedPerPartition = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got1 == expect, "cap=1 full-sort path diverged")
+    // same data, same call, default cap (heap path): same rows again
     assert(TopK.perKey(df, Seq("event_type"), "value", "event_id", 3)
-      .count() == 5000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet == expect)
   }
 
   test("large k over sparse keys does not trip the cap spuriously") {
