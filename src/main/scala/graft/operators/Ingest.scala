@@ -522,6 +522,115 @@ object Ingest {
        |FROM g ORDER BY run_id, app_id""".stripMargin
   ) { (s, d) => appHealth(Tables.events(s, d)) }
 
+  /** Threshold alerts (monitor._detect_anomalies:276 with monitor.THRESHOLDS
+    * :72 — the alert list evaluate_run emits per run): one row per fired
+    * rule with the reference's level/metric/threshold semantics.
+    *   1. error_rate   — any app error in the run (> 0.0)       → WARNING
+    *   2. dedup_rate   — above the 0.995 staleness ceiling      → WARNING
+    *   3. reviews_inserted — ±50% vs the PRECEDING-5-run average → WARNING
+    *      on a drop, INFO on a rise (the reference's asymmetric pair)
+    *   4. duration     — above 2× the preceding-5-run average   → WARNING
+    * (The z-score rule lives in [[qAnomalyZscore]]; alert message strings
+    * are presentation, not computed here.)
+    *
+    * Every threshold comparison is INTEGER arithmetic — e.g. dedup_rate >
+    * 0.995 runs as 1000·skipped > 995·fetched, the ±50% deviation as
+    * 100·(inserted·n₅ − Σ₅) vs ±50·Σ₅ — so which alerts fire is exact and
+    * engine-identical; the reported actual values are [[exactDiv]]
+    * roundings of the same integers. The rolling window is ROWS 5
+    * PRECEDING..1 PRECEDING over the RUN-grain aggregate (O(#runs) rows
+    * through the unpartitioned window — the qRunDeltas contract).
+    */
+  def alerts(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val runs = events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("run_id"))
+      .agg(
+        count(lit(1)).as("fetched"),
+        sum(when(col("event_id") % 2 === 0, 1).otherwise(0)).as("skipped"),
+        sum(when(col("event_id") % 97 === 0, 1).otherwise(0)).as("error_cnt"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"))
+      .withColumn("inserted", col("fetched") - col("skipped"))
+    val w5 = Window.orderBy("run_id").rowsBetween(-5, -1)
+    val r = runs
+      .withColumn("n5", count(lit(1)).over(w5))
+      .withColumn("sum5", sum("inserted").over(w5))
+      .withColumn("sumdur5", sum("duration_us").over(w5))
+    val devNum = lit(100) * (col("inserted") * col("n5") - col("sum5"))
+    val errorAlert = r.filter(col("error_cnt") > 0).select(
+      col("run_id"), lit("WARNING").as("level"), lit("error_rate").as("metric"),
+      lit(0.0).as("threshold"),
+      exactDiv(col("error_cnt"), col("fetched"), 4).as("actual"))
+    val dedupAlert = r.filter(col("skipped") * 1000 > col("fetched") * 995).select(
+      col("run_id"), lit("WARNING").as("level"), lit("dedup_rate").as("metric"),
+      lit(0.995).as("threshold"),
+      exactDiv(col("skipped"), col("fetched"), 4).as("actual"))
+    val dropAlert = r.filter(col("n5") > 0 && col("sum5") > 0 &&
+        devNum < lit(-50) * col("sum5")).select(
+      col("run_id"), lit("WARNING").as("level"),
+      lit("reviews_inserted").as("metric"), lit(-50.0).as("threshold"),
+      exactDiv(devNum, col("sum5"), 2).as("actual"))
+    val riseAlert = r.filter(col("n5") > 0 && col("sum5") > 0 &&
+        devNum > lit(50) * col("sum5")).select(
+      col("run_id"), lit("INFO").as("level"),
+      lit("reviews_inserted").as("metric"), lit(50.0).as("threshold"),
+      exactDiv(devNum, col("sum5"), 2).as("actual"))
+    val durAlert = r.filter(col("n5") > 0 && col("sumdur5") > 0 &&
+        col("duration_us") * col("n5") > lit(2) * col("sumdur5")).select(
+      col("run_id"), lit("WARNING").as("level"), lit("duration").as("metric"),
+      exactDiv(lit(2) * col("sumdur5"), col("n5") * lit(1000000L), 2)
+        .as("threshold"),
+      exactDiv(col("duration_us"), lit(1000000L), 2).as("actual"))
+    errorAlert.unionByName(dedupAlert).unionByName(dropAlert)
+      .unionByName(riseAlert).unionByName(durAlert)
+      .orderBy("run_id", "metric", "level")
+  }
+
+  val qAlerts: Q = Q(
+    "q_alerts",
+    s"""WITH runs AS (
+       |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS run_id,
+       |    COUNT(*) AS fetched,
+       |    CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS skipped,
+       |    CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS error_cnt,
+       |    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+       |  FROM events GROUP BY 1),
+       |r AS (
+       |  SELECT *, fetched - skipped AS inserted,
+       |    COUNT(*) OVER w5 AS n5,
+       |    CAST(SUM(fetched - skipped) OVER w5 AS BIGINT) AS sum5,
+       |    CAST(SUM(duration_us) OVER w5 AS BIGINT) AS sumdur5
+       |  FROM runs
+       |  WINDOW w5 AS (ORDER BY run_id ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+       |SELECT * FROM (
+       |  SELECT run_id, 'WARNING' AS level, 'error_rate' AS metric,
+       |    CAST(0.0 AS DOUBLE) AS threshold,
+       |    ${exactDivSql("error_cnt", "fetched", 4)} AS actual
+       |  FROM r WHERE error_cnt > 0
+       |  UNION ALL
+       |  SELECT run_id, 'WARNING', 'dedup_rate', CAST(0.995 AS DOUBLE),
+       |    ${exactDivSql("skipped", "fetched", 4)}
+       |  FROM r WHERE skipped * 1000 > fetched * 995
+       |  UNION ALL
+       |  SELECT run_id, 'WARNING', 'reviews_inserted', CAST(-50.0 AS DOUBLE),
+       |    ${exactDivSql("100 * (inserted * n5 - sum5)", "sum5", 2)}
+       |  FROM r WHERE n5 > 0 AND sum5 > 0
+       |    AND 100 * (inserted * n5 - sum5) < -50 * sum5
+       |  UNION ALL
+       |  SELECT run_id, 'INFO', 'reviews_inserted', CAST(50.0 AS DOUBLE),
+       |    ${exactDivSql("100 * (inserted * n5 - sum5)", "sum5", 2)}
+       |  FROM r WHERE n5 > 0 AND sum5 > 0
+       |    AND 100 * (inserted * n5 - sum5) > 50 * sum5
+       |  UNION ALL
+       |  SELECT run_id, 'WARNING', 'duration',
+       |    ${exactDivSql("2 * sumdur5", "n5 * 1000000", 2)},
+       |    ${exactDivSql("duration_us", "1000000", 2)}
+       |  FROM r WHERE n5 > 0 AND sumdur5 > 0 AND duration_us * n5 > 2 * sumdur5)
+       |ORDER BY run_id, metric, level""".stripMargin
+  ) { (s, d) => alerts(Tables.events(s, d)) }
+
   /** Conversion funnel (first-touch attribution — the ordered-event
     * question every event pipeline answers: of the users who signed up
     * each day, how many purchased within 7 days, and how fast): first
@@ -705,5 +814,5 @@ object Ingest {
     qIncrementalIngest, qIngestMetrics, qRunDeltas, qAnomalyZscore,
     qQualityMetrics, qWindowedCounts, qSessionize, qPropsExtract, qDbGrowth,
     qRetention, qFunnel, qSessionStats, qRunLedger, qSessionLedger,
-    qAppHealth)
+    qAppHealth, qAlerts)
 }

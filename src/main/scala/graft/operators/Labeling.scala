@@ -448,6 +448,27 @@ object Labeling {
       .orderBy("split", "label")
   }
 
+  /** Split-file export (exporter.export → _write_jsonl:195 + _build_metadata
+    * :233): write the labeled corpus as one JSONL dataset partitioned BY
+    * SPLIT — the lake-native equivalent of the reference's three
+    * train/val/test files (readers select a split via partition pruning:
+    * `split=train/` only lists that directory) — plus the
+    * [[qSplitMetadata]] rollup as a parquet sidecar, the queryable twin
+    * of the reference's metadata JSON. One pass over the corpus for all
+    * three splits (the reference writes them sequentially); per-task
+    * part-files, no driver collect.
+    */
+  def exportSplits(s: org.apache.spark.sql.SparkSession, d: String,
+      outDir: String): Unit = {
+    val rows = splitFrame(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "text", "source"), "doc_id")
+      .select("doc_id", "text", "lang", "source", "split")
+    rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("split").json(s"$outDir/dataset")
+    graft.sources.Store.exportParquet(
+      qSplitMetadata.run(s, d), s"$outDir/metadata")
+  }
+
   /** Inter-annotator agreement (reporter.report_agreement:111): observed
     * vs chance-expected agreement over same-review annotator pairs, and
     * Cohen's kappa. All ratios are single double divisions of exactly-

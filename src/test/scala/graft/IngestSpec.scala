@@ -52,6 +52,67 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("alerts: every rule fires on its crafted run and nowhere else") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 8 runs (days). Days 1-5 are a clean baseline; each later day (and
+    // day 2) violates exactly one rule. Odd ids avoid the skip rule,
+    // non-multiples of 97 avoid the error rule.
+    var nextId = 1L
+    def ids(n: Int, even: Boolean = false): Seq[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (out.size < n) {
+        nextId += 1
+        val cand = nextId * 2 + (if (even) 0 else 1)
+        if (cand % 97 != 0) out += cand
+      }
+      out.toSeq
+    }
+    def day(d: Int, evIds: Seq[Long], spanSecs: Long): Seq[(Long, String, java.sql.Timestamp)] = {
+      val t0 = java.sql.Timestamp.valueOf(f"2024-02-0$d 00:00:00").getTime
+      val n = evIds.size
+      evIds.zipWithIndex.map { case (id, i) =>
+        (id, "app", new java.sql.Timestamp(t0 + i * spanSecs * 1000 / math.max(1, n - 1)))
+      }
+    }
+    val rows =
+      day(1, ids(100), 1000) ++
+      day(2, ids(99) :+ 97L * 3, 1000) ++          // one error event → error_rate
+      day(3, ids(100), 1000) ++
+      day(4, ids(100), 1000) ++
+      day(5, ids(100), 1000) ++
+      day(6, ids(10), 1000) ++                      // −90% vs avg5 → drop WARNING
+      day(7, ids(300), 1000) ++                     // +~268% vs avg5 → rise INFO
+      day(8, ids(100, even = true), 5000)           // all even → dedup + drop; 5× span → duration
+    val ev = rows.toDF("event_id", "event_type", "ts")
+    val got = Ingest.alerts(ev).collect()
+      .map(r => (r.getAs[String]("run_id"), r.getAs[String]("metric"),
+        r.getAs[String]("level")))
+    val expected = Set(
+      ("2024-02-02", "error_rate", "WARNING"),
+      ("2024-02-06", "reviews_inserted", "WARNING"),
+      ("2024-02-07", "reviews_inserted", "INFO"),
+      ("2024-02-08", "dedup_rate", "WARNING"),
+      ("2024-02-08", "reviews_inserted", "WARNING"), // 0 inserted is also a drop
+      ("2024-02-08", "duration", "WARNING"))
+    assert(got.toSet == expected, s"fired ${got.toSet}\nexpected $expected")
+    // actual values carry the right signs/magnitudes
+    val byKey = Ingest.alerts(ev).collect()
+      .map(r => (r.getAs[String]("run_id"), r.getAs[String]("metric")) -> r).toMap
+    assert(byKey(("2024-02-06", "reviews_inserted")).getAs[Double]("actual") == -90.0)
+    assert(byKey(("2024-02-08", "dedup_rate")).getAs[Double]("actual") == 1.0)
+    assert(byKey(("2024-02-08", "duration")).getAs[Double]("actual") == 5000.0)
+    // on the real corpus: the error rule accounts for every error run
+    val corpus = Ingest.qAlerts.run(spark, sfDir).collect()
+    val errRuns = corpus.filter(_.getAs[String]("metric") == "error_rate")
+      .map(_.getAs[String]("run_id")).toSet
+    val expectedErrRuns = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 97 === 0)
+      .select(date_format(col("ts"), "yyyy-MM-dd")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(errRuns == expectedErrRuns)
+  }
+
   test("health reports: store is idempotent, backfill fills exactly the gaps") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_health").toString

@@ -98,6 +98,27 @@ class LabelingSpec extends SparkSpec {
     }
   }
 
+  test("export splits: partitioned JSONL round-trips and matches its metadata") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
+    Labeling.exportSplits(spark, sfDir, dir)
+    val back = spark.read.json(s"$dir/dataset")
+    assert(back.count() == Tables.documents(spark, sfDir).count(),
+      "every document lands in exactly one split file")
+    val meta = spark.read.parquet(s"$dir/metadata")
+    val totals = meta.select("split", "split_total").distinct().collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("split_total")).toMap
+    val written = back.groupBy("split").count().collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("count")).toMap
+    assert(written == totals,
+      s"written per-split counts $written diverge from metadata $totals")
+    // partition pruning: a split-filtered read lists only that directory
+    val plan = back.filter(col("split") === "val")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("split"),
+      "split filter must prune partitions:\n" + plan)
+  }
+
   test("queue progress: statuses partition the queue") {
     val prog = Labeling.qQueueProgress.run(spark, sfDir).collect()
     val queueTotal = Labeling.qSampleTiers.run(spark, sfDir).count()
