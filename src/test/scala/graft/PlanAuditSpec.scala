@@ -136,6 +136,32 @@ class PlanAuditSpec extends SparkSpec {
       "more window passes than the single keyed shuffle contract:\n" + p)
   }
 
+  test("app health: one partial-combined aggregate over a pruned scan") {
+    val p = plan("q_app_health")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "run×app aggregate lost its map-side partial:\n" + p)
+    val scan = p.split("\n").find(_.contains("ReadSchema")).get
+    assert(!scan.contains("user_id") && !scan.contains("props") &&
+      !scan.contains("value"), "health scan not pruned: " + scan)
+    assert(!p.contains("windowspecdefinition"),
+      "health must not window the event stream:\n" + p)
+  }
+
+  test("alerts: windows only at run grain, event scans pruned and aggregated") {
+    val p = plan("q_alerts")
+    // every window spec orders by run_id (the run-grain rolling frame) —
+    // a window over the raw event stream would order by ts/event_id
+    val wins = p.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(wins.nonEmpty && wins.forall(_.contains("run_id")),
+      "a window escaped run grain:\n" + wins.mkString("\n"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "run aggregate lost its map-side partial:\n" + p)
+  }
+
+  test("split metadata: per-split totals broadcast back to the label cells") {
+    assert(plan("q_split_metadata").contains("BroadcastHashJoin"))
+  }
+
   test("seq pack: doc-grain window partitions on the block key, never source alone") {
     val p = plan("q_seq_pack")
     // the two-level prefix sum: every window spec that orders by doc_id
