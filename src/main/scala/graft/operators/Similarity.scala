@@ -76,33 +76,30 @@ object Similarity {
         split(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ").as("w"))
       .filter(size(col("w")) >= 3)
 
-  /** Raw (non-distinct) exploded word 3-gram shingles per document,
-    * hash-partitioned by doc_id. The string-grain consumers (the exact
-    * n-gram counter via [[shingles]]) read this; the MinHash pipeline
-    * reads [[docShingleHashes]]'s per-row arrays instead.
+  /** Distinct shingle POSTINGS per document as (doc_id, sh_h) — the
+    * inverted index the exact n-gram Jaccard join consumes. Derived by
+    * exploding [[docShingleHashes]]'s per-doc hash arrays (the same cache
+    * the MinHash pipeline reads): the corpus is tokenized and hashed
+    * ONCE, the distinct shuffle and every downstream join key carry an
+    * 8-byte long instead of the ~20-byte shingle string, and no second
+    * string-shingle index exists at all (the r3 form materialized one
+    * just for this query — its build WAS the query's cost).
+    *
+    * Shingle identity is the xxhash64 of the string: two distinct
+    * shingles collide with probability 2⁻⁶⁴ (the same modulo-collision
+    * contract the MinHash verification sets already rely on), and the
+    * hash is deterministic, so oracle hash-equality against the
+    * string-grain DuckDB form is exact on any real corpus — checked at
+    * all three SFs. Exploding the NAMED `hs` column is safe here
+    * (unlike the fenced InferFiltersFromGenerate trap) because it reads
+    * a persisted cache: inferred generator predicates land on top of
+    * the InMemoryRelation, never re-evaluating the shingling pipeline.
     */
-  private def shinglesRaw(s: SparkSession, d: String): DataFrame =
-    materialized(s, d, "shingles_raw") {
-      tokenized(Tables.documents(s, d))
-        // the transform stays INLINE in the generator: exploding a NAMED
-        // array column instead lets InferFiltersFromGenerate (which only
-        // fires on cheap/attribute generator children) add
-        // size(col)>0/isnotnull(col) predicates that column substitution
-        // then expands into whole-pipeline re-evaluations pushed below
-        // the repartition — measured 25× slower on the index build (and
-        // the expanded predicate crashes the ANSI edge case get() guards)
-        .select(col("doc_id"), explode(expr(ShingleArrExpr)).as("sh"))
-        // one strong 64-bit hash per shingle, computed once at index build:
-        // every repeated-hash consumer (the 32 minhash permutations, the
-        // bucket-verification set intersections) mixes this fixed-width long
-        // instead of re-hashing the string — at 100 TB that also keeps the
-        // signature shuffle narrow
-        .withColumn("sh_h", xxhash64(col("sh")))
-    }
-
-  /** Distinct shingles — the exact-count consumers (n-gram Jaccard). */
   private[graft] def shingles(s: SparkSession, d: String): DataFrame =
-    materialized(s, d, "shingles")(shinglesRaw(s, d).distinct())
+    materialized(s, d, "shingles")(
+      docShingleHashes(s, d)
+        .select(col("doc_id"), explode(col("hs")).as("sh_h"))
+        .distinct())
 
   private val shinglesSql =
     """toks AS (
@@ -121,9 +118,9 @@ object Similarity {
     */
   private def jaccardPairs(sh: DataFrame, tau: Double): DataFrame = {
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("id_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("id_b"), col("sh"))
-    a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh_h"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh_h"))
+    a.join(b, Seq("sh_h")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("x"))
       .join(card.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
       .join(card.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
@@ -190,9 +187,9 @@ object Similarity {
     */
   private[graft] def keptShingles(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > StopShingleDf).select("sh")
-    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val hot = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > StopShingleDf).select("sh_h")
+    sh.join(broadcast(hot), Seq("sh_h"), "left_anti")
   }
 
   private val MinhashK = 32
@@ -227,8 +224,11 @@ object Similarity {
     * too, but it materialized the corpus × shingle fan-out and paid the
     * aggregation machinery; at 100 TB this form caches one narrow row
     * per doc and keeps the whole signature stage embarrassingly
-    * parallel). Same tokenization/hash math as [[shinglesRaw]]:
-    * xxhash64 of the word-3-gram string.
+    * parallel). The hash is xxhash64 of the word-3-gram string — one
+    * strong 64-bit key per shingle, computed once; every consumer (the
+    * 32 minhash permutations, verification sets, the exact Jaccard
+    * postings via [[shingles]]) mixes or joins this fixed-width long
+    * instead of re-hashing/carrying the string.
     */
   /** Per-doc shingle-hash arrays for an arbitrary (doc_id, text) frame —
     * the DataFrame-parameterized core [[docShingleHashes]] memoizes per

@@ -506,7 +506,7 @@ object TextOps {
       max("c").as("top_c"))
     val bgc = docs.filter(size(col("w")) >= 2)
       // get()-guarded for the same InferFiltersFromGenerate + subexpr-
-      // elimination hazard documented at Similarity.ShingleArrExpr/shinglesRaw
+      // elimination hazard documented at Similarity.ShingleArrExpr/shingleHashesOf
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w)-2), " +
           "i -> concat_ws(' ', get(w, i), get(w, i+1)))"))
@@ -621,7 +621,7 @@ object TextOps {
       // eval side clusters by doc_id (its per-doc distinct and groupBys
       // ride that partitioning); the train side needs no clustering — its
       // round-robin spread is only the single-file parallelism guard
-      // (shinglesRaw's pattern: a lake-scale scan is already multi-split),
+      // (Similarity.tokenized's pattern: a lake-scale scan is already multi-split),
       // and the n-gram stream derived from it never shuffles
       val spread = if (evalSide)
         base.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -631,7 +631,7 @@ object TextOps {
         .select(col("doc_id"), filter(split(norm, " "), t => t =!= "").as("w"))
         .filter(size(col("w")) >= 5)
         // get()-guarded for the same InferFiltersFromGenerate + subexpr-
-        // elimination hazard documented at Similarity.ShingleArrExpr/shinglesRaw
+        // elimination hazard documented at Similarity.ShingleArrExpr/shingleHashesOf
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(w)-5), i -> concat_ws(' ', " +
             "get(w, i), get(w, i+1), get(w, i+2), get(w, i+3), get(w, i+4)))"))

@@ -150,7 +150,7 @@ class SimilaritySpec extends SparkSpec {
     val cap = Similarity.StopShingleDf
     val bigSf = "/root/testdata/sf0.1" // where the cap is actually active
     val kept = Similarity.keptShingles(spark, bigSf)
-    val dfs = kept.groupBy("sh").agg(count(lit(1)).as("df"))
+    val dfs = kept.groupBy("sh_h").agg(count(lit(1)).as("df"))
       .agg(max("df").as("mx"), count(lit(1)).as("nsh"),
         sum(expr("df * (df - 1) div 2")).as("pairBound"))
       .collect()(0)
@@ -160,8 +160,8 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.count() < rawPostings,
       s"cap $cap pruned nothing at $bigSf — guard is untested there")
     // actual candidate pairs (pre-threshold) respect the arithmetic bound
-    val sh = kept.select(col("doc_id").as("id_a"), col("sh"))
-    val cand = sh.join(kept.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+    val sh = kept.select(col("doc_id").as("id_a"), col("sh_h"))
+    val cand = sh.join(kept.select(col("doc_id").as("id_b"), col("sh_h")), Seq("sh_h"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct().count()
     assert(cand <= dfs.getAs[Long]("pairBound"),
