@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -298,9 +299,9 @@ object Labeling {
     val alloc = cnt.crossJoin(broadcast(tot))
       .select(col("event_type"),
         greatest(lit(30L), expr("(200 * c) div t")).as("target"))
-    val w = Window.partitionBy("event_type")
-      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
-    pool.withColumn("rn", row_number().over(w))
+    // two-level [[hashRank]] — event_type has O(few) values; the naive
+    // per-type rank window is a single task per type at lake scale
+    hashRank(pool, "event_type", md5(col("event_id").cast("string")), "event_id")
       .join(broadcast(alloc), "event_type")
       .filter(col("rn") <= col("target"))
       .select("event_type", "event_id")
@@ -360,6 +361,39 @@ object Labeling {
     * int(n*ratio) arithmetic as the reference, shuffle replaced by the
     * reproducible hash order.
     */
+  /** Two-level hash rank: `row_number() OVER (PARTITION BY part ORDER BY
+    * h, id)` plus the per-part total, WITHOUT a single task per part
+    * value — `part` here is a class/key column with O(few) distinct
+    * values, so the naive window streams a whole class through one task
+    * (the q_seq_pack bottleneck shape, fixed the same way):
+    *   1. rank WITHIN (part, blk) where blk = the first two hex chars of
+    *      h — 256 ordered buckets; lexicographic md5 order refines the
+    *      prefix order, so block-local ranks are globally consistent;
+    *   2. block counts prefix-summed at BLOCK grain (O(|part|·256) rows
+    *      through the per-part window) give each block's rank offset and
+    *      the per-part total;
+    *   3. a tiny broadcast join carries offset + total back: rn = offset
+    *      + local rank.
+    * Returns the input plus `rn` and `n` (per-part total). Identical
+    * arithmetic to the single-window oracle form.
+    */
+  private def hashRank(df: org.apache.spark.sql.DataFrame, part: String,
+      h: Column, id: String): org.apache.spark.sql.DataFrame = {
+    val withH = df.withColumn("hh", h)
+      .withColumn("blk", substring(col("hh"), 1, 2))
+    val wLoc = Window.partitionBy(part, "blk").orderBy("hh", id)
+    val local = withH.withColumn("rnl", row_number().over(wLoc))
+    val wOff = Window.partitionBy(part).orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withH.groupBy(part, "blk").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+      .withColumn("n", sum("c").over(Window.partitionBy(part)))
+      .select(part, "blk", "off", "n")
+    local.join(broadcast(offs), Seq(part, "blk"))
+      .withColumn("rn", col("off") + col("rnl"))
+      .drop("hh", "blk", "rnl", "off", "c")
+  }
+
   /** Shared split-assignment CTE — [[qTrainSplit]] emits it directly,
     * [[qSplitMetadata]] rolls it up; one definition so they cannot drift.
     */
@@ -381,12 +415,11 @@ object Labeling {
     * queries.
     */
   private def splitFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val w = Window.partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    Tables.documents(s, d)
-      .select("doc_id", "lang")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    // two-level [[hashRank]]: lang has O(few) distinct values, so the
+    // naive lang-partitioned rank window would stream each class's whole
+    // corpus through ONE task at lake scale
+    hashRank(Tables.documents(s, d).select("doc_id", "lang"),
+        "lang", md5(col("doc_id").cast("string")), "doc_id")
       .withColumn("split",
         when(col("rn") <= expr("(8 * n) div 10"), "train")
           .when(col("rn") <= expr("(8 * n) div 10 + n div 10"), "val")

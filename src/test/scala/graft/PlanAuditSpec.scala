@@ -162,6 +162,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_split_metadata").contains("BroadcastHashJoin"))
   }
 
+  for (q <- Seq("q_train_split", "q_balanced_sample"))
+  test(s"$q: row-grain rank windows partition on the hash block key") {
+    // the two-level hashRank contract: any window that orders the row
+    // stream (tiebreak on the row id) must carry the 256-bucket block
+    // key — a class-only partition is the single-task-per-class shape
+    val p = plan(q)
+    val rowWins = p.split("\n").filter(l =>
+      l.contains("windowspecdefinition") &&
+        (l.contains("doc_id#") || l.contains("event_id#")))
+    assert(rowWins.nonEmpty, s"no row-grain rank window found in $q:\n" + p)
+    assert(rowWins.forall(_.contains("blk#")),
+      s"a row-grain window in $q lost its block partition key:\n" +
+        rowWins.mkString("\n"))
+  }
+
   test("seq pack: doc-grain window partitions on the block key, never source alone") {
     val p = plan("q_seq_pack")
     // the two-level prefix sum: every window spec that orders by doc_id
