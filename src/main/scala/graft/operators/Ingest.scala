@@ -421,16 +421,26 @@ object Ingest {
     * Scale shape: ONE map-side-combinable aggregate at (run, app) grain —
     * no windows, no joins; output is O(#runs · #apps) rows.
     */
+  /** THE run-ledger counting conventions, in one place: fetched rows,
+    * already-ingested (skipped) = event_id % 2 = 0, errored = event_id %
+    * 97 = 0, first/last µs — aggregated at whatever grain `keys` gives
+    * (run for [[healthReport]]/[[alerts]], run × app for [[appHealth]]).
+    * Each consumer's oracle mirrors the same CASE sums; changing a
+    * convention means THIS function plus the oracle strings.
+    */
+  private def runCounts(events: org.apache.spark.sql.DataFrame,
+      keys: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+    events.groupBy(keys: _*).agg(
+      count(lit(1)).as("fetched"),
+      sum(when(col("event_id") % 2 === 0, 1).otherwise(0)).as("skipped"),
+      sum(when(col("event_id") % 97 === 0, 1).otherwise(0)).as("error_cnt"),
+      min(unix_micros(col("ts"))).as("started_us"),
+      max(unix_micros(col("ts"))).as("ended_us"))
+
+  private def runIdCol = date_format(col("ts"), "yyyy-MM-dd").as("run_id")
+
   def appHealth(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    events
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("run_id"),
-        col("event_type").as("app_id"))
-      .agg(
-        count(lit(1)).as("fetched"),
-        sum(when(col("event_id") % 2 === 0, 1).otherwise(0)).as("skipped"),
-        sum(when(col("event_id") % 97 === 0, 1).otherwise(0)).as("error_cnt"),
-        min(unix_micros(col("ts"))).as("started_us"),
-        max(unix_micros(col("ts"))).as("ended_us"))
+    runCounts(events, runIdCol, col("event_type").as("app_id"))
       .select(
         col("run_id"), col("app_id"),
         when(col("error_cnt") > 0, "error")
@@ -449,17 +459,20 @@ object Ingest {
     * duration. Shares every convention with [[appHealth]]/[[qRunLedger]].
     */
   def healthReport(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    events
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("run_id"))
+    // run grain derives from the (run × app) cells — [[runCounts]] is the
+    // one statement of the conventions; apps_processed counts the cells,
+    // apps_failed the errored ones
+    runCounts(events, runIdCol, col("event_type").as("app_id"))
+      .groupBy("run_id")
       .agg(
-        count(lit(1)).as("fetched"),
-        sum(when(col("event_id") % 2 === 0, 1).otherwise(0)).as("skipped"),
-        sum(when(col("event_id") % 97 === 0, 1).otherwise(0)).as("error_cnt"),
-        countDistinct(col("event_type")).as("apps_processed"),
-        countDistinct(when(col("event_id") % 97 === 0, col("event_type")))
+        sum(col("fetched")).cast("long").as("fetched"),
+        sum(col("skipped")).cast("long").as("skipped"),
+        sum(col("error_cnt")).cast("long").as("error_cnt"),
+        count(lit(1)).as("apps_processed"),
+        sum(when(col("error_cnt") > 0, 1).otherwise(0)).cast("long")
           .as("apps_failed"),
-        min(unix_micros(col("ts"))).as("started_us"),
-        max(unix_micros(col("ts"))).as("ended_us"))
+        min(col("started_us")).as("started_us"),
+        max(col("ended_us")).as("ended_us"))
       .select(col("run_id"), col("fetched"),
         (col("fetched") - col("skipped")).as("inserted"),
         col("skipped"), col("error_cnt"),
@@ -542,14 +555,8 @@ object Ingest {
     * through the unpartitioned window — the qRunDeltas contract).
     */
   def alerts(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val runs = events
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("run_id"))
-      .agg(
-        count(lit(1)).as("fetched"),
-        sum(when(col("event_id") % 2 === 0, 1).otherwise(0)).as("skipped"),
-        sum(when(col("event_id") % 97 === 0, 1).otherwise(0)).as("error_cnt"),
-        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
-          .as("duration_us"))
+    val runs = runCounts(events, runIdCol)
+      .withColumn("duration_us", col("ended_us") - col("started_us"))
       .withColumn("inserted", col("fetched") - col("skipped"))
     val w5 = Window.orderBy("run_id").rowsBetween(-5, -1)
     val r = runs

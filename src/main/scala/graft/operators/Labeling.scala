@@ -388,10 +388,15 @@ object Labeling {
     val offs = withH.groupBy(part, "blk").agg(count(lit(1)).as("c"))
       .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
       .withColumn("n", sum("c").over(Window.partitionBy(part)))
-      .select(part, "blk", "off", "n")
-    local.join(broadcast(offs), Seq(part, "blk"))
+      .select(col(part).as("p2"), col("blk").as("b2"), col("off"), col("n"))
+    // NULL-SAFE equality: a NULL class key (or NULL id → NULL hash/block)
+    // is a legitimate window partition — the single-window form this
+    // replaces (and the oracle) keeps those rows, so a plain equi-join
+    // silently dropping them would break oracle parity
+    local.join(broadcast(offs),
+        col(part) <=> col("p2") && col("blk") <=> col("b2"))
       .withColumn("rn", col("off") + col("rnl"))
-      .drop("hh", "blk", "rnl", "off", "c")
+      .drop("p2", "b2", "hh", "blk", "rnl", "off")
   }
 
   /** Shared split-assignment CTE — [[qTrainSplit]] emits it directly,
@@ -465,15 +470,31 @@ object Labeling {
        |GROUP BY j.split, j.lang, per.split_total, per.apps_represented
        |ORDER BY j.split, label""".stripMargin
   ) { (s, d) =>
+    splitMetadataOf(splitFrame(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id"))
+  }
+
+  /** The metadata rollup over any (split, lang, source) row frame — ONE
+    * corpus pass: the (split, label) cells carry their distinct source
+    * SETS (bounded by #sources, tiny), and the per-split totals +
+    * apps-represented derive from split-grain windows over the cells
+    * (3×|labels| rows). Shared by [[qSplitMetadata]] (over the live
+    * assignment) and [[exportSplits]] (over the written dataset), so the
+    * two cannot drift — and neither re-evaluates the split pipeline for
+    * a second aggregate subtree.
+    */
+  private def splitMetadataOf(rows: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import graft.functions.Det.exactDiv
-    val j = splitFrame(s, d)
-      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
-    val per = j.groupBy("split")
-      .agg(count(lit(1)).as("split_total"),
-        countDistinct(col("source")).as("apps_represented"))
-    j.groupBy(col("split"), col("lang").as("label"))
-      .agg(count(lit(1)).as("n_examples"))
-      .join(broadcast(per), "split")
+    val wSplit = Window.partitionBy("split")
+    rows
+      .groupBy(col("split"), col("lang").as("label"))
+      .agg(count(lit(1)).as("n_examples"),
+        collect_set(col("source")).as("srcs"))
+      .withColumn("split_total", sum("n_examples").over(wSplit).cast("long"))
+      .withColumn("apps_represented",
+        size(array_distinct(flatten(collect_list(col("srcs")).over(wSplit))))
+          .cast("long"))
       .select(col("split"), col("label"), col("n_examples"),
         col("split_total"), col("apps_represented"),
         exactDiv(lit(100) * col("n_examples"), col("split_total"), 2)
@@ -498,8 +519,11 @@ object Labeling {
       .select("doc_id", "text", "lang", "source", "split")
     rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("split").json(s"$outDir/dataset")
+    // metadata from the WRITTEN dataset (shared splitMetadataOf rollup):
+    // describes exactly the files shipped, and the split pipeline runs
+    // once per export instead of once per consumer
     graft.sources.Store.exportParquet(
-      qSplitMetadata.run(s, d), s"$outDir/metadata")
+      splitMetadataOf(s.read.json(s"$outDir/dataset")), s"$outDir/metadata")
   }
 
   /** Inter-annotator agreement (reporter.report_agreement:111): observed

@@ -309,10 +309,15 @@ object TextOps {
     val offsets = toks.groupBy("source", "blk")
       .agg(sum("n_tok").as("blk_tot"))
       .withColumn("blk_off", sum("blk_tot").over(wSrc) - col("blk_tot"))
-      .select("source", "blk", "blk_off")
+      .select(col("source").as("s2"), col("blk").as("b2"), col("blk_off"))
     // level 3: tiny broadcast join carries each block's offset back to
-    // its documents; start = offset + local prefix − own count
-    local.join(broadcast(offsets), Seq("source", "blk"))
+    // its documents; start = offset + local prefix − own count.
+    // NULL-SAFE keys: a NULL source (or NULL doc_id → NULL block) is a
+    // legitimate window partition the oracle's single window keeps — a
+    // plain equi-join would silently drop those rows
+    local.join(broadcast(offsets),
+        col("source") <=> col("s2") && col("blk") <=> col("b2"))
+      .drop("s2", "b2")
       .withColumn("start_tok", col("blk_off") + col("local_cum") - col("n_tok"))
       .groupBy(col("source"), expr("start_tok DIV 2048").as("chunk_id"))
       .agg(count(lit(1)).as("n_docs"),

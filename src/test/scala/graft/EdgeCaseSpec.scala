@@ -45,13 +45,15 @@ class EdgeCaseSpec extends SparkSpec {
       .withColumn("label",
         when(col("vec_id") % 5 === 0, lit(null: String)).otherwise(col("label")))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    // null/empty text and lang on a third of the corpus
+    // null/empty text, lang and source on slices of the corpus
     Tables.documents(spark, sfDir)
       .withColumn("text",
         when(col("doc_id") % 3 === 0, lit(null: String))
           .when(col("doc_id") % 3 === 1, lit("")).otherwise(col("text")))
       .withColumn("lang",
         when(col("doc_id") % 5 === 0, lit(null: String)).otherwise(col("lang")))
+      .withColumn("source",
+        when(col("doc_id") % 7 === 0, lit(null: String)).otherwise(col("source")))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("props",
@@ -70,5 +72,24 @@ class EdgeCaseSpec extends SparkSpec {
       catch { case e: Throwable => Some(s"${q.name}: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("null class keys are ranked/packed, not silently dropped") {
+    import org.apache.spark.sql.functions._
+    // the two-level decompositions replace class-partitioned windows with
+    // block joins: the join keys must be NULL-SAFE, because a NULL lang /
+    // source is a legitimate window partition the single-window oracle
+    // keeps — an equi-join would drop those rows and break oracle parity
+    val nDocs = spark.read.parquet(s"$nullyDir/documents.parquet").count()
+    val split = SparkEntry.queries("q_train_split")(spark, nullyDir)
+    assert(split.count() == nDocs,
+      "train split must assign every document, including NULL lang")
+    assert(split.filter(col("lang").isNull).count() ==
+      spark.read.parquet(s"$nullyDir/documents.parquet")
+        .filter(col("lang").isNull).count())
+    val packed = SparkEntry.queries("q_seq_pack")(spark, nullyDir)
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(packed == nDocs,
+      "seq pack must chunk every document, including NULL source")
   }
 }

@@ -158,8 +158,16 @@ class PlanAuditSpec extends SparkSpec {
       "run aggregate lost its map-side partial:\n" + p)
   }
 
-  test("split metadata: per-split totals broadcast back to the label cells") {
-    assert(plan("q_split_metadata").contains("BroadcastHashJoin"))
+  test("split metadata: one corpus aggregate; totals derive at cell grain") {
+    val p = plan("q_split_metadata")
+    assert(p.contains("BroadcastHashJoin")) // hashRank offsets + doc join
+    // the split-grain totals/apps derive from WINDOWS over the
+    // (split,label) cells, not a second corpus-wide aggregate subtree —
+    // bounded scan count is the regression tripwire (the r4 review found
+    // the rollup evaluating the whole split pipeline twice)
+    val scans = p.split("\n").count(_.contains("Scan parquet"))
+    assert(scans <= 3, // rank input + source join (+ exchange-reused rank side)
+      s"corpus scanned $scans times — split pipeline re-evaluated:\n" + p)
   }
 
   for (q <- Seq("q_train_split", "q_balanced_sample"))
