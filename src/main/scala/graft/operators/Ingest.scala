@@ -428,7 +428,7 @@ object Ingest {
     * Each consumer's oracle mirrors the same CASE sums; changing a
     * convention means THIS function plus the oracle strings.
     */
-  private def runCounts(events: org.apache.spark.sql.DataFrame,
+  private[graft] def runCounts(events: org.apache.spark.sql.DataFrame,
       keys: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
     events.groupBy(keys: _*).agg(
       count(lit(1)).as("fetched"),
@@ -439,18 +439,27 @@ object Ingest {
 
   private def runIdCol = date_format(col("ts"), "yyyy-MM-dd").as("run_id")
 
+  /** The status + derived-column stage over a [[runCounts]] frame carrying
+    * (run_id, app_id) — shared by batch [[appHealth]] and the streaming
+    * twin ([[graft.streaming.IngestStream.appHealth]]), so the status
+    * rules cannot drift between modes. No sort: streaming append mode
+    * forbids it; batch adds its own.
+    */
+  private[graft] def healthStatusSelect(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    counts.select(
+      col("run_id"), col("app_id"),
+      when(col("error_cnt") > 0, "error")
+        .when(col("fetched") - col("skipped") === 0 && col("fetched") > 0, "stale")
+        .otherwise("ok").as("status"),
+      col("fetched"),
+      (col("fetched") - col("skipped")).as("inserted"),
+      col("skipped"), col("error_cnt"),
+      exactDiv(col("ended_us") - col("started_us"), lit(1000000L), 2)
+        .as("duration_secs"))
+
   def appHealth(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    runCounts(events, runIdCol, col("event_type").as("app_id"))
-      .select(
-        col("run_id"), col("app_id"),
-        when(col("error_cnt") > 0, "error")
-          .when(col("fetched") - col("skipped") === 0 && col("fetched") > 0, "stale")
-          .otherwise("ok").as("status"),
-        col("fetched"),
-        (col("fetched") - col("skipped")).as("inserted"),
-        col("skipped"), col("error_cnt"),
-        exactDiv(col("ended_us") - col("started_us"), lit(1000000L), 2)
-          .as("duration_secs"))
+    healthStatusSelect(runCounts(events, runIdCol, col("event_type").as("app_id")))
       .orderBy("run_id", "app_id")
 
   /** Run-grain health report (monitor's HealthReport row — the metrics

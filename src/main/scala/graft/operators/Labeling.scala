@@ -377,7 +377,7 @@ object Labeling {
     * Returns the input plus `rn` and `n` (per-part total). Identical
     * arithmetic to the single-window oracle form.
     */
-  private def hashRank(df: org.apache.spark.sql.DataFrame, part: String,
+  private[graft] def hashRank(df: org.apache.spark.sql.DataFrame, part: String,
       h: Column, id: String): org.apache.spark.sql.DataFrame = {
     val withH = df.withColumn("hh", h)
       .withColumn("blk", substring(col("hh"), 1, 2))

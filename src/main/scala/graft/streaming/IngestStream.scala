@@ -96,6 +96,24 @@ object IngestStream {
   def enrichWithHistory(events: Dataset[Event], history: DataFrame): DataFrame =
     events.toDF.join(broadcast(history), Seq("event_type"), "left")
 
+  /** Streaming per-(run, app) health — the monitor running in the
+    * reference's continuous mode (SURVEY #15c's twin): day-tumbling
+    * event-time windows play the scrape runs, aggregated with the SAME
+    * [[graft.operators.Ingest.runCounts]] conventions and finished by the
+    * SAME status stage ([[graft.operators.Ingest.healthStatusSelect]]) as
+    * the batch operator — one definition of skip/error/status across both
+    * modes. Emits a (run, app) health row when the watermark closes the
+    * day window (Append); callers compose the watermark upstream (via
+    * [[dedupe]], like [[windowedCounts]]). State = one counts row per
+    * open (day, app) cell — bounded by #apps per watermark horizon.
+    */
+  def appHealth(events: Dataset[Event]): DataFrame =
+    graft.operators.Ingest.healthStatusSelect(
+      graft.operators.Ingest.runCounts(events.toDF,
+          window(col("ts"), "1 day"), col("event_type").as("app_id"))
+        .withColumn("run_id", date_format(col("window.start"), "yyyy-MM-dd"))
+        .drop("window"))
+
   /** Stateful gap sessionizer (30-min inactivity), the streaming twin of
     * Ingest.qSessionize: flatMapGroupsWithState with event-time timeout.
     * State per user = the open session only; closed sessions are emitted

@@ -69,6 +69,35 @@ class LabelingSpec extends SparkSpec {
     }
   }
 
+  test("hashRank equals the single-window rank, null classes included") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // randomized pin of the two-level decomposition identity against the
+    // naive class-partitioned window it replaced — including NULL class
+    // keys (a legitimate partition) and multiple physical partitions
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 300 + rnd.nextInt(300)
+      val rows = (1 to n).map { i =>
+        val cls = if (rnd.nextInt(10) == 0) null
+          else s"c${rnd.nextInt(4)}"
+        (i.toLong, cls)
+      }
+      val df = rows.toDF("id", "cls").repartition(7)
+      val w = W.partitionBy("cls").orderBy(md5(col("id").cast("string")), col("id"))
+      val expect = df
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(W.partitionBy("cls")))
+        .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3))).toMap
+      val got = graft.operators.Labeling.hashRank(
+          df, "cls", md5(col("id").cast("string")), "id")
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("rn").toInt, r.getAs[Long]("n"))).toMap
+      assert(got == expect, s"trial $trial: two-level rank diverged")
+    }
+  }
+
   test("split metadata: reconciles exactly with the split assignment") {
     import org.apache.spark.sql.functions.col
     val split = Labeling.qTrainSplit.run(spark, sfDir).collect()

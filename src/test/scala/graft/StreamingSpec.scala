@@ -45,6 +45,42 @@ class StreamingSpec extends SparkSpec {
     assert(byKey((60, "view")) == ((1L, 10.0)))
   }
 
+  test("streaming app health converges to the batch operator on closed runs") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    def dayTs(day: Int, minutes: Long): Timestamp =
+      new Timestamp((day * 1440L + minutes) * 60000L)
+    // day 1: appA errors (id 97) + all-even appB (stale) + mixed appC (ok);
+    // day 2: one clean app; a far-future sentinel closes both day windows
+    val d1 = Seq(
+      Event(97, dayTs(1, 0), 1, "appA", 1.0), Event(3, dayTs(1, 30), 1, "appA", 1.0),
+      Event(2, dayTs(1, 0), 1, "appB", 1.0), Event(4, dayTs(1, 45), 1, "appB", 1.0),
+      Event(5, dayTs(1, 10), 1, "appC", 1.0), Event(6, dayTs(1, 90), 1, "appC", 1.0))
+    val d2 = Seq(
+      Event(7, dayTs(2, 5), 1, "appC", 1.0), Event(9, dayTs(2, 65), 1, "appC", 1.0))
+    val sentinel = Seq(Event(11, dayTs(40, 0), 1, "appZ", 1.0))
+    val rows = runToCompletion(
+      IngestStream.appHealth(IngestStream.dedupe(mem.toDS())),
+      "app_health_stream", mem, Seq(d1, d2, sentinel))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("run_id"), r.getAs[String]("app_id"))
+    def cell(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("status"), r.getAs[Long]("fetched"),
+        r.getAs[Long]("inserted"), r.getAs[Long]("skipped"),
+        r.getAs[Long]("error_cnt"), r.getAs[Double]("duration_secs"))
+    val got = rows.map(r => key(r) -> cell(r)).toMap
+    // batch twin over the same (closed-run) rows — identical cells
+    val batch = graft.operators.Ingest.appHealth(
+        (d1 ++ d2).toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => key(r) -> cell(r)).toMap
+    assert(got == batch,
+      s"streaming health diverged:\n got=$got\n exp=$batch")
+    assert(got(("1970-01-02", "appA"))._1 == "error")
+    assert(got(("1970-01-02", "appB"))._1 == "stale")
+    assert(got(("1970-01-02", "appC"))._1 == "ok")
+  }
+
   test("streaming sessionizer closes sessions on gap and on watermark timeout") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
