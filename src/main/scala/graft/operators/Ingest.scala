@@ -381,14 +381,21 @@ object Ingest {
        |  fetched, fetched - failed AS inserted, failed, apps_processed
        |FROM runs, mx ORDER BY run_id""".stripMargin
   ) { (s, d) =>
-    val runs = Tables.events(s, d)
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("run_id"))
+    // derives from the shared [[runCounts]] (run × app) cells — the one
+    // statement of the fetched/failed conventions; count(app_id) over the
+    // cells ≡ the countDistinct(event_type) it replaces (NULL app
+    // excluded), and the cell-grain partial aggregation makes the extra
+    // rollup O(#runs · #apps) traffic
+    val runs = runCounts(Tables.events(s, d),
+        date_format(col("ts"), "yyyy-MM-dd").as("run_id"),
+        col("event_type").as("app_id"))
+      .groupBy("run_id")
       .agg(
-        min(unix_micros(col("ts"))).as("started_us"),
-        max(unix_micros(col("ts"))).as("ended_us"),
-        count(lit(1)).as("fetched"),
-        sum(when(col("event_id") % 97 === 0, 1).otherwise(0)).as("failed"),
-        countDistinct(col("event_type")).as("apps_processed"))
+        min(col("started_us")).as("started_us"),
+        max(col("ended_us")).as("ended_us"),
+        sum(col("fetched")).cast("long").as("fetched"),
+        sum(col("error_cnt")).cast("long").as("failed"),
+        count(col("app_id")).as("apps_processed"))
     val mx = runs.agg(max("run_id").as("last_run"))
     val open = col("run_id") === col("last_run")
     runs.crossJoin(broadcast(mx))
@@ -477,9 +484,11 @@ object Ingest {
         sum(col("fetched")).cast("long").as("fetched"),
         sum(col("skipped")).cast("long").as("skipped"),
         sum(col("error_cnt")).cast("long").as("error_cnt"),
-        count(lit(1)).as("apps_processed"),
-        sum(when(col("error_cnt") > 0, 1).otherwise(0)).cast("long")
-          .as("apps_failed"),
+        // count NON-NULL app cells: the countDistinct(event_type) this
+        // replaced — and qRunLedger's convention — excludes a NULL app
+        count(col("app_id")).as("apps_processed"),
+        sum(when(col("error_cnt") > 0 && col("app_id").isNotNull, 1)
+          .otherwise(0)).cast("long").as("apps_failed"),
         min(col("started_us")).as("started_us"),
         max(col("ended_us")).as("ended_us"))
       .select(col("run_id"), col("fetched"),

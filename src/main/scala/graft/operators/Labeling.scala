@@ -379,24 +379,32 @@ object Labeling {
     */
   private[graft] def hashRank(df: org.apache.spark.sql.DataFrame, part: String,
       h: Column, id: String): org.apache.spark.sql.DataFrame = {
-    val withH = df.withColumn("hh", h)
-      .withColumn("blk", substring(col("hh"), 1, 2))
-    val wLoc = Window.partitionBy(part, "blk").orderBy("hh", id)
-    val local = withH.withColumn("rnl", row_number().over(wLoc))
-    val wOff = Window.partitionBy(part).orderBy("blk")
+    // working columns are namespaced and reserved (the dedupeByKey
+    // contract): withColumn would silently REPLACE a same-named caller
+    // column — wrong data, not an error. rn/n are the documented outputs.
+    val reserved = Seq("__hr_h", "__hr_blk", "__hr_rnl", "__hr_off",
+      "__hr_c", "__hr_p2", "__hr_b2", "rn", "n")
+    require(!df.columns.exists(reserved.contains),
+      s"hashRank reserves columns $reserved")
+    val withH = df.withColumn("__hr_h", h)
+      .withColumn("__hr_blk", substring(col("__hr_h"), 1, 2))
+    val wLoc = Window.partitionBy(part, "__hr_blk").orderBy("__hr_h", id)
+    val local = withH.withColumn("__hr_rnl", row_number().over(wLoc))
+    val wOff = Window.partitionBy(part).orderBy("__hr_blk")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = withH.groupBy(part, "blk").agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
-      .withColumn("n", sum("c").over(Window.partitionBy(part)))
-      .select(col(part).as("p2"), col("blk").as("b2"), col("off"), col("n"))
+    val offs = withH.groupBy(part, "__hr_blk").agg(count(lit(1)).as("__hr_c"))
+      .withColumn("__hr_off", coalesce(sum("__hr_c").over(wOff), lit(0L)))
+      .withColumn("n", sum("__hr_c").over(Window.partitionBy(part)))
+      .select(col(part).as("__hr_p2"), col("__hr_blk").as("__hr_b2"),
+        col("__hr_off"), col("n"))
     // NULL-SAFE equality: a NULL class key (or NULL id → NULL hash/block)
     // is a legitimate window partition — the single-window form this
     // replaces (and the oracle) keeps those rows, so a plain equi-join
     // silently dropping them would break oracle parity
     local.join(broadcast(offs),
-        col(part) <=> col("p2") && col("blk") <=> col("b2"))
-      .withColumn("rn", col("off") + col("rnl"))
-      .drop("p2", "b2", "hh", "blk", "rnl", "off")
+        col(part) <=> col("__hr_p2") && col("__hr_blk") <=> col("__hr_b2"))
+      .withColumn("rn", col("__hr_off") + col("__hr_rnl"))
+      .drop("__hr_p2", "__hr_b2", "__hr_h", "__hr_blk", "__hr_rnl", "__hr_off")
   }
 
   /** Shared split-assignment CTE — [[qTrainSplit]] emits it directly,
@@ -521,9 +529,14 @@ object Labeling {
       .partitionBy("split").json(s"$outDir/dataset")
     // metadata from the WRITTEN dataset (shared splitMetadataOf rollup):
     // describes exactly the files shipped, and the split pipeline runs
-    // once per export instead of once per consumer
+    // once per export instead of once per consumer. EXPLICIT schema (the
+    // frame just written): inference throws on an empty day-one export
+    // (only _SUCCESS on disk) and silently loses all-null columns (JSON
+    // omits null fields) — and skips a full inference pass over the
+    // text-heavy files
     graft.sources.Store.exportParquet(
-      splitMetadataOf(s.read.json(s"$outDir/dataset")), s"$outDir/metadata")
+      splitMetadataOf(s.read.schema(rows.schema).json(s"$outDir/dataset")),
+      s"$outDir/metadata")
   }
 
   /** Inter-annotator agreement (reporter.report_agreement:111): observed

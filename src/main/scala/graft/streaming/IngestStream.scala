@@ -106,13 +106,26 @@ object IngestStream {
     * day window (Append); callers compose the watermark upstream (via
     * [[dedupe]], like [[windowedCounts]]). State = one counts row per
     * open (day, app) cell — bounded by #apps per watermark horizon.
+    *
+    * REQUIRES a UTC session (what [[graft.Sessions.buildDefault]] pins):
+    * `window(ts, '1 day')` buckets by epoch-aligned UTC days while the
+    * batch twin's `date_format` uses the session timezone — in a
+    * non-UTC session the two would assign boundary events to different
+    * runs, so the mismatch fails loud here instead of as silently
+    * diverging cells.
     */
-  def appHealth(events: Dataset[Event]): DataFrame =
+  def appHealth(events: Dataset[Event]): DataFrame = {
+    val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"IngestStream.appHealth requires spark.sql.session.timeZone=UTC " +
+        s"(got $tz): day windows are UTC-aligned but the batch twin's " +
+        "run_id follows the session timezone")
     graft.operators.Ingest.healthStatusSelect(
       graft.operators.Ingest.runCounts(events.toDF,
           window(col("ts"), "1 day"), col("event_type").as("app_id"))
         .withColumn("run_id", date_format(col("window.start"), "yyyy-MM-dd"))
         .drop("window"))
+  }
 
   /** Stateful gap sessionizer (30-min inactivity), the streaming twin of
     * Ingest.qSessionize: flatMapGroupsWithState with event-time timeout.

@@ -180,7 +180,7 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("windowspecdefinition") &&
         (l.contains("doc_id#") || l.contains("event_id#")))
     assert(rowWins.nonEmpty, s"no row-grain rank window found in $q:\n" + p)
-    assert(rowWins.forall(_.contains("blk#")),
+    assert(rowWins.forall(_.contains("__hr_blk#")),
       s"a row-grain window in $q lost its block partition key:\n" +
         rowWins.mkString("\n"))
   }
