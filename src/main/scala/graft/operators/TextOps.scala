@@ -678,8 +678,148 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PII regexes, one definition feeding the Spark side, the oracle SQL
+    * and the crafted-string spec. Backref/lookahead-free by construction:
+    * Java (Spark) and RE2 (DuckDB) then implement identical leftmost-first
+    * semantics — verified value-for-value on the crafted corpus in
+    * PiiScanSpec (greedy-domain backtracking, bounded-run rejection and
+    * alternation-priority cases included). Categories deliberately
+    * OVERLAP (a 16-digit card number is both an id-run and a phone-shaped
+    * digit string): a PII scan over-triggers by design; the redaction
+    * pass resolves overlap by leftmost-first alternation priority.
+    */
+  private[graft] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PiiPhone = "\\+?\\d[\\d() -]{6,}\\d"
+  /** 13–19 digit word-bounded run (card/account shaped). NOTE the bounded
+    * quantifier + `\b` REJECTS runs of 20+ digits entirely (no 19-digit
+    * prefix match) — identical in both engines and pinned in the spec.
+    */
+  private[graft] val PiiIdRun = "\\b\\d{13,19}\\b"
+  /** Redaction alternation, most-specific first; at equal start offsets
+    * both engines take the first matching branch.
+    */
+  private[graft] val PiiAll = s"$PiiEmail|$PiiIpv4|$PiiIdRun|$PiiPhone"
+
+  /** Per-document PII hit counts + redaction length delta — the shared
+    * projection of [[qPiiScan]] and the crafted-string spec. NULL text
+    * yields NULL counts/delta (both engines), which the rollup's
+    * CASE/SUM semantics then treat identically.
+    */
+  private[graft] def piiCols(
+      text: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
+    regexp_count(text, lit(PiiEmail)).as("n_email"),
+    regexp_count(text, lit(PiiIpv4)).as("n_ipv4"),
+    regexp_count(text, lit(PiiPhone)).as("n_phone"),
+    regexp_count(text, lit(PiiIdRun)).as("n_idrun"),
+    (length(text) - length(regexp_replace(text, PiiAll, "[PII]")))
+      .cast("long").as("redact_delta"))
+
+  /** PII exposure scan + redaction accounting (the privacy-filter stage of
+    * a training-data pipeline — the one curation pass between dedup and
+    * export this engine didn't yet model): per source, how many documents
+    * contain email / IPv4 / phone-shaped / card-shaped matches, total
+    * match counts, the share of PII-clean documents, and the exact number
+    * of characters a `[PII]` redaction pass removes.
+    *
+    * Scale shape: embarrassingly parallel — four codegen'd regex counts
+    * and one replace per row, then ONE map-side-combinable aggregate at
+    * source grain; no shuffle wider than (source, 6 longs). The regex
+    * kernels are the per-row cost: ~O(len·patterns) with no backtracking
+    * blowup possible (no nested quantifiers over the same class).
+    *
+    * THIS corpus contains no digits or '@' (word-salad synthetic text),
+    * so every count is structurally zero and the oracle exercises only
+    * the null/CASE plumbing — the regex kernels themselves are pinned by
+    * PiiScanSpec on crafted strings with expected values cross-checked
+    * against DuckDB (the q_repeated_chars precedent).
+    */
+  val qPiiScan: Q = Q(
+    "q_pii_scan",
+    s"""WITH p AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(text, '$PiiEmail')) AS n_email,
+       |    len(regexp_extract_all(text, '$PiiIpv4')) AS n_ipv4,
+       |    len(regexp_extract_all(text, '$PiiPhone')) AS n_phone,
+       |    len(regexp_extract_all(text, '$PiiIdRun')) AS n_idrun,
+       |    length(text) - length(regexp_replace(text, '$PiiAll', '[PII]', 'g'))
+       |      AS redact_delta
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+       |  CAST(SUM(CASE WHEN n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ipv4,
+       |  CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+       |  CAST(SUM(CASE WHEN n_idrun > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_idrun,
+       |  CAST(SUM(n_email) AS BIGINT) AS n_email,
+       |  CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+       |  CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+       |  CAST(SUM(n_idrun) AS BIGINT) AS n_idrun,
+       |  ${exactDivSql(
+             "SUM(CASE WHEN n_email = 0 AND n_ipv4 = 0 AND n_phone = 0 " +
+               "AND n_idrun = 0 THEN 1 ELSE 0 END)", "COUNT(*)", 4)} AS clean_rate,
+       |  CAST(SUM(redact_delta) AS BIGINT) AS redact_chars
+       |FROM p GROUP BY 1 ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val p = Tables.documents(s, d).select(col("source") +: piiCols(col("text")): _*)
+    def docsWith(c: String) = sum(when(col(c) > 0, 1).otherwise(0))
+      .cast("long").as(s"docs_${c.stripPrefix("n_")}")
+    p.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        docsWith("n_email"), docsWith("n_ipv4"),
+        docsWith("n_phone"), docsWith("n_idrun"),
+        sum(col("n_email")).cast("long").as("n_email"),
+        sum(col("n_ipv4")).cast("long").as("n_ipv4"),
+        sum(col("n_phone")).cast("long").as("n_phone"),
+        sum(col("n_idrun")).cast("long").as("n_idrun"),
+        exactDiv(sum(when(col("n_email") === 0 && col("n_ipv4") === 0 &&
+            col("n_phone") === 0 && col("n_idrun") === 0, 1).otherwise(0)),
+          count(lit(1)), 4).as("clean_rate"),
+        sum(col("redact_delta")).cast("long").as("redact_chars"))
+      .orderBy("source")
+  }
+
+  /** Training-mix table (the data-mixing stage of corpus assembly — Pile/
+    * Dolma-style source weighting): per source, document and whitespace-
+    * token totals, the source's share of all corpus tokens, and the
+    * resampling weight that would flatten the mix to uniform-by-source
+    * (weight = total / (K · tokens_s); >1 ⇒ upsample/repeat epochs,
+    * <1 ⇒ downsample — exactly the factor a loader multiplies into its
+    * per-source sampling probability).
+    *
+    * Scale shape: one map-side-combinable aggregate at source grain, then
+    * a broadcast of the O(#sources)-row global rollup back across it —
+    * the denominator never shuffles document rows twice. All ratios are
+    * exact integer divisions ([[exactDiv]]) — bit-identical across
+    * engines and at any parallelism.
+    */
+  val qSourceMix: Q = Q(
+    "q_source_mix",
+    s"""WITH t AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(${Text.wordCountSql}) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |g AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot, COUNT(*) AS k FROM t)
+       |SELECT source, n_docs, n_tokens,
+       |  ${exactDivSql("n_tokens", "tot", 6)} AS token_share,
+       |  ${exactDivSql("tot", "k * n_tokens", 4)} AS mix_weight
+       |FROM t, g ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.wordCount(col("text"))).cast("long").as("n_tokens"))
+    val g = t.agg(sum(col("n_tokens")).cast("long").as("tot"),
+      count(lit(1)).as("k"))
+    t.crossJoin(broadcast(g))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        exactDiv(col("n_tokens"), col("tot"), 6).as("token_share"),
+        exactDiv(col("tot"), col("k") * col("n_tokens"), 4).as("mix_weight"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qLangId, qQualityScore, qTokenCount, qVocabGrowth,
     qSeqPack, qWeightedSample, qTfidfTerms, qFingerprint, qRepetitionStats,
-    qDecontaminate)
+    qDecontaminate, qPiiScan, qSourceMix)
 }

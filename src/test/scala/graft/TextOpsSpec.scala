@@ -259,4 +259,52 @@ class TextOpsSpec extends SparkSpec {
       "inserted items must always hit (no false negatives)")
     assert(rows(3).isNullAt(1), "null item must yield null")
   }
+
+  test("pii kernels: crafted strings match the DuckDB-verified counts/deltas") {
+    // The corpus contains no digits or '@' (q_pii_scan's oracle hash is
+    // structurally all-zero), so the regex kernels are pinned HERE: each
+    // expected tuple below was computed with DuckDB's RE2 engine on the
+    // same patterns — this spec asserting the Java side reproduces them
+    // IS the cross-engine agreement check. Cases cover greedy-domain
+    // backtracking (email host), \b-bounded runs (the 20-digit string
+    // matches NOTHING in the 13–19 id-run class), category overlap (a
+    // 16-digit card is an id-run AND phone-shaped) and null propagation.
+    import spark.implicits._
+    val cases = Seq(
+      // (text, n_email, n_ipv4, n_phone, n_idrun, redact_delta)
+      ("contact a.b-c_d%e+f@mail-srv.example.co or x@y.io now", 2, 0, 0, 0, 27),
+      ("server at 10.0.255.3 and 192.168.1.17, port 8080", 0, 2, 0, 0, 12),
+      ("call +1 (555) 123-4567 or 0044 20 7946 0958 asap", 0, 0, 2, 0, 24),
+      ("card 4111111111111111 ok, sn 12345678901234567890 too long", 0, 0, 2, 1, 26),
+      ("no pii here at all", 0, 0, 0, 0, 0),
+      ("mixed: a@b.de from 8.8.8.8 phone +49 171 2345678 card 5500005555555559",
+        1, 1, 2, 1, 24))
+    val got = cases.map(_._1).toDF("text")
+      .select(col("text") +: graft.operators.TextOps.piiCols(col("text")): _*)
+      .collect().map(r => r.getAs[String]("text") ->
+        (r.getAs[Int]("n_email"), r.getAs[Int]("n_ipv4"),
+          r.getAs[Int]("n_phone"), r.getAs[Int]("n_idrun"),
+          r.getAs[Long]("redact_delta"))).toMap
+    for ((t, e, i, p, d, delta) <- cases)
+      assert(got(t) == ((e, i, p, d, delta.toLong)),
+        s"kernel mismatch on '$t': got ${got(t)}, DuckDB says ($e,$i,$p,$d,$delta)")
+    val nulls = Seq(Option.empty[String]).toDF("text")
+      .select(graft.operators.TextOps.piiCols(col("text")): _*).collect()(0)
+    assert((0 until 5).forall(nulls.isNullAt),
+      "null text must yield null counts/delta (the rollup's CASE handles it)")
+  }
+
+  test("source mix: shares sum to 1 and weights invert shares within rounding") {
+    val rows = graft.operators.TextOps.qSourceMix.run(spark, sfDir).collect()
+    assert(rows.length > 1, "expected multiple sources")
+    val shareSum = rows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) <= rows.length * 5e-7,
+      s"token shares must sum to ~1 (got $shareSum)")
+    val k = rows.length
+    for (r <- rows) {
+      val prod = r.getAs[Double]("token_share") * r.getAs[Double]("mix_weight") * k
+      assert(math.abs(prod - 1.0) <= 2e-3,
+        s"share·weight·k must be ~1 for ${r.getAs[String]("source")} (got $prod)")
+    }
+  }
 }
