@@ -786,11 +786,14 @@ object TextOps {
     * <1 ⇒ downsample — exactly the factor a loader multiplies into its
     * per-source sampling probability).
     *
-    * Scale shape: one map-side-combinable aggregate at source grain, then
-    * a broadcast of the O(#sources)-row global rollup back across it —
-    * the denominator never shuffles document rows twice. All ratios are
-    * exact integer divisions ([[exactDiv]]) — bit-identical across
-    * engines and at any parallelism.
+    * Scale shape: ONE map-side-combinable aggregate at source grain (the
+    * documents scan runs once — plan-guarded), then the global totals via
+    * an unpartitioned window over the O(#sources)-row aggregate (the
+    * qRunDeltas single-partition-window contract: post-aggregation grain,
+    * never document rows; the naive `t cross join (select sum from t)`
+    * form re-scans the corpus for the denominator). All ratios are exact
+    * integer divisions ([[exactDiv]]) — bit-identical across engines and
+    * at any parallelism.
     */
   val qSourceMix: Q = Q(
     "q_source_mix",
@@ -805,16 +808,16 @@ object TextOps {
        |  ${exactDivSql("tot", "k * n_tokens", 4)} AS mix_weight
        |FROM t, g ORDER BY source""".stripMargin
   ) { (s, d) =>
-    val t = Tables.documents(s, d)
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tot = sum(col("n_tokens")).over(w).cast("long")
+    val k = count(lit(1)).over(w)
+    Tables.documents(s, d)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(Text.wordCount(col("text"))).cast("long").as("n_tokens"))
-    val g = t.agg(sum(col("n_tokens")).cast("long").as("tot"),
-      count(lit(1)).as("k"))
-    t.crossJoin(broadcast(g))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        exactDiv(col("n_tokens"), col("tot"), 6).as("token_share"),
-        exactDiv(col("tot"), col("k") * col("n_tokens"), 4).as("mix_weight"))
+        exactDiv(col("n_tokens"), tot, 6).as("token_share"),
+        exactDiv(tot, k * col("n_tokens"), 4).as("mix_weight"))
       .orderBy("source")
   }
 

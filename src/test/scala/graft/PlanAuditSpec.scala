@@ -204,6 +204,25 @@ class PlanAuditSpec extends SparkSpec {
       "block offsets must broadcast, not shuffle the doc stream:\n" + p)
   }
 
+  test("pii scan: one pruned scan, one aggregate exchange") {
+    val p = plan("q_pii_scan")
+    val scans = p.split("\n").filter(_.contains("Scan parquet"))
+    assert(scans.length == 1, "pii scan must read documents once:\n" + p)
+    val schema = p.split("\n").find(_.contains("ReadSchema")).get
+    assert(!schema.contains("n_chars") && !schema.contains("lang"),
+      "pii scan not pruned to (text, source): " + schema)
+  }
+
+  test("source mix reads the corpus once — totals ride the source-grain aggregate") {
+    // the naive denominator (t CROSS JOIN (SELECT SUM FROM t)) re-scans
+    // all documents; the window form computes totals over O(#sources)
+    // post-aggregation rows
+    val p = plan("q_source_mix")
+    assert(p.split("\n").count(_.contains("Scan parquet")) == 1,
+      "source mix must read documents once:\n" + p)
+    assert(p.contains("Window"), "global totals must ride a window:\n" + p)
+  }
+
   test("hot expressions stay inside whole-stage codegen") {
     // execute first: codegen spans only appear in the finalized AQE plan
     val df = SparkEntry.queries("q_quality_score")(spark, sfDir)
