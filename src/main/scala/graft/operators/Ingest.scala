@@ -431,7 +431,9 @@ object Ingest {
   /** THE run-ledger counting conventions, in one place: fetched rows,
     * already-ingested (skipped) = event_id % 2 = 0, errored = event_id %
     * 97 = 0, first/last µs — aggregated at whatever grain `keys` gives
-    * (run for [[healthReport]]/[[alerts]], run × app for [[appHealth]]).
+    * (run for [[alerts]]; run × app for [[appHealth]] and for the
+    * run-grain rollups [[healthReport]]/[[qRunLedger]] that re-aggregate
+    * the cells — their apps_processed counts NON-NULL app cells).
     * Each consumer's oracle mirrors the same CASE sums; changing a
     * convention means THIS function plus the oracle strings.
     */

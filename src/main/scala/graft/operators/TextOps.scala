@@ -682,7 +682,8 @@ object TextOps {
     * and the crafted-string spec. Backref/lookahead-free by construction:
     * Java (Spark) and RE2 (DuckDB) then implement identical leftmost-first
     * semantics — verified value-for-value on the crafted corpus in
-    * PiiScanSpec (greedy-domain backtracking, bounded-run rejection and
+    * TextOpsSpec ("pii kernels: crafted strings match the DuckDB-verified
+    * counts/deltas": greedy-domain backtracking, bounded-run rejection and
     * alternation-priority cases included). Categories deliberately
     * OVERLAP (a 16-digit card number is both an id-run and a phone-shaped
     * digit string): a PII scan over-triggers by design; the redaction
@@ -731,7 +732,7 @@ object TextOps {
     * THIS corpus contains no digits or '@' (word-salad synthetic text),
     * so every count is structurally zero and the oracle exercises only
     * the null/CASE plumbing — the regex kernels themselves are pinned by
-    * PiiScanSpec on crafted strings with expected values cross-checked
+    * TextOpsSpec's pii-kernels test on crafted strings with expected values cross-checked
     * against DuckDB (the q_repeated_chars precedent).
     */
   val qPiiScan: Q = Q(

@@ -116,10 +116,16 @@ object IngestStream {
     */
   def appHealth(events: Dataset[Event]): DataFrame = {
     val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
-    require(tz == "UTC",
-      s"IngestStream.appHealth requires spark.sql.session.timeZone=UTC " +
-        s"(got $tz): day windows are UTC-aligned but the batch twin's " +
-        "run_id follows the session timezone")
+    // normalized(): accept every UTC spelling (Etc/UTC, GMT, +00:00, Z) —
+    // only a genuinely offset zone misaligns the two day groupings
+    val isUtc =
+      try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+    require(isUtc,
+      s"IngestStream.appHealth requires a UTC session timezone " +
+        s"(got spark.sql.session.timeZone=$tz): day windows are " +
+        "UTC-aligned but the batch twin's run_id follows the session " +
+        "timezone")
     graft.operators.Ingest.healthStatusSelect(
       graft.operators.Ingest.runCounts(events.toDF,
           window(col("ts"), "1 day"), col("event_type").as("app_id"))
