@@ -7,11 +7,18 @@ import org.apache.spark.sql.functions._
   * one definition per metric so the whitespace class / empty-string
   * semantics cannot drift between the modules' Spark and oracle sides.
   */
-private[operators] object Text {
+private[graft] object Text {
 
   /** Word count matching Python's str.split() (empty → 0). */
   def wordCount(c: Column): Column =
     when(trim(c) === "", 0).otherwise(size(split(trim(c), "[ \\t\\n\\r\\f]+")))
+
+  /** Whitespace-collapsed lowercase normalization — the canonical form all
+    * content dedup/fingerprints key on (batch [[graft.operators.TextOps]]
+    * AND the streaming ingest-time dedup share this one definition).
+    */
+  def norm(c: Column): Column =
+    regexp_replace(lower(trim(c)), "[ \\t\\n\\r\\f]+", " ")
 
   /** DuckDB mirror of [[wordCount]] over the `text` column. */
   val wordCountSql: String =

@@ -24,7 +24,7 @@ object TextOps {
     * content dedup/fingerprints key on.
     */
   private val normSql = "regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f]+', ' ', 'g')"
-  private def norm = regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " ")
+  private def norm = Text.norm(col("text"))
 
   /** Exact content dedup (hash-groupBy keep-min-id): one shuffle on the
     * md5 of normalized text; survivors = min doc_id per group. At 100 TB

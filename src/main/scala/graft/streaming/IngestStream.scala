@@ -51,6 +51,27 @@ object IngestStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming exact CONTENT dedup — [[graft.operators.TextOps]]'
+    * q_dedup_exact keep-first semantics applied at ingest time: the same
+    * canonical normalization ([[graft.operators.Text.norm]] — one shared
+    * definition, so batch and stream cannot drift), md5 content key,
+    * dropDuplicatesWithinWatermark. Input: any stream with (ts, text).
+    *
+    * State: one 16-byte key per DISTINCT content inside the watermark
+    * horizon — bounded by arrival rate × horizon, never corpus size. A
+    * duplicate arriving after its original's key left the state is
+    * re-admitted BY DESIGN: streaming dedup is the watermark-scoped
+    * best-effort front, and the batch q_dedup_exact pass over the landed
+    * lake is the exact backstop — the standard two-tier dedup of a
+    * production ingest (spec pins all three behaviors: within-horizon
+    * drop, normalization equivalence, beyond-horizon re-admission).
+    */
+  def dedupeContent(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(graft.operators.Text.norm(col("text"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Windowed per-type counts + deterministic avg over a 1-hour tumbling
     * event-time window; emits only finalized windows (Append + watermark).
     * Batch-equivalent semantics: Ingest.qWindowedCounts — the identical

@@ -81,6 +81,31 @@ class StreamingSpec extends SparkSpec {
     assert(got(("1970-01-02", "appC"))._1 == "ok")
   }
 
+  test("streaming content dedup: within-horizon drop, normalization, re-admission") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val b1 = Seq(
+      (ts(1), "Hello   World"),
+      (ts(2), "  hello world "), // same normalized content -> dropped
+      (ts(3), "another doc"))
+    val b2 = Seq((ts(200), "closer")) // watermark -> 140 min, evicts b1's keys
+    val b3 = Seq((ts(205), "HELLO  world")) // original evicted -> re-admitted
+    val out = runToCompletion(
+      IngestStream.dedupeContent(mem.toDF().toDF("ts", "text")),
+      "content_dedup", mem, Seq(b1, b2, b3))
+    val texts = out.map(_.getAs[String]("text"))
+    assert(texts.contains("Hello   World"),
+      s"first occurrence must survive: $texts")
+    assert(!texts.contains("  hello world "),
+      s"whitespace/case variant within the horizon must be dropped: $texts")
+    assert(texts.contains("another doc") && texts.contains("closer"))
+    assert(texts.contains("HELLO  world"),
+      s"beyond-horizon duplicate must be re-admitted (state is watermark-" +
+        s"scoped; the batch pass is the exact backstop): $texts")
+    assert(out.length == 4, s"expected exactly 4 admitted rows: $texts")
+  }
+
   test("streaming sessionizer closes sessions on gap and on watermark timeout") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
