@@ -439,12 +439,22 @@ object Ingest {
     */
   private[graft] def runCounts(events: org.apache.spark.sql.DataFrame,
       keys: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
-    events.groupBy(keys: _*).agg(
-      count(lit(1)).as("fetched"),
+    runCountsWith(events, Nil, keys: _*)
+
+  /** [[runCounts]] plus caller-specific extra aggregates in the SAME
+    * grouping pass ([[alerts]] adds its null-props count here rather than
+    * paying a second scan or forking the convention statement).
+    */
+  private[graft] def runCountsWith(events: org.apache.spark.sql.DataFrame,
+      extra: Seq[org.apache.spark.sql.Column],
+      keys: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
+    val aggs = Seq(
       sum(when(col("event_id") % 2 === 0, 1).otherwise(0)).as("skipped"),
       sum(when(col("event_id") % 97 === 0, 1).otherwise(0)).as("error_cnt"),
       min(unix_micros(col("ts"))).as("started_us"),
-      max(unix_micros(col("ts"))).as("ended_us"))
+      max(unix_micros(col("ts"))).as("ended_us")) ++ extra
+    events.groupBy(keys: _*).agg(count(lit(1)).as("fetched"), aggs: _*)
+  }
 
   private def runIdCol = date_format(col("ts"), "yyyy-MM-dd").as("run_id")
 
@@ -563,19 +573,40 @@ object Ingest {
     *   3. reviews_inserted — ±50% vs the PRECEDING-5-run average → WARNING
     *      on a drop, INFO on a rise (the reference's asymmetric pair)
     *   4. duration     — above 2× the preceding-5-run average   → WARNING
-    * (The z-score rule lives in [[qAnomalyZscore]]; alert message strings
-    * are presentation, not computed here.)
+    *   5. props_null_rate — the run's null-props rate shifted by more
+    *      than ±5 percentage points vs the preceding-5-run baseline
+    *      rate → INFO (the reference's per-field null_rate_shift_pct
+    *      check over its current-vs-baseline rates, generalized to the
+    *      same rolling window the other rules use; `props` plays the
+    *      nullable payload field)
+    *   6. reviews_inserted_z_score — |z| > 2 vs the preceding-5-run
+    *      mean/stdev → INFO (monitor check 6; like the reference's
+    *      `_deviation` a zero-stdev window yields NO z — guarded
+    *      integer-exactly, so no NaN/Inf ever reaches the comparison)
+    * (alert message strings are presentation, not computed here; the
+    * corpus-wide daily z twin lives in [[qAnomalyZscore]].)
     *
     * Every threshold comparison is INTEGER arithmetic — e.g. dedup_rate >
     * 0.995 runs as 1000·skipped > 995·fetched, the ±50% deviation as
-    * 100·(inserted·n₅ − Σ₅) vs ±50·Σ₅ — so which alerts fire is exact and
-    * engine-identical; the reported actual values are [[exactDiv]]
-    * roundings of the same integers. The rolling window is ROWS 5
-    * PRECEDING..1 PRECEDING over the RUN-grain aggregate (O(#runs) rows
-    * through the unpartitioned window — the qRunDeltas contract).
+    * 100·(inserted·n₅ − Σ₅) vs ±50·Σ₅, the null shift as |100·(nulls·F₅ −
+    * N₅·fetched)| vs 5·fetched·F₅ in DECIMAL(38)/HUGEINT (count×count
+    * products overflow long at lake scale) — so which alerts fire is
+    * exact and engine-identical; reported actual values are [[exactDiv]]
+    * roundings of the same integers. The one double comparison (|z| > 2)
+    * is the [[qAnomalyZscore]] precedent: both engines evaluate the
+    * identical IEEE expression in the identical association order behind
+    * an integer-exact positive-variance guard. The rolling window is
+    * ROWS 5 PRECEDING..1 PRECEDING over the RUN-grain aggregate
+    * (O(#runs) rows through the unpartitioned window — the qRunDeltas
+    * contract).
     */
   def alerts(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val runs = runCounts(events, runIdCol)
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val runs = runCountsWith(events,
+        Seq(sum(when(col("props").isNull, 1).otherwise(0)).cast("long")
+          .as("nulls_props")),
+        runIdCol)
       .withColumn("duration_us", col("ended_us") - col("started_us"))
       .withColumn("inserted", col("fetched") - col("skipped"))
     val w5 = Window.orderBy("run_id").rowsBetween(-5, -1)
@@ -583,7 +614,18 @@ object Ingest {
       .withColumn("n5", count(lit(1)).over(w5))
       .withColumn("sum5", sum("inserted").over(w5))
       .withColumn("sumdur5", sum("duration_us").over(w5))
+      .withColumn("f5", sum("fetched").over(w5))
+      .withColumn("nulls5", sum("nulls_props").over(w5))
+      .withColumn("sumsq5", sum(dec(col("inserted")) * col("inserted")).over(w5))
     val devNum = lit(100) * (col("inserted") * col("n5") - col("sum5"))
+    // null-shift numerator/denominator: decimal — count×count products
+    val shiftNum = lit(100) *
+      (dec(col("nulls_props")) * col("f5") - dec(col("nulls5")) * col("fetched"))
+    val shiftDen = dec(col("fetched")) * col("f5")
+    // the qAnomalyZscore double formulation, verbatim association order
+    val z = (col("inserted") - col("sum5") * lit(1.0) / col("n5")) /
+      sqrt((col("sumsq5") - dec(col("sum5")) * col("sum5") * lit(1.0) / col("n5")) /
+        (col("n5") - 1))
     val errorAlert = r.filter(col("error_cnt") > 0).select(
       col("run_id"), lit("WARNING").as("level"), lit("error_rate").as("metric"),
       lit(0.0).as("threshold"),
@@ -608,8 +650,20 @@ object Ingest {
       exactDiv(lit(2) * col("sumdur5"), col("n5") * lit(1000000L), 2)
         .as("threshold"),
       exactDiv(col("duration_us"), lit(1000000L), 2).as("actual"))
+    val nullShiftAlert = r.filter(col("n5") > 0 &&
+        abs(shiftNum) > lit(5) * shiftDen).select(
+      col("run_id"), lit("INFO").as("level"),
+      lit("props_null_rate").as("metric"), lit(5.0).as("threshold"),
+      exactDiv(shiftNum, shiftDen, 2).as("actual"))
+    val zAlert = r.filter(col("n5") >= 2 &&
+        col("n5") * col("sumsq5") - dec(col("sum5")) * col("sum5") > 0 &&
+        abs(z) > 2).select(
+      col("run_id"), lit("INFO").as("level"),
+      lit("reviews_inserted_z_score").as("metric"), lit(2.0).as("threshold"),
+      round(abs(z), 3).as("actual"))
     errorAlert.unionByName(dedupAlert).unionByName(dropAlert)
       .unionByName(riseAlert).unionByName(durAlert)
+      .unionByName(nullShiftAlert).unionByName(zAlert)
       .orderBy("run_id", "metric", "level")
   }
 
@@ -622,13 +676,19 @@ object Ingest {
        |      AS skipped,
        |    CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
        |      AS error_cnt,
+       |    CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nulls_props,
        |    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
        |  FROM events GROUP BY 1),
        |r AS (
        |  SELECT *, fetched - skipped AS inserted,
        |    COUNT(*) OVER w5 AS n5,
        |    CAST(SUM(fetched - skipped) OVER w5 AS BIGINT) AS sum5,
-       |    CAST(SUM(duration_us) OVER w5 AS BIGINT) AS sumdur5
+       |    CAST(SUM(duration_us) OVER w5 AS BIGINT) AS sumdur5,
+       |    CAST(SUM(fetched) OVER w5 AS BIGINT) AS f5,
+       |    CAST(SUM(nulls_props) OVER w5 AS BIGINT) AS nulls5,
+       |    CAST(SUM(CAST(fetched - skipped AS HUGEINT) * (fetched - skipped))
+       |      OVER w5 AS HUGEINT) AS sumsq5
        |  FROM runs
        |  WINDOW w5 AS (ORDER BY run_id ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
        |SELECT * FROM (
@@ -654,7 +714,26 @@ object Ingest {
        |  SELECT run_id, 'WARNING', 'duration',
        |    ${exactDivSql("2 * sumdur5", "n5 * 1000000", 2)},
        |    ${exactDivSql("duration_us", "1000000", 2)}
-       |  FROM r WHERE n5 > 0 AND sumdur5 > 0 AND duration_us * n5 > 2 * sumdur5)
+       |  FROM r WHERE n5 > 0 AND sumdur5 > 0 AND duration_us * n5 > 2 * sumdur5
+       |  UNION ALL
+       |  SELECT run_id, 'INFO', 'props_null_rate', CAST(5.0 AS DOUBLE),
+       |    ${exactDivSql(
+             "100 * (CAST(nulls_props AS HUGEINT) * f5 - CAST(nulls5 AS HUGEINT) * fetched)",
+             "CAST(fetched AS HUGEINT) * f5", 2)}
+       |  FROM r WHERE n5 > 0
+       |    AND ABS(100 * (CAST(nulls_props AS HUGEINT) * f5
+       |          - CAST(nulls5 AS HUGEINT) * fetched))
+       |        > 5 * CAST(fetched AS HUGEINT) * f5
+       |  UNION ALL
+       |  SELECT run_id, 'INFO', 'reviews_inserted_z_score', CAST(2.0 AS DOUBLE),
+       |    ROUND(ABS((inserted - sum5 * 1.0 / n5)
+       |      / SQRT((sumsq5 - CAST(sum5 AS HUGEINT) * sum5 * 1.0 / n5)
+       |             / (n5 - 1))), 3)
+       |  FROM r WHERE n5 >= 2
+       |    AND n5 * sumsq5 - CAST(sum5 AS HUGEINT) * sum5 > 0
+       |    AND ABS((inserted - sum5 * 1.0 / n5)
+       |      / SQRT((sumsq5 - CAST(sum5 AS HUGEINT) * sum5 * 1.0 / n5)
+       |             / (n5 - 1))) > 2)
        |ORDER BY run_id, metric, level""".stripMargin
   ) { (s, d) => alerts(Tables.events(s, d)) }
 

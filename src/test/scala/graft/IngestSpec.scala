@@ -85,6 +85,7 @@ class IngestSpec extends SparkSpec {
       day(7, ids(300), 1000) ++                     // +~268% vs avg5 → rise INFO
       day(8, ids(100, even = true), 5000)           // all even → dedup + drop; 5× span → duration
     val ev = rows.toDF("event_id", "event_type", "ts")
+      .withColumn("props", lit("{}")) // non-null: no null-shift alerts here
     val got = Ingest.alerts(ev).collect()
       .map(r => (r.getAs[String]("run_id"), r.getAs[String]("metric"),
         r.getAs[String]("level")))
@@ -92,6 +93,11 @@ class IngestSpec extends SparkSpec {
       ("2024-02-02", "error_rate", "WARNING"),
       ("2024-02-06", "reviews_inserted", "WARNING"),
       ("2024-02-07", "reviews_inserted", "INFO"),
+      // day 7's window (d2-d6: 100,100,100,100,10) finally has variance:
+      // z = (300-82)/40.25 = 5.42 > 2. Days 2-6 windows are all-equal →
+      // zero variance → guarded out (the reference's stdev=0 → z None);
+      // day 8's z is −1.14.
+      ("2024-02-07", "reviews_inserted_z_score", "INFO"),
       ("2024-02-08", "dedup_rate", "WARNING"),
       ("2024-02-08", "reviews_inserted", "WARNING"), // 0 inserted is also a drop
       ("2024-02-08", "duration", "WARNING"))
@@ -111,6 +117,44 @@ class IngestSpec extends SparkSpec {
       .select(date_format(col("ts"), "yyyy-MM-dd")).distinct()
       .collect().map(_.getString(0)).toSet
     assert(errRuns == expectedErrRuns)
+  }
+
+  test("alerts: null-shift and z-score rules fire exactly on their crafted day") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // days 1-5: a slightly-varying clean baseline (98,101,99,102,100 —
+    // variance 2.5, so the z guard passes but no |z| exceeds 2; day 4's
+    // z = 1.75 pins the below-threshold side). Day 6: 130 events, 26
+    // null-props → null rate +20pp vs the 0% baseline (INFO) AND
+    // z = 30/1.5811 = 18.97 (INFO). Day 6's +30% rise stays under the
+    // ±50% rule; all ids odd and non-multiples of 97 → no other alerts.
+    var nextId = 1L
+    def ids(n: Int): Seq[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (out.size < n) {
+        nextId += 1
+        val cand = nextId * 2 + 1
+        if (cand % 97 != 0) out += cand
+      }
+      out.toSeq
+    }
+    def day(d: Int, n: Int, nNull: Int): Seq[(Long, String, java.sql.Timestamp, String)] = {
+      val t0 = java.sql.Timestamp.valueOf(f"2024-03-0$d 00:00:00").getTime
+      ids(n).zipWithIndex.map { case (id, i) =>
+        (id, "app", new java.sql.Timestamp(t0 + i * 1000000L / math.max(1, n - 1)),
+          if (i < nNull) null else "{}")
+      }
+    }
+    val ev = (day(1, 98, 0) ++ day(2, 101, 0) ++ day(3, 99, 0) ++
+        day(4, 102, 0) ++ day(5, 100, 0) ++ day(6, 130, 26))
+      .toDF("event_id", "event_type", "ts", "props")
+    val got = Ingest.alerts(ev).collect()
+      .map(r => (r.getAs[String]("run_id"), r.getAs[String]("metric"),
+        r.getAs[String]("level"), r.getAs[Double]("actual")))
+    val expected = Set(
+      ("2024-03-06", "props_null_rate", "INFO", 20.0),
+      ("2024-03-06", "reviews_inserted_z_score", "INFO", 18.974))
+    assert(got.toSet == expected, s"fired ${got.toSet}\nexpected $expected")
   }
 
   test("health reports: store is idempotent, backfill fills exactly the gaps") {
