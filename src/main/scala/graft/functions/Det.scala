@@ -182,4 +182,51 @@ object Det {
 
   def intAvgSql(expr: String, r: Int = 2): String =
     halfUpAvgSql(s"CAST(SUM($expr) AS HUGEINT)", s"COUNT($expr)", 1L, r)
+
+  /** Deterministic z-score of an integer observation against exact
+    * integer moments: with D = x·n − s and V = n·s2 − s² computed EXACTLY
+    * in decimal (the cancellation-prone differences never touch doubles —
+    * at lake-scale magnitudes `s2 − s²/n` in IEEE loses the entire
+    * sub-integer variance to cancellation and yields sqrt(0)/sqrt(<0)),
+    *
+    *   z = (x − s/n) / sqrt((s2 − s²/n)/(n−1))
+    *     = D · sqrt(n·(n−1)) / (n · sqrt(V))
+    *
+    * where the doubles perform only multiply/divide/sqrt (each
+    * relative-error-bounded, no cancellation). [[zScoreSql]] is the
+    * verbatim mirror; both engines evaluate the identical association
+    * order → bit-identical. Callers MUST guard with [[zOutlier]]'s
+    * preconditions (n ≥ 2 and V > 0, both exact) — then z is always
+    * finite. n·(n−1) multiplies in long: exact below 2^53 rows/groups,
+    * far past any run/day count.
+    */
+  def zScore(x: Column, s: Column, s2: Column, n: Column): Column = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val d = (dec(x) * n - dec(s)).cast("double")
+    val v = (dec(n) * s2 - dec(s) * s).cast("double")
+    d * sqrt((n * (n - lit(1))).cast("double")) / (n.cast("double") * sqrt(v))
+  }
+
+  def zScoreSql(x: String, s: String, s2: String, n: String): String =
+    s"(CAST(CAST($x AS HUGEINT) * ($n) - ($s) AS DOUBLE)" +
+      s" * SQRT(CAST(($n) * (($n) - 1) AS DOUBLE))" +
+      s" / (CAST($n AS DOUBLE)" +
+      s" * SQRT(CAST(($n) * ($s2) - CAST($s AS HUGEINT) * ($s) AS DOUBLE))))"
+
+  /** Exact-integer |z| > t outlier test (t integer): D²·(n−1) > t²·n·V
+    * entirely in decimal/HUGEINT — the firing decision never touches a
+    * double, and the embedded n ≥ 2 / V > 0 preconditions make the
+    * companion [[zScore]] finite wherever this is true.
+    */
+  def zOutlier(x: Column, s: Column, s2: Column, n: Column, t: Int): Column = {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val d = dec(x) * n - dec(s)
+    val v = dec(n) * s2 - dec(s) * s
+    n >= 2 && v > 0 && d * d * (n - lit(1)) > lit(t * t) * n * v
+  }
+
+  def zOutlierSql(x: String, s: String, s2: String, n: String, t: Int): String =
+    s"(($n) >= 2 AND ($n) * ($s2) - CAST($s AS HUGEINT) * ($s) > 0" +
+      s" AND (CAST($x AS HUGEINT) * ($n) - ($s)) * (CAST($x AS HUGEINT) * ($n) - ($s))" +
+      s" * (($n) - 1) > ${t * t} * ($n) * (($n) * ($s2) - CAST($s AS HUGEINT) * ($s)))"
 }

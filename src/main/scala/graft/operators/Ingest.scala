@@ -96,17 +96,16 @@ object Ingest {
     */
   val qAnomalyZscore: Q = Q(
     "q_anomaly_zscore",
-    """WITH dly AS (
+    s"""WITH dly AS (
       |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS cnt
       |  FROM events GROUP BY 1),
       |s AS (
       |  SELECT COUNT(*) AS nd, CAST(SUM(cnt) AS HUGEINT) AS sc,
       |         CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS sc2 FROM dly)
       |SELECT day, cnt,
-      |  ROUND((cnt - sc * 1.0 / nd)
-      |        / SQRT((sc2 - sc * sc * 1.0 / nd) / (nd - 1)), 3) AS zscore,
-      |  CAST(CASE WHEN ABS((cnt - sc * 1.0 / nd)
-      |        / SQRT((sc2 - sc * sc * 1.0 / nd) / (nd - 1))) > 2
+      |  ROUND(${graft.functions.Det.zScoreSql("cnt", "sc", "sc2", "nd")}, 3)
+      |    AS zscore,
+      |  CAST(CASE WHEN ${graft.functions.Det.zOutlierSql("cnt", "sc", "sc2", "nd", 2)}
       |    THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
       |FROM dly, s ORDER BY day""".stripMargin
   ) { (s, d) =>
@@ -120,13 +119,16 @@ object Ingest {
       sum(col("cnt")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("sc"),
       sum(col("cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("cnt"))
         .as("sc2"))
-    val z = (col("cnt") - col("sc") * lit(1.0) / col("nd")) /
-      sqrt((col("sc2") - col("sc") * col("sc") * lit(1.0) / col("nd")) / (col("nd") - 1))
+    // exact-moment z + outlier test (Det.zScore/zOutlier — shared with
+    // the alerts rolling-window rule): cancellation stays in decimal
+    val z = graft.functions.Det.zScore(col("cnt"), col("sc"), col("sc2"), col("nd"))
     dly.crossJoin(broadcast(stats))
       .select(
         col("day"), col("cnt"),
         round(z, 3).as("zscore"),
-        when(abs(z) > 2, 1).otherwise(0).as("is_anomaly"))
+        when(graft.functions.Det.zOutlier(
+          col("cnt"), col("sc"), col("sc2"), col("nd"), 2), 1)
+          .otherwise(0).as("is_anomaly"))
       .orderBy("day")
   }
 
@@ -581,8 +583,7 @@ object Ingest {
     *      nullable payload field)
     *   6. reviews_inserted_z_score — |z| > 2 vs the preceding-5-run
     *      mean/stdev → INFO (monitor check 6; like the reference's
-    *      `_deviation` a zero-stdev window yields NO z — guarded
-    *      integer-exactly, so no NaN/Inf ever reaches the comparison)
+    *      `_deviation` a zero-stdev window yields NO z)
     * (alert message strings are presentation, not computed here; the
     * corpus-wide daily z twin lives in [[qAnomalyZscore]].)
     *
@@ -592,11 +593,13 @@ object Ingest {
     * N₅·fetched)| vs 5·fetched·F₅ in DECIMAL(38)/HUGEINT (count×count
     * products overflow long at lake scale) — so which alerts fire is
     * exact and engine-identical; reported actual values are [[exactDiv]]
-    * roundings of the same integers. The one double comparison (|z| > 2)
-    * is the [[qAnomalyZscore]] precedent: both engines evaluate the
-    * identical IEEE expression in the identical association order behind
-    * an integer-exact positive-variance guard. The rolling window is
-    * ROWS 5 PRECEDING..1 PRECEDING over the RUN-grain aggregate
+    * roundings of the same integers. The z rule fires on the EXACT
+    * integer test [[graft.functions.Det.zOutlier]] (D²·(n−1) > 4·n·V in
+    * decimal — no double ever decides firing) and reports
+    * [[graft.functions.Det.zScore]], whose cancellation-prone differences
+    * are likewise computed exactly before the one sqrt/divide — shared
+    * with [[qAnomalyZscore]] so the formulation cannot drift. The rolling
+    * window is ROWS 5 PRECEDING..1 PRECEDING over the RUN-grain aggregate
     * (O(#runs) rows through the unpartitioned window — the qRunDeltas
     * contract).
     */
@@ -622,10 +625,10 @@ object Ingest {
     val shiftNum = lit(100) *
       (dec(col("nulls_props")) * col("f5") - dec(col("nulls5")) * col("fetched"))
     val shiftDen = dec(col("fetched")) * col("f5")
-    // the qAnomalyZscore double formulation, verbatim association order
-    val z = (col("inserted") - col("sum5") * lit(1.0) / col("n5")) /
-      sqrt((col("sumsq5") - dec(col("sum5")) * col("sum5") * lit(1.0) / col("n5")) /
-        (col("n5") - 1))
+    // exact-moment z (shared with qAnomalyZscore): cancellation happens
+    // in decimal, doubles only multiply/divide/sqrt
+    val z = graft.functions.Det.zScore(
+      col("inserted"), col("sum5"), col("sumsq5"), col("n5"))
     val errorAlert = r.filter(col("error_cnt") > 0).select(
       col("run_id"), lit("WARNING").as("level"), lit("error_rate").as("metric"),
       lit(0.0).as("threshold"),
@@ -655,9 +658,8 @@ object Ingest {
       col("run_id"), lit("INFO").as("level"),
       lit("props_null_rate").as("metric"), lit(5.0).as("threshold"),
       exactDiv(shiftNum, shiftDen, 2).as("actual"))
-    val zAlert = r.filter(col("n5") >= 2 &&
-        col("n5") * col("sumsq5") - dec(col("sum5")) * col("sum5") > 0 &&
-        abs(z) > 2).select(
+    val zAlert = r.filter(graft.functions.Det.zOutlier(
+        col("inserted"), col("sum5"), col("sumsq5"), col("n5"), 2)).select(
       col("run_id"), lit("INFO").as("level"),
       lit("reviews_inserted_z_score").as("metric"), lit(2.0).as("threshold"),
       round(abs(z), 3).as("actual"))
@@ -726,14 +728,8 @@ object Ingest {
        |        > 5 * CAST(fetched AS HUGEINT) * f5
        |  UNION ALL
        |  SELECT run_id, 'INFO', 'reviews_inserted_z_score', CAST(2.0 AS DOUBLE),
-       |    ROUND(ABS((inserted - sum5 * 1.0 / n5)
-       |      / SQRT((sumsq5 - CAST(sum5 AS HUGEINT) * sum5 * 1.0 / n5)
-       |             / (n5 - 1))), 3)
-       |  FROM r WHERE n5 >= 2
-       |    AND n5 * sumsq5 - CAST(sum5 AS HUGEINT) * sum5 > 0
-       |    AND ABS((inserted - sum5 * 1.0 / n5)
-       |      / SQRT((sumsq5 - CAST(sum5 AS HUGEINT) * sum5 * 1.0 / n5)
-       |             / (n5 - 1))) > 2)
+       |    ROUND(ABS(${graft.functions.Det.zScoreSql("inserted", "sum5", "sumsq5", "n5")}), 3)
+       |  FROM r WHERE ${graft.functions.Det.zOutlierSql("inserted", "sum5", "sumsq5", "n5", 2)})
        |ORDER BY run_id, metric, level""".stripMargin
   ) { (s, d) => alerts(Tables.events(s, d)) }
 

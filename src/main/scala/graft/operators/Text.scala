@@ -20,6 +20,12 @@ private[graft] object Text {
   def norm(c: Column): Column =
     regexp_replace(lower(trim(c)), "[ \\t\\n\\r\\f]+", " ")
 
+  /** DuckDB mirror of [[norm]] over the `text` column — kept adjacent so
+    * the whitespace class cannot drift between the engines' sides.
+    */
+  val normSql: String =
+    "regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f]+', ' ', 'g')"
+
   /** DuckDB mirror of [[wordCount]] over the `text` column. */
   val wordCountSql: String =
     "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) END"

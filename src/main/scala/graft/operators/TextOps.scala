@@ -23,7 +23,7 @@ object TextOps {
   /** Whitespace-collapsed lowercase normalization — the canonical form all
     * content dedup/fingerprints key on.
     */
-  private val normSql = "regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f]+', ' ', 'g')"
+  private val normSql = Text.normSql
   private def norm = Text.norm(col("text"))
 
   /** Exact content dedup (hash-groupBy keep-min-id): one shuffle on the

@@ -124,10 +124,16 @@ class IngestSpec extends SparkSpec {
     import spark.implicits._
     // days 1-5: a slightly-varying clean baseline (98,101,99,102,100 —
     // variance 2.5, so the z guard passes but no |z| exceeds 2; day 4's
-    // z = 1.75 pins the below-threshold side). Day 6: 130 events, 26
-    // null-props → null rate +20pp vs the 0% baseline (INFO) AND
-    // z = 30/1.5811 = 18.97 (INFO). Day 6's +30% rise stays under the
-    // ±50% rule; all ids odd and non-multiples of 97 → no other alerts.
+    // z = 1.75 pins the below-threshold side). Day 6: 130 events, 52
+    // null-props → null rate +40pp vs the 0% baseline (INFO) AND
+    // z = 30/1.5811 = 18.97 (INFO). Day 7: clean again → the null rate
+    // FALLS 9.77pp below its rolling baseline (52/532) — the negative
+    // direction fires through the same ±5pp rule with a SIGNED actual
+    // (−9.77) against the positive threshold (the asymmetry is the
+    // contract); day 7's z (D=−32, V=3506 → |z|=0.76) pins the
+    // with-variance below-threshold side. Day 6's +30% rise stays under
+    // the ±50% rule; all ids odd and non-multiples of 97 → no other
+    // alerts.
     var nextId = 1L
     def ids(n: Int): Seq[Long] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -146,14 +152,15 @@ class IngestSpec extends SparkSpec {
       }
     }
     val ev = (day(1, 98, 0) ++ day(2, 101, 0) ++ day(3, 99, 0) ++
-        day(4, 102, 0) ++ day(5, 100, 0) ++ day(6, 130, 26))
+        day(4, 102, 0) ++ day(5, 100, 0) ++ day(6, 130, 52) ++ day(7, 100, 0))
       .toDF("event_id", "event_type", "ts", "props")
     val got = Ingest.alerts(ev).collect()
       .map(r => (r.getAs[String]("run_id"), r.getAs[String]("metric"),
         r.getAs[String]("level"), r.getAs[Double]("actual")))
     val expected = Set(
-      ("2024-03-06", "props_null_rate", "INFO", 20.0),
-      ("2024-03-06", "reviews_inserted_z_score", "INFO", 18.974))
+      ("2024-03-06", "props_null_rate", "INFO", 40.0),
+      ("2024-03-06", "reviews_inserted_z_score", "INFO", 18.974),
+      ("2024-03-07", "props_null_rate", "INFO", -9.77))
     assert(got.toSet == expected, s"fired ${got.toSet}\nexpected $expected")
   }
 
