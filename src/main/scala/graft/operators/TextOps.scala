@@ -779,6 +779,64 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Demonstration blocklist (injectable in production — the C4 badwords
+    * list slot). Chosen from the corpus vocabulary so the operator is
+    * non-vacuous on the test tables.
+    */
+  private[graft] val Blocklist = Seq("slow", "big", "merge")
+
+  /** Blocklist content filter (the C4/FineWeb "badwords" stage — the
+    * content-policy member of the curation pipeline): per document,
+    * count blocklist tokens over the canonical normalization and flag
+    * documents whose blocked-token share exceeds 5%; report per source.
+    * Counting is TOKEN-level (split + membership), not a padded-regex
+    * scan — adjacent blocklist words share their separating space, so a
+    * `' (w1|w2) '` alternation undercounts "slow slow" (the match
+    * consumes the middle space); list membership has no such pitfall and
+    * is exact in both engines.
+    *
+    * Scale shape: embarrassingly parallel per-row lambdas over one
+    * pruned (text, source) scan, then a single map-side-combinable
+    * source-grain aggregate (plan-guarded with q_pii_scan). The 5% flag
+    * threshold is integer-exact: n_blocked·20 > n_tokens.
+    */
+  val qBlocklistScan: Q = Q(
+    "q_blocklist_scan",
+    s"""WITH t AS (
+       |  SELECT source,
+       |    len(list_filter(string_split($normSql, ' '), t -> t <> ''))
+       |      AS n_tok,
+       |    len(list_filter(string_split($normSql, ' '),
+       |      t -> t IN (${Blocklist.map(w => s"'$w'").mkString(", ")})))
+       |      AS n_blocked
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_blocked * 20 > n_tok THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS flagged_docs,
+       |  CAST(SUM(n_blocked) AS BIGINT) AS blocked_tokens,
+       |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       |  ${exactDivSql(
+             "SUM(CASE WHEN n_blocked * 20 > n_tok THEN 1 ELSE 0 END)",
+             "COUNT(*)", 4)} AS flag_rate
+       |FROM t GROUP BY 1 ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val words = split(norm, " ")
+    val t = Tables.documents(s, d).select(
+      col("source"),
+      size(filter(words, t => t =!= "")).cast("long").as("n_tok"),
+      size(filter(words, t => t.isin(Blocklist: _*))).cast("long")
+        .as("n_blocked"))
+    t.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_blocked") * 20 > col("n_tok"), 1).otherwise(0))
+          .cast("long").as("flagged_docs"),
+        sum(col("n_blocked")).cast("long").as("blocked_tokens"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        exactDiv(sum(when(col("n_blocked") * 20 > col("n_tok"), 1).otherwise(0)),
+          count(lit(1)), 4).as("flag_rate"))
+      .orderBy("source")
+  }
+
   /** Training-mix table (the data-mixing stage of corpus assembly — Pile/
     * Dolma-style source weighting): per source, document and whitespace-
     * token totals, the source's share of all corpus tokens, and the
@@ -825,5 +883,5 @@ object TextOps {
   val all: Seq[Q] = Seq(
     qDedupExact, qLangId, qQualityScore, qTokenCount, qVocabGrowth,
     qSeqPack, qWeightedSample, qTfidfTerms, qFingerprint, qRepetitionStats,
-    qDecontaminate, qPiiScan, qSourceMix)
+    qDecontaminate, qPiiScan, qSourceMix, qBlocklistScan)
 }

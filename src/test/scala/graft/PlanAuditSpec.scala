@@ -204,13 +204,15 @@ class PlanAuditSpec extends SparkSpec {
       "block offsets must broadcast, not shuffle the doc stream:\n" + p)
   }
 
-  test("pii scan: one pruned scan, one aggregate exchange") {
-    val p = plan("q_pii_scan")
-    val scans = p.split("\n").filter(_.contains("Scan parquet"))
-    assert(scans.length == 1, "pii scan must read documents once:\n" + p)
-    val schema = p.split("\n").find(_.contains("ReadSchema")).get
-    assert(!schema.contains("n_chars") && !schema.contains("lang"),
-      "pii scan not pruned to (text, source): " + schema)
+  test("pii and blocklist scans: one pruned scan, one aggregate exchange") {
+    Seq("q_pii_scan", "q_blocklist_scan").foreach { q =>
+      val p = plan(q)
+      val scans = p.split("\n").filter(_.contains("Scan parquet"))
+      assert(scans.length == 1, s"$q must read documents once:\n" + p)
+      val schema = p.split("\n").find(_.contains("ReadSchema")).get
+      assert(!schema.contains("n_chars") && !schema.contains("lang"),
+        s"$q not pruned to (text, source): " + schema)
+    }
   }
 
   test("source mix reads the corpus once — totals ride the source-grain aggregate") {

@@ -294,6 +294,33 @@ class TextOpsSpec extends SparkSpec {
       "null text must yield null counts/delta (the rollup's CASE handles it)")
   }
 
+  test("blocklist counting is token-exact, including adjacent blocked words") {
+    import spark.implicits._
+    // " slow slow " under the padded-regex technique counts 1 (the match
+    // eats the shared space); token-level membership must count 2 — and
+    // the 5% flag threshold is integer-exact at the boundary (1 blocked
+    // of exactly 20 tokens does NOT flag; 1 of 19 does).
+    val boundaryNot = (Seq("slow") ++ Seq.fill(19)("ok")).mkString(" ")
+    val boundaryYes = (Seq("slow") ++ Seq.fill(18)("ok")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_blocklist").toString
+    Seq(
+      (1L, "s1", "slow slow BIG  merge"), // 4 tokens, 4 blocked (normalized)
+      (2L, "s2", boundaryNot),
+      (3L, "s3", boundaryYes),
+      (4L, "s4", "nothing blocked here"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.qBlocklistScan.run(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("blocked_tokens"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("flagged_docs"))).toMap
+    assert(got("s1") == ((4L, 4L, 1L)),
+      s"adjacent blocked words must each count: ${got("s1")}")
+    assert(got("s2") == ((1L, 20L, 0L)), "1/20 = exactly 5% must NOT flag")
+    assert(got("s3") == ((1L, 19L, 1L)), "1/19 > 5% must flag")
+    assert(got("s4") == ((0L, 3L, 0L)))
+  }
+
   test("source mix: shares sum to 1 and weights invert shares within rounding") {
     val rows = graft.operators.TextOps.qSourceMix.run(spark, sfDir).collect()
     assert(rows.length > 1, "expected multiple sources")
