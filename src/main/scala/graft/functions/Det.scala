@@ -195,16 +195,20 @@ object Det {
     * where the doubles perform only multiply/divide/sqrt (each
     * relative-error-bounded, no cancellation). [[zScoreSql]] is the
     * verbatim mirror; both engines evaluate the identical association
-    * order → bit-identical. Callers MUST guard with [[zOutlier]]'s
-    * preconditions (n ≥ 2 and V > 0, both exact) — then z is always
-    * finite. n·(n−1) multiplies in long: exact below 2^53 rows/groups,
-    * far past any run/day count.
+    * order → bit-identical. Degenerate moments (n < 2 or V ≤ 0 — a
+    * zero/negative-variance window) yield NULL in BOTH engines: DuckDB
+    * nulls double division by zero natively, Spark under ANSI would
+    * THROW, so the denominator is nullif-guarded (also what lets callers
+    * evaluate z eagerly on rows a [[zOutlier]] filter then drops).
+    * n·(n−1) multiplies in long: exact below 2^53 rows/groups, far past
+    * any run/day count.
     */
   def zScore(x: Column, s: Column, s2: Column, n: Column): Column = {
     def dec(c: Column) = c.cast(DecimalType(38, 0))
     val d = (dec(x) * n - dec(s)).cast("double")
     val v = (dec(n) * s2 - dec(s) * s).cast("double")
-    d * sqrt((n * (n - lit(1))).cast("double")) / (n.cast("double") * sqrt(v))
+    d * sqrt((n * (n - lit(1))).cast("double")) /
+      nullif(n.cast("double") * sqrt(v), lit(0.0))
   }
 
   def zScoreSql(x: String, s: String, s2: String, n: String): String =

@@ -629,43 +629,49 @@ object Ingest {
     // in decimal, doubles only multiply/divide/sqrt
     val z = graft.functions.Det.zScore(
       col("inserted"), col("sum5"), col("sumsq5"), col("n5"))
-    val errorAlert = r.filter(col("error_cnt") > 0).select(
-      col("run_id"), lit("WARNING").as("level"), lit("error_rate").as("metric"),
-      lit(0.0).as("threshold"),
-      exactDiv(col("error_cnt"), col("fetched"), 4).as("actual"))
-    val dedupAlert = r.filter(col("skipped") * 1000 > col("fetched") * 995).select(
-      col("run_id"), lit("WARNING").as("level"), lit("dedup_rate").as("metric"),
-      lit(0.995).as("threshold"),
-      exactDiv(col("skipped"), col("fetched"), 4).as("actual"))
-    val dropAlert = r.filter(col("n5") > 0 && col("sum5") > 0 &&
-        devNum < lit(-50) * col("sum5")).select(
-      col("run_id"), lit("WARNING").as("level"),
-      lit("reviews_inserted").as("metric"), lit(-50.0).as("threshold"),
-      exactDiv(devNum, col("sum5"), 2).as("actual"))
-    val riseAlert = r.filter(col("n5") > 0 && col("sum5") > 0 &&
-        devNum > lit(50) * col("sum5")).select(
-      col("run_id"), lit("INFO").as("level"),
-      lit("reviews_inserted").as("metric"), lit(50.0).as("threshold"),
-      exactDiv(devNum, col("sum5"), 2).as("actual"))
-    val durAlert = r.filter(col("n5") > 0 && col("sumdur5") > 0 &&
-        col("duration_us") * col("n5") > lit(2) * col("sumdur5")).select(
-      col("run_id"), lit("WARNING").as("level"), lit("duration").as("metric"),
-      exactDiv(lit(2) * col("sumdur5"), col("n5") * lit(1000000L), 2)
-        .as("threshold"),
-      exactDiv(col("duration_us"), lit(1000000L), 2).as("actual"))
-    val nullShiftAlert = r.filter(col("n5") > 0 &&
-        abs(shiftNum) > lit(5) * shiftDen).select(
-      col("run_id"), lit("INFO").as("level"),
-      lit("props_null_rate").as("metric"), lit(5.0).as("threshold"),
-      exactDiv(shiftNum, shiftDen, 2).as("actual"))
-    val zAlert = r.filter(graft.functions.Det.zOutlier(
-        col("inserted"), col("sum5"), col("sumsq5"), col("n5"), 2)).select(
-      col("run_id"), lit("INFO").as("level"),
-      lit("reviews_inserted_z_score").as("metric"), lit(2.0).as("threshold"),
-      round(abs(z), 3).as("actual"))
-    errorAlert.unionByName(dedupAlert).unionByName(dropAlert)
-      .unionByName(riseAlert).unionByName(durAlert)
-      .unionByName(nullShiftAlert).unionByName(zAlert)
+    // ONE pass: the union-of-filtered-branches formulation planned SEVEN
+    // independent scan→aggregate→window pipelines of the event log (one
+    // per rule — ReusedExchange cannot dedupe them, the branches prune
+    // different columns); instead each run row evaluates all rules into
+    // an inline struct array, explodes (O(#rules) structs over O(#runs)
+    // rows — nothing like the named-column-explode trap: `r` is tiny and
+    // post-aggregate) and keeps the firing ones. Non-firing rows compute
+    // their actuals harmlessly (zero denominators are NULL by the
+    // exactDiv contract, the unguarded z double is Inf/NaN only where
+    // fires=false filters it).
+    def rule(fires: org.apache.spark.sql.Column, level: String, metric: String,
+        threshold: org.apache.spark.sql.Column,
+        actual: org.apache.spark.sql.Column) =
+      struct(fires.as("fires"), lit(level).as("level"), lit(metric).as("metric"),
+        threshold.as("threshold"), actual.as("actual"))
+    val rules = array(
+      rule(col("error_cnt") > 0, "WARNING", "error_rate",
+        lit(0.0), exactDiv(col("error_cnt"), col("fetched"), 4)),
+      rule(col("skipped") * 1000 > col("fetched") * 995, "WARNING", "dedup_rate",
+        lit(0.995), exactDiv(col("skipped"), col("fetched"), 4)),
+      rule(col("n5") > 0 && col("sum5") > 0 && devNum < lit(-50) * col("sum5"),
+        "WARNING", "reviews_inserted",
+        lit(-50.0), exactDiv(devNum, col("sum5"), 2)),
+      rule(col("n5") > 0 && col("sum5") > 0 && devNum > lit(50) * col("sum5"),
+        "INFO", "reviews_inserted",
+        lit(50.0), exactDiv(devNum, col("sum5"), 2)),
+      rule(col("n5") > 0 && col("sumdur5") > 0 &&
+          col("duration_us") * col("n5") > lit(2) * col("sumdur5"),
+        "WARNING", "duration",
+        exactDiv(lit(2) * col("sumdur5"), col("n5") * lit(1000000L), 2),
+        exactDiv(col("duration_us"), lit(1000000L), 2)),
+      rule(col("n5") > 0 && abs(shiftNum) > lit(5) * shiftDen,
+        "INFO", "props_null_rate",
+        lit(5.0), exactDiv(shiftNum, shiftDen, 2)),
+      rule(graft.functions.Det.zOutlier(
+          col("inserted"), col("sum5"), col("sumsq5"), col("n5"), 2),
+        "INFO", "reviews_inserted_z_score",
+        lit(2.0), round(abs(z), 3)))
+    r.select(col("run_id"), explode(rules).as("a"))
+      .filter(col("a.fires"))
+      .select(col("run_id"), col("a.level").as("level"),
+        col("a.metric").as("metric"), col("a.threshold").as("threshold"),
+        col("a.actual").as("actual"))
       .orderBy("run_id", "metric", "level")
   }
 

@@ -147,8 +147,12 @@ class PlanAuditSpec extends SparkSpec {
       "health must not window the event stream:\n" + p)
   }
 
-  test("alerts: windows only at run grain, event scans pruned and aggregated") {
+  test("alerts: one event scan, windows only at run grain") {
     val p = plan("q_alerts")
+    // ONE pass over the event log: the union-of-filtered-branches shape
+    // planned one scan→aggregate→window pipeline PER RULE (seven)
+    assert(p.split("\n").count(_.contains("Scan parquet")) == 1,
+      "alerts must read the event log once:\n" + p)
     // every window spec orders by run_id (the run-grain rolling frame) —
     // a window over the raw event stream would order by ts/event_id
     val wins = p.split("\n").filter(_.contains("windowspecdefinition"))
