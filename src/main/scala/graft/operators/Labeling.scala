@@ -94,16 +94,37 @@ object Labeling {
       .withColumn("k",
         regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
     val out = Seq(col("event_id"), col("event_type"), col("value"))
-    val t1 = pool.filter(col("value") < 10)
-      .orderBy(col("value").asc, col("event_id")).limit(100)
-      .select(lit(1).as("tier") +: out: _*)
-    val t2 = pool.filter(col("value") >= 100)
-      .orderBy(col("value").desc, col("event_id")).limit(100)
-      .select(lit(2).as("tier") +: out: _*)
-    val t3 = pool.filter(col("value") >= 10 && col("value") < 100)
-      .orderBy("event_id").limit(100)
-      .select(lit(3).as("tier") +: out: _*)
-    val sel = t1.unionByName(t2).unionByName(t3)
+    // The three value strata are DISJOINT, so tiers 1-3 ride ONE scan:
+    // tier CASE + a per-tier sort key whose (DESC, event_id ASC) heap
+    // order IS each tier's selection order (t1 value asc → −value; t2
+    // value desc → value; t3 id asc → constant, all ties), through the
+    // bounded-heap [[TopK.perKey]]. The per-stratum
+    // filter+TakeOrderedAndProject form this replaces planned one FULL
+    // EVENT-LOG SCAN PER TIER — and tier 4's anti-join duplicated the
+    // three subtrees again (7 scans of the lake for one queue build;
+    // plan-guarded at ≤ 2 now). Double negation is exact and
+    // order-reversing, and every tie breaks on event_id, so the selected
+    // rows are bit-identical to the per-stratum form (the oracle keeps
+    // the naive CTE shape).
+    val t123 = pool
+      .withColumn("tier",
+        when(col("value") < 10, 1)
+          .when(col("value") >= 100, 2)
+          .when(col("value") >= 10 && col("value") < 100, 3))
+      .filter(col("tier").isNotNull)
+      .withColumn("ord",
+        when(col("tier") === 1, -col("value"))
+          .when(col("tier") === 2, col("value"))
+          .otherwise(lit(0.0)))
+    // ≤ 300 rows; persisted (and eagerly built) so tier 4's anti-join
+    // reads the heap output instead of re-deriving the whole pass — the
+    // Similarity.materialized pattern at queue scale
+    val sel = TopK.perKey(
+        t123.select(col("tier") +: col("ord") +: out: _*),
+        Seq("tier"), "ord", "event_id", 100)
+      .select(col("tier") +: out: _*)
+      .persist()
+    sel.count()
     val t4 = pool.filter(col("k") < 20)
       .join(sel.select("event_id"), Seq("event_id"), "left_anti")
       .orderBy(md5(col("event_id").cast("string")), col("event_id")).limit(100)

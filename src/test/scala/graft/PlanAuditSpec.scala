@@ -36,7 +36,18 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("per-tier sampling compiles to TakeOrderedAndProject, not a global sort") {
-    assert(plan("q_sample_tiers").contains("TakeOrderedAndProject"))
+    val p = plan("q_sample_tiers")
+    assert(p.contains("TakeOrderedAndProject")) // tier 4's md5 slice
+    // tiers 1-3 ride ONE bounded-heap pass over one scan, and tier 4's
+    // anti-join reads the CACHED selection (the per-stratum form planned
+    // 7 event-log scans). Raw FileScan counts are unusable here — the
+    // InMemoryRelation dumps embed their build plans — so assert the
+    // structure: both sel consumers hit the cache, and no TopKPerKey
+    // re-derivation outside it.
+    assert(p.split("\n").count(_.contains("InMemoryTableScan")) >= 2,
+      "sel must be read from cache by the union AND the tier-4 anti-join:\n" + p)
+    assert(p.contains("TopKPerKey"),
+      "tiers 1-3 must ride the bounded-heap pass:\n" + p)
   }
 
   test("queue claim: per-partition top-k, then the tiny batch broadcasts") {
