@@ -198,10 +198,21 @@ object Det {
     * order → bit-identical. Degenerate moments (n < 2 or V ≤ 0 — a
     * zero/negative-variance window) yield NULL in BOTH engines: DuckDB
     * nulls double division by zero natively, Spark under ANSI would
-    * THROW, so the denominator is nullif-guarded (also what lets callers
-    * evaluate z eagerly on rows a [[zOutlier]] filter then drops).
-    * n·(n−1) multiplies in long: exact below 2^53 rows/groups, far past
-    * any run/day count.
+    * THROW, so the denominator is nullif-guarded — on BOTH sides:
+    * [[zScoreSql]] carries the same NULLIF rather than relying on
+    * DuckDB's legacy x/0→NULL (the installed 1.0.0 behavior; DuckDB
+    * ≥ 1.1 defaults ieee_floating_point_ops=true, x/0→Inf, which would
+    * silently break cross-engine parity on an oracle upgrade). The guard
+    * is also what lets callers evaluate z eagerly on rows a [[zOutlier]]
+    * filter then drops. Magnitude bounds: n·(n−1) multiplies in long —
+    * exact below 2^53 rows/groups, far past any run/day count — but the
+    * DECIMAL(38,0)×(38,0) products x·n, s·s and n·s2 cap the EXACT lane
+    * at |s|,|x| < ~10¹⁹ and s2 < ~10³⁸/n (Spark ANSI throws at 10³⁸;
+    * DuckDB HUGEINT overflows at ~1.7·10³⁸ — the engines fail at
+    * DIFFERENT boundaries, so past those moments the parity claim ends,
+    * not just precision). For the observation lanes this engine feeds
+    * (counts and µs-durations, |x| ≲ 10¹⁶ per run), headroom is ≥ 10³
+    * in the squared terms.
     */
   def zScore(x: Column, s: Column, s2: Column, n: Column): Column = {
     def dec(c: Column) = c.cast(DecimalType(38, 0))
@@ -214,13 +225,16 @@ object Det {
   def zScoreSql(x: String, s: String, s2: String, n: String): String =
     s"(CAST(CAST($x AS HUGEINT) * ($n) - ($s) AS DOUBLE)" +
       s" * SQRT(CAST(($n) * (($n) - 1) AS DOUBLE))" +
-      s" / (CAST($n AS DOUBLE)" +
-      s" * SQRT(CAST(($n) * ($s2) - CAST($s AS HUGEINT) * ($s) AS DOUBLE))))"
+      s" / NULLIF(CAST($n AS DOUBLE)" +
+      s" * SQRT(CAST(($n) * ($s2) - CAST($s AS HUGEINT) * ($s) AS DOUBLE)), 0.0))"
 
   /** Exact-integer |z| > t outlier test (t integer): D²·(n−1) > t²·n·V
     * entirely in decimal/HUGEINT — the firing decision never touches a
     * double, and the embedded n ≥ 2 / V > 0 preconditions make the
-    * companion [[zScore]] finite wherever this is true.
+    * companion [[zScore]] finite wherever this is true. Same
+    * DECIMAL(38)/HUGEINT magnitude bound as [[zScore]]: D² and n·V stay
+    * exact for |x|,|s| < ~10¹⁹ — and the two engines overflow at
+    * different points past it (see the zScore scaladoc).
     */
   def zOutlier(x: Column, s: Column, s2: Column, n: Column, t: Int): Column = {
     def dec(c: Column) = c.cast(DecimalType(38, 0))

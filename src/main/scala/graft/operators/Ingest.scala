@@ -210,21 +210,43 @@ object Ingest {
       |                        ROWS UNBOUNDED PRECEDING) AS session_no
       |  FROM x)""".stripMargin
 
-  /** Per-event session assignment: (user_id, event_id, tus, session_no).
-    * One keyed window shuffle; everything downstream aggregates on the
-    * same (user_id) clustering.
+  /** Memoized per-event session frame, per (session, dir): THREE
+    * consumers derive from it ([[qSessionize]], [[qSessionStats]] through
+    * the sessionizer, [[qSessionLedger]]), each of which would otherwise
+    * re-pay the full keyed window pass over the event log — at lake scale
+    * the session frame is a shared materialization exactly like
+    * Similarity's indexes. Entries persist for the session; call
+    * [[clearSessionCache]] if a dir's files are rewritten.
     */
-  private def sessionizedEvents(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
-      .withColumn("new_sess",
-        when(lag(col("tus"), 1).over(w).isNull ||
-          col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1).otherwise(0))
-      .withColumn("session_no",
-        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select("user_id", "event_id", "tus", "session_no")
+  private val sessionCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  /** Unpersist and forget every memoized session frame. */
+  def clearSessionCache(): Unit = {
+    sessionCache.values.foreach(df => try df.unpersist() catch { case _: Exception => () })
+    sessionCache.clear()
   }
+
+  /** Per-event session assignment: (user_id, event_id, tus, session_no).
+    * One keyed window shuffle — paid ONCE per (session, dir) via the
+    * memoized cache; everything downstream aggregates on the same
+    * (user_id) clustering, reading the narrow 4-long cached frame.
+    */
+  private def sessionizedEvents(s: org.apache.spark.sql.SparkSession, d: String) =
+    sessionCache.getOrElseUpdate((s, d), {
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val df = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+        .withColumn("new_sess",
+          when(lag(col("tus"), 1).over(w).isNull ||
+            col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_no",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "event_id", "tus", "session_no")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize eagerly so join planning sees real stats
+      df
+    })
 
   /** Gap-based sessionization (30-min inactivity) via gaps-and-islands —
     * the batch twin of the stateful streaming sessionizer. Timestamp
@@ -382,12 +404,19 @@ object Ingest {
        |       ELSE 'failed' END AS status,
        |  fetched, fetched - failed AS inserted, failed, apps_processed
        |FROM runs, mx ORDER BY run_id""".stripMargin
-  ) { (s, d) =>
-    // derives from the shared [[runCounts]] (run × app) cells — the one
-    // statement of the fetched/failed conventions; count(app_id) over the
-    // cells ≡ the countDistinct(event_type) it replaces (NULL app
-    // excluded), and the cell-grain partial aggregation makes the extra
-    // rollup O(#runs · #apps) traffic
+  ) { (s, d) => runLedgerFrame(s, d).drop("skipped").orderBy("run_id") }
+
+  /** THE run-ledger frame (unordered, plus the `skipped` count the
+    * history view's dedup rate needs): derives from the shared
+    * [[runCounts]] (run × app) cells — the one statement of the
+    * fetched/failed conventions; count(app_id) over the cells ≡ the
+    * countDistinct(event_type) it replaces (NULL app excluded), and the
+    * cell-grain partial aggregation makes the extra rollup
+    * O(#runs · #apps) traffic. Shared by [[qRunLedger]] (full history,
+    * run_id order) and [[qRunHistory]] (last-N read) so the
+    * status/duration/insert conventions cannot drift between them.
+    */
+  private def runLedgerFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
     val runs = runCounts(Tables.events(s, d),
         date_format(col("ts"), "yyyy-MM-dd").as("run_id"),
         col("event_type").as("app_id"))
@@ -396,6 +425,7 @@ object Ingest {
         min(col("started_us")).as("started_us"),
         max(col("ended_us")).as("ended_us"),
         sum(col("fetched")).cast("long").as("fetched"),
+        sum(col("skipped")).cast("long").as("skipped"),
         sum(col("error_cnt")).cast("long").as("failed"),
         count(col("app_id")).as("apps_processed"))
     val mx = runs.agg(max("run_id").as("last_run"))
@@ -411,8 +441,54 @@ object Ingest {
           .when(col("failed") < col("fetched"), "partial")
           .otherwise("failed").as("status"),
         col("fetched"), (col("fetched") - col("failed")).as("inserted"),
-        col("failed"), col("apps_processed"))
-      .orderBy("run_id")
+        col("failed"), col("skipped"), col("apps_processed"))
+  }
+
+  /** Run-history report (reporter.report_run_history:90 — the last-N-runs
+    * table an operator reads daily): the newest 10 ledger rows with the
+    * derived per-run rates the report prints — reviews_per_app
+    * (reference's reviews_per_app column) and the run's dedup rate
+    * (skipped/fetched, the qIngestMetrics convention). Zero-denominator
+    * divisions are NULL in both engines ([[graft.functions.Det.exactDiv]]).
+    *
+    * Scale shape: the ledger aggregate is O(#runs) rows; the last-10 cut
+    * compiles to TakeOrderedAndProject (per-partition top-k then merge —
+    * plan-guarded, no global sort even at a million-run history).
+    */
+  val qRunHistory: Q = Q(
+    "q_run_history",
+    s"""WITH runs AS (
+       |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS run_id,
+       |    MIN(epoch_us(ts)) AS started_us,
+       |    MAX(epoch_us(ts)) AS ended_us,
+       |    COUNT(*) AS fetched,
+       |    CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS skipped,
+       |    CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS failed,
+       |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS apps_processed
+       |  FROM events GROUP BY 1),
+       |mx AS (SELECT MAX(run_id) AS last_run FROM runs)
+       |SELECT run_id, started_us,
+       |  CASE WHEN run_id = last_run THEN NULL ELSE ended_us END AS completed_us,
+       |  CASE WHEN run_id = last_run THEN NULL
+       |       ELSE ended_us - started_us END AS duration_us,
+       |  CASE WHEN run_id = last_run THEN 'running'
+       |       WHEN failed = 0 THEN 'completed'
+       |       WHEN failed < fetched THEN 'partial'
+       |       ELSE 'failed' END AS status,
+       |  fetched, fetched - failed AS inserted, failed, apps_processed,
+       |  ${exactDivSql("fetched", "apps_processed", 2)} AS reviews_per_app,
+       |  ${exactDivSql("skipped", "fetched", 4)} AS dedup_rate
+       |FROM runs, mx ORDER BY run_id DESC LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    runLedgerFrame(s, d)
+      .withColumn("reviews_per_app",
+        exactDiv(col("fetched"), col("apps_processed"), 2))
+      .withColumn("dedup_rate", exactDiv(col("skipped"), col("fetched"), 4))
+      .drop("skipped")
+      .orderBy(col("run_id").desc)
+      .limit(10)
   }
 
   /** Per-(run, app) health breakdown (monitor._build_app_health:395 — the
@@ -603,23 +679,68 @@ object Ingest {
     * (O(#runs) rows through the unpartitioned window — the qRunDeltas
     * contract).
     */
-  def alerts(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    def dec(c: org.apache.spark.sql.Column) =
-      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
-    val runs = runCountsWith(events,
+  def alerts(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    alertRuleSelect(withAlertBaseline(alertRunRows(events, runIdCol)))
+      .orderBy("run_id", "metric", "level")
+
+  /** The run-grain observation rows the alert rules read: [[runCountsWith]]
+    * cells (plus the null-props count, in the same pass) with the derived
+    * duration/inserted columns. `runKey` is the one mode difference —
+    * batch groups by [[runIdCol]], the streaming twin by a day-tumbling
+    * event-time window.
+    */
+  private[graft] def alertRunRows(events: org.apache.spark.sql.DataFrame,
+      runKey: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    runCountsWith(events,
         Seq(sum(when(col("props").isNull, 1).otherwise(0)).cast("long")
           .as("nulls_props")),
-        runIdCol)
+        runKey)
       .withColumn("duration_us", col("ended_us") - col("started_us"))
       .withColumn("inserted", col("fetched") - col("skipped"))
+
+  /** Attach the preceding-5-run baseline moments to each run row (ROWS 5
+    * PRECEDING..1 PRECEDING over the run-grain aggregate — O(#runs) rows
+    * through the unpartitioned window, the qRunDeltas contract). Batch
+    * path only: streaming append mode cannot window over runs, so its
+    * twin joins the SAME columns from a static baseline frame
+    * ([[alertBaseline]] — the reference monitor reading stored health
+    * reports for its rolling stats).
+    */
+  private[graft] def withAlertBaseline(runs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     val w5 = Window.orderBy("run_id").rowsBetween(-5, -1)
-    val r = runs
+    runs
       .withColumn("n5", count(lit(1)).over(w5))
       .withColumn("sum5", sum("inserted").over(w5))
       .withColumn("sumdur5", sum("duration_us").over(w5))
       .withColumn("f5", sum("fetched").over(w5))
       .withColumn("nulls5", sum("nulls_props").over(w5))
       .withColumn("sumsq5", sum(dec(col("inserted")) * col("inserted")).over(w5))
+  }
+
+  /** run_id → preceding-5 baseline moments over the batch event log — the
+    * static frame the STREAMING alert twin broadcast-joins (the
+    * continuous-mode monitor evaluating each closing run against its
+    * stored run history, monitor.get_recent_health_reports:463).
+    */
+  def alertBaseline(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    withAlertBaseline(alertRunRows(events, runIdCol))
+      .select("run_id", "n5", "sum5", "sumdur5", "f5", "nulls5", "sumsq5")
+
+  /** The rule stage over baseline-carrying run rows — ALL seven monitor
+    * rules evaluated in one inline struct-array explode, shared verbatim
+    * by batch [[alerts]] and the streaming twin
+    * ([[graft.streaming.IngestStream.alerts]]) so the thresholds cannot
+    * drift between modes. No sort: streaming append mode forbids it;
+    * batch adds its own.
+    */
+  private[graft] def alertRuleSelect(r: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     val devNum = lit(100) * (col("inserted") * col("n5") - col("sum5"))
     // null-shift numerator/denominator: decimal — count×count products
     val shiftNum = lit(100) *
@@ -672,7 +793,6 @@ object Ingest {
       .select(col("run_id"), col("a.level").as("level"),
         col("a.metric").as("metric"), col("a.threshold").as("threshold"),
         col("a.actual").as("actual"))
-      .orderBy("run_id", "metric", "level")
   }
 
   val qAlerts: Q = Q(
@@ -921,6 +1041,6 @@ object Ingest {
   val all: Seq[Q] = Seq(
     qIncrementalIngest, qIngestMetrics, qRunDeltas, qAnomalyZscore,
     qQualityMetrics, qWindowedCounts, qSessionize, qPropsExtract, qDbGrowth,
-    qRetention, qFunnel, qSessionStats, qRunLedger, qSessionLedger,
-    qAppHealth, qAlerts)
+    qRetention, qFunnel, qSessionStats, qRunLedger, qRunHistory,
+    qSessionLedger, qAppHealth, qAlerts)
 }

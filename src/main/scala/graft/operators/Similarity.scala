@@ -50,6 +50,30 @@ object Similarity {
     ivfModels.clear()
   }
 
+  /** Build every shared similarity index for (session, dir) in dependency
+    * order, timing each — Bench runs this BEFORE its timed query loop so
+    * a shared build's cost is its own named entry instead of landing on
+    * whichever consumer query runs first alphabetically (the r4
+    * q_dedup_clusters-vs-q_ngram_jaccard attribution ambiguity). Names
+    * are stable bench keys; a build that is already cached times as ~0.
+    */
+  def prebuildIndexes(s: SparkSession, d: String): Seq[(String, Double)] = {
+    def timed(name: String)(body: => Any): (String, Double) = {
+      val t0 = System.nanoTime(); body; (name, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("build_quantized")(quantized(s, d)),
+      timed("build_lsh_buckets")(lshBuckets(s, d)),
+      timed("build_ivf_assign")(
+        if (ivfModel(s, d).nonEmpty) ivfAssigned(s, d) else ()),
+      timed("build_shingle_cache")(docShingleHashes(s, d)),
+      timed("build_minhash_bands")(minhashBands(s, d)),
+      timed("build_minhash_candidates")(minhashCandidates(s, d)),
+      timed("build_minhash_pairs")(minhashPairs(s, d)),
+      timed("build_ngram_postings")(shingles(s, d)),
+      timed("build_simhash_fp")(simhashFingerprints(s, d)))
+  }
+
   /** The 3-gram shingle-array expression over a token column `w` — the
     * ONE textual definition both the explode path and the per-row hash
     * path compile, so tokenization cannot drift between them.
@@ -342,25 +366,28 @@ object Similarity {
     materialized(s, d, "doc_shingle_hashes")(
       shingleHashesOf(Tables.documents(s, d)))
 
-  private def minhashPairsPlan(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingleHashes(s, d)
-    // bands materialized: the bucket self-join reads it from two aliased
-    // sides — without it the signature pass runs twice
-    val bands = materialized(s, d, "minhash_bands")(bandsOf(sh))
-    val l = bands.select(col("doc_id").as("id_a"), col("band"), col("bhash"))
-    val r = bands.select(col("doc_id").as("id_b"), col("band"), col("bhash"))
-    // candidates materialized: consumed three times below (two id-side
-    // semi-joins + the final pair filter); it is tiny (collision pairs only)
-    val candidates = materialized(s, d, "minhash_candidates") {
-      l.join(r, Seq("band", "bhash"))
+  // bands materialized: the bucket self-join reads it from two aliased
+  // sides — without it the signature pass runs twice
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "minhash_bands")(bandsOf(docShingleHashes(s, d)))
+
+  // candidates materialized: consumed three times downstream (two id-side
+  // semi-joins + the final pair filter); it is tiny (collision pairs only)
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "minhash_candidates") {
+      val bands = minhashBands(s, d)
+      bands.select(col("doc_id").as("id_a"), col("band"), col("bhash"))
+        .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bhash")),
+          Seq("band", "bhash"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
     }
+
+  private def minhashPairsPlan(s: SparkSession, d: String): DataFrame =
     // exact verification within buckets only ([[verifyPairs]]): the
     // candidate docs' shingle-hash SETS are per-row array_distinct over
     // the cached arrays
-    verifyPairs(candidates, sh)
-  }
+    verifyPairs(minhashCandidates(s, d), docShingleHashes(s, d))
 
   /** SimHash near-dup (rows-only; spec): 64-bit fingerprint where bit b is
     * the sign of the ±1 sum over distinct-token hashes, then the pigeonhole
@@ -375,14 +402,14 @@ object Similarity {
     * spec pins bit-equality against the 64-aggregate DataFrame
     * formulation.
     */
-  val qDedupSimhash: Q = Q.rowsOnly("q_dedup_simhash") { (s, d) =>
-    GraftFunctions.register(s)
-    val toks = split(
-      regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ")
-    val hs = array_distinct(
-      transform(filter(toks, t => t =!= ""), t => xxhash64(t)))
-    // materialized: both band-join sides read the fingerprints
-    val fp = materialized(s, d, "simhash_fp") {
+  // materialized: both band-join sides read the fingerprints
+  private def simhashFingerprints(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "simhash_fp") {
+      GraftFunctions.register(s)
+      val toks = split(
+        regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ")
+      val hs = array_distinct(
+        transform(filter(toks, t => t =!= ""), t => xxhash64(t)))
       Tables.documents(s, d)
         // small single-file inputs scan as ONE partition; spread rows so
         // the fingerprint map runs at full parallelism (no-op at lake scale)
@@ -391,6 +418,10 @@ object Similarity {
         .filter(size(col("hs")) >= 1) // docs with zero tokens have no signature
         .select(col("doc_id"), call_function("graft_simhash64", col("hs")).as("fp"))
     }
+
+  val qDedupSimhash: Q = Q.rowsOnly("q_dedup_simhash") { (s, d) =>
+    GraftFunctions.register(s)
+    val fp = simhashFingerprints(s, d)
     val bands = fp.select(col("doc_id"), col("fp"), posexplode(array(
       (0 until 4).map(k =>
         shiftrightunsigned(col("fp"), k * 16).bitwiseAND(0xffff)): _*))
@@ -607,6 +638,36 @@ object Similarity {
     * Package-visible so the spec can assert the candidate-fraction cap
     * directly.
     */
+  // the whole 256×64 hyperplane bank rides the plan as ONE literal into
+  // the codegen'd graft_matvec_q kernel (256 dots per vector in two
+  // generated loops). The earlier formulation shipped 256 separate
+  // 64-element array literals (one DotQ each) — an O(K·D)-node analyzed
+  // tree that cost ~30 s of driver-side analysis/codegen per cold plan.
+  private def bankDots: Column =
+    call_function("graft_matvec_q", typedlit(hyperplanes), col("qv"))
+
+  // materialized: the probe side and the corpus side both read the
+  // bucket table, and the 256 hyperplane dots per vector should run
+  // once (this is the written LSH index of a production deployment).
+  // A null vector has no signs: EXCLUDED from the index (it would sit
+  // in bucket 0 of every table, enter collision shortlists and reach
+  // exact rescoring where its cosine evaluates to null — a null-cosine
+  // neighbor row could then surface when a query has few real
+  // candidates). Dropping it here covers every consumer: shortlists
+  // only ever emit vec_ids that are in the bucket table.
+  private def lshBuckets(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "lsh_buckets") {
+      GraftFunctions.register(s)
+      quantized(s, d).filter(col("qv").isNotNull)
+        .select(col("vec_id"), bankDots.as("ds256"))
+        .select(col("vec_id"), posexplode(expr(
+          s"transform(sequence(0, ${Tables_ - 1}), t -> " +
+            s"aggregate(sequence(0, ${BitsPerTable - 1}), 0L, " +
+            s"(acc, b) -> acc + IF(ds256[t * $BitsPerTable + b] >= 0, " +
+            s"shiftleft(1L, b), 0L)))"))
+          .as(Seq("table_id", "bucket")))
+    }
+
   private[graft] def annLshShortlist(s: SparkSession, d: String,
       queryFilter: Column = col("vec_id") < 10,
       broadcastProbes: Boolean = true,
@@ -615,32 +676,8 @@ object Similarity {
       probeBits: Int = ProbeBits): DataFrame = {
     GraftFunctions.register(s)
     val q = quantized(s, d)
-    // the whole 256×64 hyperplane bank rides the plan as ONE literal into
-    // the codegen'd graft_matvec_q kernel (256 dots per vector in two
-    // generated loops). The earlier formulation shipped 256 separate
-    // 64-element array literals (one DotQ each) — an O(K·D)-node analyzed
-    // tree that cost ~30 s of driver-side analysis/codegen per cold plan.
-    val bank = typedlit(hyperplanes)
-    val dots = call_function("graft_matvec_q", bank, col("qv"))
-    // materialized: the probe side and the corpus side both read the
-    // bucket table, and the 256 hyperplane dots per vector should run
-    // once (this is the written LSH index of a production deployment).
-    // A null vector has no signs: EXCLUDED from the index (it would sit
-    // in bucket 0 of every table, enter collision shortlists and reach
-    // exact rescoring where its cosine evaluates to null — a null-cosine
-    // neighbor row could then surface when a query has few real
-    // candidates). Dropping it here covers every consumer: shortlists
-    // only ever emit vec_ids that are in the bucket table.
-    val withBuckets = materialized(s, d, "lsh_buckets") {
-      q.filter(col("qv").isNotNull)
-        .select(col("vec_id"), dots.as("ds256"))
-        .select(col("vec_id"), posexplode(expr(
-          s"transform(sequence(0, ${Tables_ - 1}), t -> " +
-            s"aggregate(sequence(0, ${BitsPerTable - 1}), 0L, " +
-            s"(acc, b) -> acc + IF(ds256[t * $BitsPerTable + b] >= 0, " +
-            s"shiftleft(1L, b), 0L)))"))
-          .as(Seq("table_id", "bucket")))
-    }
+    val dots = bankDots
+    val withBuckets = lshBuckets(s, d)
     // query-directed multiprobe, QUERY side only (the corpus index is
     // untouched): per table keep the signed dots, rank bits by |dot|
     // ascending (least confident first) and probe every flip of ≤ 2 of

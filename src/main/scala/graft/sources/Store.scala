@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -98,6 +98,88 @@ object Store {
       f: (DataFrame, DataFrame) => T): T = {
     val (good, bad, raw) = loadJsonlLenient(s, path, schema)
     try f(good, bad) finally raw.unpersist()
+  }
+
+  /** A named field-level validation rule: `valid` must evaluate TRUE for
+    * a row to pass — NULL counts as a violation (a NULL rating is out of
+    * range, not unknown-but-admitted), which is exactly the semantics a
+    * bare `col.between(1, 5)` predicate gives.
+    */
+  final case class ValidationRule(name: String, valid: Column)
+
+  /** The reference's review admission contract as rules
+    * (models/review.py Review.from_dict + schema.sql:54-66 constraints):
+    * required non-null identity/time fields, the `rating BETWEEN 1 AND 5`
+    * CHECK, and — when the timestamp travels as an ISO string (the
+    * from_dict `fromisoformat` path) — a parseability rule via
+    * [[tsParseRule]]. Column names are parameters because graft's test
+    * tables spell them differently (event_id/event_type/value/ts).
+    */
+  def reviewRules(id: String = "review_id", app: String = "app_id",
+      rating: String = "rating", ts: String = "ts"): Seq[ValidationRule] = Seq(
+    ValidationRule(s"${id}_missing", col(id).isNotNull),
+    ValidationRule(s"${app}_missing", col(app).isNotNull),
+    ValidationRule(s"${ts}_missing", col(ts).isNotNull),
+    ValidationRule(s"${rating}_out_of_range", col(rating).between(1, 5)))
+
+  /** ISO-timestamp parseability as a rule (Review.from_dict's
+    * `datetime.fromisoformat` raising → the record is rejected): fires
+    * only on PRESENT-but-unparseable strings — absence is the
+    * `_missing` rule's job. try_to_timestamp, not to_timestamp: under
+    * ANSI the latter would kill the job on the first bad row, the
+    * FAILFAST failure mode the lenient path exists to avoid.
+    */
+  def tsParseRule(tsCol: String): ValidationRule =
+    ValidationRule(s"${tsCol}_unparseable",
+      col(tsCol).isNull || try_to_timestamp(col(tsCol)).isNotNull)
+
+  /** Field-level validation split (the scraper→store contract the corrupt
+    * split can't see): structurally WELL-FORMED rows that break a field
+    * rule — value out of range, required field null, unparseable
+    * timestamp — quarantine like corrupt ones instead of passing through
+    * silently. ONE pass, codegen-friendly (the rules evaluate inline in
+    * an array expression — no UDF, no second scan): every row computes
+    * its violated-rule names; `valid` rows have none, `invalid` rows
+    * carry them in a `violations` array column for the quarantine
+    * inspector (the monitor's malformed-rate input).
+    */
+  def validSplit(df: DataFrame, rules: Seq[ValidationRule])
+      : (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "validSplit needs at least one rule")
+    require(!df.columns.contains("violations"),
+      "validSplit reserves the violations column name")
+    val vio = filter(
+      array(rules.map(r =>
+        when(r.valid, lit(null)).otherwise(lit(r.name))): _*),
+      v => v.isNotNull)
+    val flagged = df.withColumn("violations", vio)
+    (flagged.filter(size(col("violations")) === 0).drop("violations"),
+      flagged.filter(size(col("violations")) > 0))
+  }
+
+  /** [[loadJsonlLenient]] + [[validSplit]] in one read: the full
+    * admission contract — `valid` rows parsed AND rule-clean, `invalid`
+    * rows parsed but rule-breaking (with `violations`), `corrupt` rows
+    * structurally unparseable (raw line). All three frames read the one
+    * cached relation; the returned `raw` handle must be unpersisted by
+    * the caller (prefer [[withJsonlValidated]], which scopes it).
+    */
+  def loadJsonlValidated(s: SparkSession, path: String, schema: StructType,
+      rules: Seq[ValidationRule])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (good, bad, raw) = loadJsonlLenient(s, path, schema)
+    val (valid, invalid) = validSplit(good, rules)
+    (valid, invalid, bad, raw)
+  }
+
+  /** Scoped form of [[loadJsonlValidated]]: runs `f` over (valid,
+    * invalid, corrupt) and always releases the shared raw cache.
+    */
+  def withJsonlValidated[T](s: SparkSession, path: String,
+      schema: StructType, rules: Seq[ValidationRule])(
+      f: (DataFrame, DataFrame, DataFrame) => T): T = {
+    val (valid, invalid, corrupt, raw) = loadJsonlValidated(s, path, schema, rules)
+    try f(valid, invalid, corrupt) finally raw.unpersist()
   }
 
   /** multiLine: the writer quotes embedded newlines, so the reader must

@@ -135,23 +135,65 @@ object IngestStream {
     * runs, so the mismatch fails loud here instead of as silently
     * diverging cells.
     */
-  def appHealth(events: Dataset[Event]): DataFrame = {
-    val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+  private def requireUtc(df: DataFrame, opName: String): Unit = {
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     // normalized(): accept every UTC spelling (Etc/UTC, GMT, +00:00, Z) —
     // only a genuinely offset zone misaligns the two day groupings
     val isUtc =
       try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
       catch { case _: java.time.DateTimeException => false }
     require(isUtc,
-      s"IngestStream.appHealth requires a UTC session timezone " +
+      s"IngestStream.$opName requires a UTC session timezone " +
         s"(got spark.sql.session.timeZone=$tz): day windows are " +
         "UTC-aligned but the batch twin's run_id follows the session " +
         "timezone")
+  }
+
+  def appHealth(events: Dataset[Event]): DataFrame = {
+    requireUtc(events.toDF, "appHealth")
     graft.operators.Ingest.healthStatusSelect(
       graft.operators.Ingest.runCounts(events.toDF,
           window(col("ts"), "1 day"), col("event_type").as("app_id"))
         .withColumn("run_id", date_format(col("window.start"), "yyyy-MM-dd"))
         .drop("window"))
+  }
+
+  /** Streaming threshold alerts — the monitor's evaluate_run in the
+    * reference's CONTINUOUS mode (pipeline.py run loop +
+    * monitor._detect_anomalies:276): as the watermark closes each
+    * day-run window, the closing run's counts are evaluated against ALL
+    * SEVEN rules and the firing alerts are emitted, exactly the
+    * per-run-as-runs-complete cadence the reference runs. Three shared
+    * stages with batch [[graft.operators.Ingest.alerts]], so neither the
+    * counting conventions nor the thresholds can drift between modes:
+    * the run-grain counting ([[graft.operators.Ingest.alertRunRows]] —
+    * here keyed by a day-tumbling event-time window), and the rule
+    * struct-explode ([[graft.operators.Ingest.alertRuleSelect]]).
+    *
+    * `baseline` is the rolling-5-run moment frame (run_id → n5/sum5/
+    * sumdur5/f5/nulls5/sumsq5) from the STORED run history —
+    * [[graft.operators.Ingest.alertBaseline]] over the landed lake, the
+    * monitor reading get_recent_health_reports:463 before evaluating a
+    * run. It joins stream-static broadcast (no streaming state); a run
+    * with no stored baseline evaluates like batch's first run (count
+    * rules only — the window rules' n5 > 0 guards see the same
+    * NULL/zero moments batch computes over an empty preceding frame).
+    *
+    * Input is a raw (event_id, ts, props) DataFrame, not Dataset[Event]:
+    * the null-props rate rule needs the payload column the typed event
+    * drops. State: one counts row per open day window, dropped at
+    * watermark — the [[windowedCounts]] bound.
+    */
+  def alerts(raw: DataFrame, baseline: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    requireUtc(raw, "alerts")
+    val counts = graft.operators.Ingest.alertRunRows(
+        raw.withWatermark("ts", watermark), window(col("ts"), "1 day"))
+      .withColumn("run_id", date_format(col("window.start"), "yyyy-MM-dd"))
+      .drop("window")
+    graft.operators.Ingest.alertRuleSelect(
+      counts.join(broadcast(baseline), Seq("run_id"), "left")
+        .withColumn("n5", coalesce(col("n5"), lit(0L))))
   }
 
   /** Stateful gap sessionizer (30-min inactivity), the streaming twin of

@@ -173,6 +173,32 @@ class PlanAuditSpec extends SparkSpec {
       "run aggregate lost its map-side partial:\n" + p)
   }
 
+  test("run history: last-N cut is a bounded top-k, never a full ledger sort") {
+    val p = plan("q_run_history")
+    assert(p.contains("TakeOrderedAndProject"),
+      "last-10 read must plan per-partition top-k + merge:\n" + p)
+    // a physical Sort node prints as `Sort [order], global, offset` —
+    // "Sort [" cannot false-match SortAggregate/SortMergeJoin
+    assert(!p.contains("Sort ["),
+      "a global sort crept into the last-N read:\n" + p)
+  }
+
+  test("session consumers read the ONE memoized session frame") {
+    // force the memoized build, then check every consumer reads the cache
+    // instead of re-running the keyed sessionize window
+    SparkEntry.queries("q_sessionize")(spark, sfDir).count()
+    for (q <- Seq("q_sessionize", "q_session_stats", "q_session_ledger")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q must read the shared session cache:\n" + p)
+      // the only windows allowed are INSIDE the cached build (its dump);
+      // outside it the consumer is aggregate-only
+      val outside = p.split("\n").takeWhile(!_.contains("InMemoryRelation"))
+      assert(!outside.exists(_.contains("windowspecdefinition")),
+        s"$q re-runs the sessionize window outside the cache:\n" + p)
+    }
+  }
+
   test("split metadata: one corpus aggregate; totals derive at cell grain") {
     val p = plan("q_split_metadata")
     assert(p.contains("BroadcastHashJoin")) // hashRank offsets + doc join

@@ -60,6 +60,57 @@ class StoreSpec extends SparkSpec {
       "withJsonlLenient leaked a cached relation")
   }
 
+  test("field-level validation quarantines invalid-but-well-formed records") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("review_id", LongType), StructField("app_id", StringType),
+      StructField("rating", IntegerType), StructField("ts", StringType)))
+    val path = tmp("validated")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    val lines = Seq(
+      """{"review_id": 1, "app_id": "a", "rating": 5, "ts": "2024-01-01T00:00:00"}""", // valid
+      """{"review_id": 2, "app_id": "a", "rating": 0, "ts": "2024-01-01T00:00:00"}""", // rating low
+      """{"review_id": 3, "app_id": "a", "rating": 6, "ts": "2024-01-01T00:00:00"}""", // rating high
+      """{"review_id": 4, "app_id": "a", "ts": "2024-01-01T00:00:00"}""",              // rating null
+      """{"review_id": 5, "app_id": null, "rating": 3, "ts": "2024-01-01T00:00:00"}""", // app null
+      """{"app_id": "a", "rating": 3, "ts": "2024-01-01T00:00:00"}""",                 // id missing
+      """{"review_id": 7, "app_id": "a", "rating": 3}""",                              // ts missing
+      """{"review_id": 8, "app_id": "a", "rating": 3, "ts": "not-a-time"}""",          // ts unparseable
+      """{"review_id": 9, "app_id": null, "rating": 99, "ts": "nope"}""",              // 3 rules at once
+      """{definitely not json""")                                                      // corrupt
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "part-0.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val rules = Store.reviewRules(id = "review_id") :+ Store.tsParseRule("ts")
+    Store.withJsonlValidated(spark, path, schema, rules) { (valid, invalid, corrupt) =>
+      // one structurally corrupt line; exactly one fully-clean row
+      assert(corrupt.count() == 1)
+      assert(valid.collect().map(_.getLong(0)).toSeq == Seq(1L))
+      // every violation is named; a row can break several rules at once
+      val vio = invalid.collect()
+        .map(r => Option(r.getAs[Any]("review_id")) ->
+          r.getAs[scala.collection.Seq[String]]("violations").toSet).toMap
+      assert(vio(Some(2L)) == Set("rating_out_of_range"))
+      assert(vio(Some(3L)) == Set("rating_out_of_range"))
+      assert(vio(Some(4L)) == Set("rating_out_of_range")) // NULL rating IS out of range
+      assert(vio(Some(5L)) == Set("app_id_missing"))
+      assert(vio(None) == Set("review_id_missing"))
+      assert(vio(Some(7L)) == Set("ts_missing")) // absent ≠ unparseable
+      assert(vio(Some(8L)) == Set("ts_unparseable"))
+      assert(vio(Some(9L)) == Set("app_id_missing", "rating_out_of_range", "ts_unparseable"))
+    }
+    // batch path: validSplit over an in-memory frame, same rules
+    val df = spark.range(1, 4).toDF("review_id")
+      .withColumn("app_id", when(col("review_id") === 2, lit(null)).otherwise(lit("a")))
+      .withColumn("rating", when(col("review_id") === 3, 7).otherwise(3))
+      .withColumn("ts", lit("2024-01-01T00:00:00"))
+    val (v, inv) = Store.validSplit(df, rules)
+    assert(v.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(inv.count() == 2)
+    // the split is one projection pass — valid carries no extra column
+    assert(v.columns.toSeq == df.columns.toSeq)
+  }
+
   test("csv round-trip preserves rows") {
     val path = tmp("csv")
     val df = sample

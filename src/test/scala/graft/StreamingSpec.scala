@@ -81,6 +81,60 @@ class StreamingSpec extends SparkSpec {
     assert(got(("1970-01-02", "appC"))._1 == "ok")
   }
 
+  test("streaming alerts fire identically to the batch rules on closed runs") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // condensed 9-run shape from the batch crafted spec: clean baseline
+    // days 1-5, then one rule violation per day — an error event (d2), a
+    // −90% drop (d6), a +268% rise with window variance (d7), an all-even
+    // dedup/duration day (d8), and a null-props shift day (d9)
+    var nextId = 1L
+    def ids(n: Int, even: Boolean = false): Seq[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (out.size < n) {
+        nextId += 1
+        val cand = nextId * 2 + (if (even) 0 else 1)
+        if (cand % 97 != 0) out += cand
+      }
+      out.toSeq
+    }
+    def day(d: Int, evIds: Seq[Long], spanSecs: Long,
+        nullProps: Boolean = false): Seq[(Long, Timestamp, String)] = {
+      val t0 = java.sql.Timestamp.valueOf(f"2024-02-0$d 00:00:00").getTime
+      val n = evIds.size
+      evIds.zipWithIndex.map { case (id, i) =>
+        (id, new Timestamp(t0 + i * spanSecs * 1000 / math.max(1, n - 1)),
+          if (nullProps && i % 2 == 0) null else "{}")
+      }
+    }
+    val rows =
+      day(1, ids(100), 1000) ++ day(2, ids(99) :+ 97L * 3, 1000) ++
+      day(3, ids(100), 1000) ++ day(4, ids(100), 1000) ++
+      day(5, ids(100), 1000) ++ day(6, ids(10), 1000) ++
+      day(7, ids(300), 1000) ++ day(8, ids(100, even = true), 5000) ++
+      day(9, ids(100), 1000, nullProps = true)
+    val batchDf = rows.toDF("event_id", "ts", "props")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("run_id"), r.getAs[String]("metric"),
+        r.getAs[String]("level"), r.getAs[Double]("threshold"),
+        r.getAs[Double]("actual"))
+    val batch = graft.operators.Ingest.alerts(batchDf).collect().map(key).toSet
+    // several distinct rules must actually fire for this test to mean much
+    assert(batch.map(_._2).size >= 5, s"crafted corpus too tame: $batch")
+    // the stored-history baseline the continuous monitor would read
+    val baseline = graft.operators.Ingest.alertBaseline(batchDf)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val sentinel = Seq((7777L, new Timestamp(
+      java.sql.Timestamp.valueOf("2024-03-20 00:00:00").getTime), "{}"))
+    val got = runToCompletion(
+      IngestStream.alerts(mem.toDF().toDF("event_id", "ts", "props"), baseline),
+      "alerts_stream", mem,
+      Seq(rows.take(400), rows.drop(400), sentinel)).map(key).toSet
+    // every crafted run closes (the sentinel's own never does; it is not
+    // in the batch frame either) → the streamed alert set IS the batch set
+    assert(got == batch, s"streaming alerts diverged:\n got=$got\n exp=$batch")
+  }
+
   test("streaming content dedup: within-horizon drop, normalization, re-admission") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
