@@ -133,6 +133,64 @@ class SimilaritySpec extends SparkSpec {
       f"fraction must fall with corpus size: sf0.1 $frac01%.4f !< sf0.01 $frac001%.4f")
   }
 
+  test("knn join preconditioned: recall >= 0.8 on a CLUSTERED corpus at sub-√n candidates/query") {
+    import spark.implicits._
+    // deterministic 200-cluster corpus in 64-dim — the geometry real
+    // embedding corpora occupy (class/topic structure), vs the
+    // near-isotropic driver corpus where the collision-count path is
+    // the measured deployment. ids interleave across clusters so the
+    // K-lowest-id seeding spreads over every cluster.
+    val nClusters = 200; val perCluster = 10; val dim = 64
+    val n = nClusters * perCluster
+    def mix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def uni(seed: Long): Double = // uniform [-1, 1)
+      math.floorMod(mix(seed), 1000000L) / 500000.0 - 1.0
+    val rows = for (m <- 0 until perCluster; c <- 0 until nClusters) yield {
+      val id = (m * nClusters + c).toLong
+      val emb = Array.tabulate(dim) { i =>
+        (uni(c * 7919L + i) + 0.08 * uni(id * 104729L + i + 13)).toFloat
+      }
+      (id, emb, c)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_clustered").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // driver-side exact brute force (same quantization as the operator)
+    val vecs = rows.map { case (id, emb, _) =>
+      id -> emb.map(x => math.round(x.toDouble * 10000)) }.toArray
+    val n2 = vecs.map { case (id, v) => id -> v.map(x => x * x).sum }.toMap
+    def cos(a: Array[Long], b: Array[Long], na: Long, nb: Long): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    val brute = vecs.map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (jd, w) => (jd, cos(v, w, n2(id), n2(jd))) }
+        .sortBy { case (jd, c) => (-c, jd) }.take(5).map(_._1).toSet
+    }.toMap
+    val got = Similarity.qKnnJoinIvf.run(spark, dir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(got.keySet == brute.keySet, "every vector must get neighbors")
+    val recall = got.map { case (id, nbrs) =>
+      (nbrs & brute(id)).size.toDouble / brute(id).size
+    }.sum / got.size
+    info(f"preconditioned knn recall@5 (clustered) = $recall%.3f")
+    assert(recall >= 0.8, f"recall $recall%.2f below floor on clustered data")
+    // THE quadratic-term escape: candidate traffic is sub-√n PER QUERY
+    // (nprobe·n/K = 0.75·√n by the K ∝ √n law), so the whole join is
+    // Θ(n^1.5) narrow rows — no geometry makes it all-pairs
+    val candPerQuery =
+      Similarity.knnIvfCandidates(spark, dir).count().toDouble / n
+    info(f"preconditioned knn candidates/query = $candPerQuery%.1f (√n = ${math.sqrt(n)}%.1f)")
+    assert(candPerQuery < math.sqrt(n),
+      f"candidate work $candPerQuery%.1f/query is not sub-√n")
+  }
+
   test("ngram jaccard: symmetric-free (a<b), jaccard in (0,1], dups found") {
     val rows = Similarity.qNgramJaccard.run(spark, sfDir).collect()
     assert(rows.nonEmpty, "expected near-dup pairs (corpus has exact dups)")
