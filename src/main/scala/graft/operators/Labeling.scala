@@ -629,7 +629,7 @@ object Labeling {
     val s2 = cnts
       .groupBy("label").agg(sum(col("c") * (col("n") - 1)).as("occ"))
       .agg(sum(col("occ") * col("occ")).cast("long").as("s"))
-    m.crossJoin(s2).select(
+    m.crossJoin(broadcast(s2)).select(
       col("p").as("n_pairs"),
       (col("a").cast("double") / col("p")).as("observed_agreement"),
       (col("s").cast("double") / (lit(4) * col("p") * col("p")))

@@ -66,6 +66,10 @@ object Similarity {
       timed("build_lsh_buckets")(lshBuckets(s, d)),
       timed("build_ivf_assign")(
         if (ivfModel(s, d).nonEmpty) ivfAssigned(s, d) else ()),
+      timed("build_knn_ivf_assign") {
+        val n = quantized(s, d).filter(col("qv").isNotNull).count()
+        if (n > 0) ivfAssignedK(s, d, knnIvfK(n), "ivf_assign_knn") else ()
+      },
       timed("build_shingle_cache")(docShingleHashes(s, d)),
       timed("build_minhash_bands")(minhashBands(s, d)),
       timed("build_minhash_candidates")(minhashCandidates(s, d)),
