@@ -768,6 +768,13 @@ object Similarity {
     */
   private def centDists(model: Array[(Int, Array[Long], Long)], qv: Column,
       n2: Column): Column = {
+    // NOTE (measured, round 5): leave this as the per-centroid DotQ
+    // transform. The "obvious" MatVecQ rewrite (all K dots in one kernel,
+    // then index into the result array inside the transform lambda) is
+    // 6× SLOWER at K = ⌈6·√n⌉ — Spark does not hoist loop-invariant
+    // subtrees out of higher-order-function lambdas, so the element_at
+    // over the kernel's output re-evaluates per element. The transform
+    // form evaluates each centroid's dot exactly once.
     val cents = typedlit(model.toSeq.map { case (cid, c, n2c) =>
       (cid, c.toSeq, n2c)
     })

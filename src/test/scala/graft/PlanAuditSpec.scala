@@ -199,6 +199,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("preconditioned knn: bounded-heap top-k, no cartesian, cached assignment") {
+    val p = plan("q_knn_join_ivf")
+    assert(p.contains("TopKPerKey"),
+      "top-5 cut must ride the bounded heap, not a corpus-wide sort:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degenerated to a cross product:\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "the IVF assignment must be read from the written index cache:\n" + p)
+  }
+
   test("split metadata: one corpus aggregate; totals derive at cell grain") {
     val p = plan("q_split_metadata")
     assert(p.contains("BroadcastHashJoin")) // hashRank offsets + doc join
