@@ -59,12 +59,24 @@ object Bench {
     // shared index builds, timed as their own named entries (a failed
     // build reports -1 like a failed query and its consumers then pay —
     // and expose — the cost themselves)
-    val builds: Seq[(String, Double)] =
-      try operators.Similarity.prebuildIndexes(spark, sfDir)
+    def timedBuild(name: String)(body: => Unit): Seq[(String, Double)] = {
+      val t0 = System.nanoTime()
+      try { body; Seq(name -> (System.nanoTime() - t0) / 1e9) }
       catch { case t: Throwable =>
-        System.err.println(s"[bench] prebuild FAILED: ${t.getMessage}")
-        Seq("build_failed" -> -1.0)
+        System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+        Seq(name -> -1.0)
       }
+    }
+    val builds: Seq[(String, Double)] =
+      (try operators.Similarity.prebuildIndexes(spark, sfDir)
+       catch { case t: Throwable =>
+         System.err.println(s"[bench] prebuild FAILED: ${t.getMessage}")
+         Seq("build_failed" -> -1.0)
+       }) ++
+        timedBuild("build_session_frame")(
+          operators.Ingest.prebuildSessionFrame(spark, sfDir)) ++
+        timedBuild("build_sample_selection")(
+          operators.Labeling.prebuildSelection(spark, sfDir))
 
     // a failed query reports -1, never a bogus elapsed time; Throwable so
     // a codegen/linkage Error cannot abort the run and lose the JSON line

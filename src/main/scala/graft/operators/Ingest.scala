@@ -221,6 +221,14 @@ object Ingest {
   private val sessionCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
+  /** Force the memoized session-frame build (Bench times this as its own
+    * named entry so the first session consumer's min-of-3 doesn't
+    * silently exclude the one-time window pass from the reported total).
+    */
+  def prebuildSessionFrame(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    sessionizedEvents(s, d); ()
+  }
+
   /** Unpersist and forget every memoized session frame. */
   def clearSessionCache(): Unit = {
     sessionCache.values.foreach(df => try df.unpersist() catch { case _: Exception => () })
@@ -729,6 +737,30 @@ object Ingest {
       : org.apache.spark.sql.DataFrame =
     withAlertBaseline(alertRunRows(events, runIdCol))
       .select("run_id", "n5", "sum5", "sumdur5", "f5", "nulls5", "sumsq5")
+
+  /** The baseline a run arriving AFTER the stored history would see: ONE
+    * row with the rolling moments over the LAST ≤5 stored runs — the
+    * reference monitor reading its latest get_recent_health_reports
+    * before evaluating a NEW run. [[alertBaseline]]'s per-run rows only
+    * cover run_ids already in the lake (each anchored at its own
+    * position), so without this row the streaming twin's window rules
+    * would silently never fire for any run newer than the capture — the
+    * production cadence. Over an EMPTY history the aggregate still
+    * yields its one row (n5 = 0, NULL sums) — the day-one semantics.
+    */
+  def alertBaselineNext(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    alertRunRows(events, runIdCol)
+      .orderBy(col("run_id").desc).limit(5)
+      .agg(count(lit(1)).as("n5"),
+        sum("inserted").as("sum5"),
+        sum("duration_us").as("sumdur5"),
+        sum("fetched").as("f5"),
+        sum("nulls_props").as("nulls5"),
+        sum(dec(col("inserted")) * col("inserted")).as("sumsq5"))
+  }
 
   /** The rule stage over baseline-carrying run rows — ALL seven monitor
     * rules evaluated in one inline struct-array explode, shared verbatim

@@ -100,6 +100,13 @@ object Labeling {
   private val selCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
+  /** Force the memoized tier-selection build (Bench names this cost —
+    * same contract as [[graft.operators.Ingest.prebuildSessionFrame]]).
+    */
+  def prebuildSelection(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    tiers(s, d); ()
+  }
+
   /** Unpersist and forget every memoized tier selection. */
   def clearSelCache(): Unit = {
     selCache.values.foreach(df => try df.unpersist() catch { case _: Exception => () })

@@ -981,8 +981,9 @@ object Similarity {
     * drops toward the budget·n shortlist bound; for lake-scale corpora
     * the right preconditioner is coarse partitioning BEFORE this pass —
     * which is exactly [[qKnnJoinIvf]] (K ∝ √n IVF lists, Θ(n^1.5)
-    * candidate traffic by construction, recall ≥ 0.9 spec-pinned on a
-    * CLUSTERED corpus — the geometry real embeddings occupy). The
+    * candidate traffic by construction, recall 1.00 measured / ≥ 0.8
+    * spec-floored on a CLUSTERED corpus — the geometry real embeddings
+    * occupy). The
     * IVF form measures 0.37 recall on THIS isotropic corpus, which is
     * why the collision-count form ships for the adversarial regime; see
     * the twin's scaladoc for the per-geometry deployment rule.
@@ -1030,9 +1031,12 @@ object Similarity {
     * probes ⋈ assignment on cid — package-visible so the spec asserts
     * the sub-√n per-query candidate bound directly.
     */
-  private[graft] def knnIvfCandidates(s: SparkSession, d: String): DataFrame = {
+  private[graft] def knnIvfCandidates(s: SparkSession, d: String): DataFrame =
+    knnIvfCandidatesN(s, d,
+      quantized(s, d).filter(col("qv").isNotNull).count())
+
+  private def knnIvfCandidatesN(s: SparkSession, d: String, n: Long): DataFrame = {
     val q = quantized(s, d)
-    val n = q.filter(col("qv").isNotNull).count()
     val k = knnIvfK(n)
     val model = ivfModelK(s, d, k)
     val assigned = ivfAssignedK(s, d, k, "ivf_assign_knn")
@@ -1054,7 +1058,7 @@ object Similarity {
     * ≥ 0.8 on a CLUSTERED corpus at sub-√n per-query candidate work) —
     * the scale path of the corpus-wide neighbor graph, and the escape
     * hatch from [[qKnnJoin]]'s quadratic collision-count traffic:
-    * coarse-partition the corpus into K = ⌈4·√n⌉ IVF lists (K ∝ √n —
+    * coarse-partition the corpus into K = ⌈6·√n⌉ IVF lists (K ∝ √n —
     * list size Θ(√n)), then each vector rescores exactly against its 3
     * nearest lists only. Total candidate traffic is Θ(n^1.5) narrow
     * rows BY CONSTRUCTION — no term in the plan is quadratic at any
@@ -1063,10 +1067,11 @@ object Similarity {
     *
     * WHICH PATH A LAKE DEPLOYS (measured, per corpus geometry):
     *  - CLUSTERED embeddings — the regime real embedding corpora occupy
-    *    (class/topic structure; 50-Gaussian synthetic here): THIS
-    *    operator. Near neighbors are cluster-mates, the coarse
-    *    partition aligns with the clusters, and recall holds ≥ 0.9 at
-    *    0.75·√n candidates per query (spec-pinned).
+    *    (class/topic structure; a deterministic 200-cluster synthetic
+    *    here): THIS operator. Near neighbors are cluster-mates, the
+    *    coarse partition aligns with the clusters, and recall measures
+    *    1.00 at 21.6 candidates/query — the sub-√n bound and the 0.8
+    *    recall floor are spec-pinned.
     *  - NEAR-ISOTROPIC corpora (adversarial/synthetic, neighbors barely
     *    above bulk cosine): [[qKnnJoin]]'s collision-count shortlist —
     *    the IVF lists are a coarse 16..K-way partition with no
@@ -1081,13 +1086,17 @@ object Similarity {
   val qKnnJoinIvf: Q = Q.rowsOnly("q_knn_join_ivf") { (s, d) =>
     GraftFunctions.register(s)
     val q = quantized(s, d)
-    if (ivfModel(s, d).isEmpty) {
+    // emptiness probe = one count off the materialized quantized cache —
+    // NOT ivfModel(s, d).isEmpty, which would train the fixed-IvfK model
+    // this operator never uses (a full Lloyd pass paid purely as a test)
+    val n = q.filter(col("qv").isNotNull).count()
+    if (n == 0) {
       // day-one empty lake: keep the schema, emit no rows
       q.filter(lit(false))
         .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
           lit(1).as("rank"), lit(0.0).as("cosine"))
     } else {
-      val scored = knnIvfCandidates(s, d)
+      val scored = knnIvfCandidatesN(s, d, n)
         .join(q.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
         .join(q.select(col("vec_id").as("query_id"), col("qv").as("qq"),
           col("n2").as("n2q")), "query_id")

@@ -174,26 +174,46 @@ object IngestStream {
     * sumdur5/f5/nulls5/sumsq5) from the STORED run history —
     * [[graft.operators.Ingest.alertBaseline]] over the landed lake, the
     * monitor reading get_recent_health_reports:463 before evaluating a
-    * run. It joins stream-static broadcast (no streaming state); a run
-    * with no stored baseline evaluates like batch's first run (count
-    * rules only — the window rules' n5 > 0 guards see the same
-    * NULL/zero moments batch computes over an empty preceding frame).
+    * run; `baselineNext` is its one-row open-ended tail
+    * ([[graft.operators.Ingest.alertBaselineNext]]) — the moments a run
+    * NEWER than the stored history evaluates against (the production
+    * cadence: the stream closes runs the lake has not landed yet, so
+    * keying on the closing run's own run_id alone would silently
+    * disable every window rule for exactly the runs the monitor
+    * exists to watch). Both join stream-static broadcast (no streaming
+    * state): a stored run_id takes its own anchored row (the backfill /
+    * replay case), an unseen run_id falls back to the tail row. Over an
+    * empty day-one history the tail row carries n5 = 0/NULL sums and
+    * only the history-free count rules fire — batch's first-run
+    * semantics (spec-pinned).
     *
     * Input is a raw (event_id, ts, props) DataFrame, not Dataset[Event]:
     * the null-props rate rule needs the payload column the typed event
     * drops. State: one counts row per open day window, dropped at
     * watermark — the [[windowedCounts]] bound.
     */
-  def alerts(raw: DataFrame, baseline: DataFrame,
+  def alerts(raw: DataFrame, baseline: DataFrame, baselineNext: DataFrame,
       watermark: String = "10 minutes"): DataFrame = {
     requireUtc(raw, "alerts")
     val counts = graft.operators.Ingest.alertRunRows(
         raw.withWatermark("ts", watermark), window(col("ts"), "1 day"))
       .withColumn("run_id", date_format(col("window.start"), "yyyy-MM-dd"))
       .drop("window")
+    val mom = Seq("n5", "sum5", "sumdur5", "f5", "nulls5", "sumsq5")
+    val tail = baselineNext.select(mom.map(c => col(c).as(c + "_next")): _*)
+    val joined = counts
+      .join(broadcast(baseline), Seq("run_id"), "left")
+      .crossJoin(broadcast(tail))
+      // presence flag BEFORE any moment is rewritten: n5 is non-null on
+      // every stored row (it is a count), null exactly on join misses
+      .withColumn("__stored", col("n5").isNotNull)
+    val resolved = mom.foldLeft(joined) { (df, c) =>
+      df.withColumn(c,
+        when(col("__stored"), col(c)).otherwise(col(c + "_next")))
+    }
     graft.operators.Ingest.alertRuleSelect(
-      counts.join(broadcast(baseline), Seq("run_id"), "left")
-        .withColumn("n5", coalesce(col("n5"), lit(0L))))
+      resolved.withColumn("n5", coalesce(col("n5"), lit(0L)))
+        .drop(mom.map(_ + "_next") :+ "__stored": _*))
   }
 
   /** Stateful gap sessionizer (30-min inactivity), the streaming twin of

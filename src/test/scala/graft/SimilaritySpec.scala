@@ -182,7 +182,7 @@ class SimilaritySpec extends SparkSpec {
     info(f"preconditioned knn recall@5 (clustered) = $recall%.3f")
     assert(recall >= 0.8, f"recall $recall%.2f below floor on clustered data")
     // THE quadratic-term escape: candidate traffic is sub-√n PER QUERY
-    // (nprobe·n/K = 0.75·√n by the K ∝ √n law), so the whole join is
+    // (nprobe·n/K = 0.5·√n by the K = ⌈6·√n⌉ law), so the whole join is
     // Θ(n^1.5) narrow rows — no geometry makes it all-pairs
     val candPerQuery =
       Similarity.knnIvfCandidates(spark, dir).count().toDouble / n

@@ -107,12 +107,13 @@ class StreamingSpec extends SparkSpec {
           if (nullProps && i % 2 == 0) null else "{}")
       }
     }
-    val rows =
-      day(1, ids(100), 1000) ++ day(2, ids(99) :+ 97L * 3, 1000) ++
-      day(3, ids(100), 1000) ++ day(4, ids(100), 1000) ++
-      day(5, ids(100), 1000) ++ day(6, ids(10), 1000) ++
-      day(7, ids(300), 1000) ++ day(8, ids(100, even = true), 5000) ++
-      day(9, ids(100), 1000, nullProps = true)
+    val days = Seq(
+      day(1, ids(100), 1000), day(2, ids(99) :+ 97L * 3, 1000),
+      day(3, ids(100), 1000), day(4, ids(100), 1000),
+      day(5, ids(100), 1000), day(6, ids(10), 1000),
+      day(7, ids(300), 1000), day(8, ids(100, even = true), 5000),
+      day(9, ids(100), 1000, nullProps = true))
+    val rows = days.flatten
     val batchDf = rows.toDF("event_id", "ts", "props")
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[String]("run_id"), r.getAs[String]("metric"),
@@ -123,16 +124,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_._2).size >= 5, s"crafted corpus too tame: $batch")
     // the stored-history baseline the continuous monitor would read
     val baseline = graft.operators.Ingest.alertBaseline(batchDf)
+    val baselineNext = graft.operators.Ingest.alertBaselineNext(batchDf)
     val mem = MemoryStream[(Long, Timestamp, String)]
     val sentinel = Seq((7777L, new Timestamp(
       java.sql.Timestamp.valueOf("2024-03-20 00:00:00").getTime), "{}"))
     val got = runToCompletion(
-      IngestStream.alerts(mem.toDF().toDF("event_id", "ts", "props"), baseline),
+      IngestStream.alerts(mem.toDF().toDF("event_id", "ts", "props"),
+        baseline, baselineNext),
       "alerts_stream", mem,
       Seq(rows.take(400), rows.drop(400), sentinel)).map(key).toSet
     // every crafted run closes (the sentinel's own never does; it is not
     // in the batch frame either) → the streamed alert set IS the batch set
     assert(got == batch, s"streaming alerts diverged:\n got=$got\n exp=$batch")
+
+    // THE production cadence: the lake has landed days 1-8, the stream
+    // closes a NEW day 9 the stored history has never seen — the window
+    // rules must fire off the open-ended tail baseline (the latest-5
+    // stored reports), exactly as batch computes day 9's preceding-5
+    // window over days 4-8
+    val hist = days.take(8).flatten.toDF("event_id", "ts", "props")
+    val memNew = MemoryStream[(Long, Timestamp, String)]
+    val gotNew = runToCompletion(
+      IngestStream.alerts(memNew.toDF().toDF("event_id", "ts", "props"),
+        graft.operators.Ingest.alertBaseline(hist),
+        graft.operators.Ingest.alertBaselineNext(hist)),
+      "alerts_stream_newrun", memNew, Seq(days(8), sentinel)).map(key).toSet
+    val batchDay9 = batch.filter(_._1 == "2024-02-09")
+    assert(batchDay9.nonEmpty, "crafted day 9 must fire window rules in batch")
+    assert(gotNew == batchDay9,
+      s"new-run alerts diverged:\n got=$gotNew\n exp=$batchDay9")
+
+    // day-one continuous mode: NO stored history yet → every run
+    // evaluates like batch's first run — exactly the history-free rules
+    // (error_rate, dedup_rate) fire, none of the rolling-window ones
+    val empty = batchDf.limit(0)
+    val memEmpty = MemoryStream[(Long, Timestamp, String)]
+    val gotEmpty = runToCompletion(
+      IngestStream.alerts(memEmpty.toDF().toDF("event_id", "ts", "props"),
+        graft.operators.Ingest.alertBaseline(empty),
+        graft.operators.Ingest.alertBaselineNext(empty)),
+      "alerts_stream_dayone", memEmpty, Seq(rows, sentinel)).map(key).toSet
+    val historyFree = batch.filter(a =>
+      a._2 == "error_rate" || a._2 == "dedup_rate")
+    assert(gotEmpty == historyFree,
+      s"day-one alerts diverged:\n got=$gotEmpty\n exp=$historyFree")
   }
 
   test("streaming content dedup: within-horizon drop, normalization, re-admission") {
