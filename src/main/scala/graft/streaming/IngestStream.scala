@@ -158,6 +158,31 @@ object IngestStream {
         .drop("window"))
   }
 
+  /** Continuous-mode report persistence (monitor.store_report:423 called
+    * from the reference's run loop): each closing (run, app) health row
+    * lands in the keyed idempotent report store as the watermark closes
+    * its day window. foreachBatch bridges the stream to the batch append
+    * path — [[graft.sources.Store.appendDeduped]]'s key anti-join makes
+    * micro-batch retries and full replays no-ops per key (the INSERT OR
+    * IGNORE contract), which is exactly-once per report WITHOUT sink
+    * transactionality. The key is the (run_id, app_id) cell encoded as
+    * one column ('|' cannot occur in a yyyy-MM-dd run id, and an app id
+    * containing '|' would need an escaped encoding — the test corpus's
+    * event types cannot).
+    *
+    * Returns the prepared writer; the caller adds its checkpoint/trigger
+    * and starts it (a library does not pick checkpoint locations).
+    */
+  def healthReportSink(health: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    health
+      .withColumn("report_key", concat_ws("|", col("run_id"), col("app_id")))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Store.appendDeduped(batch, path, "report_key"); ()
+      }
+
   /** Streaming threshold alerts — the monitor's evaluate_run in the
     * reference's CONTINUOUS mode (pipeline.py run loop +
     * monitor._detect_anomalies:276): as the watermark closes each

@@ -170,6 +170,42 @@ class StreamingSpec extends SparkSpec {
       s"day-one alerts diverged:\n got=$gotEmpty\n exp=$historyFree")
   }
 
+  test("streaming health-report sink: closed runs land once; a full replay is a no-op") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def dayTs(day: Int, minutes: Long): Timestamp =
+      new Timestamp((day * 1440L + minutes) * 60000L)
+    val d1 = Seq(
+      Event(97, dayTs(1, 0), 1, "appA", 1.0), Event(3, dayTs(1, 30), 1, "appA", 1.0),
+      Event(5, dayTs(1, 10), 1, "appC", 1.0))
+    val d2 = Seq(Event(7, dayTs(2, 5), 1, "appC", 1.0))
+    val sentinel = Seq(Event(11, dayTs(40, 0), 1, "appZ", 1.0))
+    val path = java.nio.file.Files.createTempDirectory("graft_hrsink")
+      .resolve("reports").toString
+    def runOnce(): Unit = {
+      val mem = MemoryStream[Event]
+      val query = IngestStream.healthReportSink(
+        IngestStream.appHealth(IngestStream.dedupe(mem.toDS())), path).start()
+      try Seq(d1, d2, sentinel).foreach { b =>
+        mem.addData(b); query.processAllAvailable()
+      } finally query.stop()
+    }
+    runOnce()
+    def stored = spark.read.parquet(path).drop("report_key")
+    val batch = graft.operators.Ingest.appHealth(
+      (d1 ++ d2).toDF("event_id", "ts", "user_id", "event_type", "value"))
+    // every closed (run, app) cell landed exactly once, cell-identical
+    // to the batch operator on the same events
+    assert(stored.count() == batch.count())
+    assert(stored.exceptAll(batch).isEmpty && batch.exceptAll(stored).isEmpty,
+      "stored reports diverge from the batch health rows")
+    // a FULL replay (fresh stream, no checkpoint, same data) re-offers
+    // every key — the keyed anti-join must drop them all
+    runOnce()
+    assert(stored.count() == batch.count(),
+      "replay double-landed report rows — the idempotent append regressed")
+  }
+
   test("streaming content dedup: within-horizon drop, normalization, re-admission") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
