@@ -714,18 +714,34 @@ object Ingest {
     * ([[alertBaseline]] — the reference monitor reading stored health
     * reports for its rolling stats).
     */
-  private[graft] def withAlertBaseline(runs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  /** THE rolling-moment definitions (name → aggregate), in one place:
+    * [[withAlertBaseline]] windows them, [[alertBaselineNext]] aggregates
+    * them globally, [[alertBaseline]] selects them, and the streaming
+    * twin's fallback resolution iterates [[AlertMoments]] — adding a
+    * moment for a new rule updates every site or none (the silent-drift
+    * surface a per-site spelling would reopen).
+    */
+  private def alertMomentAggs: Seq[(String, org.apache.spark.sql.Column)] = {
     def dec(c: org.apache.spark.sql.Column) =
       c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    Seq(
+      "n5" -> count(lit(1)),
+      "sum5" -> sum("inserted"),
+      "sumdur5" -> sum("duration_us"),
+      "f5" -> sum("fetched"),
+      "nulls5" -> sum("nulls_props"),
+      "sumsq5" -> sum(dec(col("inserted")) * col("inserted")))
+  }
+
+  private[graft] val AlertMoments: Seq[String] =
+    Seq("n5", "sum5", "sumdur5", "f5", "nulls5", "sumsq5")
+
+  private[graft] def withAlertBaseline(runs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val w5 = Window.orderBy("run_id").rowsBetween(-5, -1)
-    runs
-      .withColumn("n5", count(lit(1)).over(w5))
-      .withColumn("sum5", sum("inserted").over(w5))
-      .withColumn("sumdur5", sum("duration_us").over(w5))
-      .withColumn("f5", sum("fetched").over(w5))
-      .withColumn("nulls5", sum("nulls_props").over(w5))
-      .withColumn("sumsq5", sum(dec(col("inserted")) * col("inserted")).over(w5))
+    alertMomentAggs.foldLeft(runs) { case (df, (name, agg)) =>
+      df.withColumn(name, agg.over(w5))
+    }
   }
 
   /** run_id → preceding-5 baseline moments over the batch event log — the
@@ -736,7 +752,7 @@ object Ingest {
   def alertBaseline(events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     withAlertBaseline(alertRunRows(events, runIdCol))
-      .select("run_id", "n5", "sum5", "sumdur5", "f5", "nulls5", "sumsq5")
+      .select(("run_id" +: AlertMoments).map(col): _*)
 
   /** The baseline a run arriving AFTER the stored history would see: ONE
     * row with the rolling moments over the LAST ≤5 stored runs — the
@@ -750,16 +766,10 @@ object Ingest {
     */
   def alertBaselineNext(events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    def dec(c: org.apache.spark.sql.Column) =
-      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val aggs = alertMomentAggs.map { case (name, agg) => agg.as(name) }
     alertRunRows(events, runIdCol)
       .orderBy(col("run_id").desc).limit(5)
-      .agg(count(lit(1)).as("n5"),
-        sum("inserted").as("sum5"),
-        sum("duration_us").as("sumdur5"),
-        sum("fetched").as("f5"),
-        sum("nulls_props").as("nulls5"),
-        sum(dec(col("inserted")) * col("inserted")).as("sumsq5"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** The rule stage over baseline-carrying run rows — ALL seven monitor

@@ -58,9 +58,18 @@ object Similarity {
     * are stable bench keys; a build that is already cached times as ~0.
     */
   def prebuildIndexes(s: SparkSession, d: String): Seq[(String, Double)] = {
-    def timed(name: String)(body: => Any): (String, Double) = {
-      val t0 = System.nanoTime(); body; (name, (System.nanoTime() - t0) / 1e9)
-    }
+    // per-build isolation: one failing build reports ITS -1 entry and the
+    // rest still run — aborting mid-sequence would both drop the already-
+    // measured entries and push the skipped builds' costs onto consumers'
+    // first runs, which min-of-3 then EXCLUDES from the total (a failed
+    // build would silently deflate the bench instead of surfacing)
+    def timed(name: String)(body: => Any): (String, Double) =
+      try {
+        val t0 = System.nanoTime(); body; (name, (System.nanoTime() - t0) / 1e9)
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+        (name, -1.0)
+      }
     Seq(
       timed("build_quantized")(quantized(s, d)),
       timed("build_lsh_buckets")(lshBuckets(s, d)),
@@ -75,7 +84,8 @@ object Similarity {
       timed("build_minhash_candidates")(minhashCandidates(s, d)),
       timed("build_minhash_pairs")(minhashPairs(s, d)),
       timed("build_ngram_postings")(shingles(s, d)),
-      timed("build_simhash_fp")(simhashFingerprints(s, d)))
+      timed("build_simhash_fp")(simhashFingerprints(s, d)),
+      timed("build_dedup_clusters")(dedupClusterLabels(s, d)))
   }
 
   /** The 3-gram shingle-array expression over a token column `w` — the
@@ -1219,13 +1229,15 @@ object Similarity {
     * cluster even when (A,C) itself never collided in a band — the closure
     * every dedup pipeline needs before choosing survivors.
     */
+  // NOTE components() is eager by nature (an iterative driver loop), so
+  // the cluster consumers depart from the lazy plan-builder contract;
+  // memoizing the label table means repeat calls (specs, Explain,
+  // re-runs, both consumers) pay it once
+  private def dedupClusterLabels(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "dedup_cluster_labels")(components(minhashPairs(s, d)))
+
   val qDedupClusters: Q = Q.rowsOnly("q_dedup_clusters") { (s, d) =>
-    // NOTE components() is eager by nature (an iterative driver loop), so
-    // this Q departs from the lazy plan-builder contract; memoizing the
-    // label table means repeat calls (specs, Explain, re-runs) pay it once
-    val labels = materialized(s, d, "dedup_cluster_labels") {
-      components(minhashPairs(s, d))
-    }
+    val labels = dedupClusterLabels(s, d)
     // members as a sorted CSV string, not array<long>: the driver
     // hash-sorts every output with pandas, and array cells are unhashable
     // there — a scalar string keeps the rows-only check clean
@@ -1244,9 +1256,7 @@ object Similarity {
     * and the corpus streams through unbuffered.
     */
   val qDedupSurvivors: Q = Q.rowsOnly("q_dedup_survivors") { (s, d) =>
-    val labels = materialized(s, d, "dedup_cluster_labels") {
-      components(minhashPairs(s, d))
-    }
+    val labels = dedupClusterLabels(s, d)
     val nonKeepers = labels.filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
     Tables.documents(s, d).select("doc_id")

@@ -212,6 +212,16 @@ object IngestStream {
     * only the history-free count rules fire — batch's first-run
     * semantics (spec-pinned).
     *
+    * CONTRACT: because both frames are captured at stream construction,
+    * the tail row is the EXACT preceding-5 window only for the first
+    * run past the stored history — the second and later new runs still
+    * evaluate against it (stream-static joins cannot advance while the
+    * query runs). Deployments whose queries outlive one closing run use
+    * [[alertsSink]] — the foreachBatch run loop whose baseline advances
+    * with the store and is exact at any horizon; this transformation
+    * form exists for replay/backfill over a landed history and for
+    * composing alerts into a larger streaming plan.
+    *
     * Input is a raw (event_id, ts, props) DataFrame, not Dataset[Event]:
     * the null-props rate rule needs the payload column the typed event
     * drops. State: one counts row per open day window, dropped at
@@ -224,7 +234,7 @@ object IngestStream {
         raw.withWatermark("ts", watermark), window(col("ts"), "1 day"))
       .withColumn("run_id", date_format(col("window.start"), "yyyy-MM-dd"))
       .drop("window")
-    val mom = Seq("n5", "sum5", "sumdur5", "f5", "nulls5", "sumsq5")
+    val mom = graft.operators.Ingest.AlertMoments
     val tail = baselineNext.select(mom.map(c => col(c).as(c + "_next")): _*)
     val joined = counts
       .join(broadcast(baseline), Seq("run_id"), "left")
@@ -236,9 +246,63 @@ object IngestStream {
       df.withColumn(c,
         when(col("__stored"), col(c)).otherwise(col(c + "_next")))
     }
+    // n5 is non-null on both resolution paths (stored rows carry a
+    // window count, the tail row a global count — even over an empty
+    // history), so no further null guard is needed
     graft.operators.Ingest.alertRuleSelect(
-      resolved.withColumn("n5", coalesce(col("n5"), lit(0L)))
-        .drop(mom.map(_ + "_next") :+ "__stored": _*))
+      resolved.drop(mom.map(_ + "_next") :+ "__stored": _*))
+  }
+
+  /** The reference's continuous run loop, whole (pipeline.py: per
+    * completed run — store its metrics, then evaluate_run against the
+    * stored history): per micro-batch, land each CLOSING run's
+    * exact-integer observation row into the keyed metrics store, then
+    * evaluate ALL seven rules for exactly the newly-landed runs against
+    * the UPDATED store, appending the firing alerts. The stream-static
+    * [[alerts]] twin is exact only ONE run past its captured baseline
+    * (its tail row cannot advance while the query runs); this loop is
+    * exact at ANY horizon because the store advances with the stream —
+    * each new run's preceding-5 window is computed over the true landed
+    * history, however many runs have closed since the query started.
+    *
+    * Replay safety is the keyed-append contract twice over: a replayed
+    * run row is dropped by the metrics store's run_id anti-join, and its
+    * re-evaluated alerts by the alert store's (run, metric, level) key —
+    * exactly-once per observation AND per alert without sink
+    * transactionality. Scale shape: the per-batch rule evaluation reads
+    * the RUN-GRAIN store (O(#runs) rows — KBs at a century of daily
+    * runs), one unpartitioned window, broadcast semi-join on the new
+    * run ids.
+    *
+    * Returns the prepared writer; the caller adds checkpoint/trigger.
+    */
+  def alertsSink(raw: DataFrame, metricsPath: String, alertsPath: String,
+      watermark: String = "10 minutes")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    requireUtc(raw, "alertsSink")
+    val counts = graft.operators.Ingest.alertRunRows(
+        raw.withWatermark("ts", watermark), window(col("ts"), "1 day"))
+      .withColumn("run_id", date_format(col("window.start"), "yyyy-MM-dd"))
+      .drop("window")
+    counts.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        graft.sources.Store.appendDeduped(batch, metricsPath, "run_id")
+        // evaluate for every run the batch OFFERS, not just newly-landed
+        // ones: if a prior attempt crashed between the two appends, the
+        // replayed batch lands 0 metrics rows but must still (re)evaluate
+        // — the alert store's keyed anti-join makes re-evaluation a no-op
+        if (!batch.isEmpty) {
+          val hist = s.read.parquet(metricsPath)
+          val fired = graft.operators.Ingest.alertRuleSelect(
+              graft.operators.Ingest.withAlertBaseline(hist))
+            .join(broadcast(batch.select("run_id").distinct()), Seq("run_id"))
+            .withColumn("alert_key",
+              concat_ws("|", col("run_id"), col("metric"), col("level")))
+          graft.sources.Store.appendDeduped(fired, alertsPath, "alert_key")
+        }
+        ()
+    }
   }
 
   /** Stateful gap sessionizer (30-min inactivity), the streaming twin of

@@ -81,13 +81,12 @@ class StreamingSpec extends SparkSpec {
     assert(got(("1970-01-02", "appC"))._1 == "ok")
   }
 
-  test("streaming alerts fire identically to the batch rules on closed runs") {
-    import spark.implicits._
-    implicit val sql = spark.sqlContext
-    // condensed 9-run shape from the batch crafted spec: clean baseline
-    // days 1-5, then one rule violation per day — an error event (d2), a
-    // −90% drop (d6), a +268% rise with window variance (d7), an all-even
-    // dedup/duration day (d8), and a null-props shift day (d9)
+  /** Condensed 9-run corpus from the batch crafted alert spec: clean
+    * baseline days 1-5, then one rule violation per day — an error event
+    * (d2), a −90% drop (d6), a +268% rise with window variance (d7), an
+    * all-even dedup/duration day (d8), and a null-props shift day (d9).
+    */
+  private def alertCorpus(): Seq[Seq[(Long, Timestamp, String)]] = {
     var nextId = 1L
     def ids(n: Int, even: Boolean = false): Seq[Long] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -107,12 +106,23 @@ class StreamingSpec extends SparkSpec {
           if (nullProps && i % 2 == 0) null else "{}")
       }
     }
-    val days = Seq(
+    Seq(
       day(1, ids(100), 1000), day(2, ids(99) :+ 97L * 3, 1000),
       day(3, ids(100), 1000), day(4, ids(100), 1000),
       day(5, ids(100), 1000), day(6, ids(10), 1000),
       day(7, ids(300), 1000), day(8, ids(100, even = true), 5000),
       day(9, ids(100), 1000, nullProps = true))
+  }
+
+  private def alertKey(r: org.apache.spark.sql.Row) =
+    (r.getAs[String]("run_id"), r.getAs[String]("metric"),
+      r.getAs[String]("level"), r.getAs[Double]("threshold"),
+      r.getAs[Double]("actual"))
+
+  test("streaming alerts fire identically to the batch rules on closed runs") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val days = alertCorpus()
     val rows = days.flatten
     val batchDf = rows.toDF("event_id", "ts", "props")
     def key(r: org.apache.spark.sql.Row) =
@@ -168,6 +178,45 @@ class StreamingSpec extends SparkSpec {
       a._2 == "error_rate" || a._2 == "dedup_rate")
     assert(gotEmpty == historyFree,
       s"day-one alerts diverged:\n got=$gotEmpty\n exp=$historyFree")
+  }
+
+  test("alertsSink run loop: exact at any horizon; replay is a per-key no-op") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val days = alertCorpus()
+    val rows = days.flatten
+    val batch = graft.operators.Ingest.alerts(
+      rows.toDF("event_id", "ts", "props")).collect().map(alertKey).toSet
+    val base = java.nio.file.Files.createTempDirectory("graft_alertsink")
+    val metricsPath = base.resolve("metrics").toString
+    val alertsPath = base.resolve("alerts").toString
+    val sentinel = Seq((7777L, new Timestamp(
+      java.sql.Timestamp.valueOf("2024-03-20 00:00:00").getTime), "{}"))
+    def runOnce(): Unit = {
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val query = IngestStream.alertsSink(
+        mem.toDF().toDF("event_id", "ts", "props"),
+        metricsPath, alertsPath).start()
+      // three micro-batch groups: runs close across DIFFERENT batches, so
+      // later runs' preceding-5 windows span runs landed by EARLIER
+      // batches — the multi-horizon exactness the stream-static twin
+      // cannot provide past its first new run
+      try Seq(rows.take(400), rows.slice(400, 800), rows.drop(800) ++ sentinel)
+        .foreach { b => mem.addData(b); query.processAllAvailable() }
+      finally query.stop()
+    }
+    runOnce()
+    def storedAlerts = spark.read.parquet(alertsPath).drop("alert_key")
+    assert(storedAlerts.collect().map(alertKey).toSet == batch,
+      "run-loop alerts diverge from the batch rules")
+    // the metrics store holds one exact-integer observation row per run
+    assert(spark.read.parquet(metricsPath).count() == days.size)
+    // full replay (fresh stream, same stores): every run row and every
+    // alert re-offered — both keyed anti-joins must drop them all
+    runOnce()
+    assert(storedAlerts.collect().map(alertKey).toSet == batch,
+      "replay changed the landed alert set")
+    assert(spark.read.parquet(metricsPath).count() == days.size)
   }
 
   test("streaming health-report sink: closed runs land once; a full replay is a no-op") {
