@@ -706,20 +706,13 @@ object Ingest {
       .withColumn("duration_us", col("ended_us") - col("started_us"))
       .withColumn("inserted", col("fetched") - col("skipped"))
 
-  /** Attach the preceding-5-run baseline moments to each run row (ROWS 5
-    * PRECEDING..1 PRECEDING over the run-grain aggregate — O(#runs) rows
-    * through the unpartitioned window, the qRunDeltas contract). Batch
-    * path only: streaming append mode cannot window over runs, so its
-    * twin joins the SAME columns from a static baseline frame
-    * ([[alertBaseline]] — the reference monitor reading stored health
-    * reports for its rolling stats).
-    */
   /** THE rolling-moment definitions (name → aggregate), in one place:
     * [[withAlertBaseline]] windows them, [[alertBaselineNext]] aggregates
     * them globally, [[alertBaseline]] selects them, and the streaming
-    * twin's fallback resolution iterates [[AlertMoments]] — adding a
-    * moment for a new rule updates every site or none (the silent-drift
-    * surface a per-site spelling would reopen).
+    * twin's fallback resolution iterates [[AlertMoments]] (DERIVED from
+    * this seq, never hand-spelled) — adding a moment for a new rule
+    * updates every site or none (the silent-drift surface a per-site
+    * spelling would reopen).
     */
   private def alertMomentAggs: Seq[(String, org.apache.spark.sql.Column)] = {
     def dec(c: org.apache.spark.sql.Column) =
@@ -733,9 +726,17 @@ object Ingest {
       "sumsq5" -> sum(dec(col("inserted")) * col("inserted")))
   }
 
-  private[graft] val AlertMoments: Seq[String] =
-    Seq("n5", "sum5", "sumdur5", "f5", "nulls5", "sumsq5")
+  private[graft] lazy val AlertMoments: Seq[String] =
+    alertMomentAggs.map(_._1)
 
+  /** Attach the preceding-5-run baseline moments to each run row (ROWS 5
+    * PRECEDING..1 PRECEDING over the run-grain aggregate — O(#runs) rows
+    * through the unpartitioned window, the qRunDeltas contract). Batch
+    * path only: streaming append mode cannot window over runs, so its
+    * twin joins the SAME columns from a static baseline frame
+    * ([[alertBaseline]]) or, in the [[graft.streaming.IngestStream
+    * .alertsSink]] run loop, windows the ADVANCING stored history.
+    */
   private[graft] def withAlertBaseline(runs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val w5 = Window.orderBy("run_id").rowsBetween(-5, -1)

@@ -180,7 +180,12 @@ object IngestStream {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.Store.appendDeduped(batch, path, "report_key"); ()
+        // most triggers close no window: skip the store-scan anti-join
+        // entirely on an empty batch (its cost grows with the landed
+        // store, paid per trigger on a long-lived query otherwise)
+        if (!batch.isEmpty)
+          graft.sources.Store.appendDeduped(batch, path, "report_key")
+        ()
       }
 
   /** Streaming threshold alerts — the monitor's evaluate_run in the
@@ -287,19 +292,31 @@ object IngestStream {
     counts.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        graft.sources.Store.appendDeduped(batch, metricsPath, "run_id")
-        // evaluate for every run the batch OFFERS, not just newly-landed
-        // ones: if a prior attempt crashed between the two appends, the
-        // replayed batch lands 0 metrics rows but must still (re)evaluate
-        // — the alert store's keyed anti-join makes re-evaluation a no-op
+        // the whole body is guarded: most triggers close no window, and
+        // an empty batch would still pay a store-scan anti-join + a rule
+        // evaluation that emits nothing (per-trigger cost growing with
+        // the landed store). An empty batch offers no runs, so the
+        // crash-replay contract below is unaffected by the skip.
         if (!batch.isEmpty) {
-          val hist = s.read.parquet(metricsPath)
-          val fired = graft.operators.Ingest.alertRuleSelect(
-              graft.operators.Ingest.withAlertBaseline(hist))
-            .join(broadcast(batch.select("run_id").distinct()), Seq("run_id"))
-            .withColumn("alert_key",
-              concat_ws("|", col("run_id"), col("metric"), col("level")))
-          graft.sources.Store.appendDeduped(fired, alertsPath, "alert_key")
+          // one materialization for the batch's three consumers (the
+          // metrics append, the run-id semi-join) — foreachBatch hands
+          // over a plan, not rows
+          val b = batch.persist()
+          try {
+            graft.sources.Store.appendDeduped(b, metricsPath, "run_id")
+            // evaluate for every run the batch OFFERS, not just newly-
+            // landed ones: if a prior attempt crashed between the two
+            // appends, the replayed batch lands 0 metrics rows but must
+            // still (re)evaluate — the alert store's keyed anti-join
+            // makes re-evaluation a no-op
+            val hist = s.read.parquet(metricsPath)
+            val fired = graft.operators.Ingest.alertRuleSelect(
+                graft.operators.Ingest.withAlertBaseline(hist))
+              .join(broadcast(b.select("run_id").distinct()), Seq("run_id"))
+              .withColumn("alert_key",
+                concat_ws("|", col("run_id"), col("metric"), col("level")))
+            graft.sources.Store.appendDeduped(fired, alertsPath, "alert_key")
+          } finally { b.unpersist(); () }
         }
         ()
     }

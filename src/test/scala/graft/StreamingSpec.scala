@@ -125,10 +125,7 @@ class StreamingSpec extends SparkSpec {
     val days = alertCorpus()
     val rows = days.flatten
     val batchDf = rows.toDF("event_id", "ts", "props")
-    def key(r: org.apache.spark.sql.Row) =
-      (r.getAs[String]("run_id"), r.getAs[String]("metric"),
-        r.getAs[String]("level"), r.getAs[Double]("threshold"),
-        r.getAs[Double]("actual"))
+    def key(r: org.apache.spark.sql.Row) = alertKey(r)
     val batch = graft.operators.Ingest.alerts(batchDf).collect().map(key).toSet
     // several distinct rules must actually fire for this test to mean much
     assert(batch.map(_._2).size >= 5, s"crafted corpus too tame: $batch")
