@@ -39,21 +39,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) cannot hold — read it as a raw nanos long and floor-truncate to a
-    * µs timestamp. DuckDB oracles mirror this with
-    * `date_trunc('microseconds', ts)` / `epoch_us(ts)`.
+  /** `events.ts` normalizes to a µs TimestampType whatever the generator
+    * wrote, so every consumer (and the `unix_micros`/`epoch_us` oracle
+    * convention) sees one type across testdata generations:
+    *  - parquet TIMESTAMP(NANOS) (earlier generations) — Spark's
+    *    TimestampType (µs) cannot hold it; read as a raw nanos long and
+    *    floor-truncate. DuckDB oracles mirror with
+    *    `date_trunc('microseconds', ts)` / `epoch_us(ts)` (µs no-ops).
+    *  - parquet timestamp[us] with isAdjustedToUTC=false (current
+    *    generation) — Spark reads TIMESTAMP_NTZ; cast to TimestampType,
+    *    exact because sessions pin spark.sql.session.timeZone=UTC
+    *    ([[Sessions]]), matching DuckDB's naive reading.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // FLOOR division in exact integer arithmetic: DIV truncates toward
-    // zero, which for a pre-epoch (negative-ns) timestamp lands one µs off
-    // the oracle's date_trunc/epoch_us floor; pmod is non-negative so
-    // subtracting it floors. (floor(ts/1000.0) would lose precision — ns
-    // values exceed a double's 2^53 integer range.)
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
+    normalizeEventTs(table(s, d, "events"))
   }
+
+  /** The per-generation `ts` dispatch of [[events]], shared with the
+    * streaming file-source path (which reads the same parquet through
+    * `readStream` and must apply the identical normalization).
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // FLOOR division in exact integer arithmetic: DIV truncates toward
+        // zero, which for a pre-epoch (negative-ns) timestamp lands one µs
+        // off the oracle's date_trunc/epoch_us floor; pmod is non-negative
+        // so subtracting it floors. (floor(ts/1000.0) would lose precision
+        // — ns values exceed a double's 2^53 integer range.)
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already a µs TimestampType
+    }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -880,8 +880,98 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Word-gram order for the repeated-span coverage scan — long enough
+    * that cross-document collisions mean real shared phrasing, short
+    * enough to catch partial copies (RefinedWeb's exact-substring dedup
+    * uses 50-token spans on web text; this corpus's ~50-word docs need a
+    * finer grain to resolve partial overlap).
+    */
+  private[graft] val DupSpanN = 5
+
+  /** A span counts as duplicated when it occurs in at least this many
+    * DISTINCT documents.
+    */
+  private[graft] val DupSpanMinDocs = 2
+
+  /** Inter-document repeated-span coverage — the accounting pass of
+    * exact-substring deduplication (RefinedWeb/FineWeb's complement to
+    * document-level MinHash: near-copies that share long verbatim spans
+    * without being whole-document dups). Per document: how many of its
+    * word-[[DupSpanN]]-gram positions are covered by a gram that occurs
+    * in ≥ [[DupSpanMinDocs]] distinct documents, the exact coverage
+    * fraction, and a mostly_dup flag at the ½ threshold (integer-exact:
+    * 2·n_dup ≥ n_ngrams — no float compare). Documents shorter than
+    * [[DupSpanN]] words stay in the report with zero grams and a NULL
+    * fraction — a coverage report that silently drops the short docs
+    * can't certify anything (the [[qDecontaminate]] principle).
+    *
+    * Scale shape (100 TB): grams shuffle as xxhash64 keys — 16-byte rows
+    * regardless of document size, the [[qNgramJaccard]] postings trick
+    * (cross-gram hash collision would need ~2^32 DISTINCT grams per
+    * corpus to matter; its probability is the accepted premise of every
+    * hashed-postings index here). Three keyed exchanges, all map-side
+    * combined: (doc, gram)-grain multiplicity, document frequency as a
+    * COUNT window riding the gram-key shuffle (the [[qTfidfTerms]]
+    * df-rides-the-tf-shuffle pattern — no second corpus pass for the
+    * denominator), then the doc-grain rollup. The gram array is built
+    * INLINE in the generator with get()-guarded lambdas — the
+    * [[Similarity]] ShingleArrExpr/InferFiltersFromGenerate hazard.
+    */
+  val qDupSpans: Q = Q(
+    "q_dup_spans",
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split($normSql, ' '), t -> t <> '') AS w
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id,
+       |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+       |  FROM toks, UNNEST(generate_series(1, len(w)-4)) AS t(i)
+       |  WHERE len(w) >= 5),
+       |cnt AS (SELECT doc_id, g, COUNT(*) AS m FROM pos GROUP BY 1, 2),
+       |fl AS (SELECT doc_id, m, COUNT(*) OVER (PARTITION BY g) AS nd FROM cnt),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_ngrams,
+       |    CAST(SUM(CASE WHEN nd >= $DupSpanMinDocs THEN m ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM fl GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(n_ngrams, 0) AS n_ngrams,
+       |  COALESCE(n_dup, 0) AS n_dup,
+       |  ${exactDivSql("COALESCE(n_dup, 0)", "COALESCE(n_ngrams, 0)", 4)} AS dup_frac,
+       |  (2 * COALESCE(n_dup, 0) >= COALESCE(n_ngrams, 0)
+       |    AND COALESCE(n_ngrams, 0) > 0) AS mostly_dup
+       |FROM documents d LEFT JOIN perdoc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    // round-robin spread: the single-file testdata scan's parallelism
+    // guard (a multi-split lake scan replaces it), as in qDecontaminate
+    val toks = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      // phantom ""-token guard: see qRepetitionStats
+      .select(col("doc_id"), filter(split(norm, " "), t => t =!= "").as("w"))
+    val pos = toks.filter(size(col("w")) >= DupSpanN)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-5), i -> xxhash64(concat_ws(' ', " +
+          "get(w, i), get(w, i+1), get(w, i+2), get(w, i+3), get(w, i+4))))"))
+        .as("h"))
+    val cnt = pos.groupBy("doc_id", "h").agg(count(lit(1)).as("m"))
+    val flagged = cnt.withColumn("nd",
+      count(lit(1)).over(Window.partitionBy("h")))
+    val perDoc = flagged.groupBy("doc_id").agg(
+      sum(col("m")).as("n_ngrams"),
+      sum(when(col("nd") >= DupSpanMinDocs, col("m")).otherwise(lit(0L)))
+        .as("n_dup"))
+    val nNg = coalesce(col("n_ngrams"), lit(0L))
+    val nDup = coalesce(col("n_dup"), lit(0L))
+    Tables.documents(s, d).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), nNg.as("n_ngrams"), nDup.as("n_dup"),
+        exactDiv(nDup, nNg, 4).as("dup_frac"),
+        (nDup * 2 >= nNg && nNg > 0).as("mostly_dup"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qLangId, qQualityScore, qTokenCount, qVocabGrowth,
     qSeqPack, qWeightedSample, qTfidfTerms, qFingerprint, qRepetitionStats,
-    qDecontaminate, qPiiScan, qSourceMix, qBlocklistScan)
+    qDecontaminate, qPiiScan, qSourceMix, qBlocklistScan, qDupSpans)
 }

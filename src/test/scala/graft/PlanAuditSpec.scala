@@ -276,6 +276,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "global totals must ride a window:\n" + p)
   }
 
+  test("dup spans: grams shuffle as hashes, df rides the gram-key shuffle") {
+    val p = plan("q_dup_spans")
+    // the gram array must stay INLINE in the generator (xxhash64 inside
+    // explode) — a named projected column triggers the
+    // InferFiltersFromGenerate re-evaluation hazard (CLAUDE.md)
+    val gen = p.split("\n").filter(_.contains("Generate"))
+    assert(gen.exists(_.contains("xxhash64")),
+      "gram hashes must be built inside the generator:\n" + p)
+    // document frequency must be a window over the gram-hash shuffle,
+    // not a second corpus-scanning aggregate-join
+    assert(p.contains("Window"), "df must ride the gram-key shuffle:\n" + p)
+    assert(p.split("\n").count(_.contains("Scan parquet")) == 2,
+      "one gram-side scan + one doc_id roster scan only:\n" + p)
+  }
+
   test("hot expressions stay inside whole-stage codegen") {
     // execute first: codegen spans only appear in the finalized AQE plan
     val df = SparkEntry.queries("q_quality_score")(spark, sfDir)

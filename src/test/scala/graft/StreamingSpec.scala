@@ -318,18 +318,16 @@ class StreamingSpec extends SparkSpec {
 
   test("file-source stream over the real events table converges to the batch result") {
     import spark.implicits._
-    // stream the actual parquet file (raw nanos schema, same conversion as
-    // Tables.events), aggregate in Complete mode, compare to the batch op
+    // stream the actual parquet file (raw generator schema, same conversion
+    // as Tables.events), aggregate in Complete mode, compare to the batch op
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     // the file source streams a directory: stage the table as one
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = IngestStream.fromRaw(
-      spark.readStream.schema(raw.schema)
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+    val stream = IngestStream.fromRaw(Tables.normalizeEventTs(
+      spark.readStream.schema(raw.schema).parquet(dir)))
     val query = IngestStream.windowedCounts(stream)
       .writeStream.format("memory").queryName("file_win")
       .outputMode("complete").start()

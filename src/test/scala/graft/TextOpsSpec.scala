@@ -321,6 +321,39 @@ class TextOpsSpec extends SparkSpec {
     assert(got("s4") == ((0L, 3L, 0L)))
   }
 
+  test("dup spans: counts match a scala recount; short docs keep NULL fraction") {
+    val rows = TextOps.qDupSpans.run(spark, sfDir).collect()
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> toks(r.getAs[String]("text")))
+    // recount on STRING grams — the operator's xxhash64 keys are exact
+    // unless two distinct grams collide in 64 bits (the accepted hashed-
+    // postings premise; vanishingly unlikely at spec scale)
+    val positions = docs.map { case (id, w) =>
+      id -> (if (w.length < TextOps.DupSpanN) Seq.empty[String]
+             else w.sliding(TextOps.DupSpanN).map(_.mkString(" ")).toSeq)
+    }.toMap
+    val docFreq = positions.toSeq
+      .flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.size }
+    assert(rows.length == docs.length, "every document must stay in the report")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val gs = positions(id)
+      val wantDup = gs.count(g => docFreq(g) >= TextOps.DupSpanMinDocs).toLong
+      assert(r.getAs[Long]("n_ngrams") == gs.size.toLong, s"doc $id n_ngrams")
+      assert(r.getAs[Long]("n_dup") == wantDup, s"doc $id n_dup")
+      assert((r.getAs[java.math.BigDecimal]("dup_frac") == null) == gs.isEmpty,
+        s"doc $id: NULL fraction iff zero grams")
+      assert(r.getAs[Boolean]("mostly_dup") ==
+        (gs.nonEmpty && 2 * wantDup >= gs.size), s"doc $id mostly_dup")
+    }
+    // the synthetic corpus contains duplicated content, so coverage must
+    // actually register somewhere
+    assert(rows.exists(_.getAs[Long]("n_dup") > 0))
+  }
+
   test("source mix: shares sum to 1 and weights invert shares within rounding") {
     val rows = graft.operators.TextOps.qSourceMix.run(spark, sfDir).collect()
     assert(rows.length > 1, "expected multiple sources")
