@@ -645,8 +645,51 @@ object Labeling {
         / (col("p") * (lit(4) * col("p") * col("p") - col("s")))).as("kappa"))
   }
 
+  /** Leakage-proof train/val/test split (rows-only; spec pins cluster
+    * cohesion, the unit-grain cut arithmetic and singleton equivalence):
+    * [[qTrainSplit]] hash-splits DOCUMENTS, so two near-duplicates can
+    * straddle train and test — the classic dedup-leakage failure
+    * (memorized near-copies inflating eval). Here the split UNIT is the
+    * near-dup cluster ([[Similarity.dedupClusterLabels]] connected
+    * components; unit id = the cluster's canonical min doc_id, the doc
+    * itself for unclustered docs), so a cluster lands WHOLLY in one
+    * split by construction. Stratification class = the unit
+    * REPRESENTATIVE's lang: members of one unit can disagree on lang,
+    * and a unit must not be split across classes — grouped splitting
+    * trades exact per-class ratios for leakage-freedom (the ratios hold
+    * exactly at unit grain, approximately at doc grain).
+    *
+    * Scale shape: the cluster label table is tiny relative to the corpus
+    * (near-dup members only — AQE broadcasts it); the unit roster is one
+    * distinct over ≤ |corpus| narrow rows; ranking is the two-level
+    * [[hashRank]] (no single-task class windows); assignments carry back
+    * to members on ONE unit_id-keyed shuffle.
+    */
+  val qSplitLeakproof: Q = Q.rowsOnly("q_split_leakproof") { (s, d) =>
+    val labels = Similarity.dedupClusterLabels(s, d)
+      .select(col("id").as("doc_id"), col("label").as("unit_id"))
+    val docs = Tables.documents(s, d).select("doc_id", "lang")
+    val membered = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("unit_id", coalesce(col("unit_id"), col("doc_id")))
+    // unit roster: representative's lang is the stratification class
+    // (unit_id IS a doc_id — the cluster's canonical keeper)
+    val units = membered.select("unit_id").distinct()
+      .join(docs.select(col("doc_id").as("unit_id"), col("lang")), Seq("unit_id"), "left")
+    val unitSplit = hashRank(units, "lang",
+        md5(col("unit_id").cast("string")), "unit_id")
+      .withColumn("split",
+        when(col("rn") <= expr("(8 * n) div 10"), "train")
+          .when(col("rn") <= expr("(8 * n) div 10 + n div 10"), "val")
+          .otherwise("test"))
+      .select(col("unit_id"), col("split"))
+    membered.select("doc_id", "lang", "unit_id")
+      .join(unitSplit, Seq("unit_id"), "left")
+      .select("doc_id", "lang", "unit_id", "split")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qSampleTiers, qBalancedSample, qMajorityVote, qTrainSplit, qAgreement,
     qQueueProgress, qQueueClaim, qLabelDistribution, qQueueState,
-    qSplitMetadata)
+    qSplitMetadata, qSplitLeakproof)
 }

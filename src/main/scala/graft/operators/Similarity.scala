@@ -687,11 +687,18 @@ object Similarity {
       broadcastProbes: Boolean = true,
       budget: Option[Int] = None,
       symmetric: Boolean = false,
-      probeBits: Int = ProbeBits): DataFrame = {
+      probeBits: Int = ProbeBits,
+      candidateFilter: Column = lit(true)): DataFrame = {
     GraftFunctions.register(s)
     val q = quantized(s, d)
     val dots = bankDots
-    val withBuckets = lshBuckets(s, d)
+    // candidateFilter restricts the CORPUS side of the bucket join (e.g.
+    // q_decontaminate_semantic probes eval queries against train-only
+    // candidates) BEFORE the per-query top-b cut — filtering the
+    // shortlist afterwards would let out-of-scope collisions crowd
+    // in-scope candidates out of the budget. The shared bucket index is
+    // untouched; the filter rides its scan.
+    val withBuckets = lshBuckets(s, d).filter(candidateFilter)
     // query-directed multiprobe, QUERY side only (the corpus index is
     // untouched): per table keep the signed dots, rank bits by |dot|
     // ascending (least confident first) and probe every flip of ≤ 2 of
@@ -946,6 +953,83 @@ object Similarity {
         .select("query_id", "neighbor_id", "rank", "cosine")
         .orderBy("query_id", "rank")
     }
+  }
+
+  /** Eval-doc-count threshold under which the probe rows (|eval|·32
+    * tables·22 probes) broadcast into the bucket join — mirrors
+    * [[graft.operators.TextOps]]'s decontaminate adaptive tiers: a
+    * held-out benchmark suite is small in production, but a caller with
+    * a huge eval slice must not OOM the driver on a broadcast.
+    */
+  private[graft] val SemanticEvalBroadcastMaxDocs = 100000L
+
+  /** Semantic contamination threshold = the family's embedding near-dup
+    * τ ([[qEmbedNeardup]]): an eval member is contaminated when the train
+    * corpus contains a vector this close — the embedding-space complement
+    * of [[graft.operators.TextOps.qDecontaminate]]'s verbatim-5-gram
+    * rule (paraphrases and translations share no n-grams but land close
+    * in embedding space).
+    */
+  private[graft] val SemanticTau = 0.4
+
+  /** Semantic train/eval decontamination (rows-only; spec pins the
+    * approximate maxima against a brute-force exact recompute — never
+    * above the exact value, flagged-set recall floored): for every eval
+    * vector (same md5-prefix eval slice rule as the n-gram pass, on
+    * vec_id), the nearest TRAIN vector by cosine over the LSH
+    * collision-count shortlist, and a contaminated flag at τ =
+    * [[SemanticTau]].
+    *
+    * Scale shape: queries are the eval slice only and candidates are
+    * train-only — the [[annLshShortlist]] candidateFilter restricts the
+    * bucket join BEFORE the per-query budget cut, so eval–eval
+    * collisions never crowd the shortlist. Probe rows broadcast while
+    * the eval slice is small (the production case: held-out benchmark
+    * suites), shuffle past [[SemanticEvalBroadcastMaxDocs]]; exact
+    * rescoring pays |eval|·budget integer dots, not |eval|·|train|.
+    * Null-embedding eval rows stay in the report with a NULL verdict —
+    * an unembeddable member is UNASSESSED, not clean (the short-doc
+    * principle of [[graft.operators.TextOps.qDupSpans]]).
+    */
+  val qDecontaminateSemantic: Q = Q.rowsOnly("q_decontaminate_semantic") { (s, d) =>
+    val q = quantized(s, d)
+    val isEval = substring(md5(col("vec_id").cast("string")), 1, 1) === "0"
+    // cheap adaptive probe off the materialized quantized cache (the
+    // decontaminate eval-count pattern)
+    val nEval = q.filter(isEval && col("qv").isNotNull).count()
+    val small = nEval <= SemanticEvalBroadcastMaxDocs
+    // double the point-query candidate budget: a contamination gate is
+    // high-stakes (a miss ships a tainted eval member) and its exact
+    // work is |eval|·budget — the eval slice is the small side, so the
+    // extra dots are cheap where they matter most
+    val budget = math.max(2 * ShortlistMin,
+      math.ceil(q.count() * 2 * ShortlistFrac).toInt)
+    val candIds = annLshShortlist(s, d, queryFilter = isEval,
+        broadcastProbes = small, budget = Some(budget),
+        candidateFilter = not(isEval))
+      .select("query_id", "vec_id")
+    val evalVecs = q.filter(isEval && col("qv").isNotNull)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"), col("n2").as("n2q"))
+    val rescored = candIds
+      .join(q.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
+      .join(if (small) broadcast(evalVecs) else evalVecs, "query_id")
+      .select(col("query_id"),
+        cosine(call_function("graft_dot_q", col("qq"), col("qv")),
+          col("n2q"), col("n2")).as("cosine"),
+        col("vec_id"))
+      // struct max is lexicographic: the per-query maximum cosine, ties
+      // broken deterministically by the larger neighbor id
+      .groupBy("query_id").agg(
+        count(lit(1)).as("n_candidates"),
+        max(struct(col("cosine").as("c"), col("vec_id").as("nid"))).as("m"))
+    q.filter(isEval).select("vec_id")
+      .join(rescored.select(col("query_id").as("vec_id"),
+        col("n_candidates"), col("m.nid").as("nearest_train_id"),
+        col("m.c").as("max_train_cosine")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("nearest_train_id"), col("max_train_cosine"),
+        (col("max_train_cosine") >= SemanticTau).as("contaminated"))
+      .orderBy("vec_id")
   }
 
   /** ANN k-NN SELF-join (rows-only; spec pins recall ≥ 0.8 and candidate
@@ -1233,7 +1317,7 @@ object Similarity {
   // the cluster consumers depart from the lazy plan-builder contract;
   // memoizing the label table means repeat calls (specs, Explain,
   // re-runs, both consumers) pay it once
-  private def dedupClusterLabels(s: SparkSession, d: String): DataFrame =
+  private[graft] def dedupClusterLabels(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "dedup_cluster_labels")(components(minhashPairs(s, d)))
 
   val qDedupClusters: Q = Q.rowsOnly("q_dedup_clusters") { (s, d) =>
@@ -1297,5 +1381,5 @@ object Similarity {
   val all: Seq[Q] = Seq(
     qNgramJaccard, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
     qCosineTopk, qAnnLsh, qAnnIvf, qEmbedClusters, qKnnJoin, qKnnJoinIvf,
-    qDedupClusters, qDedupSurvivors, qLabelCentroids)
+    qDedupClusters, qDedupSurvivors, qLabelCentroids, qDecontaminateSemantic)
 }

@@ -171,4 +171,41 @@ class LabelingSpec extends SparkSpec {
     assert(po >= 0 && po <= 1); assert(pe > 0 && pe < 1)
     assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-9)
   }
+
+  test("leakproof split: clusters cohere, unit-grain cuts exact, singletons self-unit") {
+    val rows = Labeling.qSplitLeakproof.run(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length.toLong == nDocs, "one row per document")
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byDoc.size.toLong == nDocs, "doc_id unique")
+    // cohesion vs the INDEPENDENT cluster view: every near-dup cluster's
+    // members share one unit (the cluster keeper) and hence one split —
+    // the leakage q_train_split permits by hashing doc ids directly
+    val clusters = graft.operators.Similarity.qDedupClusters.run(spark, sfDir).collect()
+    assert(clusters.nonEmpty, "spec corpus must contain near-dup clusters")
+    clusters.foreach { c =>
+      val members = c.getAs[String]("members").split(",").map(_.toLong)
+      assert(members.map(byDoc(_).getAs[Long]("unit_id")).toSet ==
+        Set(c.getAs[Long]("keep_id")), "cluster members must share the keeper unit")
+      assert(members.map(byDoc(_).getAs[String]("split")).toSet.size == 1,
+        s"cluster ${c.getAs[Long]("keep_id")} straddles splits")
+    }
+    // unclustered docs are their own unit
+    val clustered = clusters
+      .flatMap(_.getAs[String]("members").split(",").map(_.toLong)).toSet
+    rows.filterNot(r => clustered(r.getAs[Long]("doc_id"))).foreach { r =>
+      assert(r.getAs[Long]("unit_id") == r.getAs[Long]("doc_id"))
+    }
+    // the 80/10/10 cut arithmetic holds EXACTLY at unit grain, per the
+    // representative's stratification class
+    val unitSplit = rows.groupBy(_.getAs[Long]("unit_id"))
+      .map { case (u, rs) => (u, byDoc(u).getAs[String]("lang"), rs.head.getAs[String]("split")) }
+    unitSplit.groupBy(_._2).foreach { case (lang, us) =>
+      val n = us.size.toLong
+      val got = us.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      assert(got.getOrElse("train", 0L) == 8 * n / 10, s"$lang train cut")
+      assert(got.getOrElse("val", 0L) == n / 10, s"$lang val cut")
+      assert(got.getOrElse("test", 0L) == n - 8 * n / 10 - n / 10, s"$lang test cut")
+    }
+  }
 }

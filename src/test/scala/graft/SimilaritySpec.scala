@@ -409,6 +409,46 @@ class SimilaritySpec extends SparkSpec {
     assert(frac <= 0.2, s"candidate fraction $frac exceeds 0.2")
   }
 
+  test("semantic decon: approx maxima never exceed exact; flagged recall >= 0.8") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Float](1))
+        .map(_.map(x => math.round(x.toDouble * 10000)).toArray))
+    val evalIds = raw.map(_._1).filter(id => md5hex(id.toString).startsWith("0")).toSet
+    val vecs = raw.collect { case (id, Some(v)) => id -> v }
+    val n2 = vecs.map { case (id, v) => id -> v.map(x => x * x).sum }.toMap
+    def cos(a: Array[Long], b: Array[Long], na: Long, nb: Long): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    val (evalV, trainV) = vecs.partition { case (id, _) => evalIds(id) }
+    // exact brute-force maximum train cosine per eval vector
+    val exact = evalV.map { case (id, v) =>
+      id -> trainV.map { case (jd, w) => cos(v, w, n2(id), n2(jd)) }.max
+    }.toMap
+    val rows = Similarity.qDecontaminateSemantic.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet == evalIds,
+      "every eval vector must stay in the report")
+    rows.filter(r => !r.isNullAt(r.fieldIndex("max_train_cosine"))).foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      // candidates are a subset and rescoring is exact, so the reported
+      // maximum can only fall short of the true one, never exceed it
+      assert(r.getAs[Double]("max_train_cosine") <= exact(id) + 1e-9,
+        s"vec $id reported above the exact maximum")
+    }
+    val exactFlagged = exact.filter(_._2 >= Similarity.SemanticTau).keySet
+    assert(exactFlagged.nonEmpty, "spec corpus must contain semantic contamination")
+    val gotFlagged = rows.filter(r => !r.isNullAt(r.fieldIndex("contaminated"))
+      && r.getAs[Boolean]("contaminated")).map(_.getAs[Long]("vec_id")).toSet
+    // approx max <= exact max means a flag IMPLIES exact contamination:
+    // the operator can under-flag, never over-flag
+    assert((gotFlagged -- exactFlagged).isEmpty, "false positive flags")
+    val recall = (gotFlagged & exactFlagged).size.toDouble / exactFlagged.size
+    info(f"semantic-decon flagged recall = $recall%.2f " +
+      s"(${exactFlagged.size} exact-contaminated of ${evalIds.size} eval)")
+    assert(recall >= 0.8, f"recall $recall%.2f below floor")
+  }
+
   test("label centroids: every (label, dim) cell, within quantization of float mean") {
     import org.apache.spark.sql.functions._
     val rows = Similarity.qLabelCentroids.run(spark, sfDir).collect()
