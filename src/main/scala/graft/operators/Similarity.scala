@@ -1348,6 +1348,45 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware near-dup survivor corpus (rows-only; spec pins the
+    * partition identity with [[qDedupSurvivors]] and per-cluster argmax
+    * selection): [[qDedupSurvivors]] keeps each cluster's MIN doc_id —
+    * the reference's policy, blind to content; production curation keeps
+    * the cluster's BEST member (CCNet/FineWeb keep-longest lineage).
+    * Keeper = argmax quality_score (the [[graft.operators.TextOps]]
+    * composite), ties and unscoreable (null-text) members falling back
+    * to min doc_id — an all-null cluster selects exactly the min-id
+    * keeper, so this strictly generalizes the reference policy.
+    *
+    * Scale shape: the label table is tiny vs the corpus (near-dup
+    * members only) — it BROADCASTS into the member semi-join, so quality
+    * regexes run over cluster members only, never the whole corpus; the
+    * per-cluster argmax is one map-side-combinable struct-max aggregate;
+    * the final anti-join streams the corpus against the small non-keeper
+    * set.
+    */
+  val qDedupSurvivorsBest: Q = Q.rowsOnly("q_dedup_survivors_best") { (s, d) =>
+    val labels = dedupClusterLabels(s, d)
+      .select(col("id").as("doc_id"), col("label"))
+    val memberScores = graft.operators.TextOps.qualityScored(
+        Tables.documents(s, d).join(broadcast(labels.select("doc_id")), "doc_id"))
+      .select("doc_id", "quality_score")
+    val keepers = labels.join(memberScores, "doc_id")
+      // struct max is lexicographic: highest score wins; within a score
+      // tie the LARGER negid — i.e. the SMALLEST doc_id — wins, and null
+      // scores coalesce below every real score
+      .groupBy("label").agg(max(struct(
+        coalesce(col("quality_score"), lit(-1.0)).as("s"),
+        (-col("doc_id")).as("negid"))).as("m"))
+      .select(col("label"), (-col("m.negid")).as("keep_id"))
+    val nonKeepers = labels.join(broadcast(keepers), "label")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+    Tables.documents(s, d).select("doc_id")
+      .join(nonKeepers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** Per-label centroid of the embedding corpus (the class-prototype /
     * cluster-seed computation an IVF index or a nearest-centroid labeler
     * starts from): exact integer mean per (label, dimension) over the
@@ -1381,5 +1420,6 @@ object Similarity {
   val all: Seq[Q] = Seq(
     qNgramJaccard, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
     qCosineTopk, qAnnLsh, qAnnIvf, qEmbedClusters, qKnnJoin, qKnnJoinIvf,
-    qDedupClusters, qDedupSurvivors, qLabelCentroids, qDecontaminateSemantic)
+    qDedupClusters, qDedupSurvivors, qDedupSurvivorsBest, qLabelCentroids,
+    qDecontaminateSemantic)
 }

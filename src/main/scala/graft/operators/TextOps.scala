@@ -141,7 +141,16 @@ object TextOps {
        |       ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
        |            / length(text) END) AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
-  ) { (s, d) =>
+  ) { (s, d) => qualityScored(Tables.documents(s, d)).orderBy("doc_id") }
+
+  /** The per-document quality frame behind [[qQualityScore]] — reusable
+    * over any (doc_id, text) slice (e.g. [[graft.operators.Similarity]]'s
+    * quality-aware survivor selection scores cluster MEMBERS only, not
+    * the whole corpus). Returns doc_id, the four component ratios and
+    * the composite quality_score.
+    */
+  private[graft] def qualityScored(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val padded = concat(lit(" "),
       regexp_replace(lower(col("text")), "[^a-z]+", " "), lit(" "))
     val lenScore = least(lit(1.0), length(col("text")) / 500.0)
@@ -162,7 +171,7 @@ object TextOps {
     // here and the query pays ~2× the regex cost (measured 1.5 s → 0.8 s
     // at sf0.1). CollapseProject keeps the split because the aliases are
     // referenced more than once and are not cheap.
-    Tables.documents(s, d).select(
+    docs.select(
       col("doc_id"),
       lenScore.as("len_score"),
       stopScore.as("stop_score"),
@@ -173,7 +182,6 @@ object TextOps {
         (lit(0.4) * col("len_score") + lit(0.3) * col("stop_score")
           + lit(0.15) * (lit(1.0) - col("punct_ratio"))
           + lit(0.15) * (lit(1.0) - col("caps_ratio"))).as("quality_score"))
-      .orderBy("doc_id")
   }
 
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation

@@ -409,6 +409,33 @@ class SimilaritySpec extends SparkSpec {
     assert(frac <= 0.2, s"candidate fraction $frac exceeds 0.2")
   }
 
+  test("quality-aware survivors: same partition as min-id policy, keeper is argmax") {
+    val best = Similarity.qDedupSurvivorsBest.run(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val minid = Similarity.qDedupSurvivors.run(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(best.size == minid.size,
+      "both policies keep one member per cluster plus every singleton")
+    val clusters = Similarity.qDedupClusters.run(spark, sfDir).collect()
+    assert(clusters.nonEmpty)
+    val clustered = clusters
+      .flatMap(_.getAs[String]("members").split(",").map(_.toLong)).toSet
+    assert((best -- clustered) == (minid -- clustered), "singletons identical")
+    val quality = graft.operators.TextOps.qQualityScore.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (if (r.isNullAt(r.fieldIndex("quality_score"))) -1.0
+         else r.getAs[Double]("quality_score"))).toMap
+    clusters.foreach { c =>
+      val members = c.getAs[String]("members").split(",").map(_.toLong)
+      val kept = members.filter(best)
+      assert(kept.length == 1, s"cluster ${c.getAs[Long]("keep_id")} keeps one member")
+      val want = members.map(m => (quality(m), m))
+        .sortBy { case (sc, id) => (-sc, id) }.head._2
+      assert(kept.head == want,
+        s"cluster ${c.getAs[Long]("keep_id")}: kept ${kept.head}, argmax is $want")
+    }
+  }
+
   test("semantic decon: approx maxima never exceed exact; flagged recall >= 0.8") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
