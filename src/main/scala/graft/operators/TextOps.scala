@@ -924,6 +924,17 @@ object TextOps {
     * denominator), then the doc-grain rollup. The gram array is built
     * INLINE in the generator with get()-guarded lambdas — the
     * [[Similarity]] ShingleArrExpr/InferFiltersFromGenerate hazard.
+    *
+    * Honest skew accounting: a BOILERPLATE gram (shared license header,
+    * template banner) makes its hash a hot window partition, and window
+    * partitions — unlike join sides — cannot be AQE-skew-split. Unlike
+    * [[qTfidfTerms]] (whose stop-shingle df cap drops hot terms), the
+    * hot grams here ARE the signal, so they can't be capped away. A
+    * lake deployment with pathological boilerplate materializes the
+    * (doc, gram) counts once and swaps the window for a map-side-
+    * combined df aggregate + AQE-splittable join-back (same arithmetic;
+    * costs a second pass over the materialized counts, which is why the
+    * single-pass window form ships as the default).
     */
   val qDupSpans: Q = Q(
     "q_dup_spans",
