@@ -47,7 +47,7 @@ object Bench {
     // the heavy warm list derives from the registry (plus the cheap text/
     // labeling codegen paths) so a renamed query cannot silently drop out
     (operators.Similarity.all.map(_.name) ++
-      Seq("q_dedup_exact", "q_agreement", "q_queue_state"))
+      Seq("q_dedup_exact", "q_agreement", "q_queue_state", "q_split_leakproof"))
       .foreach(q => warm(q)(
         SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()))
     // the warm-up pinned sf0.001 caches the timed loop never reads —

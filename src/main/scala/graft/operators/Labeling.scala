@@ -477,16 +477,25 @@ object Labeling {
   /** The (doc_id, lang, split) assignment frame behind both split
     * queries.
     */
+  /** The 80/10/10 cut over a [[hashRank]]'ed frame (rn, n in scope) —
+    * ONE Spark-side definition mirroring [[splitSql]], shared by
+    * [[splitFrame]] (doc grain) and [[qSplitLeakproof]] (unit grain) so
+    * the cut arithmetic cannot drift between the split operators.
+    */
+  private def withSplitAssignment(ranked: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ranked.withColumn("split",
+      when(col("rn") <= expr("(8 * n) div 10"), "train")
+        .when(col("rn") <= expr("(8 * n) div 10 + n div 10"), "val")
+        .otherwise("test"))
+
   private def splitFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
     // two-level [[hashRank]]: lang has O(few) distinct values, so the
     // naive lang-partitioned rank window would stream each class's whole
     // corpus through ONE task at lake scale
-    hashRank(Tables.documents(s, d).select("doc_id", "lang"),
-        "lang", md5(col("doc_id").cast("string")), "doc_id")
-      .withColumn("split",
-        when(col("rn") <= expr("(8 * n) div 10"), "train")
-          .when(col("rn") <= expr("(8 * n) div 10 + n div 10"), "val")
-          .otherwise("test"))
+    withSplitAssignment(
+        hashRank(Tables.documents(s, d).select("doc_id", "lang"),
+          "lang", md5(col("doc_id").cast("string")), "doc_id"))
       .select("doc_id", "lang", "split")
   }
 
@@ -675,12 +684,8 @@ object Labeling {
     // (unit_id IS a doc_id — the cluster's canonical keeper)
     val units = membered.select("unit_id").distinct()
       .join(docs.select(col("doc_id").as("unit_id"), col("lang")), Seq("unit_id"), "left")
-    val unitSplit = hashRank(units, "lang",
-        md5(col("unit_id").cast("string")), "unit_id")
-      .withColumn("split",
-        when(col("rn") <= expr("(8 * n) div 10"), "train")
-          .when(col("rn") <= expr("(8 * n) div 10 + n div 10"), "val")
-          .otherwise("test"))
+    val unitSplit = withSplitAssignment(hashRank(units, "lang",
+        md5(col("unit_id").cast("string")), "unit_id"))
       .select(col("unit_id"), col("split"))
     membered.select("doc_id", "lang", "unit_id")
       .join(unitSplit, Seq("unit_id"), "left")

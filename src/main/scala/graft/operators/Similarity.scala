@@ -989,11 +989,14 @@ object Similarity {
     * rescoring pays |eval|·budget integer dots, not |eval|·|train|.
     * Null-embedding eval rows stay in the report with a NULL verdict —
     * an unembeddable member is UNASSESSED, not clean (the short-doc
-    * principle of [[graft.operators.TextOps.qDupSpans]]).
+    * principle of [[graft.operators.TextOps.qDupSpans]]); an embeddable
+    * vector with an EMPTY shortlist is assessed-clean at this budget
+    * (contaminated = false, n_candidates = 0) — the two cases are
+    * deliberately distinguishable.
     */
   val qDecontaminateSemantic: Q = Q.rowsOnly("q_decontaminate_semantic") { (s, d) =>
     val q = quantized(s, d)
-    val isEval = substring(md5(col("vec_id").cast("string")), 1, 1) === "0"
+    val isEval = Text.evalSlice(col("vec_id"))
     // cheap adaptive probe off the materialized quantized cache (the
     // decontaminate eval-count pattern)
     val nEval = q.filter(isEval && col("qv").isNotNull).count()
@@ -1022,13 +1025,20 @@ object Similarity {
       .groupBy("query_id").agg(
         count(lit(1)).as("n_candidates"),
         max(struct(col("cosine").as("c"), col("vec_id").as("nid"))).as("m"))
-    q.filter(isEval).select("vec_id")
+    q.filter(isEval).select(col("vec_id"), col("qv").isNotNull.as("assessable"))
       .join(rescored.select(col("query_id").as("vec_id"),
         col("n_candidates"), col("m.nid").as("nearest_train_id"),
         col("m.c").as("max_train_cosine")), Seq("vec_id"), "left")
+      // three-valued verdict, distinguished on purpose: NULL only for
+      // UNEMBEDDABLE rows; an embeddable vector whose shortlist came back
+      // empty was ASSESSED and found collision-free at this budget —
+      // contaminated=false with n_candidates=0, not conflated with the
+      // rows no detector could evaluate
       .select(col("vec_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         col("nearest_train_id"), col("max_train_cosine"),
-        (col("max_train_cosine") >= SemanticTau).as("contaminated"))
+        when(col("assessable"),
+          coalesce(col("max_train_cosine") >= SemanticTau, lit(false)))
+          .as("contaminated"))
       .orderBy("vec_id")
   }
 

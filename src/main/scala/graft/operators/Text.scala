@@ -29,4 +29,17 @@ private[graft] object Text {
   /** DuckDB mirror of [[wordCount]] over the `text` column. */
   val wordCountSql: String =
     "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) END"
+
+  /** The deterministic held-out slice rule shared by BOTH decontamination
+    * passes ([[TextOps]] verbatim n-gram on doc_id, [[Similarity]]
+    * semantic on vec_id): a member is eval iff its id's md5 hex starts
+    * with '0' — a stable 1/16 sample. ONE definition so the passes
+    * cannot silently disagree about which members are eval.
+    */
+  def evalSlice(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 1) === "0"
+
+  /** DuckDB mirror of [[evalSlice]]. */
+  def evalSliceSql(idCol: String): String =
+    s"substr(md5(CAST($idCol AS VARCHAR)), 1, 1) = '0'"
 }

@@ -566,7 +566,7 @@ object TextOps {
   val qDecontaminate: Q = Q(
     "q_decontaminate",
     s"""WITH toks AS (
-       |  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval,
+       |  SELECT doc_id, ${Text.evalSliceSql("doc_id")} AS is_eval,
        |    list_filter(string_split($normSql, ' '), t -> t <> '') AS w
        |  FROM documents),
        |ng AS (
@@ -615,7 +615,7 @@ object TextOps {
       maxBroadcastEvalDocs: Long = EvalBroadcastMaxDocs,
       maxBloomEvalDocs: Long = EvalBloomMaxDocs): DataFrame = {
     GraftFunctions.register(s)
-    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val isEval = Text.evalSlice(col("doc_id"))
     // the adaptive probe: count eval DOCS (column-pruned scan of doc_id
     // only) — vocabulary size is linear in it, so it is the cheap stand-in
     // for "does the vocab fit a broadcast"

@@ -456,6 +456,14 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.qDecontaminateSemantic.run(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("vec_id")).toSet == evalIds,
       "every eval vector must stay in the report")
+    // verdict contract: NULL iff unembeddable; an embeddable vector is
+    // always assessed (false even when its shortlist came back empty)
+    val hasVec = raw.toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.isNullAt(r.fieldIndex("contaminated")) == hasVec(id).isEmpty,
+        s"vec $id: NULL verdict iff null embedding")
+    }
     rows.filter(r => !r.isNullAt(r.fieldIndex("max_train_cosine"))).foreach { r =>
       val id = r.getAs[Long]("vec_id")
       // candidates are a subset and rescoring is exact, so the reported

@@ -344,7 +344,7 @@ class TextOpsSpec extends SparkSpec {
       val wantDup = gs.count(g => docFreq(g) >= TextOps.DupSpanMinDocs).toLong
       assert(r.getAs[Long]("n_ngrams") == gs.size.toLong, s"doc $id n_ngrams")
       assert(r.getAs[Long]("n_dup") == wantDup, s"doc $id n_dup")
-      assert((r.getAs[java.math.BigDecimal]("dup_frac") == null) == gs.isEmpty,
+      assert(r.isNullAt(r.fieldIndex("dup_frac")) == gs.isEmpty,
         s"doc $id: NULL fraction iff zero grams")
       assert(r.getAs[Boolean]("mostly_dup") ==
         (gs.nonEmpty && 2 * wantDup >= gs.size), s"doc $id mostly_dup")
