@@ -417,29 +417,50 @@ object Similarity {
     * formulation.
     */
   // materialized: both band-join sides read the fingerprints
+  /** Add the 64-bit SimHash fingerprint column `fp` to any frame with a
+    * `text` column, dropping zero-token rows (they have no signature) —
+    * the ONE fingerprint definition batch [[qDedupSimhash]] and the
+    * streaming near-dup ingest front share, so the two modes cannot
+    * disagree about what a document's fingerprint is. All other input
+    * columns ride along (the streaming caller keeps its ts).
+    */
+  private[graft] def withSimhashFp(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val toks = split(
+      regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ")
+    val hs = array_distinct(
+      transform(filter(toks, t => t =!= ""), t => xxhash64(t)))
+    docs
+      .withColumn("__hs", hs)
+      .filter(size(col("__hs")) >= 1) // docs with zero tokens have no signature
+      .withColumn("fp", call_function("graft_simhash64", col("__hs")))
+      .drop("__hs")
+  }
+
+  /** 4×16-bit pigeonhole band explode over a frame with an `fp` column:
+    * adds (band, chunk) — any pair within Hamming ≤ 3 shares at least
+    * one exact (band, chunk) key. Shared by [[qDedupSimhash]] and the
+    * streaming front's store join.
+    */
+  private[graft] def simhashBands(fp: DataFrame): DataFrame =
+    fp.select(col("*"), posexplode(array(
+      (0 until 4).map(k =>
+        shiftrightunsigned(col("fp"), k * 16).bitwiseAND(0xffff)): _*))
+      .as(Seq("band", "chunk")))
+
   private def simhashFingerprints(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "simhash_fp") {
-      GraftFunctions.register(s)
-      val toks = split(
-        regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ")
-      val hs = array_distinct(
-        transform(filter(toks, t => t =!= ""), t => xxhash64(t)))
-      Tables.documents(s, d)
+      withSimhashFp(Tables.documents(s, d)
         // small single-file inputs scan as ONE partition; spread rows so
         // the fingerprint map runs at full parallelism (no-op at lake scale)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), hs.as("hs"))
-        .filter(size(col("hs")) >= 1) // docs with zero tokens have no signature
-        .select(col("doc_id"), call_function("graft_simhash64", col("hs")).as("fp"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+        .select("doc_id", "fp")
     }
 
   val qDedupSimhash: Q = Q.rowsOnly("q_dedup_simhash") { (s, d) =>
     GraftFunctions.register(s)
     val fp = simhashFingerprints(s, d)
-    val bands = fp.select(col("doc_id"), col("fp"), posexplode(array(
-      (0 until 4).map(k =>
-        shiftrightunsigned(col("fp"), k * 16).bitwiseAND(0xffff)): _*))
-      .as(Seq("band", "chunk")))
+    val bands = simhashBands(fp)
     val l = bands.select(col("doc_id").as("id_a"), col("fp").as("fp_a"),
       col("band"), col("chunk"))
     val r = bands.select(col("doc_id").as("id_b"), col("fp").as("fp_b"),

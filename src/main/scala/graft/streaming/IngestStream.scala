@@ -188,6 +188,81 @@ object IngestStream {
         ()
       }
 
+  /** Streaming NEAR-dup ingest front — the near-duplicate tier of a
+    * production ingest's dedup stack ([[dedupeContent]] is the exact
+    * tier in front; batch q_dedup_simhash / q_dedup_clusters over the
+    * landed lake are the backstop): per micro-batch, each arriving
+    * document is SimHash-fingerprinted with the BATCH definition
+    * ([[graft.operators.Similarity.withSimhashFp]] — one shared
+    * fingerprint, so the modes cannot drift) and checked by exact
+    * 4×16-bit pigeonhole band join against the PERSISTENT fingerprint
+    * store; a document within Hamming ≤ 3 of any (ts, doc_id)-EARLIER
+    * document already seen is dropped.
+    *
+    * The drop rule is the event-time keep-first predicate
+    *   dropped(d) ⟺ ∃ e seen: (e.ts, e.id) < (d.ts, d.id) ∧
+    *                 hamming(fp_e, fp_d) ≤ 3
+    * — a PURE function of the seen-set, which is what makes the loop
+    * replay-safe: the batch's own fingerprints land in the store FIRST
+    * (also creating it on day one), then the batch is judged against
+    * the store — which at that point contains the batch itself, so
+    * in-batch earlier rows and prior-batch rows are one uniform check,
+    * and a crash replay (fingerprints landed, survivors not) re-derives
+    * identical decisions because the keyed fingerprint append was a
+    * no-op and the predicate ignores WHEN a fingerprint landed. Both
+    * appends are [[graft.sources.Store.appendDeduped]] on doc_id — the
+    * INSERT OR IGNORE contract, exactly-once per document without sink
+    * transactionality.
+    *
+    * Matching earlier ARRIVALS (kept or dropped) rather than earlier
+    * KEEPERS reproduces the batch transitive-closure partition for
+    * in-order chains: in A~B~C with A earliest and A≁C directly, B and
+    * C both drop — q_dedup_survivors' min-keeper component, exactly.
+    * An out-of-order arrival (event time BEFORE an already-landed
+    * near-dup) still lands — streaming cannot retract; the lake-side
+    * batch pass sweeps those, the [[dedupeContent]] two-tier premise.
+    * Zero-token documents have no signature and BYPASS the near-dup
+    * check (the exact tier owns literal duplicates of empty content).
+    *
+    * Store shape at 100 TB: (doc_id, ts, fp) — 24 narrow bytes per
+    * document ever seen (the written SimHash index of a production
+    * deployment, the [[graft.operators.Similarity]] incremental-index
+    * premise); the per-trigger cost is one band join of the batch
+    * against the store, linear in store size like every
+    * anti-join-per-trigger sink here ([[healthReportSink]] caveat).
+    *
+    * Returns the prepared writer; the caller adds checkpoint/trigger.
+    */
+  def neardupSink(docs: DataFrame, storePath: String, survivorsPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        if (!batch.isEmpty) {
+          val fp = graft.operators.Similarity.withSimhashFp(batch).persist()
+          try {
+            graft.sources.Store.appendDeduped(
+              fp.select(col("doc_id"), col("ts"), col("fp")), storePath, "doc_id")
+            val seen = graft.operators.Similarity.simhashBands(
+                s.read.parquet(storePath))
+              .select(col("doc_id").as("e_id"), col("ts").as("e_ts"),
+                col("fp").as("e_fp"), col("band"), col("chunk"))
+            val dropped = graft.operators.Similarity.simhashBands(
+                fp.select(col("doc_id"), col("ts"), col("fp")))
+              .join(seen, Seq("band", "chunk"))
+              .filter(bit_count(col("fp").bitwiseXOR(col("e_fp"))) <= 3 &&
+                struct(col("e_ts"), col("e_id")) < struct(col("ts"), col("doc_id")))
+              .select("doc_id").distinct()
+            val kept = fp.join(dropped, Seq("doc_id"), "left_anti").drop("fp")
+            // zero-token rows never got a fingerprint: pass them through
+            val unsigned = batch.join(fp.select("doc_id"), Seq("doc_id"), "left_anti")
+            graft.sources.Store.appendDeduped(
+              kept.unionByName(unsigned), survivorsPath, "doc_id")
+          } finally { fp.unpersist(); () }
+        }
+        ()
+    }
+
   /** Streaming threshold alerts — the monitor's evaluate_run in the
     * reference's CONTINUOUS mode (pipeline.py run loop +
     * monitor._detect_anomalies:276): as the watermark closes each

@@ -252,6 +252,73 @@ class StreamingSpec extends SparkSpec {
       "replay double-landed report rows — the idempotent append regressed")
   }
 
+  test("streaming near-dup front: event-time keep-first equals the batch pair graph; replay no-op") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // the real corpus with a synthetic monotone event time (arrival order
+    // = event-time order = doc_id order), streamed in two batches so
+    // cross-batch near-dup pairs exercise the persistent store path
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), ts(r.getLong(0)), r.getAs[String]("text")))
+      .sortBy(_._1)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_ndstore").toString
+    val survDir = java.nio.file.Files.createTempDirectory("graft_ndsurv").toString
+    def runOnce(): Unit = {
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val q = IngestStream.neardupSink(
+        mem.toDF().toDF("doc_id", "ts", "text"), storeDir, survDir).start()
+      try Seq(b1, b2).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      finally q.stop()
+    }
+    runOnce()
+    // expected survivors per the documented rule: doc d drops iff some
+    // Hamming<=3 partner has a smaller (ts, id) key — with the monotone
+    // ts, exactly the id_b side of the batch pair graph
+    val droppedExpected = graft.operators.Similarity.qDedupSimhash.run(spark, sfDir)
+      .collect().map(_.getAs[Long]("id_b")).toSet
+    assert(droppedExpected.nonEmpty, "spec corpus must contain simhash near-dups")
+    val expected = docs.map(_._1).toSet -- droppedExpected
+    def survivors = spark.read.parquet(survDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == expected,
+      s"streaming survivors diverge from the batch pair graph " +
+        s"(missing ${expected -- survivors}, extra ${survivors -- expected})")
+    // full replay (fresh query, no checkpoint, same data): the keyed
+    // appends make every row a per-key no-op
+    runOnce()
+    assert(survivors == expected, "replay changed the survivor set")
+    // the fingerprint store carries one narrow row per document ever seen
+    assert(spark.read.parquet(storeDir).count() ==
+      docs.count { case (_, _, t) => t != null && t.trim.nonEmpty })
+  }
+
+  test("streaming near-dup front: out-of-order arrival lands (documented best-effort)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_ndo_store").toString
+    val survDir = java.nio.file.Files.createTempDirectory("graft_ndo_surv").toString
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = IngestStream.neardupSink(
+      mem.toDF().toDF("doc_id", "ts", "text"), storeDir, survDir).start()
+    try {
+      // identical text = Hamming 0: the strongest near-dup
+      mem.addData(Seq((1L, ts(100), "same exact words here")))
+      q.processAllAvailable()
+      // arrives LATER but with an EARLIER event time: it has no
+      // (ts, id)-earlier partner, so it lands too — streaming cannot
+      // retract doc 1; the batch backstop owns this case
+      mem.addData(Seq((2L, ts(50), "same exact words here")))
+      q.processAllAvailable()
+      // in-order duplicate: two earlier partners -> dropped
+      mem.addData(Seq((3L, ts(150), "same exact words here")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(survDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), s"expected {1, 2} (out-of-order lands, in-order drops): $got")
+  }
+
   test("streaming content dedup: within-horizon drop, normalization, re-admission") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
