@@ -141,13 +141,19 @@ object TextOps {
        |       ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
        |            / length(text) END) AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
-  ) { (s, d) => qualityScored(Tables.documents(s, d)).orderBy("doc_id") }
+  ) { (s, d) =>
+    qualityScored(Tables.documents(s, d))
+      .select("doc_id", "len_score", "stop_score", "punct_ratio",
+        "caps_ratio", "quality_score")
+      .orderBy("doc_id")
+  }
 
   /** The per-document quality frame behind [[qQualityScore]] — reusable
-    * over any (doc_id, text) slice (e.g. [[graft.operators.Similarity]]'s
-    * quality-aware survivor selection scores cluster MEMBERS only, not
-    * the whole corpus). Returns doc_id, the four component ratios and
-    * the composite quality_score.
+    * over any frame with (doc_id, text) (e.g. [[graft.operators
+    * .Similarity]]'s quality-aware survivor selection scores cluster
+    * MEMBERS only; [[Curation]] chains it into its one-scan flag
+    * projection). ADDS the four component ratios and the composite
+    * quality_score; every input column rides along.
     */
   private[graft] def qualityScored(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -171,17 +177,15 @@ object TextOps {
     // here and the query pays ~2× the regex cost (measured 1.5 s → 0.8 s
     // at sf0.1). CollapseProject keeps the split because the aliases are
     // referenced more than once and are not cheap.
-    docs.select(
-      col("doc_id"),
-      lenScore.as("len_score"),
-      stopScore.as("stop_score"),
-      punct.as("punct_ratio"),
-      caps.as("caps_ratio"))
-      .select(col("doc_id"), col("len_score"), col("stop_score"),
-        col("punct_ratio"), col("caps_ratio"),
-        (lit(0.4) * col("len_score") + lit(0.3) * col("stop_score")
+    docs
+      .withColumn("len_score", lenScore)
+      .withColumn("stop_score", stopScore)
+      .withColumn("punct_ratio", punct)
+      .withColumn("caps_ratio", caps)
+      .withColumn("quality_score",
+        lit(0.4) * col("len_score") + lit(0.3) * col("stop_score")
           + lit(0.15) * (lit(1.0) - col("punct_ratio"))
-          + lit(0.15) * (lit(1.0) - col("caps_ratio"))).as("quality_score"))
+          + lit(0.15) * (lit(1.0) - col("caps_ratio")))
   }
 
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
@@ -828,21 +832,33 @@ object TextOps {
              "COUNT(*)", 4)} AS flag_rate
        |FROM t GROUP BY 1 ORDER BY source""".stripMargin
   ) { (s, d) =>
-    val words = split(norm, " ")
-    val t = Tables.documents(s, d).select(
-      col("source"),
-      size(filter(words, t => t =!= "")).cast("long").as("n_tok"),
-      size(filter(words, t => t.isin(Blocklist: _*))).cast("long")
-        .as("n_blocked"))
+    val t = blocklistFlags(Tables.documents(s, d))
     t.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("n_blocked") * 20 > col("n_tok"), 1).otherwise(0))
+        sum(when(col("blocked"), 1).otherwise(0))
           .cast("long").as("flagged_docs"),
         sum(col("n_blocked")).cast("long").as("blocked_tokens"),
         sum(col("n_tok")).cast("long").as("total_tokens"),
-        exactDiv(sum(when(col("n_blocked") * 20 > col("n_tok"), 1).otherwise(0)),
+        exactDiv(sum(when(col("blocked"), 1).otherwise(0)),
           count(lit(1)), 4).as("flag_rate"))
       .orderBy("source")
+  }
+
+  /** Per-document blocklist counters — ADDS n_tok, n_blocked and the
+    * token-exact 5% `blocked` flag (n_blocked · 20 > n_tok) to any frame
+    * with a `text` column; input columns ride along. ONE definition of
+    * the counting and the threshold shared by [[qBlocklistScan]]'s
+    * source rollup and [[Curation]]'s funnel stage, so the flag cannot
+    * drift between the per-source report and the pipeline gate.
+    */
+  private[graft] def blocklistFlags(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val words = split(norm, " ")
+    docs
+      .withColumn("n_tok", size(filter(words, t => t =!= "")).cast("long"))
+      .withColumn("n_blocked",
+        size(filter(words, t => t.isin(Blocklist: _*))).cast("long"))
+      .withColumn("blocked", col("n_blocked") * 20 > col("n_tok"))
   }
 
   /** Training-mix table (the data-mixing stage of corpus assembly — Pile/

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{Curation, Similarity, TextOps}
+
+/** The composed curation funnel vs an independent driver-side recount of
+  * every stage from the standalone operators' own outputs.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("curation funnel: stage counts match an independent recount; arithmetic coheres") {
+    val rows = Curation.qCurationFunnel.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("stage")).toSeq == (1 to 5),
+      "five ordered stages")
+    // funnel arithmetic: in = dropped + remaining, chained across stages
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_in") ==
+        r.getAs[Long]("n_dropped") + r.getAs[Long]("n_remaining"),
+        s"stage ${r.getAs[Int]("stage")} arithmetic")
+    }
+    rows.sliding(2).foreach { w =>
+      assert(w(0).getAs[Long]("n_remaining") == w(1).getAs[Long]("n_in"),
+        "stages must chain")
+    }
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.head.getAs[Long]("n_in") == nDocs, "stage 1 sees the raw corpus")
+
+    // independent recount of each gate
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def normed(t: String) = t.trim.toLowerCase.replaceAll("[ \\t\\n\\r\\f]+", " ")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("text")))
+    val exactKeeper = docs.collect { case (id, Some(t)) => (normed(t), id) }
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).min }.toSet
+    val nearNonKeepers = Similarity.qDedupClusters.run(spark, sfDir).collect()
+      .flatMap { c =>
+        c.getAs[String]("members").split(",").map(_.toLong)
+          .filter(_ != c.getAs[Long]("keep_id"))
+      }.toSet
+    val quality = TextOps.qQualityScore.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (if (r.isNullAt(r.fieldIndex("quality_score"))) -1.0
+         else r.getAs[Double]("quality_score"))).toMap
+    val blocked = docs.collect { case (id, Some(t)) =>
+      val toks = normed(t).split(" ").filter(_.nonEmpty)
+      id -> (toks.count(TextOps.Blocklist.contains) * 20 > toks.length)
+    }.toMap
+    // recount stage attribution exactly as the operator defines it
+    val firstDrop = docs.map { case (id, t) =>
+      val exactDup = t.isDefined && !exactKeeper.contains(id)
+      val stage =
+        if (exactDup) Some(1)
+        else if (nearNonKeepers(id)) Some(2)
+        else if (quality.getOrElse(id, -1.0) < Curation.QualityFloor) Some(3)
+        else if (t.isDefined && blocked(id)) Some(4)
+        else if (md5hex(id.toString).startsWith("0")) Some(5)
+        else None
+      id -> stage
+    }.toMap
+    val wantDropped = (1 to 5).map(k => k -> firstDrop.values.count(_.contains(k)))
+    rows.foreach { r =>
+      val k = r.getAs[Int]("stage")
+      assert(r.getAs[Long]("n_dropped") == wantDropped(k - 1)._2.toLong,
+        s"stage $k dropped count diverges from the recount")
+    }
+    // something must drop at the dedup and quality gates on this corpus
+    assert(rows(0).getAs[Long]("n_dropped") > 0 ||
+      rows(1).getAs[Long]("n_dropped") > 0, "dedup stages inert")
+    assert(rows(2).getAs[Long]("n_dropped") > 0, "quality stage inert")
+    assert(rows(4).getAs[Long]("n_dropped") > 0, "holdout stage inert")
+  }
+}

@@ -291,6 +291,19 @@ class PlanAuditSpec extends SparkSpec {
       "one gram-side scan + one doc_id roster scan only:\n" + p)
   }
 
+  test("curation funnel: one corpus scan; keeper rides a content-key window") {
+    val p = plan("q_curation_funnel")
+    // every per-row gate (quality, blocklist, content key, eval slice)
+    // must chain onto ONE documents scan; a groupBy+join-back keeper or a
+    // per-stage union would multiply it
+    assert(p.split("\n").count(_.contains("Scan parquet")) == 1,
+      "funnel must read documents once:\n" + p)
+    assert(p.split("\n").count(_.contains("Window")) >= 2,
+      "content-key keeper window + post-aggregation funnel window:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "cluster non-keepers must broadcast:\n" + p)
+  }
+
   test("hot expressions stay inside whole-stage codegen") {
     // execute first: codegen spans only appear in the finalized AQE plan
     val df = SparkEntry.queries("q_quality_score")(spark, sfDir)
