@@ -91,10 +91,13 @@ object Curation {
           .as("dropped_at"))
     // 5 counter cells out of the corpus-grain aggregate; the funnel
     // arithmetic runs over post-aggregation rows only
+    // coalesce each cell: sum() over an EMPTY corpus is NULL, and the
+    // empty lake must report a zeros funnel, not NULL arithmetic
     val cells = staged.agg(
       count(lit(1)).as("n_total"),
       (1 to 5).map(k =>
-        sum(when(col("dropped_at") === k, 1L).otherwise(0L)).as(s"d$k")): _*)
+        coalesce(sum(when(col("dropped_at") === k, 1L).otherwise(0L)), lit(0L))
+          .as(s"d$k")): _*)
     // ONE row explodes into the 5 stage rows — a per-stage select union
     // would re-run the whole corpus aggregate once per stage
     val stages = cells

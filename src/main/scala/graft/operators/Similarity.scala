@@ -426,8 +426,10 @@ object Similarity {
     */
   private[graft] def withSimhashFp(docs: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val toks = split(
-      regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ")
+    // tokens over Text.norm — the SAME canonical normalization the exact
+    // content key uses, so a widened whitespace class moves the exact and
+    // near-dup tiers together (the funnel's stage-1 ⊆ stage-2 premise)
+    val toks = split(Text.norm(col("text")), " ")
     val hs = array_distinct(
       transform(filter(toks, t => t =!= ""), t => xxhash64(t)))
     docs

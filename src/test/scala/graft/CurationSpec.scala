@@ -27,7 +27,12 @@ class CurationSpec extends SparkSpec {
     // independent recount of each gate
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def normed(t: String) = t.trim.toLowerCase.replaceAll("[ \\t\\n\\r\\f]+", " ")
+    // mirror Spark's trim (strips SPACES only — Java String.trim strips
+    // every char <= U+0020, which would merge content groups the operator
+    // keeps distinct when text has leading/trailing \t\n\r\f)
+    def normed(t: String) =
+      t.replaceAll("^ +", "").replaceAll(" +$", "")
+        .toLowerCase.replaceAll("[ \\t\\n\\r\\f]+", " ")
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") ->
         Option(r.getAs[String]("text")))
