@@ -107,6 +107,32 @@ object TextOps {
       .orderBy("lang", "predicted")
   }
 
+  /** DuckDB fragments of the four quality components and the composite —
+    * ONE spelling driving the [[qQualityScore]] oracle and every other
+    * oracle that orders or gates on quality ([[qBudgetSelect]]), so the
+    * score cannot drift between consumers.
+    */
+  private val lenScoreSql = "LEAST(1.0, length(text) / 500.0)"
+  private val stopScoreSql =
+    s"""CASE WHEN trim(text) = '' THEN 0.0
+       |       ELSE LEAST(1.0, 5.0 *
+       |         len(regexp_extract_all(' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ',
+       |                                '${stopPattern(stopwords.head._2)}'))
+       |         / len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+'))) END""".stripMargin
+  private val punctRatioSql =
+    """CASE WHEN length(text) = 0 THEN 0.0
+      |       ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \t\n\r\f]')) AS DOUBLE)
+      |            / length(text) END""".stripMargin
+  private val capsRatioSql =
+    """CASE WHEN length(text) = 0 THEN 0.0
+      |       ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+      |            / length(text) END""".stripMargin
+  private val qualityScoreSql =
+    s"""0.4 * $lenScoreSql
+       |  + 0.3 * ($stopScoreSql)
+       |  + 0.15 * (1.0 - $punctRatioSql)
+       |  + 0.15 * (1.0 - $capsRatioSql)""".stripMargin
+
   /** Composite text-quality score: length saturation, stopword density,
     * punctuation and all-caps penalties (reference analyze_text_quality /
     * deep 5f, generalized to a single trainable-corpus score). Every ratio
@@ -116,30 +142,11 @@ object TextOps {
   val qQualityScore: Q = Q(
     "q_quality_score",
     s"""SELECT doc_id,
-       |  LEAST(1.0, length(text) / 500.0) AS len_score,
-       |  CASE WHEN trim(text) = '' THEN 0.0
-       |       ELSE LEAST(1.0, 5.0 *
-       |         len(regexp_extract_all(' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ',
-       |                                '${stopPattern(stopwords.head._2)}'))
-       |         / len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+'))) END AS stop_score,
-       |  CASE WHEN length(text) = 0 THEN 0.0
-       |       ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\r\\f]')) AS DOUBLE)
-       |            / length(text) END AS punct_ratio,
-       |  CASE WHEN length(text) = 0 THEN 0.0
-       |       ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
-       |            / length(text) END AS caps_ratio,
-       |  0.4 * LEAST(1.0, length(text) / 500.0)
-       |  + 0.3 * (CASE WHEN trim(text) = '' THEN 0.0
-       |       ELSE LEAST(1.0, 5.0 *
-       |         len(regexp_extract_all(' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ',
-       |                                '${stopPattern(stopwords.head._2)}'))
-       |         / len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+'))) END)
-       |  + 0.15 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-       |       ELSE CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\r\\f]')) AS DOUBLE)
-       |            / length(text) END)
-       |  + 0.15 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-       |       ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
-       |            / length(text) END) AS quality_score
+       |  $lenScoreSql AS len_score,
+       |  $stopScoreSql AS stop_score,
+       |  $punctRatioSql AS punct_ratio,
+       |  $capsRatioSql AS caps_ratio,
+       |  $qualityScoreSql AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     qualityScored(Tables.documents(s, d))
@@ -1005,8 +1012,79 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Token budget for [[qBudgetSelect]] — small enough that every SF
+    * selects a strict top slice, large enough to span many documents.
+    */
+  private[graft] val TokenBudget = 20000L
+
+  /** Data selection under a token budget (the "best B tokens" primitive
+    * of pretraining corpus assembly — fill a fixed training budget with
+    * the highest-quality documents first): rank the corpus by
+    * (quality_score DESC, doc_id), take the maximal prefix whose
+    * cumulative whitespace-token count stays within [[TokenBudget]].
+    * Unscoreable documents sort last via the -1 coalesce (a total order
+    * needs a key for every row — the [[Curation]] null-routing
+    * principle); the output quality_score is that coalesced sort key,
+    * so the emitted frame is self-describing about WHY a row ranked
+    * where it did.
+    *
+    * Scale shape: the global running sum is TWO-LEVEL, never a
+    * single-task corpus window (the [[qSeqPack]]/hashRank
+    * decomposition): quality quantizes into ⌊q·20⌋ blocks — monotone in
+    * q, so (block DESC, q DESC, doc_id) IS the global order — rows
+    * cumulate within their block's window partition, block totals
+    * prefix-sum at BLOCK grain (≤ 22 rows through the unpartitioned
+    * window — post-aggregation grain, the qSourceMix contract), and a
+    * tiny broadcast join carries each block's offset back. The block
+    * totals pay a second column-pruned scan (blk depends on the
+    * quality projection); a cached one-scan variant would trade a
+    * corpus-sized memory pin for ~0.5 s measured at sf0.1 — not taken.
+    */
+  val qBudgetSelect: Q = Q(
+    "q_budget_select",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    COALESCE($qualityScoreSql, -1.0) AS quality_score,
+       |    CAST(${Text.wordCountSql} AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, quality_score, n_tokens,
+       |    CAST(SUM(COALESCE(n_tokens, 0)) OVER (
+       |      ORDER BY quality_score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, quality_score, n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= $TokenBudget
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val scored = qualityScored(Tables.documents(s, d))
+      .select(col("doc_id"),
+        coalesce(col("quality_score"), lit(-1.0)).as("quality_score"),
+        Text.wordCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("blk", floor(col("quality_score") * 20).cast("int"))
+    val wLoc = Window.partitionBy("blk")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = scored.withColumn("cum_local",
+      sum(coalesce(col("n_tokens"), lit(0L))).over(wLoc))
+    // block offsets: ≤ 22 rows — post-aggregation grain only
+    val wOff = Window.orderBy(col("blk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = scored.groupBy("blk")
+      .agg(sum(coalesce(col("n_tokens"), lit(0L))).as("btot"))
+      .withColumn("off", coalesce(sum("btot").over(wOff), lit(0L)))
+      .select("blk", "off")
+    local.join(broadcast(offs), Seq("blk"))
+      .withColumn("cum_tokens", col("off") + col("cum_local"))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select("doc_id", "quality_score", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qLangId, qQualityScore, qTokenCount, qVocabGrowth,
     qSeqPack, qWeightedSample, qTfidfTerms, qFingerprint, qRepetitionStats,
-    qDecontaminate, qPiiScan, qSourceMix, qBlocklistScan, qDupSpans)
+    qDecontaminate, qPiiScan, qSourceMix, qBlocklistScan, qDupSpans,
+    qBudgetSelect)
 }

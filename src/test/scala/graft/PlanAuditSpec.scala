@@ -304,6 +304,19 @@ class PlanAuditSpec extends SparkSpec {
       "cluster non-keepers must broadcast:\n" + p)
   }
 
+  test("budget select: the corpus running sum is block-partitioned, never one task") {
+    val p = plan("q_budget_select")
+    val windows = p.split("\n").filter(_.startsWith("(")).filter(_.contains("Window"))
+    // the plan dump lists each Window's partition spec; the ROW-grain
+    // cumulative window must partition by the quality block (the
+    // block-offset window runs on <= 22 post-aggregation rows)
+    val specs = p.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(specs.exists(_.contains("blk#")),
+      "row-grain running sum lost its block partition key:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "block offsets must broadcast back:\n" + p)
+  }
+
   test("hot expressions stay inside whole-stage codegen") {
     // execute first: codegen spans only appear in the finalized AQE plan
     val df = SparkEntry.queries("q_quality_score")(spark, sfDir)
