@@ -1017,6 +1017,25 @@ object TextOps {
     */
   private[graft] val TokenBudget = 20000L
 
+  /** Quality-quantization fan-out for [[qBudgetSelect]]'s two-level
+    * running sum: rows partition into ⌊q·BudgetBlocks⌋ blocks, so this
+    * bounds the level-1 parallelism. 2000 gives ~2002 possible blocks —
+    * block-OFFSET rows stay post-aggregation-tiny while the row-grain
+    * work spreads far beyond the executor count whenever quality is
+    * dispersed. The honest limitation: balance depends on the score
+    * DISTRIBUTION — a score atom (many docs with one exact double, e.g.
+    * a clamped component) serializes its block into one task no matter
+    * how fine the grid. The lake-scale escape for atomic distributions
+    * is range-partitioning the full (q, doc_id) sort key
+    * (repartitionByRange + spark_partition_id as the block key), which
+    * balances by sampling at any distribution — not taken here because
+    * its two consumers must share ONE physical range exchange (sampled
+    * boundaries differ per exchange; correctness would ride on
+    * ReuseExchange firing) where the deterministic grid needs no such
+    * coupling.
+    */
+  private[graft] val BudgetBlocks = 2000
+
   /** Data selection under a token budget (the "best B tokens" primitive
     * of pretraining corpus assembly — fill a fixed training budget with
     * the highest-quality documents first): rank the corpus by
@@ -1030,11 +1049,11 @@ object TextOps {
     *
     * Scale shape: the global running sum is TWO-LEVEL, never a
     * single-task corpus window (the [[qSeqPack]]/hashRank
-    * decomposition): quality quantizes into ⌊q·20⌋ blocks — monotone in
-    * q, so (block DESC, q DESC, doc_id) IS the global order — rows
-    * cumulate within their block's window partition, block totals
-    * prefix-sum at BLOCK grain (≤ 22 rows through the unpartitioned
-    * window — post-aggregation grain, the qSourceMix contract), and a
+    * decomposition): quality quantizes into ⌊q·[[BudgetBlocks]]⌋ blocks
+    * — monotone in q, so (block DESC, q DESC, doc_id) IS the global
+    * order — rows cumulate within their block's window partition, block
+    * totals prefix-sum at BLOCK grain (≤ [[BudgetBlocks]]+2 rows
+    * through the unpartitioned window — post-aggregation grain), and a
     * tiny broadcast join carries each block's offset back. The block
     * totals pay a second column-pruned scan (blk depends on the
     * quality projection); a cached one-scan variant would trade a
@@ -1062,13 +1081,13 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("quality_score"), lit(-1.0)).as("quality_score"),
         Text.wordCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("blk", floor(col("quality_score") * 20).cast("int"))
+      .withColumn("blk", floor(col("quality_score") * BudgetBlocks).cast("int"))
     val wLoc = Window.partitionBy("blk")
       .orderBy(col("quality_score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = scored.withColumn("cum_local",
       sum(coalesce(col("n_tokens"), lit(0L))).over(wLoc))
-    // block offsets: ≤ 22 rows — post-aggregation grain only
+    // block offsets: ≤ BudgetBlocks+2 rows — post-aggregation grain only
     val wOff = Window.orderBy(col("blk").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = scored.groupBy("blk")

@@ -306,12 +306,16 @@ class PlanAuditSpec extends SparkSpec {
 
   test("budget select: the corpus running sum is block-partitioned, never one task") {
     val p = plan("q_budget_select")
-    val windows = p.split("\n").filter(_.startsWith("(")).filter(_.contains("Window"))
-    // the plan dump lists each Window's partition spec; the ROW-grain
-    // cumulative window must partition by the quality block (the
-    // block-offset window runs on <= 22 post-aggregation rows)
-    val specs = p.split("\n").filter(_.contains("windowspecdefinition"))
-    assert(specs.exists(_.contains("blk#")),
+    // the ROW-grain cumulative window is the one whose spec orders by
+    // (quality_score, doc_id): it must carry the blk partition key. The
+    // block-OFFSET window's spec contains blk# but not quality_score#,
+    // so matching on both pins the corpus-grain window specifically —
+    // a bare blk# check would stay green if the row window lost its
+    // partitioning while the offset machinery survived
+    val rowSpecs = p.split("\n").filter(s =>
+      s.contains("windowspecdefinition") && s.contains("quality_score#"))
+    assert(rowSpecs.nonEmpty, "row-grain cumulative window missing:\n" + p)
+    assert(rowSpecs.forall(_.contains("blk#")),
       "row-grain running sum lost its block partition key:\n" + p)
     assert(p.contains("BroadcastHashJoin"),
       "block offsets must broadcast back:\n" + p)
