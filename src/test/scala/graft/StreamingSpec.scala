@@ -293,6 +293,44 @@ class StreamingSpec extends SparkSpec {
       docs.count { case (_, _, t) => t != null && t.trim.nonEmpty })
   }
 
+  test("streaming near-dup front: checkpointed restart continues the store, no double-landing") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), ts(r.getLong(0)), r.getAs[String]("text")))
+      .sortBy(_._1)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_ndck_store").toString
+    val survDir = java.nio.file.Files.createTempDirectory("graft_ndck_surv").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ndck_ck").toString
+    // ONE MemoryStream across both query incarnations (the established
+    // checkpoint-restart pattern here: a fresh stream could not serve
+    // the checkpointed offsets)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    def run(batches: Seq[Seq[(Long, Timestamp, String)]]): Unit = {
+      val q = IngestStream.neardupSink(
+          mem.toDF().toDF("doc_id", "ts", "text"), storeDir, survDir)
+        .option("checkpointLocation", ckDir).start()
+      try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    // first incarnation processes batch 1, then the query STOPS (a crash/
+    // deploy); the second incarnation resumes from the same checkpoint
+    // and processes batch 2 against the landed store
+    run(Seq(b1.toSeq))
+    run(Seq(b2.toSeq))
+    val expected = docs.map(_._1).toSet --
+      graft.operators.Similarity.qDedupSimhash.run(spark, sfDir)
+        .collect().map(_.getAs[Long]("id_b")).toSet
+    val survivors = spark.read.parquet(survDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == expected,
+      s"restart diverged from the one-query run " +
+        s"(missing ${expected -- survivors}, extra ${survivors -- expected})")
+    assert(spark.read.parquet(survDir).count() == expected.size.toLong,
+      "restart double-landed survivor rows")
+  }
+
   test("streaming near-dup front: out-of-order arrival lands (documented best-effort)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
