@@ -348,6 +348,41 @@ class SimilaritySpec extends SparkSpec {
     assert(labels.size == 60 + 4 + 3 + 2)
   }
 
+  test("components [randomized]: both strategies equal a driver union-find on random graphs") {
+    import spark.implicits._
+    // seeded: failures replay exactly; random topologies cover the
+    // shapes the fixed chain/star/clique test cannot enumerate
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 5).foreach { round =>
+      val ids = Seq.fill(40)(rnd.nextLong().abs % 1000L).distinct
+      val edges = Seq.fill(60) {
+        val a = ids(rnd.nextInt(ids.size)); val b = ids(rnd.nextInt(ids.size))
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      assert(edges.nonEmpty)
+      // driver reference: classic union-find, then min id per component
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val members = parent.keys.toSeq.groupBy(find)
+      val expected = members.values.flatMap { ms =>
+        val keep = ms.min; ms.map(_ -> keep)
+      }.toMap
+      for (threshold <- Seq(2000000L, 0L)) {
+        val labels = Similarity.components(
+            edges.toDF("id_a", "id_b"), smallThreshold = threshold)
+          .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+        assert(labels == expected,
+          s"round $round threshold $threshold diverged from the reference")
+      }
+    }
+  }
+
   test("embed neardup: pairs respect threshold and label blocking") {
     val rows = Similarity.qEmbedNeardup.run(spark, sfDir).collect()
     rows.foreach { r =>
