@@ -58,7 +58,14 @@ object Curation {
     * runs over 5 post-aggregation rows — the [[TextOps]].qSourceMix
     * post-aggregation-window contract.
     */
-  val qCurationFunnel: Q = Q.rowsOnly("q_curation_funnel") { (s, d) =>
+  /** Per-document first-gate attribution: (doc_id, dropped_at) with
+    * dropped_at ∈ 1..5 per [[StageNames]] or NULL for documents that
+    * survive every gate — the ONE staging definition behind both the
+    * [[qCurationFunnel]] accounting and the [[qCleanCorpus]] artifact,
+    * so the counts and the corpus cannot disagree.
+    */
+  private def stagedFlags(s: org.apache.spark.sql.SparkSession, d: String)
+      : DataFrame = {
     // one scan: every per-row gate as a projection chain
     val perDoc = TextOps.blocklistFlags(TextOps.qualityScored(Tables.documents(s, d)))
       .select(col("doc_id"),
@@ -78,7 +85,7 @@ object Curation {
     val nearNonKeepers = Similarity.dedupClusterLabels(s, d)
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"), lit(true).as("near_dup"))
-    val staged = perDoc
+    perDoc
       .withColumn("keep_id",
         when(col("h").isNotNull, min(col("doc_id")).over(wByContent)))
       .join(broadcast(nearNonKeepers), Seq("doc_id"), "left")
@@ -89,6 +96,10 @@ object Curation {
           .when(col("blocked"), 4)
           .when(col("is_eval"), 5)
           .as("dropped_at"))
+  }
+
+  val qCurationFunnel: Q = Q.rowsOnly("q_curation_funnel") { (s, d) =>
+    val staged = stagedFlags(s, d)
     // 5 counter cells out of the corpus-grain aggregate; the funnel
     // arithmetic runs over post-aggregation rows only
     // coalesce each cell: sum() over an EMPTY corpus is NULL, and the
@@ -116,5 +127,18 @@ object Curation {
       .orderBy("stage")
   }
 
-  val all: Seq[Q] = Seq(qCurationFunnel)
+  /** The training corpus the funnel accounts for — the doc_ids that
+    * survive every gate (rows-only; spec pins count identity with the
+    * funnel's final n_remaining and the per-gate set algebra). This is
+    * the artifact a pipeline ships: [[qCurationFunnel]] is its audit
+    * trail, and both derive from ONE [[stagedFlags]] definition.
+    */
+  val qCleanCorpus: Q = Q.rowsOnly("q_clean_corpus") { (s, d) =>
+    stagedFlags(s, d)
+      .filter(col("dropped_at").isNull)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qCurationFunnel, qCleanCorpus)
 }

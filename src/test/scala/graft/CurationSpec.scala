@@ -74,5 +74,15 @@ class CurationSpec extends SparkSpec {
       rows(1).getAs[Long]("n_dropped") > 0, "dedup stages inert")
     assert(rows(2).getAs[Long]("n_dropped") > 0, "quality stage inert")
     assert(rows(4).getAs[Long]("n_dropped") > 0, "holdout stage inert")
+
+    // the clean corpus is exactly the never-dropped set: count-identical
+    // to the funnel's final n_remaining and equal to the recount's
+    // survivors
+    val clean = Curation.qCleanCorpus.run(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(clean.size.toLong == rows.last.getAs[Long]("n_remaining"),
+      "clean corpus count diverges from the funnel's final n_remaining")
+    val wantClean = firstDrop.collect { case (id, None) => id }.toSet
+    assert(clean == wantClean, "clean corpus diverges from the recount")
   }
 }
