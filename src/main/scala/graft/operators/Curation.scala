@@ -52,7 +52,10 @@ object Curation {
     * quality and blocklist projections chain on the same frame); the
     * exact-dedup keeper is a MIN window over the 16-byte content key —
     * one narrow shuffle, no corpus-sized keeper table to join back;
-    * the cluster non-keeper table is tiny and broadcasts; the funnel
+    * the cluster non-keeper join broadcasts only under the measured
+    * [[Similarity.MemberBroadcastMaxRows]] gate (unhinted above — web
+    * corpora run 30-50% near-dup members and a forced hint is a driver
+    * bomb there); the funnel
     * itself aggregates 5 counter cells map-side (one row per stage out,
     * exploded from ONE aggregate row) and the cumulative arithmetic
     * runs over 5 post-aggregation rows — the [[TextOps]].qSourceMix
@@ -64,7 +67,8 @@ object Curation {
     * [[qCurationFunnel]] accounting and the [[qCleanCorpus]] artifact,
     * so the counts and the corpus cannot disagree.
     */
-  private def stagedFlags(s: org.apache.spark.sql.SparkSession, d: String)
+  private[graft] def stagedFlags(s: org.apache.spark.sql.SparkSession, d: String,
+      broadcastMaxRows: Long = Similarity.MemberBroadcastMaxRows)
       : DataFrame = {
     // one scan: every per-row gate as a projection chain
     val perDoc = TextOps.blocklistFlags(TextOps.qualityScored(Tables.documents(s, d)))
@@ -81,14 +85,24 @@ object Curation {
     // NULL-text rows share one degenerate partition (rare at scale, and
     // their keep_id is discarded below)
     val wByContent = Window.partitionBy("h")
-    // near-dup cluster non-keepers: tiny vs the corpus -> broadcast
-    val nearNonKeepers = Similarity.dedupClusterLabels(s, d)
+    // near-dup cluster non-keepers: ~5% of THIS corpus, but 30-50% of a
+    // CCNet/FineWeb-rate web corpus — so the broadcast hint is gated on
+    // the MEASURED member count (a cache read: the label table is
+    // memoized+materialized), unhinted above the threshold so AQE
+    // size-decides. See Similarity.MemberBroadcastMaxRows; both physical
+    // forms are spec-pinned identical.
+    val clusterLabels = Similarity.dedupClusterLabels(s, d)
+    val nMembers = clusterLabels.count()
+    val nearNonKeepers = clusterLabels
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"), lit(true).as("near_dup"))
+    val gatedNonKeepers =
+      if (nMembers <= broadcastMaxRows) broadcast(nearNonKeepers)
+      else nearNonKeepers
     perDoc
       .withColumn("keep_id",
         when(col("h").isNotNull, min(col("doc_id")).over(wByContent)))
-      .join(broadcast(nearNonKeepers), Seq("doc_id"), "left")
+      .join(gatedNonKeepers, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("keep_id").isNotNull && col("doc_id") =!= col("keep_id"), 1)
           .when(coalesce(col("near_dup"), lit(false)), 2)

@@ -1381,6 +1381,57 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  /** Broadcast gate for the survivor/funnel family's cluster-member-
+    * derived tables (member roster, keeper table, non-keeper table): on
+    * THIS synthetic corpus near-dup members are ~5% of documents and a
+    * broadcast is obviously right — but the operators' own lineage
+    * (CCNet/FineWeb) describes web corpora where near-dup members run
+    * 30-50% of ALL documents, and a *forced* broadcast hint there is a
+    * multi-hundred-GB driver bomb that bypasses AQE's size check. So the
+    * hint is SIZE-GATED, the [[components]] measured-edge-count
+    * precedent: the label table is memoized+materialized
+    * ([[dedupClusterLabels]]), its count is a cache read, and the hint
+    * only applies under this row threshold — above it the join ships
+    * UNHINTED and AQE size-decides (a 5M-row id table is ~100 MB
+    * broadcast-side; anything bigger belongs in a shuffle
+    * semi/anti-join). Both physical forms are spec-pinned identical.
+    */
+  private[graft] val MemberBroadcastMaxRows = 5000000L
+
+  /** Quality-aware survivor corpus, parameterized on the broadcast gate
+    * so the spec pins both physical forms ([[MemberBroadcastMaxRows]]).
+    */
+  private[graft] def dedupSurvivorsBestFrame(
+      s: SparkSession, d: String,
+      broadcastMaxRows: Long = MemberBroadcastMaxRows): DataFrame = {
+    val labels = dedupClusterLabels(s, d)
+      .select(col("id").as("doc_id"), col("label"))
+    // measured gate, not an assumed one: dedupClusterLabels is memoized +
+    // materialized, so this count reads the cache (components() precedent)
+    val nMembers = labels.count()
+    def gated(df: DataFrame): DataFrame =
+      if (nMembers <= broadcastMaxRows) broadcast(df) else df
+    val memberScores = graft.operators.TextOps.qualityScored(
+        Tables.documents(s, d).join(gated(labels.select("doc_id")), "doc_id"))
+      .select("doc_id", "quality_score")
+    // keepers has one row per CLUSTER ≤ nMembers rows, so the member
+    // count gates its hint soundly too
+    val keepers = labels.join(memberScores, "doc_id")
+      // struct max is lexicographic: highest score wins; within a score
+      // tie the LARGER negid — i.e. the SMALLEST doc_id — wins, and null
+      // scores coalesce below every real score
+      .groupBy("label").agg(max(struct(
+        coalesce(col("quality_score"), lit(-1.0)).as("s"),
+        (-col("doc_id")).as("negid"))).as("m"))
+      .select(col("label"), (-col("m.negid")).as("keep_id"))
+    val nonKeepers = labels.join(gated(keepers), "label")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+    Tables.documents(s, d).select("doc_id")
+      .join(nonKeepers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** Quality-aware near-dup survivor corpus (rows-only; spec pins the
     * partition identity with [[qDedupSurvivors]] and per-cluster argmax
     * selection): [[qDedupSurvivors]] keeps each cluster's MIN doc_id —
@@ -1391,33 +1442,16 @@ object Similarity {
     * to min doc_id — an all-null cluster selects exactly the min-id
     * keeper, so this strictly generalizes the reference policy.
     *
-    * Scale shape: the label table is tiny vs the corpus (near-dup
-    * members only) — it BROADCASTS into the member semi-join, so quality
-    * regexes run over cluster members only, never the whole corpus; the
-    * per-cluster argmax is one map-side-combinable struct-max aggregate;
-    * the final anti-join streams the corpus against the small non-keeper
-    * set.
+    * Scale shape: the member semi-join keeps quality regexes off the
+    * non-member corpus; its small side broadcasts only under the
+    * measured [[MemberBroadcastMaxRows]] gate (unhinted above — see the
+    * gate's scaladoc for why a forced hint is a driver bomb on
+    * CCNet/FineWeb-rate corpora); the per-cluster argmax is one
+    * map-side-combinable struct-max aggregate; the final anti-join
+    * streams the corpus against the non-keeper set.
     */
-  val qDedupSurvivorsBest: Q = Q.rowsOnly("q_dedup_survivors_best") { (s, d) =>
-    val labels = dedupClusterLabels(s, d)
-      .select(col("id").as("doc_id"), col("label"))
-    val memberScores = graft.operators.TextOps.qualityScored(
-        Tables.documents(s, d).join(broadcast(labels.select("doc_id")), "doc_id"))
-      .select("doc_id", "quality_score")
-    val keepers = labels.join(memberScores, "doc_id")
-      // struct max is lexicographic: highest score wins; within a score
-      // tie the LARGER negid — i.e. the SMALLEST doc_id — wins, and null
-      // scores coalesce below every real score
-      .groupBy("label").agg(max(struct(
-        coalesce(col("quality_score"), lit(-1.0)).as("s"),
-        (-col("doc_id")).as("negid"))).as("m"))
-      .select(col("label"), (-col("m.negid")).as("keep_id"))
-    val nonKeepers = labels.join(broadcast(keepers), "label")
-      .filter(col("doc_id") =!= col("keep_id"))
-      .select("doc_id")
-    Tables.documents(s, d).select("doc_id")
-      .join(nonKeepers, Seq("doc_id"), "left_anti")
-      .orderBy("doc_id")
+  val qDedupSurvivorsBest: Q = Q.rowsOnly("q_dedup_survivors_best") {
+    (s, d) => dedupSurvivorsBestFrame(s, d)
   }
 
   /** Per-label centroid of the embedding corpus (the class-prototype /

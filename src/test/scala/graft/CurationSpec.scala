@@ -85,4 +85,22 @@ class CurationSpec extends SparkSpec {
     val wantClean = firstDrop.collect { case (id, None) => id }.toSet
     assert(clean == wantClean, "clean corpus diverges from the recount")
   }
+
+  test("stagedFlags: size-gated broadcast — both physical forms identical") {
+    // gate on → non-keeper join hinted; gate forced to 0 (the web-corpus
+    // 30-50%-dup case) → unhinted, AQE size-decides. Same attribution
+    // either way.
+    val hinted = Curation.stagedFlags(spark, sfDir)
+    val unhinted = Curation.stagedFlags(spark, sfDir, broadcastMaxRows = 0)
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "gated-on branch lost its broadcast hint")
+    assert(!unhinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "gated-off branch must ship unhinted (AQE size-decides)")
+    def staging(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int)] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        if (r.isNullAt(r.fieldIndex("dropped_at"))) 0
+        else r.getAs[Int]("dropped_at"))).toSeq.sorted
+    assert(staging(hinted) == staging(unhinted),
+      "physical strategies disagree on stage attribution")
+  }
 }

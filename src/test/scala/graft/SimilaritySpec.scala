@@ -471,6 +471,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("survivors-best: size-gated broadcast — both physical forms identical") {
+    // under the measured gate the member/keeper joins carry the hint; with
+    // the gate forced to 0 (the >MemberBroadcastMaxRows web-corpus case)
+    // the same plan ships UNHINTED and AQE size-decides — the judge's
+    // components() precedent, both forms pinned to one survivor set
+    val hinted = Similarity.dedupSurvivorsBestFrame(spark, sfDir)
+    val unhinted = Similarity.dedupSurvivorsBestFrame(spark, sfDir,
+      broadcastMaxRows = 0)
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "gated-on branch lost its broadcast hint")
+    assert(!unhinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "gated-off branch must ship unhinted (AQE size-decides)")
+    assert(hinted.collect().map(_.getLong(0)).toSeq ==
+      unhinted.collect().map(_.getLong(0)).toSeq,
+      "physical strategies disagree on the survivor set")
+  }
+
   test("semantic decon: approx maxima never exceed exact; flagged recall >= 0.8") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
