@@ -940,24 +940,20 @@ object TextOps {
     * regardless of document size, the [[qNgramJaccard]] postings trick
     * (cross-gram hash collision would need ~2^32 DISTINCT grams per
     * corpus to matter; its probability is the accepted premise of every
-    * hashed-postings index here). Three keyed exchanges, all map-side
-    * combined: (doc, gram)-grain multiplicity, document frequency as a
-    * COUNT window riding the gram-key shuffle (the [[qTfidfTerms]]
-    * df-rides-the-tf-shuffle pattern — no second corpus pass for the
-    * denominator), then the doc-grain rollup. The gram array is built
+    * hashed-postings index here). Keyed exchanges, all map-side
+    * combined: (doc, gram)-grain multiplicity, document frequency, the
+    * doc-grain rollup. The gram array is built
     * INLINE in the generator with get()-guarded lambdas — the
     * [[Similarity]] ShingleArrExpr/InferFiltersFromGenerate hazard.
     *
-    * Honest skew accounting: a BOILERPLATE gram (shared license header,
-    * template banner) makes its hash a hot window partition, and window
-    * partitions — unlike join sides — cannot be AQE-skew-split. Unlike
+    * Skew accounting — why the JOIN-BACK form is the default (see
+    * [[dupSpansOf]]): a BOILERPLATE gram (shared license header,
+    * template banner) concentrates every occurrence on one key. Unlike
     * [[qTfidfTerms]] (whose stop-shingle df cap drops hot terms), the
-    * hot grams here ARE the signal, so they can't be capped away. A
-    * lake deployment with pathological boilerplate materializes the
-    * (doc, gram) counts once and swaps the window for a map-side-
-    * combined df aggregate + AQE-splittable join-back (same arithmetic;
-    * costs a second pass over the materialized counts, which is why the
-    * single-pass window form ships as the default).
+    * hot grams here ARE the signal, so they can't be capped away — and
+    * at web scale boilerplate is the norm, not the tail. A hot WINDOW
+    * partition cannot be AQE-skew-split; a hot JOIN key can, which is
+    * what the shipped df-aggregate + join-back shape buys.
     */
   val qDupSpans: Q = Q(
     "q_dup_spans",
@@ -983,11 +979,46 @@ object TextOps {
        |    AND COALESCE(n_ngrams, 0) > 0) AS mostly_dup
        |FROM documents d LEFT JOIN perdoc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
-  ) { (s, d) =>
+  ) { (s, d) => dupSpansOf(Tables.documents(s, d), useWindow = false) }
+
+  /** Both physical strategies of the dup-span accounting, shared so the
+    * spec pins them identical on the real corpus AND a crafted
+    * boilerplate-heavy one:
+    *
+    *  - join-back (`useWindow = false`, the SHIPPED default): document
+    *    frequency as a map-side-combined aggregate over the (doc, gram)
+    *    counts, joined back on the gram hash. A boilerplate gram is a hot
+    *    JOIN key — and skewed join partitions split at runtime under AQE,
+    *    where a hot WINDOW partition is an un-splittable serialization
+    *    point. The (doc, gram) subtree feeds both the df aggregate and
+    *    the join probe side with IDENTICAL exchanges, so ReuseExchange
+    *    runs the gram explode + partial aggregate once and both consumers
+    *    read the same shuffle files (plan-guarded) — the "materialize the
+    *    counts once" escape without an explicit cache.
+    *  - window (`useWindow = true`): df as COUNT(*) OVER (PARTITION BY h)
+    *    riding the gram-key shuffle — one exchange fewer, the shape a
+    *    deploy may pick on a corpus known boilerplate-free; kept as the
+    *    spec's cross-check of the shipped form.
+    */
+  /** The materialized (doc_id, gram-hash, multiplicity) table both
+    * [[dupSpansOf]] strategies read. Persisted MEMORY_AND_DISK: the
+    * join-back form consumes it from TWO subtrees (df aggregate + join
+    * probe side), and without materialization Catalyst prunes the
+    * branches differently (the df branch loses `m`), the exchanges stop
+    * canonicalizing equal, and the corpus gets tokenized + gram-exploded
+    * TWICE (measured — stage reuse does NOT rescue it). Spark's
+    * CacheManager keys on the canonicalized plan, so repeat calls over
+    * the same input share one entry (the [[Similarity]] index-cache
+    * lifecycle); at lake scale this is the escape's own premise —
+    * "materialize the counts once" — and the cached bytes are the same
+    * narrow rows the window form shuffles. Bench pre-pays it as the
+    * named `build_dup_span_counts` entry.
+    */
+  private def dupSpanCounts(docs: DataFrame): DataFrame = {
     // round-robin spread: the single-file testdata scan's parallelism
     // guard (a multi-split lake scan replaces it), as in qDecontaminate
-    val toks = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       // phantom ""-token guard: see qRepetitionStats
       .select(col("doc_id"), filter(split(norm, " "), t => t =!= "").as("w"))
     val pos = toks.filter(size(col("w")) >= DupSpanN)
@@ -995,16 +1026,32 @@ object TextOps {
         "transform(sequence(0, size(w)-5), i -> xxhash64(concat_ws(' ', " +
           "get(w, i), get(w, i+1), get(w, i+2), get(w, i+3), get(w, i+4))))"))
         .as("h"))
-    val cnt = pos.groupBy("doc_id", "h").agg(count(lit(1)).as("m"))
-    val flagged = cnt.withColumn("nd",
-      count(lit(1)).over(Window.partitionBy("h")))
+    pos.groupBy("doc_id", "h").agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Bench hook: materialize the dup-span gram counts for (s, d) so the
+    * timed q_dup_spans runs measure the query, with the shared build cost
+    * as its own named entry (the Similarity prebuild convention).
+    */
+  def prebuildDupSpanCounts(s: SparkSession, d: String): Unit = {
+    dupSpanCounts(Tables.documents(s, d)).count(); ()
+  }
+
+  private[graft] def dupSpansOf(docs: DataFrame, useWindow: Boolean): DataFrame = {
+    val cnt = dupSpanCounts(docs)
+    val flagged =
+      if (useWindow)
+        cnt.withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
+      else
+        cnt.join(cnt.groupBy("h").agg(count(lit(1)).as("nd")), "h")
     val perDoc = flagged.groupBy("doc_id").agg(
       sum(col("m")).as("n_ngrams"),
       sum(when(col("nd") >= DupSpanMinDocs, col("m")).otherwise(lit(0L)))
         .as("n_dup"))
     val nNg = coalesce(col("n_ngrams"), lit(0L))
     val nDup = coalesce(col("n_dup"), lit(0L))
-    Tables.documents(s, d).select("doc_id")
+    docs.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), nNg.as("n_ngrams"), nDup.as("n_dup"),
         exactDiv(nDup, nNg, 4).as("dup_frac"),

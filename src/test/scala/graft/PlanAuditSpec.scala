@@ -276,19 +276,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "global totals must ride a window:\n" + p)
   }
 
-  test("dup spans: grams shuffle as hashes, df rides the gram-key shuffle") {
-    val p = plan("q_dup_spans")
+  test("dup spans: inline gram hashes; df join-back over the one materialized count table") {
+    // execute first: ReusedExchange only appears in the finalized AQE plan
+    val df = SparkEntry.queries("q_dup_spans")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     // the gram array must stay INLINE in the generator (xxhash64 inside
     // explode) — a named projected column triggers the
     // InferFiltersFromGenerate re-evaluation hazard (CLAUDE.md)
     val gen = p.split("\n").filter(_.contains("Generate"))
     assert(gen.exists(_.contains("xxhash64")),
       "gram hashes must be built inside the generator:\n" + p)
-    // document frequency must be a window over the gram-hash shuffle,
-    // not a second corpus-scanning aggregate-join
-    assert(p.contains("Window"), "df must ride the gram-key shuffle:\n" + p)
-    assert(p.split("\n").count(_.contains("Scan parquet")) == 2,
-      "one gram-side scan + one doc_id roster scan only:\n" + p)
+    // the shipped default is the AQE-skew-splittable df JOIN-BACK — a
+    // hot-gram window partition cannot be skew-split, so no window may
+    // touch the gram stream
+    assert(!p.contains("windowspecdefinition"),
+      "hot-gram window crept back into the default dup-spans form:\n" + p)
+    // the df aggregate must partial-combine map-side (hot grams would
+    // otherwise flood one reducer before the join can skew-split)
+    assert(p.contains("partial_count"),
+      "df aggregate lost its map-side partial:\n" + p)
+    // the (doc, gram) counts feed the df aggregate AND the join probe
+    // side: both consumers must read the ONE materialized count table
+    // (differently-pruned branches would otherwise tokenize + explode
+    // the corpus twice — measured; stage reuse does not rescue it)
+    assert(p.split("\n").count(_.contains("InMemoryTableScan")) >= 2,
+      "df aggregate and join probe must both read the materialized counts:\n" + p)
   }
 
   test("curation funnel: one corpus scan; keeper rides a content-key window") {

@@ -354,6 +354,30 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_dup") > 0))
   }
 
+  test("dup spans: join-back default ≡ window form on real and boilerplate corpora") {
+    import spark.implicits._
+    def snapshot(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, String, Boolean)] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_ngrams"),
+        r.getAs[Long]("n_dup"),
+        Option(r.get(r.fieldIndex("dup_frac"))).map(_.toString).orNull,
+        r.getAs[Boolean]("mostly_dup"))).toSeq
+    val real = Tables.documents(spark, sfDir)
+    assert(snapshot(TextOps.dupSpansOf(real, useWindow = false)) ==
+      snapshot(TextOps.dupSpansOf(real, useWindow = true)),
+      "physical strategies disagree on the real corpus")
+    // crafted boilerplate-heavy corpus: one license-header gram family
+    // shared by EVERY doc (the hot key the join-back exists for), each
+    // doc with a unique tail so not everything is a whole-doc dup
+    val boiler = (1L to 40L).map(i =>
+      (i, "licensed under the apache license version two zero " +
+        s"unique tail $i with trailing words number $i here")).toDF("doc_id", "text")
+    val jb = snapshot(TextOps.dupSpansOf(boiler, useWindow = false))
+    assert(jb == snapshot(TextOps.dupSpansOf(boiler, useWindow = true)),
+      "physical strategies disagree on the boilerplate corpus")
+    // the hot grams must register as dup coverage in every document
+    assert(jb.forall(_._3 > 0), "boilerplate grams must count as dup spans")
+  }
+
   test("source mix: shares sum to 1 and weights invert shares within rounding") {
     val rows = graft.operators.TextOps.qSourceMix.run(spark, sfDir).collect()
     assert(rows.length > 1, "expected multiple sources")
