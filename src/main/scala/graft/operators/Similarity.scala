@@ -1239,6 +1239,72 @@ object Similarity {
     }
   }
 
+  /** Sampled-geometry probe for the k-NN dispatch: [[KnnProbeQueries]]
+    * hash-picked query vectors scored against the FULL corpus (linear —
+    * S·n narrow dot rows, the per-query work [[qCosineTopk]] already
+    * pays), returning (mean top-5 neighbor cosine, bulk p90, bulk p50).
+    * On a clustered corpus the top-5 are cluster-mates far above the
+    * bulk; on a near-isotropic one they are the tail of the SAME
+    * distribution and sit just above p90.
+    */
+  private[graft] val KnnProbeQueries = 64
+
+  /** Dispatch margin for [[knnGraph]]: clustered ⇔ meanTop5 − bulkP90 >
+    * margin. Measured: the near-isotropic driver corpus probes a gap of
+    * 0.160 (sf0.001) / 0.167 (sf0.01) — the extreme-order-statistic tail
+    * of one distribution — while the 200-cluster spec corpus probes
+    * 0.833 (cluster-mates vs bulk). 0.25 splits the regimes with ≥ 0.08
+    * slack below and ≥ 0.58 above; the spec pins the dispatch on each.
+    */
+  private[graft] val KnnClusteredMargin = 0.25
+
+  private[graft] def knnGeometryStats(s: SparkSession, d: String): (Double, Double, Double) = {
+    GraftFunctions.register(s)
+    val q = quantized(s, d).filter(col("qv").isNotNull)
+    // deterministic spread sample: hash-order the ids (a lowest-id or
+    // per-file head sample would bias toward one ingest batch's geometry)
+    val sample = q
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+        col("n2").as("n2q"))
+      .orderBy(xxhash64(col("query_id").cast("string")), col("query_id"))
+      .limit(KnnProbeQueries)
+    val scored = q.join(broadcast(sample),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(call_function("graft_dot_q", col("qq"), col("qv")),
+          col("n2q"), col("n2")).as("c"))
+    val bulk = scored.agg(expr(
+      "percentile_approx(c, array(0.5, 0.9), 10000)").as("p")).head()
+    if (bulk.isNullAt(0)) return (0.0, 0.0, 0.0) // empty/degenerate corpus
+    val ps = bulk.getSeq[Double](0)
+    val top5 = TopK.perKey(scored, Seq("query_id"), "c", "vec_id", 5)
+      .agg(avg(col("c"))).head().getDouble(0)
+    (top5, ps(1), ps(0))
+  }
+
+  /** Corpus-wide k-NN graph with EXECUTABLE geometry dispatch — the §4.10
+    * runtime-re-planning principle (the operator knows more than the
+    * optimizer) applied to the [[qKnnJoin]]/[[qKnnJoinIvf]] twin pair,
+    * which until now shipped as a documented BY-HAND deployment rule:
+    * probe the corpus geometry on a sample ([[knnGeometryStats]]) and
+    * take the Θ(n^1.5) IVF-preconditioned path when neighbors rise above
+    * the bulk (clustered — the regime real embedding corpora occupy), the
+    * collision-count path when the top-5 cosine is just the tail of the
+    * bulk distribution (near-isotropic, where IVF lists carry no
+    * similarity signal and recall collapses to 0.37). Probe cost is
+    * linear (S·n) and tiny beside either path; the spec pins the
+    * dispatch decision on both corpus geometries and each path's recall
+    * floor is pinned by its own spec.
+    */
+  def knnGraph(s: SparkSession, d: String): DataFrame =
+    if (knnGeometryIsClustered(s, d)) qKnnJoinIvf.run(s, d)
+    else qKnnJoin.run(s, d)
+
+  private[graft] def knnGeometryIsClustered(s: SparkSession, d: String): Boolean = {
+    val (top5, p90, _) = knnGeometryStats(s, d)
+    top5 - p90 > KnnClusteredMargin
+  }
+
   /** Connected components over an undirected pair graph (columns id_a <
     * id_b). Output: (id, label) with label = the component's minimum id —
     * the canonical keeper in a dedup pipeline.

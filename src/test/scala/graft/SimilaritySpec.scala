@@ -189,6 +189,39 @@ class SimilaritySpec extends SparkSpec {
     info(f"preconditioned knn candidates/query = $candPerQuery%.1f (√n = ${math.sqrt(n)}%.1f)")
     assert(candPerQuery < math.sqrt(n),
       f"candidate work $candPerQuery%.1f/query is not sub-√n")
+
+    // EXECUTABLE geometry dispatch (§4.10 runtime re-planning): the probe
+    // must read this corpus as clustered and route knnGraph through the
+    // preconditioned path — identical output, so the recall floor above
+    // carries through the dispatcher
+    val (t5c, p90c, _) = Similarity.knnGeometryStats(spark, dir)
+    info(f"geometry probe (clustered corpus): top5=$t5c%.3f bulkP90=$p90c%.3f")
+    assert(Similarity.knnGeometryIsClustered(spark, dir),
+      f"probe misread the clustered corpus (gap ${t5c - p90c}%.3f)")
+    val viaDispatch = Similarity.knnGraph(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val direct = Similarity.qKnnJoinIvf.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(viaDispatch == direct, "dispatcher must route to the IVF path here")
+  }
+
+  test("knn geometry dispatch: near-isotropic corpus takes the collision path") {
+    // the driver corpus is the adversarial regime (top-5 cosine is just
+    // the tail of the bulk distribution): the probe must read it as NOT
+    // clustered and knnGraph must produce the collision path's output
+    val (t5, p90, p50) = Similarity.knnGeometryStats(spark, sfDir)
+    info(f"geometry probe (driver corpus): top5=$t5%.3f bulkP90=$p90%.3f bulkP50=$p50%.3f")
+    assert(!Similarity.knnGeometryIsClustered(spark, sfDir),
+      f"probe misread the near-isotropic corpus (gap ${t5 - p90}%.3f)")
+    val viaDispatch = Similarity.knnGraph(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val direct = Similarity.qKnnJoin.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(viaDispatch == direct, "dispatcher must route to the collision path here")
   }
 
   test("ngram jaccard: symmetric-free (a<b), jaccard in (0,1], dups found") {
