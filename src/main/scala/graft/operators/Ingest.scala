@@ -289,8 +289,11 @@ object Ingest {
     * the rest `completed`. avg_time_per_label is an exact integer
     * division, NULL for zero labels in both engines.
     */
-  val qSessionLedger: Q = Q(
-    "q_session_ledger",
+  /** The session-ledger CTE text shared by [[qSessionLedger]] and
+    * [[qReportSessions]] — one definition, two reads (the
+    * [[graft.operators.Curation]] stagedFlags principle).
+    */
+  private def sessionLedgerSql: String =
     s"""WITH $sessionizedSql,
        |sess AS (
        |  SELECT user_id, session_no, COUNT(*) AS n_events,
@@ -300,7 +303,8 @@ object Ingest {
        |    CAST(SUM(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
        |      AS labels_skipped
        |  FROM y GROUP BY 1, 2),
-       |mx AS (SELECT MAX(tus) AS mt FROM e)
+       |mx AS (SELECT MAX(tus) AS mt FROM e),
+       |ledger AS (
        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
        |  user_id % 7 AS annotator, n_events, started_us,
        |  CASE WHEN end_us > mt - 1800000000 THEN NULL ELSE end_us END
@@ -312,8 +316,13 @@ object Ingest {
        |  ${exactDivSql("end_us - started_us",
                         "labels_created + labels_skipped", 0)}
        |    AS avg_time_per_label_us
-       |FROM sess, mx ORDER BY user_id, session_no""".stripMargin
-  ) { (s, d) =>
+       |FROM sess, mx)""".stripMargin
+
+  /** The ledger frame behind both session reports — reads the memoized
+    * session frame once; consumers add only their presentation cut.
+    */
+  private def sessionLedgerFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val sess = sessionizedEvents(s, d)
       .groupBy("user_id", "session_no")
       .agg(
@@ -336,7 +345,39 @@ object Ingest {
         exactDiv(col("end_us") - col("started_us"),
           col("labels_created") + col("labels_skipped"), 0)
           .as("avg_time_per_label_us"))
-      .orderBy("user_id", "session_no")
+  }
+
+  val qSessionLedger: Q = Q(
+    "q_session_ledger",
+    s"""$sessionLedgerSql
+       |SELECT * FROM ledger ORDER BY user_id, session_no""".stripMargin
+  ) { (s, d) =>
+    sessionLedgerFrame(s, d).orderBy("user_id", "session_no")
+  }
+
+  /** Recent-labeling-sessions report (labeling/reporter.py:181
+    * report_sessions; db_manager.py:794 get_recent_sessions — ORDER BY
+    * session_id DESC LIMIT 10): the newest 10 ledger rows, newest =
+    * session creation order (started_us, with the (user_id, session_no)
+    * tiebreak for a total order — the reference's monotonic session_id
+    * doesn't exist in a lake, where sessions are derived, not assigned).
+    *
+    * Scale shape: the [[qRunHistory]] contract applied to sessions — the
+    * last-10 cut compiles to TakeOrderedAndProject (per-partition top-k
+    * then merge, plan-guarded), never a full ledger sort, and the ledger
+    * itself reads the ONE memoized session frame.
+    */
+  val qReportSessions: Q = Q(
+    "q_report_sessions",
+    s"""$sessionLedgerSql
+       |SELECT * FROM ledger
+       |ORDER BY started_us DESC, user_id DESC, session_no DESC
+       |LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    sessionLedgerFrame(s, d)
+      .orderBy(col("started_us").desc, col("user_id").desc,
+        col("session_no").desc)
+      .limit(10)
   }
 
   /** Semi-structured payload extraction: the event props JSON parsed with
@@ -1085,5 +1126,5 @@ object Ingest {
     qIncrementalIngest, qIngestMetrics, qRunDeltas, qAnomalyZscore,
     qQualityMetrics, qWindowedCounts, qSessionize, qPropsExtract, qDbGrowth,
     qRetention, qFunnel, qSessionStats, qRunLedger, qRunHistory,
-    qSessionLedger, qAppHealth, qAlerts)
+    qSessionLedger, qReportSessions, qAppHealth, qAlerts)
 }

@@ -183,11 +183,24 @@ class PlanAuditSpec extends SparkSpec {
       "a global sort crept into the last-N read:\n" + p)
   }
 
+  test("report sessions: last-N cut is a bounded top-k over the session ledger") {
+    val p = plan("q_report_sessions")
+    assert(p.contains("TakeOrderedAndProject"),
+      "last-10 read must plan per-partition top-k + merge:\n" + p)
+    // the memoized session frame's cached build plan (its InMemoryRelation
+    // dump) legitimately contains the sessionize window's sort; OUTSIDE
+    // the cache the consumer must stay sort-free
+    val outside = p.split("\n").takeWhile(!_.contains("InMemoryRelation"))
+    assert(!outside.exists(_.contains("Sort [")),
+      "a global sort crept into the last-N read:\n" + p)
+  }
+
   test("session consumers read the ONE memoized session frame") {
     // force the memoized build, then check every consumer reads the cache
     // instead of re-running the keyed sessionize window
     SparkEntry.queries("q_sessionize")(spark, sfDir).count()
-    for (q <- Seq("q_sessionize", "q_session_stats", "q_session_ledger")) {
+    for (q <- Seq("q_sessionize", "q_session_stats", "q_session_ledger",
+      "q_report_sessions")) {
       val p = plan(q)
       assert(p.contains("InMemoryTableScan"),
         s"$q must read the shared session cache:\n" + p)
