@@ -693,6 +693,31 @@ object Labeling {
       .orderBy("doc_id")
   }
 
+  /** Queue seeding as ONE operation (db_manager.py:614 populate_queue —
+    * bulk INSERT OR IGNORE of (review_id, priority_tier) into
+    * label_queue): the sampler's selection ([[qSampleTiers]]'s tiers
+    * frame, tier = priority) written into the queue store through the
+    * keyed-idempotent append ([[graft.sources.Store.appendDeduped]] on
+    * review_id ≙ INSERT OR IGNORE). Re-seeding the same selection is a
+    * no-op; a widened selection appends only the novel items; seeded
+    * items enter 'pending' with no annotator, so the claim/progress ops'
+    * ORDER BY priority_tier, review_id read works directly off the
+    * store. Returns the number of entries inserted (the reference's
+    * rowcount contract).
+    *
+    * Scale shape: the selection is already bounded (≤ 100/tier) and the
+    * append's anti-join reads only the sink's key column — seeding cost
+    * is O(queue), never O(corpus).
+    */
+  def seedQueue(s: org.apache.spark.sql.SparkSession, d: String,
+      queuePath: String): Long =
+    graft.sources.Store.appendDeduped(
+      tiers(s, d).select(
+        col("event_id").as("review_id"),
+        col("tier").as("priority_tier"),
+        lit("pending").as("status")),
+      queuePath, "review_id")
+
   val all: Seq[Q] = Seq(
     qSampleTiers, qBalancedSample, qMajorityVote, qTrainSplit, qAgreement,
     qQueueProgress, qQueueClaim, qLabelDistribution, qQueueState,

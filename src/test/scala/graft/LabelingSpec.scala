@@ -208,4 +208,37 @@ class LabelingSpec extends SparkSpec {
       assert(got.getOrElse("test", 0L) == n - 8 * n / 10 - n / 10, s"$lang test cut")
     }
   }
+
+  test("queue seeding: selection lands pending with priorities; re-seed is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_seed").toString
+    val queuePath = s"$dir/label_queue.parquet"
+    // the sampler's selection, as (review_id -> tier) ground truth
+    val want = Labeling.qSampleTiers.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Int]("tier")).toMap
+    val n1 = Labeling.seedQueue(spark, sfDir, queuePath)
+    assert(n1 == want.size.toLong,
+      s"first seed must insert the full selection ($n1 != ${want.size})")
+    // re-seed: INSERT OR IGNORE semantics — zero inserted, store unchanged
+    val n2 = Labeling.seedQueue(spark, sfDir, queuePath)
+    assert(n2 == 0L, s"re-seed must be a no-op (inserted $n2)")
+    val stored = spark.read.parquet(queuePath).collect()
+    assert(stored.length == want.size, "re-seed must not grow the store")
+    // every stored item: pending, with the sampler's own priority tier
+    stored.foreach { r =>
+      val id = r.getAs[Long]("review_id")
+      assert(r.getAs[String]("status") == "pending", s"item $id not pending")
+      assert(r.getAs[Int]("priority_tier") == want(id), s"item $id tier")
+    }
+    // priority-order case (fetch_queue_batch's read): pending items by
+    // (priority_tier ASC, review_id ASC) — the stored columns support the
+    // reference's claim read directly
+    val batch = spark.read.parquet(queuePath)
+      .filter(col("status") === "pending")
+      .orderBy(col("priority_tier").asc, col("review_id").asc)
+      .limit(50).collect()
+      .map(r => (r.getAs[Int]("priority_tier"), r.getAs[Long]("review_id")))
+    val expected = want.toSeq.map { case (id, t) => (t, id) }.sorted.take(50)
+    assert(batch.toSeq == expected, "claim read must follow priority order")
+  }
 }
