@@ -129,8 +129,21 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), json)
     catch { case _: Exception => () }
     println(json)
-    // a second, tiny, complete JSON line printed LAST: whatever tail the
-    // driver keeps, this line survives intact and parses on its own
+    // tail-survivability (r5 verdict finding 4): the driver keeps a
+    // byte-bounded TAIL of stdout, so the head of the long line above is
+    // what truncates — BENCH_r05 lost per-query numbers for the early
+    // alphabet. Re-emit the headline minima split across two SHORT
+    // self-contained lines (builds + a-m, then n-z) placed near the end:
+    // any tail window that held ~one long line holds both parts + the
+    // summary intact, so every query's number survives the capture.
+    val (amPart, nzPart) = results.partition(_._1.stripPrefix("q_") < "n")
+    def partLine(idx: Int, entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+        .mkString(s"""{"detail_part":$idx,"entries":{""", ",", "}}")
+    println(partLine(1, builds ++ amPart.map { case (k, mn, _) => (k, mn) }))
+    println(partLine(2, nzPart.map { case (k, mn, _) => (k, mn) }))
+    // a tiny, complete JSON line printed LAST: whatever tail the driver
+    // keeps, this line survives intact and parses on its own
     println(summary)
     spark.stop()
   }
