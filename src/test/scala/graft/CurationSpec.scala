@@ -7,8 +7,12 @@ import graft.operators.{Curation, Similarity, TextOps}
   */
 class CurationSpec extends SparkSpec {
 
-  test("curation funnel: stage counts match an independent recount; arithmetic coheres") {
-    val rows = Curation.qCurationFunnel.run(spark, sfDir).collect()
+  /** The full funnel ↔ recount ↔ clean-corpus pin, parameterized on the
+    * lake dir so it runs at BOTH the spec SF and the bench SF (sf0.1) —
+    * the capstone's numbers are pinned where the bench measures them.
+    */
+  private def assertFunnelMatchesRecount(d: String): Unit = {
+    val rows = Curation.qCurationFunnel.run(spark, d).collect()
     assert(rows.map(_.getAs[Int]("stage")).toSeq == (1 to 5),
       "five ordered stages")
     // funnel arithmetic: in = dropped + remaining, chained across stages
@@ -21,7 +25,7 @@ class CurationSpec extends SparkSpec {
       assert(w(0).getAs[Long]("n_remaining") == w(1).getAs[Long]("n_in"),
         "stages must chain")
     }
-    val nDocs = Tables.documents(spark, sfDir).count()
+    val nDocs = Tables.documents(spark, d).count()
     assert(rows.head.getAs[Long]("n_in") == nDocs, "stage 1 sees the raw corpus")
 
     // independent recount of each gate
@@ -33,17 +37,17 @@ class CurationSpec extends SparkSpec {
     def normed(t: String) =
       t.replaceAll("^ +", "").replaceAll(" +$", "")
         .toLowerCase.replaceAll("[ \\t\\n\\r\\f]+", " ")
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") ->
         Option(r.getAs[String]("text")))
     val exactKeeper = docs.collect { case (id, Some(t)) => (normed(t), id) }
       .groupBy(_._1).map { case (_, xs) => xs.map(_._2).min }.toSet
-    val nearNonKeepers = Similarity.qDedupClusters.run(spark, sfDir).collect()
+    val nearNonKeepers = Similarity.qDedupClusters.run(spark, d).collect()
       .flatMap { c =>
         c.getAs[String]("members").split(",").map(_.toLong)
           .filter(_ != c.getAs[Long]("keep_id"))
       }.toSet
-    val quality = TextOps.qQualityScore.run(spark, sfDir).collect()
+    val quality = TextOps.qQualityScore.run(spark, d).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (if (r.isNullAt(r.fieldIndex("quality_score"))) -1.0
          else r.getAs[Double]("quality_score"))).toMap
@@ -78,12 +82,23 @@ class CurationSpec extends SparkSpec {
     // the clean corpus is exactly the never-dropped set: count-identical
     // to the funnel's final n_remaining and equal to the recount's
     // survivors
-    val clean = Curation.qCleanCorpus.run(spark, sfDir).collect()
+    val clean = Curation.qCleanCorpus.run(spark, d).collect()
       .map(_.getAs[Long]("doc_id")).toSet
     assert(clean.size.toLong == rows.last.getAs[Long]("n_remaining"),
       "clean corpus count diverges from the funnel's final n_remaining")
     val wantClean = firstDrop.collect { case (id, None) => id }.toSet
     assert(clean == wantClean, "clean corpus diverges from the recount")
+  }
+
+  test("curation funnel: stage counts match an independent recount; arithmetic coheres") {
+    assertFunnelMatchesRecount(sfDir)
+  }
+
+  test("scale: curation funnel parity holds at sf0.1 (the bench SF)") {
+    // the same full pin — every stage count, the chain arithmetic and the
+    // clean-corpus identity — recounted independently at the SF the bench
+    // quotes, so the capstone's published numbers are themselves verified
+    assertFunnelMatchesRecount("/root/testdata/sf0.1")
   }
 
   test("stagedFlags: size-gated broadcast — both physical forms identical") {
