@@ -425,6 +425,13 @@ object Similarity {
     * columns ride along (the streaming caller keeps its ts).
     */
   private[graft] def withSimhashFp(docs: DataFrame): DataFrame = {
+    // working column __hs and output fp are reserved (the hashRank
+    // contract): withColumn would silently REPLACE a same-named caller
+    // column — wrong data, not an error — and streaming callers pass
+    // arbitrary ingest frames
+    val reserved = Seq("__hs", "fp")
+    require(!docs.columns.exists(reserved.contains),
+      s"withSimhashFp reserves columns $reserved")
     GraftFunctions.register(docs.sparkSession)
     // tokens over Text.norm — the SAME canonical normalization the exact
     // content key uses, so a widened whitespace class moves the exact and

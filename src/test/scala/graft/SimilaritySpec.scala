@@ -504,6 +504,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("withSimhashFp rejects frames that already carry a __hs/fp column") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Similarity.withSimhashFp(Seq((1L, "a b", 7L)).toDF("doc_id", "text", "fp"))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.withSimhashFp(
+        Seq((1L, "a b", "x")).toDF("doc_id", "text", "__hs"))
+    }
+  }
+
   test("survivors-best: size-gated broadcast — both physical forms identical") {
     // under the measured gate the member/keeper joins carry the hint; with
     // the gate forced to 0 (the >MemberBroadcastMaxRows web-corpus case)
