@@ -78,7 +78,9 @@ object Bench {
         timedBuild("build_sample_selection")(
           operators.Labeling.prebuildSelection(spark, sfDir)) ++
         timedBuild("build_dup_span_counts")(
-          operators.TextOps.prebuildDupSpanCounts(spark, sfDir))
+          operators.TextOps.prebuildDupSpanCounts(spark, sfDir)) ++
+        timedBuild("build_token_counts")(
+          operators.TextOps.prebuildTokenCounts(spark, sfDir))
 
     // a failed query reports -1, never a bogus elapsed time; Throwable so
     // a codegen/linkage Error cannot abort the run and lose the JSON line

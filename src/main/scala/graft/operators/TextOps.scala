@@ -1148,9 +1148,216 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-line normalization inside [[qLineDedup]] — [[Text.norm]]'s
+    * whitespace class applied to each line (kept adjacent to the Spark
+    * side so the class cannot drift between engines).
+    */
+  private val lineNormSql =
+    "regexp_replace(lower(trim(ls[i])), '[ \\t\\n\\r\\f]+', ' ', 'g')"
+
+  /** Line-grain exact dedup (the C4/RefinedWeb line-level pass: a
+    * boilerplate line — nav header, cookie banner, license footer — is
+    * removed from every document but its FIRST corpus occurrence, then
+    * documents are rebuilt from their surviving lines). Per document:
+    * content-line count, kept count, removed count, exact removed
+    * fraction, and `clean_hash` = md5 of the rebuilt text (the surviving
+    * normalized lines joined by newline, in original order) so the
+    * rebuilt corpus is verifiable without shipping a second text column.
+    * Blank lines (whitespace-only after normalization) are dropped
+    * unconditionally and never counted. A null-text document stays in
+    * the report with zero lines and a NULL clean_hash — distinguishable
+    * from a document whose every line was removed (md5 of the empty
+    * string), the [[qDecontaminateSemantic]] three-valued-verdict
+    * principle.
+    *
+    * On a corpus without newlines (this one) every document is a single
+    * line and the removal pattern collapses to [[qDedupExact]]'s
+    * keep-min-id rule — spec-pinned as a cross-operator identity; the
+    * multi-line path is spec-pinned on a crafted corpus (the
+    * [[qPiiScan]] crafted-kernel precedent).
+    *
+    * Scale shape (100 TB): lines shuffle as xxhash64 keys for the
+    * first-occurrence argmin (16-byte rows; cross-line hash collision is
+    * the accepted hashed-postings premise of [[qDupSpans]]); the keeper
+    * table joins BACK on the line hash — a boilerplate line is a hot
+    * JOIN key, AQE-skew-splittable, never a hot window partition (the
+    * [[dupSpansOf]] skew rule; hot lines here ARE the workload). The
+    * rebuild pays a second column-pruned scan instead of pinning the
+    * line-exploded corpus in memory — the [[qBudgetSelect]] trade, taken
+    * the same way.
+    */
+  val qLineDedup: Q = Q(
+    "q_line_dedup",
+    s"""WITH sp AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS ls
+       |  FROM documents WHERE text IS NOT NULL),
+       |occ AS (
+       |  SELECT doc_id, i AS pos, $lineNormSql AS ln
+       |  FROM sp, UNNEST(generate_series(1, len(ls))) AS t(i)
+       |  WHERE trim($lineNormSql) <> ''),
+       |k AS (
+       |  SELECT doc_id, pos, ln,
+       |    (row_number() OVER (PARTITION BY ln ORDER BY doc_id, pos)) = 1 AS keep
+       |  FROM occ),
+       |per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    md5(COALESCE(string_agg(CASE WHEN keep THEN ln END, chr(10) ORDER BY pos), ''))
+       |      AS ch
+       |  FROM k GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(n_lines, 0) AS n_lines,
+       |  COALESCE(n_kept, 0) AS n_kept,
+       |  COALESCE(n_lines, 0) - COALESCE(n_kept, 0) AS n_removed,
+       |  ${exactDivSql("COALESCE(n_lines, 0) - COALESCE(n_kept, 0)",
+                        "COALESCE(n_lines, 0)", 4)} AS removed_frac,
+       |  CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(ch, md5('')) END
+       |    AS clean_hash
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def lines(df: DataFrame) = df
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "raw")))
+      .select(col("doc_id"), col("pos"), Text.norm(col("raw")).as("ln"))
+      .filter(trim(col("ln")) =!= "")
+    // round-robin spread: the single-file testdata scan's parallelism
+    // guard (a multi-split lake scan replaces it), as in dupSpanCounts
+    val spread = docs.repartition(s.sparkContext.defaultParallelism)
+    // first occurrence per line hash: one narrow (h, doc_id, pos)
+    // aggregate — struct min is lexicographic, so (doc_id, pos) argmin
+    val first = lines(spread)
+      .select(xxhash64(col("ln")).as("h"),
+        struct(col("doc_id").as("d"), col("pos").as("p")).as("o"))
+      .groupBy("h").agg(min(col("o")).as("f"))
+    val flagged = lines(spread)
+      .withColumn("h", xxhash64(col("ln")))
+      .join(first, "h")
+      .withColumn("keep",
+        col("doc_id") === col("f.d") && col("pos") === col("f.p"))
+    // collect_list skips nulls, so the CASE collects kept lines only;
+    // array_sort on (pos, ln) structs restores original line order
+    val per = flagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      md5(concat_ws("\n", expr(
+        "transform(array_sort(collect_list(CASE WHEN keep THEN struct(pos, ln) END)), x -> x.ln)")))
+        .as("ch"))
+    val nL = coalesce(col("n_lines"), lit(0L))
+    val nK = coalesce(col("n_kept"), lit(0L))
+    docs.select(col("doc_id"), col("text").isNotNull.as("has_text"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), nL.as("n_lines"), nK.as("n_kept"),
+        (nL - nK).as("n_removed"),
+        exactDiv(nL - nK, nL, 4).as("removed_frac"),
+        when(col("has_text"), coalesce(col("ch"), md5(lit(""))))
+          .as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** A token is "rare" for [[qFamiliarity]] when its whole-corpus
+    * occurrence count is at or below this (hapax + dis legomena — the
+    * OOV proxy of a closed-vocabulary LM). The synthetic corpus draws
+    * from a ~31-token vocabulary whose rarest member occurs 29 times, so
+    * rare_frac is identically zero HERE and the discriminating path is
+    * spec-pinned on a crafted corpus (the [[qPiiScan]] precedent); the
+    * oracle still verifies the arithmetic end-to-end.
+    */
+  private[graft] val RareMaxCf = 2L
+
+  /** Unigram corpus-familiarity scoring — the log-free form of the
+    * CCNet/FineWeb LM-perplexity quality signal (a document whose tokens
+    * the corpus has rarely seen is gibberish, OCR noise, or genuinely
+    * novel; one whose tokens are all corpus-frequent is boilerplate-like
+    * and well-modeled). Per document: token count, the rarest token's
+    * corpus frequency (min_cf — the "most surprising token" signal),
+    * mean token corpus-frequency (exact 4-dp), and the fraction of token
+    * positions holding a rare token ([[RareMaxCf]]). Log-free on
+    * purpose: a libm log() can differ in the last ulp between engines
+    * (the [[qTfidfTerms]] rule), and the familiarity ORDERING is what a
+    * filter consumes — monotone in the mean frequency.
+    *
+    * Scale shape (100 TB): tokens shuffle once as xxhash64 keys into the
+    * (doc, token) multiplicity table — materialized ONCE and persisted
+    * (the [[dupSpanCounts]] escape: its two consumers — the corpus-
+    * frequency aggregate and the join probe side — otherwise tokenize
+    * the corpus twice); corpus frequency is a map-side-combined SUM over
+    * it, joined BACK on the token hash. A stopword is a hot JOIN key —
+    * AQE-skew-splittable — never a hot window partition (the
+    * [[dupSpansOf]] rule; a COUNT-OVER-token window serializes every
+    * stopword occurrence through one task). sum(m·cf) stays in the long
+    * lane: m·cf ≤ n_tokens·N bounds it under 2^63 through ~10^9-token
+    * corpora per doc-token — beyond that the sum lane moves to
+    * Decimal(38) like [[graft.functions.Det]]'s documented bounds.
+    */
+  val qFamiliarity: Q = Q(
+    "q_familiarity",
+    s"""WITH toks AS (
+       |  SELECT doc_id, t AS term
+       |  FROM (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |       UNNEST(w) AS u(t)
+       |  WHERE t <> ''),
+       |cnt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS m
+       |        FROM toks GROUP BY 1, 2),
+       |cf AS (SELECT term, CAST(SUM(m) AS BIGINT) AS cf FROM cnt GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(m * cf) AS BIGINT) AS sum_cf,
+       |    CAST(SUM(CASE WHEN cf <= $RareMaxCf THEN m ELSE 0 END) AS BIGINT)
+       |      AS n_rare,
+       |    MIN(cf) AS min_cf
+       |  FROM cnt JOIN cf USING (term) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(n_tokens, 0) AS n_tokens, min_cf,
+       |  ${exactDivSql("sum_cf", "n_tokens", 4)} AS mean_cf,
+       |  ${exactDivSql("n_rare", "n_tokens", 4)} AS rare_frac
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    val cnt = tokenCounts(Tables.documents(s, d))
+    val cf = cnt.groupBy("h").agg(sum("m").as("cf"))
+    val per = cnt.join(cf, "h").groupBy("doc_id").agg(
+      sum(col("m")).as("n_tokens"),
+      sum(col("m") * col("cf")).as("sum_cf"),
+      sum(when(col("cf") <= RareMaxCf, col("m")).otherwise(0L)).as("n_rare"),
+      min("cf").as("min_cf"))
+    Tables.documents(s, d).select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("min_cf"),
+        exactDiv(col("sum_cf"), col("n_tokens"), 4).as("mean_cf"),
+        exactDiv(col("n_rare"), col("n_tokens"), 4).as("rare_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** The materialized (doc_id, token-hash, multiplicity) table
+    * [[qFamiliarity]]'s two consumers read — the 1-gram twin of
+    * [[dupSpanCounts]], same persistence rationale (without it the
+    * differently-pruned cf/probe branches tokenize the corpus twice),
+    * same CacheManager plan-dedupe lifecycle, same named
+    * `build_token_counts` bench entry.
+    */
+  private def tokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(filter(split(norm, " "), t => t =!= "")).as("tok"))
+      .groupBy(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Bench hook: materialize the familiarity token counts for (s, d) —
+    * the [[prebuildDupSpanCounts]] convention.
+    */
+  def prebuildTokenCounts(s: SparkSession, d: String): Unit = {
+    tokenCounts(Tables.documents(s, d)).count(); ()
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qLangId, qQualityScore, qTokenCount, qVocabGrowth,
     qSeqPack, qWeightedSample, qTfidfTerms, qFingerprint, qRepetitionStats,
     qDecontaminate, qPiiScan, qSourceMix, qBlocklistScan, qDupSpans,
-    qBudgetSelect)
+    qBudgetSelect, qLineDedup, qFamiliarity)
 }

@@ -317,6 +317,34 @@ class PlanAuditSpec extends SparkSpec {
       "df aggregate and join probe must both read the materialized counts:\n" + p)
   }
 
+  test("line dedup: first-occurrence join-back, no hot-line window") {
+    val p = plan("q_line_dedup")
+    // a boilerplate line is a hot key: the keeper decision must ride an
+    // AQE-skew-splittable JOIN on the line hash, never a window over it
+    // (the dup-spans rule applied at line grain)
+    assert(!p.contains("windowspecdefinition"),
+      "hot-line window crept into line dedup:\n" + p)
+    // the first-occurrence argmin must partial-combine map-side
+    assert(p.contains("partial_min"),
+      "first-occurrence aggregate lost its map-side partial:\n" + p)
+  }
+
+  test("familiarity: cf join-back over the one materialized count table") {
+    val df = SparkEntry.queries("q_familiarity")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // a stopword is a hot key: corpus frequency joins back on the token
+    // hash (AQE-splittable), never a COUNT window over the token stream
+    assert(!p.contains("windowspecdefinition"),
+      "hot-token window crept into familiarity:\n" + p)
+    assert(p.contains("partial_sum"),
+      "cf aggregate lost its map-side partial:\n" + p)
+    // cf aggregate and join probe must both read the ONE materialized
+    // token-count table (the dup-spans double-tokenize hazard)
+    assert(p.split("\n").count(_.contains("InMemoryTableScan")) >= 2,
+      "cf aggregate and probe must both read the materialized counts:\n" + p)
+  }
+
   test("curation funnel: one corpus scan; keeper rides a content-key window") {
     val p = plan("q_curation_funnel")
     // every per-row gate (quality, blocklist, content key, eval slice)

@@ -378,6 +378,78 @@ class TextOpsSpec extends SparkSpec {
     assert(jb.forall(_._3 > 0), "boilerplate grams must count as dup spans")
   }
 
+  test("line dedup: crafted multi-line corpus pins keep-first, blanks, rebuild hash") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val dir = java.nio.file.Files.createTempDirectory("graft_linededup").toString
+    Seq(
+      // 'shared header' occurs at (1,0) — kept there, removed everywhere
+      // after, INCLUDING the same doc's later position
+      (1L, "s", "Shared Header\nalpha beta\nShared  Header"),
+      // normalization (case + whitespace collapse) makes this a dup too
+      (2L, "s", "shared   HEADER\nunique two"),
+      // blank / whitespace-only lines drop unconditionally, uncounted
+      (3L, "s", "   \n\t\nonly content"),
+      (4L, "s", null.asInstanceOf[String]),
+      // every line removed: md5(''), NOT null (that means null text)
+      (5L, "s", "Shared Header"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.qLineDedup.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed"), Option(r.getAs[java.lang.Double]("removed_frac")),
+          Option(r.getAs[String]("clean_hash"))))).toMap
+    assert(got(1L) == ((3L, 2L, 1L, Some(0.3333),
+      Some(md5hex("shared header\nalpha beta")))))
+    assert(got(2L) == ((2L, 1L, 1L, Some(0.5), Some(md5hex("unique two")))))
+    assert(got(3L) == ((1L, 1L, 0L, Some(0.0), Some(md5hex("only content")))))
+    assert(got(4L) == ((0L, 0L, 0L, None, None)), "null text stays unassessed")
+    assert(got(5L) == ((1L, 0L, 1L, Some(1.0), Some(md5hex("")))),
+      "fully-removed doc is md5(''), distinguishable from null text")
+  }
+
+  test("line dedup: single-line corpus collapses to exact-dedup keep-min-id") {
+    // the real corpus has no newlines, so every doc is one line and the
+    // keep-first rule must reproduce q_dedup_exact's keeper set — the
+    // cross-operator identity that pins the two grains together
+    val line = TextOps.qLineDedup.run(spark, sfDir).collect()
+    assert(line.forall(_.getAs[Long]("n_lines") == 1L),
+      "driver corpus must read as single-line docs")
+    val keptIds = line.filter(_.getAs[Long]("n_kept") == 1L)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val exactKeep = TextOps.qDedupExact.run(spark, sfDir).collect()
+      .map(_.getAs[Long]("keep_id")).toSet
+    assert(keptIds == exactKeep,
+      "line-grain keep-first must equal doc-grain keep-min-id here")
+  }
+
+  test("familiarity: crafted corpus pins mean_cf, min_cf and the rare fraction") {
+    import spark.implicits._
+    // cf: common = 2+1+3 = 6, rareword = 1, unique1 = 1
+    val dir = java.nio.file.Files.createTempDirectory("graft_familiar").toString
+    Seq(
+      (1L, "s", "common common rareword"),
+      (2L, "s", "common unique1"),
+      (3L, "s", "common common common"),
+      (4L, "s", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.qFamiliarity.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), Option(r.getAs[java.lang.Long]("min_cf")),
+          Option(r.getAs[java.lang.Double]("mean_cf")),
+          Option(r.getAs[java.lang.Double]("rare_frac"))))).toMap
+    assert(got(1L) == ((3L, Some(1L), Some(4.3333), Some(0.3333))),
+      s"doc 1: ${got(1L)}") // (2·6 + 1·1)/3; rareword is 1 of 3 positions
+    assert(got(2L) == ((2L, Some(1L), Some(3.5), Some(0.5))))
+    assert(got(3L) == ((3L, Some(6L), Some(6.0), Some(0.0))),
+      "all-common doc: max familiarity, zero rare")
+    assert(got(4L) == ((0L, None, None, None)), "null text stays unassessed")
+  }
+
   test("source mix: shares sum to 1 and weights invert shares within rounding") {
     val rows = graft.operators.TextOps.qSourceMix.run(spark, sfDir).collect()
     assert(rows.length > 1, "expected multiple sources")
