@@ -1557,9 +1557,132 @@ object Similarity {
       .orderBy("label", "dim")
   }
 
+  /** Soft dedup — per-document training weight 1/|cluster| (rows-only;
+    * spec pins partition identity with [[qDedupClusters]], the exact
+    * rounding, singleton identity, and per-cluster weight conservation):
+    * the SemDeDup-lineage ALTERNATIVE to dropping near-duplicates —
+    * instead of keeping one survivor ([[qDedupSurvivors]]), every member
+    * ships with weight 1/cluster_size, so a duplicated document
+    * contributes ONE document's worth of gradient regardless of how many
+    * near-copies the crawl found, while paraphrase diversity inside the
+    * cluster is retained. Singletons keep weight 1.0 and cluster_id =
+    * their own doc_id, so the emitted frame is a total weighting of the
+    * corpus (Σ weight = effective corpus size = #clusters + #singletons,
+    * up to 4-dp rounding).
+    *
+    * Scale shape: cluster sizes are one map-side-combined aggregate over
+    * the memoized label table; the member join is size-gated through the
+    * same [[MemberBroadcastMaxRows]] rule as the survivor family
+    * (broadcast under the measured count, unhinted above it — 30–50%-dup
+    * web corpora must not force a driver-bomb hint); the corpus left-join
+    * streams unbuffered.
+    */
+  private[graft] def dedupWeightsFrame(
+      s: SparkSession, d: String,
+      broadcastMaxRows: Long = MemberBroadcastMaxRows): DataFrame = {
+    import graft.functions.Det.exactDiv
+    val labels = dedupClusterLabels(s, d)
+      .select(col("id").as("doc_id"), col("label"))
+    val nMembers = labels.count()
+    def gated(df: DataFrame): DataFrame =
+      if (nMembers <= broadcastMaxRows) broadcast(df) else df
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    val members = labels.join(gated(sizes), "label")
+    val sz = coalesce(col("cluster_size"), lit(1L))
+    Tables.documents(s, d).select("doc_id")
+      .join(gated(members), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        sz.as("cluster_size"),
+        exactDiv(lit(1L), sz, 4).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupWeights: Q = Q.rowsOnly("q_dedup_weights") { (s, d) =>
+    dedupWeightsFrame(s, d)
+  }
+
+  /** k-NN label propagation (rows-only; spec pins accuracy ≥ 0.9 AND
+    * exact agreement with a driver brute-force recompute of the same
+    * vote rule on a clustered corpus, plus the vote arithmetic
+    * everywhere): the weak-supervision/auto-labeling pass of a labeling
+    * pipeline — every HELD-OUT vector (the shared md5-prefix
+    * [[graft.operators.Text.evalSlice]] rule: pretend its label is
+    * unknown) takes the majority label of its 5 nearest LABELED
+    * neighbors by cosine; confidence = votes/k exact, ties break to the
+    * smallest label (deterministic). The reference's labeling system
+    * routes unlabeled reviews to human annotators; at lake scale this is
+    * the machine pre-label that seeds those queues
+    * (labeling/sampler.py's tiers choose WHAT to label; this proposes
+    * the label).
+    *
+    * Scale shape — identical to [[qDecontaminateSemantic]]'s: queries
+    * are the held slice only, candidates labeled-only (candidateFilter
+    * BEFORE the budget cut, so held–held collisions never crowd the
+    * shortlist), probe rows broadcast while the held slice is small
+    * (shuffled past [[SemanticEvalBroadcastMaxDocs]]); exact work is
+    * |held|·budget integer dots, never |held|·|corpus|. A null-vector
+    * held row stays in the report unassessed (NULL prediction, zero
+    * neighbors) — distinguishable from an assessed row whose shortlist
+    * came back empty (also NULL prediction, but the spec pins
+    * n_neighbors = 0 with assessable semantics via the decon principle).
+    */
+  val qLabelPropagate: Q = Q.rowsOnly("q_label_propagate") { (s, d) =>
+    import graft.functions.Det.exactDiv
+    val q = quantized(s, d)
+    val isHeld = Text.evalSlice(col("vec_id"))
+    val nHeld = q.filter(isHeld && col("qv").isNotNull).count()
+    val small = nHeld <= SemanticEvalBroadcastMaxDocs
+    // 2× point-query budget, the decontaminate-semantic dial: a label
+    // proposal gates human queue routing, and held is the small side
+    val budget = math.max(2 * ShortlistMin,
+      math.ceil(q.count() * 2 * ShortlistFrac).toInt)
+    val candIds = annLshShortlist(s, d, queryFilter = isHeld,
+        broadcastProbes = small, budget = Some(budget),
+        candidateFilter = not(isHeld))
+      .select("query_id", "vec_id")
+    val heldVecs = q.filter(isHeld && col("qv").isNotNull)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+        col("n2").as("n2q"))
+    val rescored = candIds
+      .join(q.select(col("vec_id"), col("qv"), col("n2"), col("label")),
+        "vec_id")
+      .join(if (small) broadcast(heldVecs) else heldVecs, "query_id")
+      .select(col("query_id"), col("label"),
+        cosine(call_function("graft_dot_q", col("qq"), col("qv")),
+          col("n2q"), col("n2")).as("cosine"),
+        col("vec_id"))
+    // top-5 labeled neighbors per held vector: per-query sets are
+    // budget-bounded, so the rank window partitions stay narrow
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val top = rescored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+    // majority vote: struct max is lexicographic — most votes wins, a
+    // vote tie breaks to the SMALLEST label via the negated field
+    val votes = top.groupBy("query_id", "label")
+      .agg(count(lit(1)).as("v"))
+    val per = votes.groupBy("query_id").agg(
+      sum(col("v")).as("n_neighbors"),
+      max(struct(col("v").as("v"), (-col("label")).as("nl"))).as("m"))
+      .select(col("query_id"), col("n_neighbors"),
+        (-col("m.nl")).as("predicted_label"), col("m.v").as("n_votes"))
+    q.filter(isHeld)
+      .select(col("vec_id"), col("label").as("actual_label"))
+      .join(per.select(col("query_id").as("vec_id"), col("predicted_label"),
+        col("n_votes"), col("n_neighbors")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("actual_label"), col("predicted_label"),
+        coalesce(col("n_votes"), lit(0L)).as("n_votes"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        exactDiv(col("n_votes"), col("n_neighbors"), 4).as("confidence"),
+        when(col("predicted_label").isNotNull,
+          col("predicted_label") === col("actual_label")).as("correct"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(
     qNgramJaccard, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
     qCosineTopk, qAnnLsh, qAnnIvf, qEmbedClusters, qKnnJoin, qKnnJoinIvf,
-    qDedupClusters, qDedupSurvivors, qDedupSurvivorsBest, qLabelCentroids,
-    qDecontaminateSemantic)
+    qDedupClusters, qDedupSurvivors, qDedupSurvivorsBest, qDedupWeights,
+    qLabelCentroids, qDecontaminateSemantic, qLabelPropagate)
 }

@@ -602,4 +602,115 @@ class SimilaritySpec extends SparkSpec {
         s"dim $d: ${r.getAs[Double]("centroid")} vs ${naive(d)}")
     }
   }
+
+  test("dedup weights: 1/|cluster| exact, total corpus weighting, conserved per cluster") {
+    val rows = Similarity.qDedupWeights.run(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "every document gets a weight row")
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+        r.getAs[Double]("weight")))).toMap
+    // partition identity with the cluster view
+    val clusters = Similarity.qDedupClusters.run(spark, sfDir).collect()
+    assert(clusters.nonEmpty)
+    val clustered = scala.collection.mutable.Set.empty[Long]
+    clusters.foreach { c =>
+      val keep = c.getAs[Long]("keep_id")
+      val members = c.getAs[String]("members").split(",").map(_.toLong)
+      clustered ++= members
+      members.foreach { m =>
+        val (cid, sz, w) = byId(m)
+        assert(cid == keep, s"member $m must carry its cluster's label")
+        assert(sz == members.length, s"member $m cluster size")
+        // exact half-up 4-dp of 1/size — the operator's contract
+        val want = BigDecimal(1).setScale(4) / BigDecimal(sz)
+        assert(math.abs(w - want.setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12,
+          s"member $m weight $w != 1/$sz")
+      }
+      // soft dedup conserves one document's worth of weight per cluster
+      val sum = members.map(byId(_)._3).sum
+      assert(math.abs(sum - 1.0) <= members.length * 1e-4,
+        s"cluster $keep weight sum $sum")
+    }
+    // singleton identity: weight 1.0, cluster_id = own doc_id
+    byId.foreach { case (id, (cid, sz, w)) =>
+      if (!clustered(id))
+        assert(cid == id && sz == 1L && w == 1.0, s"singleton $id: ($cid,$sz,$w)")
+    }
+  }
+
+  test("label propagation: clustered corpus — accurate, and exactly the brute-force vote") {
+    import spark.implicits._
+    // labeled/held split on the shared evalSlice rule over a clustered
+    // corpus (label = cluster): nearest labeled neighbors share the
+    // cluster, so the majority vote must recover the held labels
+    val nClusters = 100; val perCluster = 8; val dim = 64
+    def mix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def uni(seed: Long): Double =
+      math.floorMod(mix(seed), 1000000L) / 500000.0 - 1.0
+    val rows = for (m <- 0 until perCluster; c <- 0 until nClusters) yield {
+      val id = (m * nClusters + c).toLong
+      val emb = Array.tabulate(dim) { i =>
+        (uni(c * 7919L + i) + 0.08 * uni(id * 104729L + i + 13)).toFloat
+      }
+      (id, emb, c)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_propagate").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.qLabelPropagate.run(spark, dir).collect()
+    def isHeld(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(h(0)).startsWith("0")
+    }
+    val heldIds = rows.map(_._1).filter(isHeld).toSet
+    assert(got.map(_.getAs[Long]("vec_id")).toSet == heldIds,
+      "every held vector appears exactly once")
+    // vote arithmetic holds row by row
+    got.foreach { r =>
+      val v = r.getAs[Long]("n_votes"); val n = r.getAs[Long]("n_neighbors")
+      assert(n <= 5 && v <= n, s"votes $v / neighbors $n out of range")
+      if (n > 0) {
+        val conf = BigDecimal(v).setScale(4) / BigDecimal(n)
+        assert(math.abs(r.getAs[Double]("confidence") -
+          conf.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      }
+    }
+    // accuracy on the geometry labels occupy in practice
+    val acc = got.count(r => !r.isNullAt(r.fieldIndex("correct")) &&
+      r.getAs[Boolean]("correct")).toDouble / got.length
+    info(f"label propagation accuracy (clustered corpus) = $acc%.3f")
+    assert(acc >= 0.9, f"accuracy $acc%.2f below floor on clustered data")
+    // exact agreement with a driver brute force of the SAME rule: top-5
+    // labeled neighbors by quantized cosine (ties: smaller id), majority
+    // vote (ties: smaller label)
+    val vecs = rows.map { case (id, emb, l) =>
+      (id, emb.map(x => math.round(x.toDouble * 10000)), l) }
+    val n2 = vecs.map { case (id, v, _) => id -> v.map(x => x * x).sum }.toMap
+    def cos(a: Array[Long], b: Array[Long], na: Long, nb: Long): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    val labeled = vecs.filterNot(v => isHeld(v._1))
+    val brute = vecs.filter(v => isHeld(v._1)).map { case (id, v, _) =>
+      val top = labeled
+        .map { case (jd, w, l) => (jd, l, cos(v, w, n2(id), n2(jd))) }
+        .sortBy { case (jd, _, c) => (-c, jd) }.take(5)
+      val vote = top.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (l, c) => (-c, l) }.head._1
+      id -> vote
+    }.toMap
+    val agree = got.count(r => !r.isNullAt(r.fieldIndex("predicted_label")) &&
+      r.getAs[Int]("predicted_label") == brute(r.getAs[Long]("vec_id")))
+      .toDouble / got.length
+    info(f"agreement with brute-force vote = $agree%.3f")
+    assert(agree >= 0.9,
+      f"approx vote drifts from the exact rule: agreement $agree%.2f")
+  }
 }
