@@ -5,7 +5,7 @@ import graft.functions.Det._
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Text-analysis operators for the LLM-training-data pipeline (SURVEY §2.5):
   * exact dedup, language ID, quality scoring, token counting, and document
@@ -52,6 +52,58 @@ object TextOps {
 
   private def stopPattern(ws: Seq[String]) = s" (${ws.mkString("|")}) "
 
+  /** Shared language-ID fragments — ONE spelling of the padding, the CJK
+    * probe, the per-list scores and the argmax CASE, driving both the
+    * [[qLangId]] confusion matrix and [[qDocFeatures]]'s per-document
+    * prediction (and their oracles), so the rule cannot drift between
+    * consumers. The SQL pieces assume a frame carrying `padded`, `cjk`
+    * and the `s_xx` score columns ([[langSignalsSql]] builds them).
+    */
+  private val paddedSql =
+    "' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' '"
+  private val cjkSql = "regexp_matches(text, '[\\x{4e00}-\\x{9fff}]')"
+  private val langScoresSql = stopwords.map { case (l, ws) =>
+    s"len(regexp_extract_all(padded, '${stopPattern(ws)}')) AS s_$l"
+  }.mkString(",\n      |    ")
+  private val langCaseSql =
+    """CASE WHEN padded IS NULL THEN 'und'
+      |       WHEN cjk THEN 'zh'
+      |       WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+      |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |       WHEN s_de >= s_fr THEN 'de'
+      |       ELSE 'fr' END""".stripMargin
+
+  /** ADDS cjk, padded and the per-list s_xx score columns to any frame
+    * with a `text` column; input columns ride along.
+    */
+  private def withLangSignals(df: DataFrame): DataFrame = {
+    val padded = concat(lit(" "),
+      regexp_replace(lower(col("text")), "[^a-z]+", " "), lit(" "))
+    var out = df
+      .withColumn("cjk", col("text").rlike("[一-鿿]"))
+      .withColumn("padded", padded)
+    for ((l, ws) <- stopwords)
+      out = out.withColumn(s"s_$l",
+        regexp_count(col("padded"), lit(stopPattern(ws))))
+    out
+  }
+
+  /** The deterministic argmax prediction over [[withLangSignals]]'
+    * columns — fixed priority en>es>de>fr, CJK short-circuit, 'und' when
+    * nothing hits or the text is null.
+    */
+  private def langPredCol: Column =
+    when(col("padded").isNull, "und")
+      .when(col("cjk"), "zh")
+      .when(col("s_en") === 0 && col("s_es") === 0 &&
+        col("s_de") === 0 && col("s_fr") === 0, "und")
+      .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+        col("s_en") >= col("s_fr"), "en")
+      .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+      .when(col("s_de") >= col("s_fr"), "de")
+      .otherwise("fr")
+
   /** Language ID via stopword-hit counting over a letters-only lowercase
     * padding, CJK short-circuit first; deterministic argmax with fixed
     * priority en>es>de>fr, 'und' when no list hits. Output is the
@@ -60,49 +112,23 @@ object TextOps {
     * across engines — both engines run the identical rule.)
     */
   val qLangId: Q = Q(
-    "q_lang_id", {
-      val scores = stopwords.map { case (l, ws) =>
-        s"len(regexp_extract_all(padded, '${stopPattern(ws)}')) AS s_$l"
-      }.mkString(",\n      |    ")
-      s"""WITH p AS (
-         |  SELECT lang,
-         |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk,
-         |    ' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ' AS padded
-         |  FROM documents),
-         |sc AS (
-         |  SELECT lang, cjk, padded,
-         |    $scores
-         |  FROM p)
-         |SELECT lang,
-         |  CASE WHEN padded IS NULL THEN 'und'
-         |       WHEN cjk THEN 'zh'
-         |       WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
-         |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-         |       WHEN s_de >= s_fr THEN 'de'
-         |       ELSE 'fr' END AS predicted,
-         |  COUNT(*) AS n_docs
-         |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    }
+    "q_lang_id",
+    s"""WITH p AS (
+       |  SELECT lang,
+       |    $cjkSql AS cjk,
+       |    $paddedSql AS padded
+       |  FROM documents),
+       |sc AS (
+       |  SELECT lang, cjk, padded,
+       |    $langScoresSql
+       |  FROM p)
+       |SELECT lang,
+       |  $langCaseSql AS predicted,
+       |  COUNT(*) AS n_docs
+       |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   ) { (s, d) =>
-    val padded = concat(lit(" "),
-      regexp_replace(lower(col("text")), "[^a-z]+", " "), lit(" "))
-    var df = Tables.documents(s, d).select(
-      col("lang"),
-      col("text").rlike("[一-鿿]").as("cjk"),
-      padded.as("padded"))
-    for ((l, ws) <- stopwords)
-      df = df.withColumn(s"s_$l", regexp_count(col("padded"), lit(stopPattern(ws))))
-    df.select(col("lang"),
-        when(col("padded").isNull, "und")
-          .when(col("cjk"), "zh")
-          .when(col("s_en") === 0 && col("s_es") === 0 &&
-            col("s_de") === 0 && col("s_fr") === 0, "und")
-          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
-            col("s_en") >= col("s_fr"), "en")
-          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
-          .when(col("s_de") >= col("s_fr"), "de")
-          .otherwise("fr").as("predicted"))
+    withLangSignals(Tables.documents(s, d).select("lang", "text"))
+      .select(col("lang"), langPredCol.as("predicted"))
       .groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted")
   }
@@ -1355,9 +1381,130 @@ object TextOps {
     tokenCounts(Tables.documents(s, d)).count(); ()
   }
 
+  /** Per-document feature frame for quality-classifier training — the
+    * featurization pass behind a FineWeb-Edu-style learned quality
+    * filter (hand signals → features → train a small classifier → score
+    * the lake): composite quality score (+ the rule it would distill),
+    * whitespace-token count, blocklist exposure, predicted language and
+    * PII hit total, every signal reusing its standalone operator's OWN
+    * definition ([[qualityScored]], [[blocklistFlags]],
+    * [[withLangSignals]]/[[langPredCol]], [[piiCols]]) so the feature a
+    * classifier trains on cannot drift from the gate the pipeline
+    * enforces.
+    *
+    * Scale shape (100 TB): embarrassingly parallel — ONE pruned corpus
+    * scan, chained column-preserving projections, zero joins/windows/
+    * aggregates (plan-guarded); the only exchange is the presentation
+    * sort. This is the map-only shape a 1000-executor featurization run
+    * must have: adding a shuffle here would dominate the whole job.
+    */
+  val qDocFeatures: Q = Q(
+    "q_doc_features",
+    s"""WITH p AS (
+       |  SELECT *, $cjkSql AS cjk, $paddedSql AS padded FROM documents),
+       |sc AS (
+       |  SELECT *,
+       |    $langScoresSql,
+       |    len(list_filter(string_split($normSql, ' '), t -> t <> ''))
+       |      AS n_tok,
+       |    len(list_filter(string_split($normSql, ' '),
+       |      t -> t IN (${Blocklist.map(w => s"'$w'").mkString(", ")})))
+       |      AS n_blocked
+       |  FROM p)
+       |SELECT doc_id,
+       |  $qualityScoreSql AS quality_score,
+       |  CAST(n_tok AS BIGINT) AS n_tokens,
+       |  CAST(n_blocked AS BIGINT) AS n_blocked,
+       |  (n_blocked * 20 > n_tok) AS blocked,
+       |  $langCaseSql AS lang_pred,
+       |  CAST(len(regexp_extract_all(text, '$PiiEmail'))
+       |    + len(regexp_extract_all(text, '$PiiIpv4'))
+       |    + len(regexp_extract_all(text, '$PiiPhone'))
+       |    + len(regexp_extract_all(text, '$PiiIdRun')) AS BIGINT) AS n_pii
+       |FROM sc ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val base = withLangSignals(
+      qualityScored(blocklistFlags(Tables.documents(s, d))))
+    // the four PII counters summed — null text propagates NULL (unassessed)
+    val nPii = piiCols(col("text")).take(4).reduce(_ + _)
+    base.select(col("doc_id"), col("quality_score"),
+      col("n_tok").as("n_tokens"), col("n_blocked"), col("blocked"),
+      langPredCol.as("lang_pred"),
+      nPii.cast("long").as("n_pii"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source duplication profile (the curation diagnostic that tells
+    * you WHICH crawl/source is flooding the lake with copies — the
+    * reference monitors dedup rate per scrape run
+    * (monitor._compute_data_quality); a corpus assembler needs it per
+    * source): per source, total documents, non-null-content documents,
+    * distinct contents, documents belonging to a corpus-wide duplicate
+    * group, documents exact-dedup would REMOVE (non-keepers under
+    * [[qDedupExact]]'s keep-min-id rule — cross-source duplication
+    * charges the source holding the later copy), and the exact removal
+    * rate.
+    *
+    * Scale shape: content keys are 16-byte md5 rows into one group
+    * aggregate; the group stats join BACK on the content hash (a viral
+    * boilerplate page is a hot JOIN key — AQE-skew-splittable, the
+    * [[dupSpansOf]] rule); both rollups are map-side-combined at source
+    * grain. Null-text documents are counted but excluded from dedup
+    * accounting (no content key), mirrored exactly in the oracle.
+    */
+  val qSourceDedup: Q = Q(
+    "q_source_dedup",
+    s"""WITH b AS (
+       |  SELECT doc_id, source, md5($normSql) AS ch FROM documents),
+       |t AS (
+       |  SELECT source, COUNT(*) AS n_docs, COUNT(ch) AS n_content
+       |  FROM b GROUP BY 1),
+       |c AS (SELECT * FROM b WHERE ch IS NOT NULL),
+       |g AS (SELECT ch, MIN(doc_id) AS keep_id,
+       |        CAST(COUNT(*) AS BIGINT) AS n_copies
+       |      FROM c GROUP BY 1),
+       |a AS (
+       |  SELECT source,
+       |    COUNT(DISTINCT ch) AS n_distinct_contents,
+       |    CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup_members,
+       |    CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_removed
+       |  FROM c JOIN g USING (ch) GROUP BY 1)
+       |SELECT t.source, t.n_docs, t.n_content,
+       |  COALESCE(n_distinct_contents, 0) AS n_distinct_contents,
+       |  COALESCE(n_dup_members, 0) AS n_dup_members,
+       |  COALESCE(n_removed, 0) AS n_removed,
+       |  ${exactDivSql("COALESCE(n_removed, 0)", "t.n_content", 4)}
+       |    AS removed_rate
+       |FROM t LEFT JOIN a USING (source)
+       |ORDER BY t.source""".stripMargin
+  ) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(norm).as("ch"))
+    val totals = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), count(col("ch")).as("n_content"))
+    val content = base.filter(col("ch").isNotNull)
+    val groups = content.groupBy("ch")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val perSource = content.join(groups, "ch").groupBy("source").agg(
+      countDistinct(col("ch")).as("n_distinct_contents"),
+      sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_members"),
+      sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+        .as("n_removed"))
+    totals.join(perSource, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_content"),
+        coalesce(col("n_distinct_contents"), lit(0L)).as("n_distinct_contents"),
+        coalesce(col("n_dup_members"), lit(0L)).as("n_dup_members"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        exactDiv(coalesce(col("n_removed"), lit(0L)), col("n_content"), 4)
+          .as("removed_rate"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qLangId, qQualityScore, qTokenCount, qVocabGrowth,
     qSeqPack, qWeightedSample, qTfidfTerms, qFingerprint, qRepetitionStats,
     qDecontaminate, qPiiScan, qSourceMix, qBlocklistScan, qDupSpans,
-    qBudgetSelect, qLineDedup, qFamiliarity)
+    qBudgetSelect, qLineDedup, qFamiliarity, qDocFeatures, qSourceDedup)
 }

@@ -345,6 +345,27 @@ class PlanAuditSpec extends SparkSpec {
       "cf aggregate and probe must both read the materialized counts:\n" + p)
   }
 
+  test("doc features: one map-only corpus scan — no joins, windows or aggregates") {
+    val p = plan("q_doc_features")
+    assert(p.split("\n").count(_.contains("Scan parquet")) == 1,
+      "featurization must read documents once:\n" + p)
+    assert(!p.contains("Join"), "featurization must not join:\n" + p)
+    assert(!p.contains("windowspecdefinition"),
+      "featurization must not window:\n" + p)
+    assert(!p.contains("HashAggregate"),
+      "featurization must not aggregate:\n" + p)
+  }
+
+  test("source dedup: group-stat join-back on the content hash, no hot-key window") {
+    val p = plan("q_source_dedup")
+    // a viral boilerplate page is a hot content key: group stats join
+    // back (AQE-skew-splittable), never a window over the hash
+    assert(!p.contains("windowspecdefinition"),
+      "hot-hash window crept into source dedup:\n" + p)
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      "group aggregate lost its map-side partial:\n" + p)
+  }
+
   test("curation funnel: one corpus scan; keeper rides a content-key window") {
     val p = plan("q_curation_funnel")
     // every per-row gate (quality, blocklist, content key, eval slice)

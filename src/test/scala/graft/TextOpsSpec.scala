@@ -450,6 +450,59 @@ class TextOpsSpec extends SparkSpec {
     assert(got(4L) == ((0L, None, None, None)), "null text stays unassessed")
   }
 
+  test("doc features: every signal equals its standalone operator's value") {
+    // the single-definition claim, asserted: the feature a classifier
+    // trains on must be the exact value the standalone gate enforces
+    val feat = TextOps.qDocFeatures.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val quality = TextOps.qQualityScore.run(spark, sfDir).collect()
+    quality.foreach { q =>
+      val f = feat(q.getAs[Long]("doc_id"))
+      assert(f.getAs[Double]("quality_score") == q.getAs[Double]("quality_score"))
+    }
+    // lang_pred aggregates to exactly the confusion matrix's totals
+    val fromFeat = feat.values.groupBy(_.getAs[String]("lang_pred"))
+      .view.mapValues(_.size.toLong).toMap
+    val fromMatrix = TextOps.qLangId.run(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("predicted"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(fromFeat == fromMatrix,
+      s"lang_pred drifted from q_lang_id: $fromFeat vs $fromMatrix")
+  }
+
+  test("source dedup: totals reconcile with the exact-dedup groups") {
+    val rows = TextOps.qSourceDedup.run(spark, sfDir).collect()
+    val groups = TextOps.qDedupExact.run(spark, sfDir).collect()
+    // corpus-wide reconciliation against q_dedup_exact's own accounting
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val removedWant = groups.map(_.getAs[Long]("n_copies") - 1).sum
+    assert(rows.map(_.getAs[Long]("n_removed")).sum == removedWant,
+      "summed per-source removals must equal the corpus non-keeper count")
+    val dupMembersWant = groups.filter(_.getAs[Long]("n_copies") > 1)
+      .map(_.getAs[Long]("n_copies")).sum
+    assert(rows.map(_.getAs[Long]("n_dup_members")).sum == dupMembersWant)
+    // crafted corpus: cross-source dups charge the source holding the
+    // LATER copy; null text counts but never enters dedup accounting
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_srcdedup").toString
+    Seq((1L, "s1", "a b"), (2L, "s2", "A  b"), (3L, "s1", "c"),
+      (4L, "s2", null.asInstanceOf[String]), (5L, "s3", "a b"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.qSourceDedup.run(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_content"),
+          r.getAs[Long]("n_distinct_contents"), r.getAs[Long]("n_dup_members"),
+          r.getAs[Long]("n_removed"),
+          Option(r.getAs[java.lang.Double]("removed_rate"))))).toMap
+    assert(got("s1") == ((2L, 2L, 2L, 1L, 0L, Some(0.0))),
+      s"s1 holds the keeper: ${got("s1")}")
+    assert(got("s2") == ((2L, 1L, 1L, 1L, 1L, Some(1.0))),
+      s"s2's copy is removed, its null doc uncounted: ${got("s2")}")
+    assert(got("s3") == ((1L, 1L, 1L, 1L, 1L, Some(1.0))))
+  }
+
   test("source mix: shares sum to 1 and weights invert shares within rounding") {
     val rows = graft.operators.TextOps.qSourceMix.run(spark, sfDir).collect()
     assert(rows.length > 1, "expected multiple sources")
