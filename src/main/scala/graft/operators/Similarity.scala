@@ -1680,9 +1680,68 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Selection budget for [[qDiverseSample]] — small enough that every
+    * SF selects a strict subset, large enough to exercise multiple
+    * round-robin rounds per cluster.
+    */
+  private[graft] val DiverseSampleN = 200
+
+  /** Diversity-preserving subsample (rows-only; spec recomputes the
+    * whole rule from the emitted frame): select [[DiverseSampleN]]
+    * vectors maximizing embedding-space coverage — the cluster-balanced
+    * data-selection pass (SemDeDup/DiverseEvol lineage: a uniform
+    * subsample over-represents dense regions; round-robin over clusters
+    * keeps the tails). Members rank within their IVF cluster by a
+    * deterministic hash; the selection order is lexicographic
+    * (cluster_rank, cluster_id) — exactly round-robin water-filling:
+    * round r takes one member from every cluster still holding an r-th
+    * member, so every non-empty cluster is represented once the budget
+    * reaches the cluster count, and non-exhausted clusters never differ
+    * by more than one selection. Every vector is emitted with its
+    * (cluster, rank, selected) so the selection is auditable; null
+    * vectors stay unassessed (NULL cluster, never selected).
+    *
+    * Scale shape: the within-cluster rank is the two-level
+    * [[graft.operators.Labeling.hashRank]] decomposition (256 hash
+    * blocks + broadcast block offsets — an IVF cluster is corpus/K rows
+    * at lake scale, far too hot for one window partition); the selection
+    * threshold is the max of a bounded TakeOrderedAndProject over the
+    * (rank, cid) keys — a 1-row broadcast, no driver collect; the flag
+    * join streams the corpus once.
+    */
+  val qDiverseSample: Q = Q.rowsOnly("q_diverse_sample") { (s, d) =>
+    val q = quantized(s, d)
+    val model = ivfModel(s, d)
+    if (model.isEmpty) {
+      q.filter(lit(false)).select(col("vec_id"), lit(0).as("cluster_id"),
+        lit(0L).as("cluster_rank"), lit(false).as("selected"))
+    } else {
+      val ranked = Labeling.hashRank(ivfAssigned(s, d), "cid",
+          md5(col("vec_id").cast("string")), "vec_id")
+        .select(col("vec_id"), col("cid"), col("rn"))
+      // the N-th smallest (rank, cid) key — (rn, cid) is unique (rn is
+      // unique within a cluster), so `key ≤ threshold` admits exactly
+      // min(N, corpus) rows; bounded top-N then a 1-row max, never a
+      // global sort of the corpus
+      val thresh = ranked.orderBy(col("rn"), col("cid"))
+        .limit(DiverseSampleN)
+        .agg(max(struct(col("rn").as("r"), col("cid").as("c"))).as("th"))
+      val flagged = ranked.crossJoin(broadcast(thresh))
+        .select(col("vec_id"), col("cid"), col("rn"),
+          (struct(col("rn").as("r"), col("cid").as("c")) <= col("th"))
+            .as("selected"))
+      q.select("vec_id").join(flagged, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid").as("cluster_id"),
+          col("rn").as("cluster_rank"),
+          coalesce(col("selected"), lit(false)).as("selected"))
+        .orderBy("vec_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     qNgramJaccard, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
     qCosineTopk, qAnnLsh, qAnnIvf, qEmbedClusters, qKnnJoin, qKnnJoinIvf,
     qDedupClusters, qDedupSurvivors, qDedupSurvivorsBest, qDedupWeights,
-    qLabelCentroids, qDecontaminateSemantic, qLabelPropagate)
+    qLabelCentroids, qDecontaminateSemantic, qLabelPropagate,
+    qDiverseSample)
 }

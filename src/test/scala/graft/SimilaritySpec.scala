@@ -640,6 +640,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("diverse sample: round-robin water-filling over IVF clusters, fully auditable") {
+    val rows = Similarity.qDiverseSample.run(spark, sfDir).collect()
+    assert(rows.length == Tables.embeddings(spark, sfDir).count())
+    val assessed = rows.filter(r => !r.isNullAt(r.fieldIndex("cluster_id")))
+    val sel = rows.filter(_.getAs[Boolean]("selected"))
+    assert(sel.length == math.min(200, assessed.length),
+      s"budget: ${sel.length} selected of ${assessed.length} assessed")
+    // the selection IS the N smallest (rank, cluster) keys — recomputed
+    // from the emitted frame itself
+    val want = assessed
+      .map(r => (r.getAs[Long]("cluster_rank"), r.getAs[Int]("cluster_id"),
+        r.getAs[Long]("vec_id")))
+      .sortBy { case (rn, c, _) => (rn, c) }.take(sel.length)
+      .map(_._3).toSet
+    assert(sel.map(_.getAs[Long]("vec_id")).toSet == want,
+      "selected set must be the lexicographic (rank, cluster) prefix")
+    // within-cluster ranks are a contiguous 1..size permutation
+    val perCluster = assessed.groupBy(_.getAs[Int]("cluster_id"))
+    perCluster.foreach { case (c, rs) =>
+      assert(rs.map(_.getAs[Long]("cluster_rank")).sorted.toSeq ==
+        (1L to rs.length).toSeq, s"cluster $c ranks not contiguous")
+    }
+    // round-robin balance: every non-empty cluster represented, live
+    // clusters within one selection of each other, exhausted clusters
+    // smaller than the deepest live round
+    val selCount = perCluster.view.mapValues(_.count(_.getAs[Boolean]("selected"))).toMap
+    val tot = perCluster.view.mapValues(_.size).toMap
+    assert(selCount.values.forall(_ >= 1), "every non-empty cluster represented")
+    val live = selCount.filter { case (c, n) => n < tot(c) }.values
+    if (live.nonEmpty) {
+      assert(live.max - live.min <= 1,
+        s"live clusters must differ by <= 1: ${selCount}")
+      selCount.foreach { case (c, n) =>
+        if (n == tot(c)) assert(n <= live.max,
+          s"exhausted cluster $c larger than the live round")
+      }
+    }
+  }
+
   test("label propagation: clustered corpus — accurate, and exactly the brute-force vote") {
     import spark.implicits._
     // labeled/held split on the shared evalSlice rule over a clustered
