@@ -75,9 +75,15 @@ object TextOps {
       |       ELSE 'fr' END""".stripMargin
 
   /** ADDS cjk, padded and the per-list s_xx score columns to any frame
-    * with a `text` column; input columns ride along.
+    * with a `text` column; input columns ride along. The working columns
+    * are reserved (the hashRank/withSimhashFp contract): withColumn
+    * would silently REPLACE a same-named caller column — wrong data, not
+    * an error.
     */
   private def withLangSignals(df: DataFrame): DataFrame = {
+    val reserved = "cjk" +: "padded" +: stopwords.map { case (l, _) => s"s_$l" }
+    require(!df.columns.exists(reserved.contains),
+      s"withLangSignals reserves columns $reserved")
     val padded = concat(lit(" "),
       regexp_replace(lower(col("text")), "[^a-z]+", " "), lit(" "))
     var out = df
@@ -1457,8 +1463,8 @@ object TextOps {
     s"""WITH b AS (
        |  SELECT doc_id, source, md5($normSql) AS ch FROM documents),
        |t AS (
-       |  SELECT source, COUNT(*) AS n_docs, COUNT(ch) AS n_content
-       |  FROM b GROUP BY 1),
+       |  SELECT source, COUNT(*) AS n_docs, COUNT(text) AS n_content
+       |  FROM documents GROUP BY 1),
        |c AS (SELECT * FROM b WHERE ch IS NOT NULL),
        |g AS (SELECT ch, MIN(doc_id) AS keep_id,
        |        CAST(COUNT(*) AS BIGINT) AS n_copies
@@ -1480,11 +1486,13 @@ object TextOps {
        |FROM t LEFT JOIN a USING (source)
        |ORDER BY t.source""".stripMargin
   ) { (s, d) =>
-    val base = Tables.documents(s, d)
+    // the totals branch never needs the content hash (ch is null iff
+    // text is null) — counting text there keeps the md5 off that scan
+    val totals = Tables.documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), count(col("text")).as("n_content"))
+    val content = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), md5(norm).as("ch"))
-    val totals = base.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), count(col("ch")).as("n_content"))
-    val content = base.filter(col("ch").isNotNull)
+      .filter(col("ch").isNotNull)
     val groups = content.groupBy("ch")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     val perSource = content.join(groups, "ch").groupBy("source").agg(
