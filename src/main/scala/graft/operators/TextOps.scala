@@ -466,13 +466,21 @@ object TextOps {
       .select(col("doc_id"),
         explode(filter(split(norm, " "), t => t =!= "")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // tf is unique per (doc, term), so a COUNT window over the term
-    // partition IS the document frequency — computed in the same
-    // term-keyed shuffle a tf⋈df join would need anyway, minus the
-    // separate df aggregate and the join itself
+      .withColumn("h", xxhash64(col("term")))
+    // document frequency as a map-side-combined aggregate over the
+    // SHARED (doc, token-hash) count table ([[tokenCounts]] holds one
+    // row per (doc, term), so COUNT is df), joined back on the token
+    // hash: a stopword is a hot JOIN key — AQE-skew-splittable — where
+    // the previous COUNT-OVER-term window partition serialized every
+    // occurrence of a hot term through one task (the [[dupSpansOf]]
+    // rule, applied proactively; same hashed-postings collision premise
+    // as [[qDupSpans]]). The string side tokenizes once for tf; df
+    // rides the prepaid build_token_counts cache.
+    val df = tokenCounts(Tables.documents(s, d))
+      .groupBy("h").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    tf.join(df, "h")
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         expr("(tf * 1000000000) div df").as("score"))
       .withColumn("rn", row_number().over(w))

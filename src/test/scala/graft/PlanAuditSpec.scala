@@ -95,10 +95,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("tfidf prunes the documents scan to doc_id + text") {
-    val scan = plan("q_tfidf_terms").split("\n").find(_.contains("ReadSchema")).get
+  test("tfidf prunes the documents scan; df joins back — no hot-term window") {
+    val p = plan("q_tfidf_terms")
+    val scan = p.split("\n").find(_.contains("ReadSchema")).get
     assert(!scan.contains("source") && !scan.contains("n_chars"),
       "tfidf scan not pruned: " + scan)
+    // a stopword is a hot key: df must ride the AQE-skew-splittable hash
+    // JOIN, never a COUNT window over the term partition; the only
+    // window left is the per-doc top-5 rank
+    val wins = p.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(wins.nonEmpty && wins.forall(_.contains("doc_id#")),
+      "hot-term window crept back into tfidf:\n" + wins.mkString("\n"))
   }
 
   test("vocab growth: pruned scans and a partial-aggregated term shuffle") {
