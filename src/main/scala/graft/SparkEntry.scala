@@ -16,7 +16,7 @@ object SparkEntry {
       operators.Ingest.all ++ operators.Temporal.all ++
       operators.Labeling.all ++ operators.TextOps.all ++
       operators.Similarity.all ++ operators.Multimodal.all ++
-      operators.TopK.all ++ operators.Curation.all
+      operators.TopK.all ++ operators.Curation.all ++ operators.Assembly.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

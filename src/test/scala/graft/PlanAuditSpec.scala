@@ -403,6 +403,29 @@ class PlanAuditSpec extends SparkSpec {
       "block offsets must broadcast back:\n" + p)
   }
 
+  test("shard assign: the corpus running sum is block-partitioned, never one task") {
+    val p = plan("q_shard_assign")
+    // the row-grain cumulative window orders by (shuffle_key, doc_id):
+    // it must carry the md5-prefix blk partition key (the q_budget_select
+    // guard shape — a bare blk# check would stay green if the corpus
+    // window lost its partitioning while the offset machinery survived)
+    val rowSpecs = p.split("\n").filter(s =>
+      s.contains("windowspecdefinition") && s.contains("shuffle_key#"))
+    assert(rowSpecs.nonEmpty, "row-grain cumulative window missing:\n" + p)
+    assert(rowSpecs.forall(_.contains("blk#")),
+      "row-grain running sum lost its block partition key:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "block offsets must broadcast back:\n" + p)
+  }
+
+  test("pair counts: bounded-heap top-k over map-side-combined counts, no global sort") {
+    val p = plan("q_pair_counts")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must not global-sort the pair table:\n" + p)
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "pair counts must partial-aggregate map-side:\n" + p)
+  }
+
   test("hot expressions stay inside whole-stage codegen") {
     // execute first: codegen spans only appear in the finalized AQE plan
     val df = SparkEntry.queries("q_quality_score")(spark, sfDir)
