@@ -1099,6 +1099,121 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring dedup REWRITE — the removal transform
+    * [[qDupSpans]] accounts for (Lee et al. 2021 "Deduplicating Training
+    * Data Makes Language Models Better", the ExactSubstr pass;
+    * RefinedWeb runs the same shape at 50-token spans): every token
+    * position covered by a word-[[DupSpanN]]-gram occurring in ≥
+    * [[DupSpanMinDocs]] distinct documents is removed from EVERY
+    * occurrence — the symmetric remove-all rule of the released
+    * ExactSubstr tool (a keep-first variant adds [[qLineDedup]]'s
+    * per-gram argmin plus positional conflict resolution between
+    * overlapping grams with different keepers; the loss from removing
+    * all copies is the paper's own accepted trade). Per document: token
+    * count, covered-position count, exact coverage fraction, and
+    * `clean_hash` = md5 of the surviving tokens joined by ' ' in
+    * original order — the rebuilt corpus verifiable without shipping a
+    * second text column ([[qLineDedup]]'s contract, incl. its NULL-text
+    * vs fully-removed = md5('') distinction).
+    *
+    * Scale shape (100 TB): the duplicated-gram roster derives from the
+    * ONE materialized [[dupSpanCounts]] table (prepaid as
+    * build_dup_span_counts — no third tokenization for df); positioned
+    * grams join it on the gram hash — a boilerplate gram is a hot JOIN
+    * key, AQE-skew-splittable, never a hot window ([[dupSpansOf]]'s
+    * rule) — and fan out ×[[DupSpanN]] to covered positions only AFTER
+    * the dup filter (covered rows ≪ gram rows on a typical corpus). The
+    * (doc, pos) distinct and the rebuild aggregate are doc-keyed — no
+    * hot keys by construction. The token-position branch pays a second
+    * column-pruned scan instead of pinning the exploded corpus (the
+    * [[qLineDedup]]/[[qBudgetSelect]] trade, taken the same way).
+    */
+  val qSubstringDedup: Q = Q(
+    "q_substring_dedup",
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split($normSql, ' '), t -> t <> '') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |pos AS (
+       |  SELECT doc_id, i,
+       |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+       |  FROM toks, UNNEST(generate_series(1, len(w)-4)) AS t(i)
+       |  WHERE len(w) >= $DupSpanN),
+       |dupg AS (
+       |  SELECT g FROM (SELECT g, doc_id FROM pos GROUP BY g, doc_id)
+       |  GROUP BY g HAVING COUNT(*) >= $DupSpanMinDocs),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, i + off AS pos
+       |  FROM (SELECT p.doc_id, p.i FROM pos p JOIN dupg USING (g)) j,
+       |       UNNEST(generate_series(0, ${DupSpanN - 1})) AS o(off)),
+       |tok AS (
+       |  SELECT doc_id, i AS pos, w[i] AS tok
+       |  FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)),
+       |per AS (
+       |  SELECT t.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_covered,
+       |    md5(COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN t.tok END,
+       |      ' ' ORDER BY t.pos), '')) AS ch
+       |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(n_tokens, 0) AS n_tokens,
+       |  COALESCE(n_covered, 0) AS n_covered,
+       |  ${exactDivSql("COALESCE(n_covered, 0)", "COALESCE(n_tokens, 0)", 4)}
+       |    AS covered_frac,
+       |  CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(ch, md5('')) END
+       |    AS clean_hash
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // duplicated-gram roster off the ONE materialized count table (its
+    // per-(doc, gram) grain makes COUNT the document frequency)
+    val dup = dupSpanCounts(docs).groupBy("h")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= DupSpanMinDocs).select("h")
+    // round-robin spread: the single-file testdata scan's parallelism
+    // guard (a multi-split lake scan replaces it), as in dupSpanCounts
+    def toks = docs.repartition(s.sparkContext.defaultParallelism)
+      .filter(col("text").isNotNull)
+      // phantom ""-token guard: see qRepetitionStats
+      .select(col("doc_id"), filter(split(norm, " "), t => t =!= "").as("w"))
+    // positioned gram hashes: array expr INLINE in the generator
+    // (CLAUDE.md invariant), get() so index lambdas never run unguarded
+    val grams = toks.filter(size(col("w")) >= DupSpanN)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-5), i -> struct(i AS i, " +
+          "xxhash64(concat_ws(' ', get(w, i), get(w, i+1), get(w, i+2), " +
+          "get(w, i+3), get(w, i+4))) AS h))")).as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"))
+    val covered = grams.join(dup, "h")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(i, i + ${DupSpanN - 1})")).as("pos"))
+      .distinct()
+      .withColumn("cv", lit(true))
+    val per = toks
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .join(covered, Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cv"), 1L).otherwise(0L)).as("n_covered"),
+        // collect_list skips nulls → surviving tokens only; array_sort
+        // on (pos, tok) structs restores original order (qLineDedup)
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN cv IS NULL THEN struct(pos, tok) END)), x -> x.tok)")))
+          .as("ch"))
+    val nT = coalesce(col("n_tokens"), lit(0L))
+    val nC = coalesce(col("n_covered"), lit(0L))
+    docs.select(col("doc_id"), col("text").isNotNull.as("has_text"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), nT.as("n_tokens"), nC.as("n_covered"),
+        exactDiv(nC, nT, 4).as("covered_frac"),
+        when(col("has_text"), coalesce(col("ch"), md5(lit(""))))
+          .as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Token budget for [[qBudgetSelect]] — small enough that every SF
     * selects a strict top slice, large enough to span many documents.
     */
@@ -1522,5 +1637,6 @@ object TextOps {
     qDedupExact, qLangId, qQualityScore, qTokenCount, qVocabGrowth,
     qSeqPack, qWeightedSample, qTfidfTerms, qFingerprint, qRepetitionStats,
     qDecontaminate, qPiiScan, qSourceMix, qBlocklistScan, qDupSpans,
-    qBudgetSelect, qLineDedup, qFamiliarity, qDocFeatures, qSourceDedup)
+    qBudgetSelect, qLineDedup, qFamiliarity, qDocFeatures, qSourceDedup,
+    qSubstringDedup)
 }

@@ -324,6 +324,28 @@ class PlanAuditSpec extends SparkSpec {
       "df aggregate and join probe must both read the materialized counts:\n" + p)
   }
 
+  test("substring dedup: dup roster off the materialized counts, no hot-gram window") {
+    // execute first: InMemoryTableScan only appears in the finalized plan
+    val df = SparkEntry.queries("q_substring_dedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // positioned gram hashes must stay INLINE in the generator (the
+    // InferFiltersFromGenerate re-evaluation hazard — CLAUDE.md)
+    assert(p.split("\n").filter(_.contains("Generate"))
+      .exists(_.contains("xxhash64")),
+      "gram hashes must be built inside the generator:\n" + p)
+    // a boilerplate gram is a hot key: the dup decision joins back on
+    // the gram hash (AQE-skew-splittable) — no window may touch grams
+    assert(!p.contains("windowspecdefinition"),
+      "hot-gram window crept into the substring-dedup plan:\n" + p)
+    // the df roster must read the ONE materialized (doc, gram) count
+    // table, not re-tokenize the corpus a third time
+    assert(p.contains("InMemoryTableScan"),
+      "dup roster must read the materialized dup-span counts:\n" + p)
+    assert(p.contains("partial_count"),
+      "df aggregate lost its map-side partial:\n" + p)
+  }
+
   test("line dedup: first-occurrence join-back, no hot-line window") {
     val p = plan("q_line_dedup")
     // a boilerplate line is a hot key: the keeper decision must ride an

@@ -378,6 +378,64 @@ class TextOpsSpec extends SparkSpec {
     assert(jb.forall(_._3 > 0), "boilerplate grams must count as dup spans")
   }
 
+  test("substring dedup: crafted corpus pins removal, rebuild hash, and q_dup_spans consistency") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val dir = java.nio.file.Files.createTempDirectory("graft_subdedup").toString
+    // docs 1,2 share a 7-word banner: its three 5-grams are duplicated,
+    // covering exactly banner positions 0..6 in BOTH docs; each doc's
+    // 3-word unique tail survives. The gram bridging banner→tail is
+    // unique per doc, so coverage must stop at the banner boundary.
+    val banner = "alpha beta gamma delta epsilon zeta eta"
+    Seq(
+      (1L, "s", s"$banner one two three"),
+      (2L, "s", s"$banner four five six"),
+      (3L, "s", "totally unique words only here never repeated"),
+      (4L, "s", ""),
+      (5L, "s", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.qSubstringDedup.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_covered"),
+          Option(r.getAs[java.lang.Double]("covered_frac")),
+          Option(r.getAs[String]("clean_hash"))))).toMap
+    assert(got(1L) == ((10L, 7L, Some(0.7), Some(md5hex("one two three")))))
+    assert(got(2L) == ((10L, 7L, Some(0.7), Some(md5hex("four five six")))))
+    assert(got(3L) == ((7L, 0L, Some(0.0),
+      Some(md5hex("totally unique words only here never repeated")))))
+    assert(got(4L) == ((0L, 0L, None, Some(md5hex("")))),
+      "empty text rebuilds to md5('') — distinguishable from null text")
+    assert(got(5L) == ((0L, 0L, None, None)), "null text stays unassessed")
+  }
+
+  test("substring dedup: coverage reconciles with q_dup_spans on the real corpus") {
+    val spans = TextOps.qDupSpans.run(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_dup")))).toMap
+    val sub = TextOps.qSubstringDedup.run(spark, sfDir).collect()
+    assert(sub.nonEmpty && sub.length == spans.size)
+    sub.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nGrams, nDup) = spans(id)
+      val nTok = r.getAs[Long]("n_tokens")
+      val nCov = r.getAs[Long]("n_covered")
+      // a doc has covered positions iff it has dup gram occurrences
+      assert((nCov > 0) == (nDup > 0), s"doc $id: cov $nCov vs dup $nDup")
+      assert(nCov <= nTok, s"doc $id covers more positions than it has")
+      // one dup gram covers DupSpanN positions; overlaps only shrink it
+      assert(nDup == 0 || nCov >= TextOps.DupSpanN,
+        s"doc $id: dup gram present but coverage $nCov < ${TextOps.DupSpanN}")
+      assert(nCov <= TextOps.DupSpanN.toLong * nDup,
+        s"doc $id: coverage $nCov exceeds ${TextOps.DupSpanN}·n_dup=$nDup")
+      // gram count consistency: n_ngrams = max(0, n_tokens - 4)
+      assert(nGrams == math.max(0L, nTok - (TextOps.DupSpanN - 1)),
+        s"doc $id: $nGrams grams vs $nTok tokens")
+    }
+  }
+
   test("line dedup: crafted multi-line corpus pins keep-first, blanks, rebuild hash") {
     import spark.implicits._
     def md5hex(s: String): String =
