@@ -173,6 +173,113 @@ object Ingest {
       .orderBy("source")
   }
 
+  /** Run-over-run event-mix drift (the distribution-shift monitor a
+    * continuously-fed lake needs on top of the reference's per-run volume
+    * checks — a scraper that silently starts returning a different mix
+    * of event types passes every count threshold while changing the
+    * corpus): per ingest run (day), the TOTAL-VARIATION distance between
+    * this run's event-type distribution and the previous run's, plus the
+    * types that appeared/vanished. TV on purpose rather than PSI/KL: TV
+    * = Σ|c·m − d·n| / (2·n·m) is a single division of exactly-computed
+    * integers (the [[qAgreement]] rule) where PSI/KL need a libm log()
+    * that can differ in the last ulp between engines — and TV's [0, 1]
+    * range makes the alert threshold corpus-independent. The first run
+    * has no baseline: its drift columns are NULL, not 0 (the
+    * three-valued-verdict principle — "no baseline" must not read as
+    * "no drift").
+    *
+    * Scale shape (100 TB): ONE map-side-combined (run, type) count
+    * shuffle over the event stream; everything after is
+    * post-aggregation grain (runs × types), where the unpartitioned
+    * row_number window and the run-shifted full-outer self-join are
+    * tiny by construction (the [[qBudgetSelect]] block-offset rule).
+    * Decimal cross-products: c·m at lake scale is ~10^24 — a long
+    * multiply would silently wrap where the oracle's HUGEINT errors
+    * ([[qAnomalyZscore]]'s rule), so both sides stay exact.
+    */
+  val qRunDrift: Q = Q(
+    "q_run_drift",
+    s"""WITH c AS (
+       |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS run_id,
+       |    event_type, COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |days AS (
+       |  SELECT run_id, row_number() OVER (ORDER BY run_id) AS rn
+       |  FROM (SELECT DISTINCT run_id FROM c)),
+       |tot AS (SELECT run_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+       |tt AS (
+       |  SELECT d.rn, t.n, tp.n AS np
+       |  FROM days d JOIN tot t USING (run_id)
+       |  LEFT JOIN days dp ON dp.rn = d.rn - 1
+       |  LEFT JOIN tot tp ON tp.run_id = dp.run_id),
+       |cr AS (SELECT c.event_type, c.c, d.rn
+       |       FROM c JOIN days d USING (run_id)),
+       |pairs AS (
+       |  SELECT COALESCE(a.rn, b.rn + 1) AS rn, a.c AS c, b.c AS cp
+       |  FROM cr a FULL OUTER JOIN cr b
+       |    ON a.event_type = b.event_type AND a.rn = b.rn + 1),
+       |agg AS (
+       |  SELECT p.rn,
+       |    CAST(SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_types,
+       |    CAST(SUM(CASE WHEN c IS NOT NULL AND cp IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS new_t,
+       |    CAST(SUM(CASE WHEN cp IS NOT NULL AND c IS NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS gone_t,
+       |    SUM(ABS(CAST(COALESCE(c, 0) AS HUGEINT) * COALESCE(np, 0)
+       |      - CAST(COALESCE(cp, 0) AS HUGEINT) * n)) AS num
+       |  FROM pairs p JOIN tt USING (rn) GROUP BY 1)
+       |SELECT d.run_id, tt.n AS n_events, agg.n_types,
+       |  CASE WHEN tt.np IS NULL THEN NULL ELSE
+       |    ${exactDivSql("num", "2 * CAST(tt.n AS HUGEINT) * tt.np", 4)} END
+       |    AS tv_drift,
+       |  CASE WHEN tt.np IS NULL THEN NULL ELSE new_t END AS n_new_types,
+       |  CASE WHEN tt.np IS NULL THEN NULL ELSE gone_t END AS n_gone_types
+       |FROM agg JOIN tt USING (rn) JOIN days d USING (rn)
+       |ORDER BY d.run_id""".stripMargin
+  ) { (s, d) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val c = Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("run_id"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    // post-aggregation grain from here on: runs × types
+    val days = c.select("run_id").distinct()
+      .withColumn("rn", row_number().over(Window.orderBy("run_id")))
+    val tot = c.groupBy("run_id").agg(sum("c").cast("long").as("n"))
+    val tt = days.join(tot, "run_id")
+      .join(days.select((col("rn") + 1).as("rn"), col("run_id").as("prev_run")),
+        Seq("rn"), "left")
+      .join(tot.select(col("run_id").as("prev_run"), col("n").as("np")),
+        Seq("prev_run"), "left")
+      .select("rn", "run_id", "n", "np")
+    val cr = c.join(days, "run_id").select("rn", "event_type", "c")
+    val pairs = cr
+      .join(cr.select((col("rn") + 1).as("rn"), col("event_type"),
+        col("c").as("cp")), Seq("rn", "event_type"), "full")
+      .select(col("rn"), col("c"), col("cp"))
+    val agg = pairs.join(tt, Seq("rn"))
+      .groupBy("rn").agg(
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_types"),
+        sum(when(col("c").isNotNull && col("cp").isNull, 1L).otherwise(0L))
+          .as("new_t"),
+        sum(when(col("cp").isNotNull && col("c").isNull, 1L).otherwise(0L))
+          .as("gone_t"),
+        sum(abs(coalesce(col("c"), lit(0L)).cast(dec)
+          * coalesce(col("np"), lit(0L))
+          - coalesce(col("cp"), lit(0L)).cast(dec) * col("n"))).as("num"))
+    agg.join(tt, Seq("rn"))
+      .select(col("run_id"), col("n").as("n_events"), col("n_types"),
+        when(col("np").isNull, lit(null))
+          .otherwise(exactDiv(col("num"),
+            lit(2).cast(dec) * col("n") * col("np"), 4)).as("tv_drift"),
+        when(col("np").isNull, lit(null)).otherwise(col("new_t"))
+          .as("n_new_types"),
+        when(col("np").isNull, lit(null)).otherwise(col("gone_t"))
+          .as("n_gone_types"))
+      .orderBy("run_id")
+  }
+
   /** Tumbling-window counts — the batch-equivalent oracle for the
     * Structured Streaming windowed aggregation in graft.streaming (same
     * semantics on the same data, verifiable in SQL).
@@ -1124,7 +1231,7 @@ object Ingest {
 
   val all: Seq[Q] = Seq(
     qIncrementalIngest, qIngestMetrics, qRunDeltas, qAnomalyZscore,
-    qQualityMetrics, qWindowedCounts, qSessionize, qPropsExtract, qDbGrowth,
+    qQualityMetrics, qRunDrift, qWindowedCounts, qSessionize, qPropsExtract, qDbGrowth,
     qRetention, qFunnel, qSessionStats, qRunLedger, qRunHistory,
     qSessionLedger, qReportSessions, qAppHealth, qAlerts)
 }

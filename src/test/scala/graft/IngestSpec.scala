@@ -282,4 +282,35 @@ class IngestSpec extends SparkSpec {
     val maxDur = sess.map(s => s.getAs[Long]("end_us") - s.getAs[Long]("start_us")).max
     assert(r.getAs[Long]("max_duration_us") == maxDur)
   }
+
+  test("run drift: crafted 3-day corpus pins TV arithmetic, first-run NULLs, new/gone types") {
+    import spark.implicits._
+    // day1 a×4 b×6 (n=10); day2 a×2 b×2 c×4 (n=8); day3 b×5 (n=5)
+    //   day2 vs day1: Σ|c·m−d·n| = |2·10−4·8| + |2·10−6·8| + |4·10−0|
+    //                = 12+28+40 = 80 → TV = 80/(2·8·10) = 0.5; c is new
+    //   day3 vs day2: |0−2·5| + |5·8−2·5| + |0−4·5| = 10+30+20 = 60
+    //                → TV = 60/(2·5·8) = 0.75; a and c vanished
+    def day(d: Int, mix: Seq[(String, Int)]): Seq[(Long, java.sql.Timestamp, Long, String, Double, String)] = {
+      val t0 = java.sql.Timestamp.valueOf(f"2024-04-0$d 00:00:00").getTime
+      mix.flatMap { case (et, k) => Seq.fill(k)(et) }.zipWithIndex.map {
+        case (et, i) => (d * 1000L + i, new java.sql.Timestamp(t0 + i * 1000L),
+          i.toLong, et, 1.0, "{}")
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    (day(1, Seq("a" -> 4, "b" -> 6)) ++ day(2, Seq("a" -> 2, "b" -> 2, "c" -> 4)) ++
+      day(3, Seq("b" -> 5)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Ingest.qRunDrift.run(spark, dir).collect()
+      .map(r => r.getAs[String]("run_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_types"),
+          Option(r.getAs[java.lang.Double]("tv_drift")),
+          Option(r.getAs[java.lang.Long]("n_new_types")),
+          Option(r.getAs[java.lang.Long]("n_gone_types"))))).toMap
+    assert(got("2024-04-01") == ((10L, 2L, None, None, None)),
+      "first run has no baseline — drift must be NULL, not 0")
+    assert(got("2024-04-02") == ((8L, 3L, Some(0.5), Some(1L), Some(0L))))
+    assert(got("2024-04-03") == ((5L, 1L, Some(0.75), Some(0L), Some(2L))))
+  }
 }
