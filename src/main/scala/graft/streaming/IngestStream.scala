@@ -72,6 +72,42 @@ object IngestStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming curation gate — the STATELESS per-document stages of the
+    * batch curation funnel (quality floor → blocklist → eval holdout, in
+    * the funnel's first-gate order) applied at ingest time, before a
+    * document lands in the lake. The funnel's STATEFUL stages already
+    * have their own streaming fronts ([[dedupeContent]] for exact dedup,
+    * [[neardupFront]] for near-dup); together the fronts are the batch
+    * funnel's ingest-time projection. Every signal reuses the batch
+    * operator's OWN definition ([[graft.operators.TextOps.qualityScored]]
+    * / [[graft.operators.TextOps.blocklistFlags]] /
+    * [[graft.operators.Text.evalSlice]], stage names + threshold from
+    * [[graft.operators.Curation]] — the anti-drift contract), so a
+    * document gated here is EXACTLY the document the batch funnel drops
+    * at stages 3-5 (spec-pinned against [[graft.operators.Curation
+    * .stagedFlags]] on the same corpus).
+    *
+    * Map-only — no watermark, no state, embarrassingly parallel at any
+    * ingest rate. Emits EVERY input row (quarantine-not-drop: the
+    * reference monitor counts what the scraper rejects) with its audit
+    * columns (`quality_score`, `blocked`) + `gate` (the first failing
+    * stage name, or 'pass') and `admitted`.
+    */
+  def curationGate(docs: DataFrame): DataFrame = {
+    import graft.operators.{Curation, Text, TextOps}
+    val names = Curation.StageNames.toMap
+    TextOps.blocklistFlags(TextOps.qualityScored(docs))
+      .withColumn("gate",
+        when(coalesce(col("quality_score"), lit(-1.0)) < Curation.QualityFloor,
+          names(3))
+          .when(col("blocked"), names(4))
+          .when(Text.evalSlice(col("doc_id")), names(5))
+          .otherwise("pass"))
+      .withColumn("admitted", col("gate") === "pass")
+      .drop("len_score", "stop_score", "punct_ratio", "caps_ratio",
+        "n_tok", "n_blocked")
+  }
+
   /** Windowed per-type counts + deterministic avg over a 1-hour tumbling
     * event-time window; emits only finalized windows (Append + watermark).
     * Batch-equivalent semantics: Ingest.qWindowedCounts — the identical

@@ -382,6 +382,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 4, s"expected exactly 4 admitted rows: $texts")
   }
 
+  test("streaming curation gate equals the batch funnel's stateless stages") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docsB = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val out = runToCompletion(
+      graft.streaming.IngestStream.curationGate(
+        mem.toDF().toDF("doc_id", "text")),
+      "curation_gate", mem, Seq(docsB.toSeq))
+    val gates = out.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("gate"), r.getAs[Boolean]("admitted")))).toMap
+    assert(gates.size == docsB.length,
+      "the gate quarantines, never drops: every input row is emitted")
+    val names = graft.operators.Curation.StageNames.toMap
+    val staged = graft.operators.Curation.stagedFlags(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Integer]("dropped_at")).map(_.toInt))
+    assert(staged.nonEmpty)
+    staged.foreach {
+      case (id, None) =>
+        assert(gates(id) == (("pass", true)),
+          s"doc $id passes the batch funnel but the gate said ${gates(id)}")
+      case (id, Some(k)) if k >= 3 =>
+        assert(gates(id) == ((names(k), false)),
+          s"doc $id drops at batch stage $k but the gate said ${gates(id)}")
+      case _ => () // stages 1-2 (exact/near dup) are the stateful fronts'
+                   // jurisdiction — the stateless gate judges only 3-5
+    }
+  }
+
   test("streaming sessionizer closes sessions on gap and on watermark timeout") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
