@@ -26,6 +26,29 @@ object TextOps {
   private val normSql = Text.normSql
   private def norm = Text.norm(col("text"))
 
+  /** Quality-quantization fan-out for [[qBudgetSelect]]'s two-level
+    * running sum (also the [[qQualityKs]] CDF grid): rows partition into
+    * ⌊q·BudgetBlocks⌋ blocks, so this bounds the level-1 parallelism.
+    * 2000 gives ~2002 possible blocks — block-OFFSET rows stay
+    * post-aggregation-tiny while the row-grain work spreads far beyond
+    * the executor count whenever quality is dispersed. The honest
+    * limitation: balance depends on the score DISTRIBUTION — a score
+    * atom (many docs with one exact double, e.g. a clamped component)
+    * serializes its block into one task no matter how fine the grid.
+    * The lake-scale escape for atomic distributions is
+    * range-partitioning the full (q, doc_id) sort key
+    * (repartitionByRange + spark_partition_id as the block key), which
+    * balances by sampling at any distribution — not taken here because
+    * its two consumers must share ONE physical range exchange (sampled
+    * boundaries differ per exchange; correctness would ride on
+    * ReuseExchange firing) where the deterministic grid needs no such
+    * coupling. Declared at the TOP of the object: oracle strings
+    * interpolate it at object-init time, and a later-declared val reads
+    * as 0 from any Q initialized above it (initialization order, not
+    * lexical scope — the q_quality_ks `* 0` incident).
+    */
+  private[graft] val BudgetBlocks = 2000
+
   /** Exact content dedup (hash-groupBy keep-min-id): one shuffle on the
     * md5 of normalized text; survivors = min doc_id per group. At 100 TB
     * this is the map-side-combine pattern — the hash is 16 bytes/row into
@@ -951,6 +974,226 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Sub-token scaling of the exact integer square root in
+    * [[qMixTemperature]]: sq = isqrt(n_tokens · 10⁴) ≈ 100·√tokens, two
+    * extra decimal digits of weight resolution. Magnitude bound: the
+    * pre-sqrt product must stay under 2⁶³ → tokens < 9.2·10¹⁴ per source
+    * (≈ 4 PB of text in ONE source) before either engine overflows —
+    * and the oracle's HUGEINT errors loud, not silently, first.
+    */
+  private[graft] val MixSqrtScale = 10000L
+
+  /** Temperature-scaled training mix (α = 0.5) — the sampling-smoothing
+    * companion of [[qSourceMix]] (mT5/XLM-R-style temperature sampling,
+    * Pile-style source re-weighting): raw token share p_s flattens to
+    * p'_s ∝ p_s^α, boosting low-resource sources without the full
+    * uniform flattening of [[qSourceMix]]'s mix_weight. Per source:
+    * tokens, the raw share, the α=0.5 tempered share, and the boost
+    * factor p'_s / p_s a loader multiplies into its per-source sampling
+    * probability (>1 ⇒ upsampled).
+    *
+    * Why α is FIXED at 0.5: √x is the one power IEEE-754 requires
+    * correctly rounded, and even that is not enough for cross-engine
+    * hash equality at a rounding boundary — so the implementation uses
+    * an exact INTEGER square root (floor(√(tokens·10⁴)) via hardware
+    * sqrt + a ±1 integer correction, exact in both engines — no
+    * decimal-tie hazard at any magnitude; the [[Det.exactAvg]]
+    * integer-space principle). A general α needs libm pow(), whose last
+    * ulp differs between engines — the same reason [[Ingest.qRunDrift]]
+    * chose TV distance over KL.
+    *
+    * Scale shape (100 TB): identical to [[qSourceMix]] — ONE map-side-
+    * combined source-grain aggregate over the corpus scan, then the
+    * global totals via an unpartitioned window over the O(#sources)-row
+    * aggregate (post-aggregation grain only). Ratios are exact integer
+    * divisions; the boost cross-products ride DECIMAL(38,0) so
+    * lake-scale token counts cannot wrap (the [[Ingest.qRunDrift]]
+    * rule). A zero-token source has no defined share ratio: its tempered
+    * columns are NULL, never 0 (no mass ≠ no boost).
+    */
+  val qMixTemperature: Q = Q(
+    "q_mix_temperature",
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CAST(SUM(${Text.wordCountSql}) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |s AS (
+       |  SELECT source, n_tokens,
+       |    CAST(f + CASE WHEN (f+1)*(f+1) <= x THEN 1
+       |             WHEN f*f > x THEN -1 ELSE 0 END AS BIGINT) AS sq
+       |  FROM (SELECT source, n_tokens, n_tokens * $MixSqrtScale AS x,
+       |          CAST(FLOOR(SQRT(n_tokens * $MixSqrtScale)) AS BIGINT) AS f
+       |        FROM t)),
+       |g AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+       |    CAST(SUM(sq) AS BIGINT) AS stot FROM s)
+       |SELECT source, n_tokens,
+       |  CASE WHEN tot = 0 THEN NULL
+       |    ELSE ${exactDivSql("n_tokens", "tot", 6)} END AS p_raw,
+       |  CASE WHEN stot = 0 THEN NULL
+       |    ELSE ${exactDivSql("sq", "stot", 6)} END AS p_temp,
+       |  CASE WHEN n_tokens = 0 OR stot = 0 THEN NULL
+       |    ELSE ${exactDivSql("CAST(sq AS HUGEINT) * tot",
+                               "CAST(stot AS HUGEINT) * n_tokens", 4)} END
+       |    AS boost
+       |FROM s, g ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val t = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(Text.wordCount(col("text"))).cast("long").as("n_tokens"))
+    // exact integer sqrt: hardware sqrt is correctly rounded, so
+    // floor() is off by at most one — a single integer correction lands
+    // both engines on floor(√x) exactly (no decimal-tie hazard)
+    val x = col("n_tokens") * lit(MixSqrtScale)
+    val f = floor(sqrt(x.cast("double"))).cast("long")
+    val sq = t
+      .withColumn("sq", f + when((f + 1) * (f + 1) <= x, 1L)
+        .when(f * f > x, -1L).otherwise(0L))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tot = sum(col("n_tokens")).over(w).cast("long")
+    val stot = sum(col("sq")).over(w).cast("long")
+    sq.select(col("source"), col("n_tokens"),
+        when(tot === 0, lit(null))
+          .otherwise(exactDiv(col("n_tokens"), tot, 6)).as("p_raw"),
+        when(stot === 0, lit(null))
+          .otherwise(exactDiv(col("sq"), stot, 6)).as("p_temp"),
+        when(col("n_tokens") === 0 || stot === 0, lit(null))
+          .otherwise(exactDiv(col("sq").cast(dec) * tot,
+            stot.cast(dec) * col("n_tokens"), 4)).as("boost"))
+      .orderBy("source")
+  }
+
+  /** Per-source quality-distribution divergence — the KS (Kolmogorov–
+    * Smirnov) member of the drift family ([[Ingest.qRunDrift]] watches
+    * the event-type MIX run-over-run; this watches the quality-score
+    * SHAPE source-by-source): a source whose mean quality passes every
+    * threshold can still ship a bimodal or shifted distribution, and the
+    * KS statistic — max CDF gap vs the REST of the corpus — is the
+    * classic two-sample test for exactly that. Per source: scored/null
+    * doc counts, the KS distance, and the score bucket where the gap
+    * peaks (ties → smallest bucket; where to look first).
+    *
+    * Exactness: scores quantize onto the ⌊q·[[BudgetBlocks]]⌋ grid (the
+    * [[qBudgetSelect]] quantization — cross-engine exact on bit-identical
+    * doubles), CDFs stay integer counts, and every gap compares as the
+    * cross-product |cs·n_rest − c_rest·n_s| in DECIMAL(38,0) — one
+    * exact division at the end ([[Ingest.qRunDrift]]'s TV arithmetic,
+    * applied at CDF grain). Null-text documents carry no score: they
+    * count in n_null and stay OUT of the distribution (unassessed ≠
+    * low-quality). A single-source corpus has no "rest": KS is NULL,
+    * never 0.
+    *
+    * Scale shape (100 TB): ONE corpus scan into a map-side-combined
+    * (source, bucket) count — everything after is post-aggregation
+    * grain (≤ #sources × [[BudgetBlocks]]+2 rows): the source×bucket
+    * grid, the per-source CDF windows (≤ 2002 rows per partition), the
+    * broadcast global CDF, the per-source max. No document row ever
+    * reaches a window.
+    */
+  val qQualityKs: Q = Q(
+    "q_quality_ks",
+    s"""WITH q AS (
+       |  SELECT source,
+       |    CAST(FLOOR(($qualityScoreSql) * $BudgetBlocks) AS INT) AS b
+       |  FROM documents),
+       |st AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_null
+       |  FROM q GROUP BY 1),
+       |sb AS (SELECT source, b, COUNT(*) AS c FROM q
+       |       WHERE b IS NOT NULL GROUP BY 1, 2),
+       |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM sb GROUP BY 1),
+       |gt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_g FROM sb),
+       |gc AS (
+       |  SELECT b, SUM(SUM(c)) OVER (ORDER BY b) AS cg
+       |  FROM sb GROUP BY b),
+       |grid AS (
+       |  SELECT s.source, g.b, g.cg,
+       |    SUM(COALESCE(sb.c, 0)) OVER (PARTITION BY s.source ORDER BY g.b)
+       |      AS cs
+       |  FROM (SELECT DISTINCT source FROM sb) s
+       |  CROSS JOIN gc g
+       |  LEFT JOIN sb ON sb.source = s.source AND sb.b = g.b),
+       |gap AS (
+       |  SELECT grid.source, grid.b,
+       |    ABS(CAST(grid.cs AS HUGEINT) * (gt.n_g - ns.n_s)
+       |      - CAST(grid.cg - grid.cs AS HUGEINT) * ns.n_s) AS num
+       |  FROM grid JOIN ns USING (source) CROSS JOIN gt),
+       |best AS (
+       |  SELECT source, b, num,
+       |    row_number() OVER (PARTITION BY source ORDER BY num DESC, b)
+       |      AS rn
+       |  FROM gap)
+       |SELECT st.source, st.n_docs, st.n_null,
+       |  CASE WHEN ns.n_s IS NULL OR gt.n_g = ns.n_s THEN NULL
+       |    ELSE ${exactDivSql("num",
+                "CAST(ns.n_s AS HUGEINT) * (gt.n_g - ns.n_s)", 4)} END
+       |    AS ks_drift,
+       |  CASE WHEN ns.n_s IS NULL OR gt.n_g = ns.n_s THEN NULL
+       |    ELSE best.b END AS peak_bucket
+       |FROM st
+       |LEFT JOIN ns USING (source)
+       |LEFT JOIN (SELECT source, b, num FROM best WHERE rn = 1) best
+       |  USING (source)
+       |CROSS JOIN gt
+       |ORDER BY st.source""".stripMargin
+  ) { (s, d) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = qualityScored(Tables.documents(s, d))
+      .select(col("source"),
+        floor(col("quality_score") * BudgetBlocks).cast("int").as("b"))
+    // ONE corpus evaluation: every downstream frame (per-source totals,
+    // the scored histogram, the source list) derives from this (source,
+    // bucket) aggregate. Persisted inline — the [[dupSpanCounts]]
+    // contract: the b-IS-NOT-NULL filter pushes BELOW the aggregate in
+    // the histogram branch, so the consumers' exchanges stop
+    // canonicalizing equal and ReuseExchange alone re-scans the corpus
+    // (and re-runs the quality regexes) once per consumer — measured 12
+    // scans. The cached rows are post-aggregation-tiny (≤ #sources ×
+    // BudgetBlocks+2); CacheManager dedupes repeat calls by
+    // canonicalized plan (plan-guarded).
+    val sbAll = q.groupBy("source", "b").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = sbAll.groupBy("source").agg(
+      sum("c").cast("long").as("n_docs"),
+      sum(when(col("b").isNull, col("c")).otherwise(0L)).cast("long")
+        .as("n_null"))
+    val sb = sbAll.filter(col("b").isNotNull)
+    val ns = sb.groupBy("source").agg(sum("c").cast("long").as("n_s"))
+    val gt = sb.agg(sum("c").cast("long").as("n_g"))
+    // global CDF: bucket grain (≤ BudgetBlocks+2 rows), broadcastable
+    val gc = sb.groupBy("b").agg(sum("c").as("cb"))
+      .withColumn("cg", sum(col("cb")).over(Window.orderBy("b")))
+      .select("b", "cg")
+    // source × bucket grid + per-source CDF — post-aggregation grain only
+    val grid = sb.select("source").distinct()
+      .crossJoin(broadcast(gc))
+      .join(sb, Seq("source", "b"), "left")
+      .withColumn("cs", sum(coalesce(col("c"), lit(0L)))
+        .over(Window.partitionBy("source").orderBy("b")))
+    val gap = grid.join(ns, "source").crossJoin(broadcast(gt))
+      .select(col("source"), col("b"),
+        abs(col("cs").cast(dec) * (col("n_g") - col("n_s"))
+          - (col("cg") - col("cs")).cast(dec) * col("n_s")).as("num"))
+    val best = gap
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("num").desc, col("b"))))
+      .filter(col("rn") === 1).select("source", "b", "num")
+    st.join(ns, Seq("source"), "left")
+      .join(best, Seq("source"), "left")
+      .crossJoin(broadcast(gt))
+      .select(col("source"), col("n_docs"), col("n_null"),
+        when(col("n_s").isNull || col("n_g") === col("n_s"), lit(null))
+          .otherwise(exactDiv(col("num"),
+            col("n_s").cast(dec) * (col("n_g") - col("n_s")), 4))
+          .as("ks_drift"),
+        when(col("n_s").isNull || col("n_g") === col("n_s"), lit(null))
+          .otherwise(col("b")).as("peak_bucket"))
+      .orderBy("source")
+  }
+
   /** Word-gram order for the repeated-span coverage scan — long enough
     * that cross-document collisions mean real shared phrasing, short
     * enough to catch partial copies (RefinedWeb's exact-substring dedup
@@ -1218,25 +1461,6 @@ object TextOps {
     * selects a strict top slice, large enough to span many documents.
     */
   private[graft] val TokenBudget = 20000L
-
-  /** Quality-quantization fan-out for [[qBudgetSelect]]'s two-level
-    * running sum: rows partition into ⌊q·BudgetBlocks⌋ blocks, so this
-    * bounds the level-1 parallelism. 2000 gives ~2002 possible blocks —
-    * block-OFFSET rows stay post-aggregation-tiny while the row-grain
-    * work spreads far beyond the executor count whenever quality is
-    * dispersed. The honest limitation: balance depends on the score
-    * DISTRIBUTION — a score atom (many docs with one exact double, e.g.
-    * a clamped component) serializes its block into one task no matter
-    * how fine the grid. The lake-scale escape for atomic distributions
-    * is range-partitioning the full (q, doc_id) sort key
-    * (repartitionByRange + spark_partition_id as the block key), which
-    * balances by sampling at any distribution — not taken here because
-    * its two consumers must share ONE physical range exchange (sampled
-    * boundaries differ per exchange; correctness would ride on
-    * ReuseExchange firing) where the deterministic grid needs no such
-    * coupling.
-    */
-  private[graft] val BudgetBlocks = 2000
 
   /** Data selection under a token budget (the "best B tokens" primitive
     * of pretraining corpus assembly — fill a fixed training budget with
@@ -1636,7 +1860,8 @@ object TextOps {
   val all: Seq[Q] = Seq(
     qDedupExact, qLangId, qQualityScore, qTokenCount, qVocabGrowth,
     qSeqPack, qWeightedSample, qTfidfTerms, qFingerprint, qRepetitionStats,
-    qDecontaminate, qPiiScan, qSourceMix, qBlocklistScan, qDupSpans,
+    qDecontaminate, qPiiScan, qSourceMix, qMixTemperature, qQualityKs,
+    qBlocklistScan, qDupSpans,
     qBudgetSelect, qLineDedup, qFamiliarity, qDocFeatures, qSourceDedup,
     qSubstringDedup)
 }

@@ -296,6 +296,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "global totals must ride a window:\n" + p)
   }
 
+  test("mix temperature reads the corpus once — totals ride the source-grain aggregate") {
+    // same contract as q_source_mix: the global token/sqrt totals must
+    // come from a window over the O(#sources) aggregate, never a second
+    // corpus scan for the denominator
+    val p = plan("q_mix_temperature")
+    assert(p.split("\n").count(_.contains("Scan parquet")) == 1,
+      "mix temperature must read documents once:\n" + p)
+    assert(p.contains("Window"), "global totals must ride a window:\n" + p)
+  }
+
+  test("quality ks: consumers share the one materialized bucket table; windows at bucket grain") {
+    // execute first: InMemoryTableScan only appears in the finalized plan
+    val df = SparkEntry.queries("q_quality_ks")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // every consumer (per-source totals, histogram CDFs, source list)
+    // must read the ONE persisted (source, bucket) aggregate — the
+    // b-IS-NOT-NULL filter pushes below the aggregate otherwise and each
+    // branch re-scans the corpus + re-runs the quality regexes
+    // (measured 12 parquet scans without the persist)
+    assert(p.split("\n").count(_.contains("InMemoryTableScan")) >= 3,
+      "consumers must read the materialized (source,bucket) table:\n" + p)
+    // CDF windows run at post-aggregation grain: every window partition
+    // key set must be empty (global bucket CDF, <= 2002 rows) or source
+    // (per-source CDF over the bucket grid) — never a document column
+    assert(!p.contains("windowspecdefinition(doc_id") &&
+      !p.contains("windowspecdefinition(text"),
+      "a document-grain window crept into the KS plan:\n" + p)
+  }
+
   test("dup spans: inline gram hashes; df join-back over the one materialized count table") {
     // execute first: ReusedExchange only appears in the finalized AQE plan
     val df = SparkEntry.queries("q_dup_spans")(spark, sfDir)

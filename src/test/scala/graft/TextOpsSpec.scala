@@ -574,4 +574,116 @@ class TextOpsSpec extends SparkSpec {
         s"share·weight·k must be ~1 for ${r.getAs[String]("source")} (got $prod)")
     }
   }
+
+  // driver mirror of Det.exactDiv: half-up integer division at scale r
+  private def halfUp(num: BigInt, den: BigInt, r: Int): Double = {
+    val p = BigInt(10).pow(r)
+    val q = (2 * num.abs * p + den) / (2 * den)
+    (num.signum * q).toDouble / p.toDouble
+  }
+
+  test("mix temperature: exact isqrt tempering, hand-checked; zero-token source NULL boost") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixtemp").toString
+    // A: 400 tokens (x=4e6, isqrt 2000 — perfect square), B: 100 (isqrt
+    // 1000), C: 0 tokens (empty text), D: 2 tokens (x=20000, isqrt 141 —
+    // the non-square floor path: 141^2=19881 <= 20000 < 142^2)
+    Seq(
+      (1L, "A", Seq.fill(400)("w").mkString(" ")),
+      (2L, "B", Seq.fill(100)("w").mkString(" ")),
+      (3L, "C", ""),
+      (4L, "D", "w w"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.qMixTemperature.run(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val sq = Map("A" -> 2000L, "B" -> 1000L, "C" -> 0L, "D" -> 141L)
+    val tot = 502L; val stot = sq.values.sum // 3141
+    for ((s, n) <- Seq("A" -> 400L, "B" -> 100L, "C" -> 0L, "D" -> 2L)) {
+      val r = got(s)
+      assert(r.getAs[Long]("n_tokens") == n)
+      assert(r.getAs[Double]("p_raw") == halfUp(n, tot, 6), s"p_raw $s")
+      assert(r.getAs[Double]("p_temp") == halfUp(sq(s), stot, 6),
+        s"p_temp $s: ${r.getAs[Double]("p_temp")}")
+      if (n == 0L) assert(r.isNullAt(r.fieldIndex("boost")),
+        "zero-token source must report NULL boost, not 0")
+      else {
+        val boost = halfUp(BigInt(sq(s)) * tot, BigInt(stot) * n, 4)
+        assert(r.getAs[Double]("boost") == boost, s"boost $s")
+      }
+    }
+    // the tempering direction: the small source is boosted, the large damped
+    assert(got("B").getAs[Double]("boost") > 1.0)
+    assert(got("A").getAs[Double]("boost") < 1.0)
+    assert(got("D").getAs[Double]("boost") > got("B").getAs[Double]("boost"),
+      "smaller sources must receive larger boosts")
+  }
+
+  test("quality ks: exact driver recount on the real corpus") {
+    val rows = graft.operators.TextOps.qQualityKs.run(spark, sfDir).collect()
+    // independent recount from the operator's own scored frame
+    val scored = graft.operators.TextOps
+      .qualityScored(Tables.documents(spark, sfDir))
+      .select("source", "quality_score").collect()
+      .map(r => r.getAs[String]("source") ->
+        Option(r.getAs[java.lang.Double]("quality_score"))
+          .map(q => math.floor(q * 2000).toInt))
+    val byB = scored.collect { case (s, Some(b)) => (s, b) }
+    val nS = byB.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    val nG = byB.length.toLong
+    val buckets = byB.map(_._2).distinct.sorted
+    for (r <- rows) {
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_docs") ==
+        scored.count(_._1 == s).toLong, s"n_docs $s")
+      assert(r.getAs[Long]("n_null") ==
+        scored.count(p => p._1 == s && p._2.isEmpty).toLong, s"n_null $s")
+      nS.get(s) match {
+        case Some(ns) if ns < nG =>
+          val gaps = buckets.map { b =>
+            val cs = byB.count(p => p._1 == s && p._2 <= b).toLong
+            val cg = byB.count(_._2 <= b).toLong
+            (BigInt(cs) * (nG - ns) - BigInt(cg - cs) * ns).abs -> b
+          }
+          val best = gaps.maxBy { case (g, b) => (g, BigInt(-b)) }
+          assert(r.getAs[Double]("ks_drift") ==
+            halfUp(best._1, BigInt(ns) * (nG - ns), 4), s"ks $s")
+          assert(r.getAs[Int]("peak_bucket") == best._2, s"peak $s")
+        case _ =>
+          assert(r.isNullAt(r.fieldIndex("ks_drift")), s"$s must be NULL")
+      }
+    }
+  }
+
+  test("quality ks: disjoint distributions score 1.0; single source reports NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ks").toString
+    // 'low' docs score in a strictly lower bucket than 'high' docs
+    // (len_score 10/500 vs 400/500 dominates); one null-text doc per
+    // source stays out of the distribution but lands in n_null
+    Seq(
+      (1L, "low", Some("a" * 10)), (2L, "low", Some("b" * 10)),
+      (3L, "low", None),
+      (4L, "high", Some("a" * 400)), (5L, "high", Some("b" * 400)))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.qQualityKs.run(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(got("low").getAs[Long]("n_null") == 1L)
+    assert(got("low").getAs[Double]("ks_drift") == 1.0,
+      "disjoint CDFs must peak at exactly 1")
+    assert(got("high").getAs[Double]("ks_drift") == 1.0)
+    // the gap peaks at the bucket holding ALL of low's mass
+    assert(got("low").getAs[Int]("peak_bucket") ==
+      got("high").getAs[Int]("peak_bucket"))
+
+    val single = java.nio.file.Files.createTempDirectory("graft_ks1").toString
+    Seq((1L, "only", "some text here"), (2L, "only", "more text there"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$single/documents.parquet")
+    val one = graft.operators.TextOps.qQualityKs.run(spark, single).collect()
+    assert(one.length == 1)
+    assert(one.head.isNullAt(one.head.fieldIndex("ks_drift")),
+      "a single-source corpus has no rest-of-corpus: KS must be NULL, not 0")
+  }
 }
