@@ -203,5 +203,180 @@ object Assembly {
       .orderBy(col("n").desc, col("pair")).limit(PairTopK)
   }
 
-  val all: Seq[Q] = Seq(qShardAssign, qShardManifest, qPairCounts)
+  /** Merge rounds for the registered [[qBpeMerges]] run — enough to
+    * exercise cascaded merges (merged symbols re-pairing) on any corpus;
+    * a production tokenizer raises this to O(10⁴–10⁵) merges with the
+    * same loop.
+    */
+  private[graft] val BpeMerges = 20
+
+  /** End-of-word marker symbol (classic BPE: lets the tokenizer learn
+    * word-final units distinctly from word-internal ones).
+    */
+  private[graft] val BpeEow = "</w>"
+
+  /** Vocabulary-count gate between [[bpeTrain]]'s two physical loops:
+    * at or below it the (syms, freq) table collects to the driver and
+    * the merge loop runs locally (how production tokenizer trainers
+    * work — the vocab of even a large corpus is usually O(10⁶) words);
+    * above it the loop stays distributed (a 100 TB web crawl's token
+    * set — URLs, hashes, code identifiers — is unbounded and can
+    * outgrow any driver). A cache-read COUNT of the materialized vocab
+    * decides — the [[graft.operators.Similarity]].components() adaptive
+    * precedent; both loops are spec-pinned identical.
+    */
+  private[graft] val BpeDriverMaxVocab = 200000L
+
+  /** BPE tokenizer TRAINING — the iterative loop whose single step
+    * [[qPairCounts]] is: n rounds of (count adjacent symbol pairs →
+    * promote the most frequent pair to a new symbol → re-segment every
+    * word), producing the ranked merge table a BPE tokenizer IS.
+    *
+    * Scale shape (100 TB): the corpus is touched ONCE — a map-side-
+    * combined (word, freq) aggregate (the classic BPE-at-scale move:
+    * training runs on the word-frequency table, which is O(vocabulary)
+    * — millions of rows where the corpus is billions; pair counts are
+    * freq-weighted so the result is identical to training on the raw
+    * corpus). The merge loop then dispatches on the MEASURED vocab
+    * count ([[BpeDriverMaxVocab]]): small vocabularies train on the
+    * driver (model-sized data — the merge table is the model); oversized
+    * ones run the distributed loop, where each round costs one
+    * inline-generator pair explode into a map-side-combined count (a
+    * stopword pair is a hot GROUP key — absorbed by hash-aggregate
+    * partials), a 1-row bounded-heap argmax collected to the driver (a
+    * MODEL decision, the IVF-centroid precedent — never a data-path
+    * collect), and one embarrassingly-parallel re-segmentation map.
+    * Distributed rounds localCheckpoint (the [[Similarity]]
+    * components-loop contract): 20+ nested fold lambdas otherwise pile
+    * into one ever-deeper plan that re-runs every prior round per
+    * action.
+    *
+    * Determinism: the argmax is total-ordered (count DESC, left, right)
+    * — both loops and any reference recompute pick the same pair at
+    * ties, so the dispatch cannot change the answer. Re-segmentation is
+    * the standard greedy LEFT-TO-RIGHT non-overlapping replace,
+    * expressed distributively as an array fold: a symbol merges with
+    * the accumulator's last element iff they spell the promoted pair
+    * (so "aaa" under (a,a) becomes [aa, a], and a symbol minted THIS
+    * round can immediately pair again next round — the cascade that
+    * builds long units). The fold reads the accumulator tail via get()
+    * (null-safe on the empty accumulator), never a negative element_at
+    * — the ANSI guard rule.
+    *
+    * Early stop: when every word is one symbol, no pairs remain and the
+    * loop ends with however many merges exist — the merge table is the
+    * answer, not an error ([[Curation]] empty-funnel principle).
+    */
+  def bpeTrain(s: SparkSession, d: String, nMerges: Int = BpeMerges,
+      maxDriverVocab: Long = BpeDriverMaxVocab): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    // the ONE corpus pass: word-frequency table (O(vocabulary) rows)
+    val vocab0 = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(filter(split(Text.norm(col("text")), " "),
+        t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      // initial segmentation: characters + the end-of-word marker
+      .select(col("freq"), concat(
+        filter(split(col("word"), ""), c => c =!= ""),
+        array(lit(BpeEow))).as("syms"))
+      .localCheckpoint()
+    val merges =
+      if (vocab0.count() <= maxDriverVocab) driverLoop(vocab0, nMerges)
+      else distributedLoop(vocab0, nMerges)
+    vocab0.unpersist()
+    s.createDataFrame(
+      s.sparkContext.parallelize(merges.map {
+        case (rk, l, r, m, n) => org.apache.spark.sql.Row(rk, l, r, m, n)
+      }, 1), outSchema)
+  }
+
+  /** The in-driver merge loop — the [[bpeTrain]] small-vocab fast path.
+    * Same argmax order and greedy replace as the distributed form.
+    */
+  private def driverLoop(vocab0: DataFrame, nMerges: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    var vocab: Array[(Array[String], Long)] = vocab0.collect().map(r =>
+      (r.getAs[scala.collection.Seq[String]]("syms").toArray,
+        r.getAs[Long]("freq")))
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), n) = counts.toSeq.minBy { case ((a, b), m) => (-m, a, b) }
+        out += ((rank, l, r, l + r, n))
+        vocab = vocab.map { case (syms, f) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (sym <- syms) {
+            if (acc.nonEmpty && acc.last == l && sym == r)
+              acc(acc.length - 1) = l + r
+            else acc += sym
+          }
+          (acc.toArray, f)
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The distributed merge loop — the [[bpeTrain]] oversized-vocab path. */
+  private def distributedLoop(vocab0: DataFrame, nMerges: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    var vocab = vocab0
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      // pair array INLINE in the generator (CLAUDE.md invariant)
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms)-2), " +
+            "i -> struct(get(syms, i) AS l, get(syms, i+1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top.head.getAs[String]("l"),
+          top.head.getAs[String]("r"), top.head.getAs[Long]("n"))
+        merges += ((rank, l, r, l + r, n))
+        // greedy left-to-right re-segmentation of every word
+        val prev = vocab
+        vocab = vocab.select(col("freq"), aggregate(
+          col("syms"), typedlit(Seq.empty[String]),
+          (acc, sym) => when(
+            get(acc, size(acc) - 1) === lit(l) && sym === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(sym)))).as("syms"))
+          .localCheckpoint()
+        prev.unpersist()
+        rank += 1
+      }
+    }
+    if (vocab ne vocab0) vocab.unpersist()
+    merges.result()
+  }
+
+  /** The ranked merge table of a [[BpeMerges]]-round BPE training run —
+    * rows-only (an iterative fixpoint is not SQL-expressible; the spec
+    * pins the whole loop against a driver-side reference BPE on both a
+    * crafted corpus and the real one).
+    */
+  val qBpeMerges: Q = Q.rowsOnly("q_bpe_merges") { (s, d) => bpeTrain(s, d) }
+
+  val all: Seq[Q] = Seq(qShardAssign, qShardManifest, qPairCounts, qBpeMerges)
 }

@@ -114,4 +114,91 @@ class AssemblySpec extends SparkSpec {
     assert(gotPairs.sameElements(
       gotPairs.sortBy { case (p, n) => (-n, p) }))
   }
+
+  /** Driver-side reference BPE over a (word, freq) table — the exact loop
+    * bpeTrain distributes: freq-weighted pair counts, argmax at (count
+    * DESC, left, right), greedy left-to-right non-overlapping replace.
+    */
+  private def refBpe(words: Map[String, Long], n: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    var vocab: Seq[(Vector[String], Long)] = words.toSeq.map {
+      case (w, f) => (w.map(_.toString).toVector :+ Assembly.BpeEow, f)
+    }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < n && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), m) => (-m, a, b) }
+        out += ((rank, l, r, l + r, c))
+        vocab = vocab.map { case (syms, f) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (sym <- syms) {
+            if (acc.nonEmpty && acc.last == l && sym == r)
+              acc(acc.length - 1) = l + r
+            else acc += sym
+          }
+          (acc.toVector, f)
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  private def gotMerges(dir: String) =
+    SparkEntry.queries("q_bpe_merges")(spark, dir).collect().map(r =>
+      (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"))).sortBy(_._1)
+
+  test("bpe training: crafted corpus — cascaded merges and ties match the reference loop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    // 'aaab' x3 forces (a,a) first, then the MINTED 'aa' must re-pair
+    // (cascade); 'cb ca' are an all-count-1 tie resolved lexicographically
+    Seq((1L, "aaab aaab aaab cb ca"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val words = Map("aaab" -> 3L, "cb" -> 1L, "ca" -> 1L)
+    val expect = refBpe(words, Assembly.BpeMerges)
+    val got = gotMerges(dir)
+    assert(got.toSeq == expect, s"merge tables differ:\n$got\nvs\n$expect")
+    // the hand-checkable prefix: counting sees every adjacent POSITION,
+    // so (a,a) scores 2 per 'aaab' x 3 words = 6 and wins round 0
+    assert(got(0) == ((0, "a", "a", "aa", 6L)))
+    // the cascade: a later round must consume the minted 'aa' (round 3
+    // merges aa+ab</w> by the reference arithmetic)
+    assert(got.exists(m => m._2 == "aa" || m._3 == "aa"),
+      s"no merge consumed the minted symbol:\n${got.toSeq}")
+  }
+
+  test("bpe training: distributed and driver loops land the identical merge table") {
+    // the size gate must be invisible in the result — force the
+    // distributed path (gate 0) and compare with the gated default
+    val dist = Assembly.bpeTrain(spark, sfDir, maxDriverVocab = 0L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1)
+    assert(dist.toSeq == gotMerges(sfDir).toSeq,
+      "physical strategy changed the merge table")
+  }
+
+  test("bpe training: real corpus matches the reference loop end-to-end") {
+    // independent word-frequency recount (same normalization as the SUT)
+    val words = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(r => Option(r.getAs[String]("text")))
+      .flatMap(_.trim.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val expect = refBpe(words, Assembly.BpeMerges)
+    val got = gotMerges(sfDir)
+    assert(got.toSeq == expect,
+      s"merge tables differ on the real corpus:\n$got\nvs\n$expect")
+    assert(got.length == Assembly.BpeMerges,
+      "the real corpus must sustain all configured merge rounds")
+  }
 }
