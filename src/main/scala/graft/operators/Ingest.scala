@@ -238,11 +238,22 @@ object Ingest {
        |FROM agg JOIN tt USING (rn) JOIN days d USING (rn)
        |ORDER BY d.run_id""".stripMargin
   ) { (s, d) =>
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val c = Tables.events(s, d)
+    driftOf(Tables.events(s, d)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("run_id"),
         col("event_type"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+  }
+
+  /** The drift arithmetic over a (run_id, event_type, c) count frame —
+    * ONE definition consumed by [[qRunDrift]] (counts from the event
+    * lake) and the streaming [[graft.streaming.IngestStream.driftSink]]
+    * (counts from the advancing store), so the TV rule cannot drift
+    * between modes. Input is post-aggregation grain (runs × types);
+    * everything here is tiny by construction.
+    */
+  private[graft] def driftOf(c: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     // post-aggregation grain from here on: runs × types
     val days = c.select("run_id").distinct()
       .withColumn("rn", row_number().over(Window.orderBy("run_id")))

@@ -433,6 +433,69 @@ object IngestStream {
     }
   }
 
+  /** The distribution-shift monitor's continuous run loop — streaming
+    * twin of [[graft.operators.Ingest.qRunDrift]] (the [[alertsSink]]
+    * cadence applied to the event-MIX watch): as the watermark closes
+    * each day run, land the run's per-type counts into the keyed count
+    * store, then recompute the total-variation drift row for exactly the
+    * closing runs against the UPDATED store, appending to the drift
+    * report. The TV arithmetic is [[graft.operators.Ingest.driftOf]] —
+    * the batch operator's own definition over the store's (run, type)
+    * counts — so batch and stream cannot disagree about the rule
+    * (spec-pinned run-for-run).
+    *
+    * Exactly-once is the keyed-append contract twice over (the
+    * [[alertsSink]] shape): replayed count rows drop on the
+    * (run_id|event_type) key, replayed drift rows on run_id. Evaluation
+    * covers every run the batch OFFERS (not only newly-landed rows), so
+    * a crash between the two appends re-derives the identical drift row
+    * and the keyed append makes it a no-op.
+    *
+    * Ordering caveat (the [[neardupSink]] honesty rule): a run's drift
+    * row is computed when its window CLOSES, against whatever earlier
+    * runs the store then holds. Watermark ordering makes
+    * in-event-time-order arrival the normal case; if day N somehow
+    * closes before day N−1 lands, N's drift row keeps the
+    * then-preceding run (streaming cannot retract — the batch operator
+    * over the landed lake is the backstop and the report's source of
+    * truth for audits). Scale shape: per-batch evaluation reads the
+    * RUN-GRAIN store (runs × types — KBs at years of daily runs); the
+    * only corpus-sized work is the windowed count the stream already
+    * pays.
+    *
+    * Returns the prepared writer; the caller adds checkpoint/trigger.
+    */
+  def driftSink(events: Dataset[Event], countsPath: String,
+      driftPath: String, watermark: String = "10 minutes")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    requireUtc(events.toDF(), "driftSink")
+    val counts = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("run_id", date_format(col("window.start"), "yyyy-MM-dd"))
+      .drop("window")
+    counts.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        if (!batch.isEmpty) {
+          val b = batch.persist()
+          try {
+            graft.sources.Store.appendDeduped(
+              b.withColumn("count_key",
+                concat_ws("|", col("run_id"), col("event_type"))),
+              countsPath, "count_key")
+            val hist = s.read.parquet(countsPath)
+              .select("run_id", "event_type", "c")
+            val fresh = graft.operators.Ingest.driftOf(hist)
+              .join(broadcast(b.select("run_id").distinct()), Seq("run_id"))
+            graft.sources.Store.appendDeduped(fresh, driftPath, "run_id")
+          } finally { b.unpersist(); () }
+        }
+        ()
+    }
+  }
+
   /** Stateful gap sessionizer (30-min inactivity), the streaming twin of
     * Ingest.qSessionize: flatMapGroupsWithState with event-time timeout.
     * State per user = the open session only; closed sessions are emitted

@@ -216,6 +216,65 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(metricsPath).count() == days.size)
   }
 
+  test("driftSink run loop: TV drift rows equal the batch rule; replay is a per-key no-op") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // 4 days with a shifting type mix: day2 shifts shares (TV 0.25 by
+    // hand), day3 swaps a type out and one in, day4 collapses to one type
+    var id = 0L
+    def day(d: Int, mix: Seq[(String, Int)]): Seq[Event] =
+      mix.flatMap { case (t, n) => (1 to n).map { i =>
+        id += 1
+        Event(id, new Timestamp(java.sql.Timestamp
+          .valueOf(f"2024-03-0$d 01:00:00").getTime + i * 60000L), 1L, t, 1.0)
+      } }
+    val days = Seq(
+      day(1, Seq("a" -> 10, "b" -> 10)),
+      day(2, Seq("a" -> 15, "b" -> 5)),
+      day(3, Seq("b" -> 10, "c" -> 10)),
+      day(4, Seq("c" -> 1)))
+    val all = days.flatten
+    // the batch rule over the same rows — qRunDrift IS driftOf over
+    // day-grain type counts, so this is the batch operator's definition
+    def keyOf(r: org.apache.spark.sql.Row) = (r.getAs[String]("run_id"),
+      r.getAs[Long]("n_events"), r.getAs[Long]("n_types"),
+      Option(r.getAs[java.lang.Double]("tv_drift")),
+      Option(r.getAs[java.lang.Long]("n_new_types")),
+      Option(r.getAs[java.lang.Long]("n_gone_types")))
+    val batch = graft.operators.Ingest.driftOf(
+      all.toDF().groupBy(date_format(col("ts"), "yyyy-MM-dd").as("run_id"),
+        col("event_type")).agg(count(lit(1)).as("c")))
+      .collect().map(keyOf).toSet
+    assert(batch.exists(_._4.contains(0.25)), s"hand TV missing: $batch")
+    val base = java.nio.file.Files.createTempDirectory("graft_driftsink")
+    val countsPath = base.resolve("counts").toString
+    val driftPath = base.resolve("drift").toString
+    val sentinel = Seq(Event(99999L, new Timestamp(
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime), 1L, "zz", 0.0))
+    def runOnce(): Unit = {
+      val mem = MemoryStream[Event]
+      val query = IngestStream.driftSink(mem.toDS(), countsPath, driftPath)
+        .start()
+      // runs close across DIFFERENT micro-batches: day 3's previous-run
+      // distribution was landed by an EARLIER batch — the advancing-store
+      // horizon the stream-static form could not provide
+      try Seq(days.take(2).flatten, days.drop(2).flatten ++ sentinel)
+        .foreach { b => mem.addData(b); query.processAllAvailable() }
+      finally query.stop()
+    }
+    runOnce()
+    def stored = spark.read.parquet(driftPath).collect().map(keyOf).toSet
+    assert(stored == batch, s"streamed drift diverged:\n got=$stored\n exp=$batch")
+    // the count store holds one row per (run, type)
+    assert(spark.read.parquet(countsPath).count() ==
+      days.flatMap(d => d.map(e => (e.ts.getTime / 86400000L, e.event_type)))
+        .distinct.size)
+    // full replay: every count row and drift row re-offered — both keyed
+    // appends must drop them all
+    runOnce()
+    assert(stored == batch, "replay changed the landed drift rows")
+  }
+
   test("streaming health-report sink: closed runs land once; a full replay is a no-op") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
