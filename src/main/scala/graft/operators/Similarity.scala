@@ -48,6 +48,7 @@ object Similarity {
     indexCache.values.foreach(df => try df.unpersist() catch { case _: Exception => })
     indexCache.clear()
     ivfModels.clear()
+    pqModels.clear()
   }
 
   /** Build every shared similarity index for (session, dir) in dependency
@@ -75,6 +76,8 @@ object Similarity {
       timed("build_lsh_buckets")(lshBuckets(s, d)),
       timed("build_ivf_assign")(
         if (ivfModel(s, d).nonEmpty) ivfAssigned(s, d) else ()),
+      timed("build_pq_codes")(
+        if (pqModel(s, d).nonEmpty) pqCodesFrame(s, d) else ()),
       timed("build_knn_ivf_assign") {
         val n = quantized(s, d).filter(col("qv").isNotNull).count()
         if (n > 0) ivfAssignedK(s, d, knnIvfK(n), "ivf_assign_knn") else ()
@@ -985,6 +988,214 @@ object Similarity {
     }
   }
 
+  /** Product-quantization geometry: [[PqBlocks]] sub-blocks of
+    * [[PqSubDim]] dims each over the 64-dim vectors, [[PqCodes]]
+    * codewords per block → a vector compresses to 8 four-bit codes.
+    * Why PQ exists next to IVF/LSH: those prune WHICH vectors a query
+    * scores; PQ shrinks WHAT a scored vector costs — 8 codes ≈ 4 bytes
+    * against 256 bytes of float32 (64×), so a 10⁹-vector index fits in
+    * ~10 GB and a full ADC sweep does m=8 table adds per candidate
+    * instead of d=64 multiplies. At 100 TB the two compose (IVF lists of
+    * PQ codes — the FAISS IVFPQ layout); here PQ is exercised as the
+    * standalone full-sweep so its distortion is measured unconfounded.
+    */
+  private[graft] val PqBlocks = 8
+  private[graft] val PqSubDim = 8
+  private[graft] val PqCodes = 16
+
+  /** ADC shortlist depth: approximate scores rank the corpus, the top
+    * [[PqShortlist]] per query are re-scored exactly from the full
+    * quantized vectors (the standard PQ re-rank stage — distortion
+    * decides the shortlist, never the reported neighbors/cosines).
+    */
+  private[graft] val PqShortlist = 50
+
+  /** Driver-held PQ codebook per (session, dir):
+    * model(j)(k) = (centroid of block j code k, its squared norm).
+    * Built deterministically like [[ivfModelK]]: per block, seeds = the
+    * [[PqCodes]] lowest vec_ids' sub-vectors, then ONE Lloyd refinement
+    * with exact integer means (floor division) — bit-identical at any
+    * parallelism; empty codes keep their seed. m·K·8 longs ≈ 1 KB — the
+    * same broadcast-model footprint family as [[hyperplanes]]/IVF; a
+    * lake-scale build trains on a sample exactly like this.
+    */
+  private val pqModels = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Array[(Array[Long], Long)]]]
+
+  /** The codebook as one typedlit constant (codegen reference object —
+    * the [[centDists]] rule): Seq over blocks of Seq of (k, cent, n2c).
+    */
+  private def pqCents(model: Array[Array[(Array[Long], Long)]]): Column =
+    typedlit(model.toSeq.map(_.toSeq.zipWithIndex.map {
+      case ((c, n2c), k) => (k, c.toSeq, n2c)
+    }))
+
+  /** Per-block argmin code for sub-vector `sub` of block `j` (0-based):
+    * rank by n2c − 2·⟨sub, cent⟩ — the squared distance minus the
+    * block-constant ‖sub‖², so the argmin (and its smallest-k
+    * tie-break via lexicographic struct ordering) is unchanged and the
+    * per-row norm never computes.
+    */
+  private def pqArgmin(cents: Column, j: Column, sub: Column): Column =
+    array_min(transform(element_at(cents, j + 1), c =>
+      struct(
+        (c.getField("_3") - lit(2L) *
+          call_function("graft_dot_q", sub, c.getField("_2"))).as("d"),
+        c.getField("_1").as("k")))).getField("k")
+
+  private[graft] def pqModel(s: SparkSession, d: String)
+      : Array[Array[(Array[Long], Long)]] =
+    pqModels.getOrElseUpdate((s, d), {
+      GraftFunctions.register(s)
+      val q = quantized(s, d).filter(col("qv").isNotNull)
+      val seeds = q.orderBy("vec_id").limit(PqCodes)
+        .select("qv").collect().map(_.getSeq[Long](0).toArray)
+      if (seeds.isEmpty) Array.empty
+      else {
+        val seedModel: Array[Array[(Array[Long], Long)]] =
+          Array.tabulate(PqBlocks) { j =>
+            seeds.map { v =>
+              val c = v.slice(j * PqSubDim, (j + 1) * PqSubDim)
+              (c, c.map(x => x * x).sum)
+            }
+          }
+        val cents = pqCents(seedModel)
+        // one Lloyd pass, all blocks in one job: nearest-seed code per
+        // (vector, block), exact per-position integer means
+        val refined = q
+          .select(posexplode(expr(
+            s"transform(sequence(0, ${PqBlocks - 1}), " +
+              s"j -> slice(qv, j * $PqSubDim + 1, $PqSubDim))"))
+            .as(Seq("j", "sub")))
+          .withColumn("code", pqArgmin(cents, col("j"), col("sub")))
+          .select(col("j"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
+          .groupBy("j", "code", "pos")
+          .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("c"))
+          .groupBy("j", "code")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+            .as("cent"))
+          .collect()
+          .map(r => (r.getAs[Int]("j"), r.getAs[Int]("code")) ->
+            r.getAs[Seq[Long]]("cent").toArray)
+          .toMap
+        Array.tabulate(PqBlocks) { j =>
+          seedModel(j).zipWithIndex.map { case ((seed, _), k) =>
+            val c = refined.getOrElse((j, k), seed)
+            (c, c.map(x => x * x).sum)
+          }
+        }
+      }
+    })
+
+  /** The written PQ index: (vec_id, codes[8], n2pq) — codes are the
+    * per-block argmin codewords, n2pq the reconstruction's exact squared
+    * norm Σ_j ‖c_{j,code_j}‖² (blocks are orthogonal coordinate slices,
+    * so the sum IS the reconstructed vector's norm). Narrow per-row
+    * argmin over the typedlit codebook; nothing shuffles.
+    */
+  private[graft] def pqCodesFrame(s: SparkSession, d: String): DataFrame = {
+    val model = pqModel(s, d)
+    materialized(s, d, "pq_codes") {
+      GraftFunctions.register(s)
+      val cents = pqCents(model)
+      val n2lut = typedlit(model.toSeq.flatMap(_.toSeq.map(_._2)))
+      quantized(s, d).filter(col("qv").isNotNull)
+        .withColumn("codes",
+          transform(sequence(lit(0), lit(PqBlocks - 1)), j =>
+            pqArgmin(cents, j,
+              slice(col("qv"), j * lit(PqSubDim) + 1, lit(PqSubDim)))))
+        .withColumn("n2pq",
+          aggregate(sequence(lit(0), lit(PqBlocks - 1)), lit(0L),
+            (acc, j) => acc + element_at(n2lut,
+              j * lit(PqCodes) + element_at(col("codes"), j + 1) + 1)))
+        .select("vec_id", "codes", "n2pq")
+    }
+  }
+
+  /** PQ-compressed ANN (rows-only; spec pins the codebook + codes against
+    * a full driver recompute and recall ≥ 0.8 vs brute force): asymmetric
+    * distance computation — each query precomputes its m×K lookup table
+    * of sub-dot-products (built on the DRIVER from the codebook: a
+    * model-sized artifact like the codebook itself, never a data-path
+    * collect), every corpus vector scores as m table adds over its
+    * codes, the approximate cosine ranks a [[PqShortlist]] shortlist,
+    * and the shortlist re-scores EXACTLY from the full quantized
+    * vectors. Reported neighbors and cosines are exact values —
+    * distortion only decides who makes the shortlist.
+    *
+    * Scale shape (100 TB): the sweep side reads only (vec_id, codes,
+    * n2pq) ≈ 16 bytes/vector — the point of PQ; the shortlist shuffles
+    * narrow id pairs; the exact pass touches [[PqShortlist]] full
+    * vectors per query. Queries broadcast with their LUTs (64 queries ×
+    * 128 longs).
+    */
+  val qAnnPq: Q = Q.rowsOnly("q_ann_pq") { (s, d) =>
+    val q = quantized(s, d)
+    val model = pqModel(s, d)
+    if (model.isEmpty) {
+      q.filter(lit(false))
+        .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+          lit(1).as("rank"), lit(0.0).as("cosine"))
+    } else {
+      val queries = q.filter(col("vec_id") < 10 && col("qv").isNotNull)
+        .select("vec_id", "qv", "n2").collect()
+      val lutRows = queries.map { r =>
+        val qv = r.getSeq[Long](1).toArray
+        val lut = Array.tabulate(PqBlocks * PqCodes) { i =>
+          val (j, k) = (i / PqCodes, i % PqCodes)
+          val c = model(j)(k)._1
+          var dot = 0L
+          var p = 0
+          while (p < PqSubDim) { dot += qv(j * PqSubDim + p) * c(p); p += 1 }
+          dot
+        }
+        org.apache.spark.sql.Row(r.getLong(0), lut.toSeq, r.getLong(2))
+      }
+      val lutSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("lut",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false),
+        org.apache.spark.sql.types.StructField("n2q",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val luts = s.createDataFrame(
+        s.sparkContext.parallelize(lutRows.toSeq, 1), lutSchema)
+      // ADC sweep: m table adds per (vector, query) over the codes table
+      val approx = pqCodesFrame(s, d).crossJoin(broadcast(luts))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("n2q"), col("n2pq"),
+          aggregate(sequence(lit(0), lit(PqBlocks - 1)), lit(0L),
+            (acc, j) => acc + element_at(col("lut"),
+              j * lit(PqCodes) + element_at(col("codes"), j + 1) + 1))
+            .as("sdot"))
+        .select(col("query_id"), col("vec_id"),
+          (col("sdot").cast("double") /
+            (sqrt(col("n2q").cast("double")) * sqrt(col("n2pq").cast("double"))))
+            .as("approx"))
+      val wS = Window.partitionBy("query_id")
+        .orderBy(col("approx").desc, col("vec_id"))
+      val shortlist = approx.withColumn("rk", row_number().over(wS))
+        .filter(col("rk") <= PqShortlist).select("query_id", "vec_id")
+      // exact re-rank of the shortlist from the full quantized vectors
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      shortlist
+        .join(q.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
+        .join(broadcast(q.filter(col("vec_id") < 10 && col("qv").isNotNull)
+          .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+            col("n2").as("n2q"))), "query_id")
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(call_function("graft_dot_q", col("qq"), col("qv")),
+            col("n2q"), col("n2")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    }
+  }
+
   /** Eval-doc-count threshold under which the probe rows (|eval|·32
     * tables·22 probes) broadcast into the bucket join — mirrors
     * [[graft.operators.TextOps]]'s decontaminate adaptive tiers: a
@@ -1740,7 +1951,7 @@ object Similarity {
 
   val all: Seq[Q] = Seq(
     qNgramJaccard, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
-    qCosineTopk, qAnnLsh, qAnnIvf, qEmbedClusters, qKnnJoin, qKnnJoinIvf,
+    qCosineTopk, qAnnLsh, qAnnIvf, qAnnPq, qEmbedClusters, qKnnJoin, qKnnJoinIvf,
     qDedupClusters, qDedupSurvivors, qDedupSurvivorsBest, qDedupWeights,
     qLabelCentroids, qDecontaminateSemantic, qLabelPropagate,
     qDiverseSample)

@@ -477,6 +477,90 @@ class SimilaritySpec extends SparkSpec {
     assert(frac <= 0.2, s"candidate fraction $frac exceeds 0.2")
   }
 
+  test("pq codebook + codes match a full driver recompute") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull).orderBy("vec_id").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(x => math.round(x.toDouble * 10000)).toArray)
+    val m = Similarity.PqBlocks; val sd = Similarity.PqSubDim
+    val kk = Similarity.PqCodes
+    // reference codebook: 16 lowest-id seeds per block, one Lloyd pass
+    // with the operator's own arithmetic (argmin by n2c - 2·dot, ties to
+    // smallest k; floor of the double mean — the ivfModelK precedent)
+    val seeds = vecs.take(kk).map(_._2)
+    def sub(v: Array[Long], j: Int) = v.slice(j * sd, (j + 1) * sd)
+    def dot(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    var model: Array[Array[Array[Long]]] =
+      Array.tabulate(m)(j => seeds.map(sub(_, j)))
+    def argmin(j: Int, s0: Array[Long]) =
+      (0 until model(j).length).minBy { k =>
+        val c = model(j)(k); (dot(c, c) - 2 * dot(s0, c), k)
+      }
+    val sums = scala.collection.mutable.Map
+      .empty[(Int, Int), (Array[Long], Long)]
+    for ((_, v) <- vecs; j <- 0 until m) {
+      val s0 = sub(v, j); val k = argmin(j, s0)
+      val (acc, n) = sums.getOrElse((j, k), (Array.fill(sd)(0L), 0L))
+      sums((j, k)) = (acc.zip(s0).map { case (a, b) => a + b }, n + 1)
+    }
+    model = Array.tabulate(m)(j => Array.tabulate(model(j).length)(k =>
+      sums.get((j, k)).map { case (acc, n) =>
+        acc.map(x => math.floor(x.toDouble / n).toLong)
+      }.getOrElse(model(j)(k))))
+    val gotModel = Similarity.pqModel(spark, sfDir)
+    assert(gotModel.length == m)
+    for (j <- 0 until m; k <- 0 until gotModel(j).length) {
+      assert(gotModel(j)(k)._1.sameElements(model(j)(k)),
+        s"codebook cell ($j,$k) differs")
+      assert(gotModel(j)(k)._2 == dot(model(j)(k), model(j)(k)),
+        s"codebook norm ($j,$k) differs")
+    }
+    // reference encode vs the written codes frame
+    val gotCodes = Similarity.pqCodesFrame(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getSeq[Int](r.fieldIndex("codes")).toList,
+          r.getAs[Long]("n2pq"))).toMap
+    assert(gotCodes.keySet == vecs.map(_._1).toSet)
+    for ((id, v) <- vecs) {
+      val codes = (0 until m).map(j => argmin(j, sub(v, j))).toList
+      assert(gotCodes(id)._1 == codes, s"codes differ for $id")
+      val n2pq = (0 until m).map(j =>
+        dot(model(j)(codes(j)), model(j)(codes(j)))).sum
+      assert(gotCodes(id)._2 == n2pq, s"n2pq differs for $id")
+      assert(codes.forall(c => c >= 0 && c < kk), "codes must be 4-bit")
+    }
+  }
+
+  test("pq ann: recall@5 >= 0.8 vs brute force from 16-byte rows") {
+    val brute = Similarity.qCosineTopk.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = Similarity.qAnnPq.run(spark, sfDir).collect()
+    pq.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, "not descending")
+    }
+    val pairs = pq
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & pairs).size.toDouble / brute.size
+    info(s"PQ recall@5 = $recall")
+    assert(recall >= 0.8, s"recall $recall regressed")
+    // the reported cosines are EXACT (re-ranked), not reconstructions:
+    // every (query, neighbor) cosine must equal the brute-force value
+    val bruteCos = Similarity.qCosineTopk.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    pq.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bruteCos.get(key).foreach { c =>
+        assert(r.getAs[Double]("cosine") == c,
+          s"re-ranked cosine not exact for $key")
+      }
+    }
+  }
+
   test("quality-aware survivors: same partition as min-id policy, keeper is argmax") {
     val best = Similarity.qDedupSurvivorsBest.run(spark, sfDir).collect()
       .map(_.getAs[Long]("doc_id")).toSet
