@@ -222,6 +222,62 @@ object Similarity {
     jaccardPairs(keptShingles(s, d), 0.5).orderBy("id_a", "id_b")
   }
 
+  /** Containment threshold for [[qNgramContainment]] — the partial-copy
+    * bar of exact-substring pipelines (RefinedWeb flags documents whose
+    * content is mostly contained in another at ~0.8).
+    */
+  private[graft] val ContainmentTau = 0.8
+
+  /** N-gram CONTAINMENT join (τ=[[ContainmentTau]]) — the ASYMMETRIC
+    * member of the near-dup family: containment(a→b) = |A∩B| / |A| over
+    * distinct word-3-gram sets. Jaccard normalizes by the UNION, so a
+    * short document wholly embedded in a longer one (a quoted article
+    * inside a wrapper page, a post plus its comment thread) scores
+    * arbitrarily low on [[qNgramJaccard]] while its containment is 1.0 —
+    * this operator emits exactly those DIRECTED (contained, container)
+    * pairs. Since C(a→b) = x/na ≥ x/(na+nb−x) = J(a,b), the containment
+    * report is always a superset of the Jaccard report at equal τ —
+    * spec-pinned.
+    *
+    * Scale shape: identical to [[qNgramJaccard]] — same df-capped
+    * shingle index ([[keptShingles]]: the stop-shingle rule bounds the
+    * self-join at C(cap,2) pairs per shingle type; containment is then
+    * computed consistently over the pruned shingle space, mirrored in
+    * the oracle), same shingle-keyed shuffle of 16-byte rows; the only
+    * delta is the a ≠ b filter (both directions survive — the report is
+    * directed) and the single-cardinality denominator.
+    */
+  val qNgramContainment: Q = Q(
+    "q_ngram_containment",
+    s"""WITH $shinglesSql,
+       |hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > $StopShingleDf),
+       |kept AS (SELECT doc_id, sh FROM sh
+       |         WHERE sh NOT IN (SELECT sh FROM hot)),
+       |card AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS x
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, ca.n AS n_grams_a, x AS n_shared,
+       |  CAST(x AS DOUBLE) / ca.n AS containment
+       |FROM inter JOIN card ca ON ca.doc_id = id_a
+       |WHERE CAST(x AS DOUBLE) / ca.n >= $ContainmentTau
+       |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    val sh = keptShingles(s, d)
+    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh_h"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh_h"))
+    a.join(b, Seq("sh_h")).filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("x"))
+      .join(card.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .select(col("id_a"), col("id_b"), col("na").as("n_grams_a"),
+        col("x").as("n_shared"),
+        (col("x").cast("double") / col("na")).as("containment"))
+      .filter(col("containment") >= ContainmentTau)
+      .orderBy("id_a", "id_b")
+  }
+
   /** The df-capped shingle index feeding [[qNgramJaccard]] (package-
     * visible for the pair-count-bound spec). The df aggregate partial-
     * combines map-side; only the tiny hot set crosses the broadcast.
@@ -1950,6 +2006,7 @@ object Similarity {
   }
 
   val all: Seq[Q] = Seq(
+    qNgramContainment,
     qNgramJaccard, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
     qCosineTopk, qAnnLsh, qAnnIvf, qAnnPq, qEmbedClusters, qKnnJoin, qKnnJoinIvf,
     qDedupClusters, qDedupSurvivors, qDedupSurvivorsBest, qDedupWeights,

@@ -234,6 +234,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("containment: catches a wholly-embedded doc Jaccard misses; superset of jaccard pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    // doc 1 is a verbatim PREFIX of doc 2 (a quoted post inside a long
+    // wrapper): every 3-gram of 1 appears in 2 → containment(1→2) = 1.0,
+    // while Jaccard(1,2) = 8/28 ≈ 0.29 — below the 0.5 near-dup bar
+    val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val wrapper = core + " " + (1 to 20).map(i => s"w$i").mkString(" ")
+    Seq((1L, core), (2L, wrapper), (3L, "totally unrelated text here now"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Similarity.qNgramContainment.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("n_grams_a"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("containment"))).toMap
+    assert(got.contains((1L, 2L)), s"embedded doc not flagged: $got")
+    assert(got((1L, 2L)) == ((8L, 8L, 1.0)),
+      s"prefix containment must be exactly 1.0: ${got((1L, 2L))}")
+    // the reverse direction is NOT contained (the wrapper has 20 extra
+    // grams), and the Jaccard join misses the pair entirely
+    assert(!got.contains((2L, 1L)), "container must not read as contained")
+    val jac = Similarity.qNgramJaccard.run(spark, dir).collect()
+    assert(!jac.exists(r => r.getAs[Long]("id_a") == 1L &&
+      r.getAs[Long]("id_b") == 2L),
+      "crafted pair must sit below the Jaccard bar to mean anything")
+
+    // real corpus: C(a→b) = x/na >= x/(na+nb-x) = J(a,b), so every
+    // Jaccard pair at tau >= ContainmentTau must reappear here (both
+    // reports read the same df-capped index)
+    val jacReal = Similarity.qNgramJaccard.run(spark, sfDir).collect()
+      .filter(_.getAs[Double]("jaccard") >= Similarity.ContainmentTau)
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val contReal = Similarity.qNgramContainment.run(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(jacReal.forall(contReal.contains),
+      "containment lost a high-Jaccard pair")
+    assert(jacReal.nonEmpty, "real corpus must exercise the relation")
+  }
+
   test("ngram jaccard: stop-shingle cap bounds candidate-pair fan-out") {
     // every shingle entering the self-join has df <= cap, so the join's
     // output is bounded by C(cap,2) pairs per shingle TYPE — linear in
