@@ -861,6 +861,48 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** PII redaction REWRITE — the transform [[qPiiScan]] only accounts
+    * for (the [[qSubstringDedup]] contract applied to the privacy
+    * stage): every PII match replaced by the uniform `[PII]` token in
+    * ONE alternation pass ([[PiiAll]], most-specific-first — at equal
+    * start offsets both engines take the same branch), each document
+    * rebuilt with a verifiable clean_hash (md5 of the redacted text).
+    * n_redactions counts ALTERNATION matches — deliberately NOT the sum
+    * of the four per-category counts, which overlap by design (a card
+    * number is also phone-shaped); the rewrite resolves overlap by
+    * leftmost-first priority and this count is what it actually
+    * replaced. redact_delta shares [[piiCols]]' exact definition, so
+    * scan and rewrite accounting cannot drift. NULL text stays
+    * unassessed (NULL columns), distinct from empty text (0 matches,
+    * clean_hash = md5('')) — the line-dedup contract.
+    *
+    * Scale shape: embarrassingly parallel — one pruned scan, two regex
+    * kernels and a hash per row, zero joins/windows/aggregates (the
+    * [[qDocFeatures]] map-only shape). THIS corpus is PII-free, so the
+    * oracle pins the identity path (clean_hash = md5(text)); the
+    * crafted-corpus spec pins real redactions against hand-written
+    * expected rewrites including the alternation-priority cases.
+    */
+  val qPiiRedact: Q = Q(
+    "q_pii_redact",
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$PiiAll')) AS n_redactions,
+       |  length(text) - length(regexp_replace(text, '$PiiAll', '[PII]', 'g'))
+       |    AS redact_delta,
+       |  length(regexp_replace(text, '$PiiAll', '[PII]', 'g')) AS clean_len,
+       |  md5(regexp_replace(text, '$PiiAll', '[PII]', 'g')) AS clean_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val clean = regexp_replace(col("text"), PiiAll, "[PII]")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(PiiAll)).as("n_redactions"),
+        (length(col("text")) - length(clean)).cast("long").as("redact_delta"),
+        length(clean).as("clean_len"),
+        md5(clean).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Demonstration blocklist (injectable in production — the C4 badwords
     * list slot). Chosen from the corpus vocabulary so the operator is
     * non-vacuous on the test tables.
@@ -1860,7 +1902,7 @@ object TextOps {
   val all: Seq[Q] = Seq(
     qDedupExact, qLangId, qQualityScore, qTokenCount, qVocabGrowth,
     qSeqPack, qWeightedSample, qTfidfTerms, qFingerprint, qRepetitionStats,
-    qDecontaminate, qPiiScan, qSourceMix, qMixTemperature, qQualityKs,
+    qDecontaminate, qPiiScan, qPiiRedact, qSourceMix, qMixTemperature, qQualityKs,
     qBlocklistScan, qDupSpans,
     qBudgetSelect, qLineDedup, qFamiliarity, qDocFeatures, qSourceDedup,
     qSubstringDedup)

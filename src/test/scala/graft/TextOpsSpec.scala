@@ -575,6 +575,45 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("pii redact: crafted rewrites match hand-written expectations incl. alternation priority") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = java.nio.file.Files.createTempDirectory("graft_redact").toString
+    // (doc, text, expected redacted text, expected n_redactions)
+    val cases = Seq(
+      (1L, "contact me@x.com now", "contact [PII] now", 1),
+      (2L, "ip 10.1.2.3 ok", "ip [PII] ok", 1),
+      // 16-digit run: ALSO phone-shaped, but the id-run branch comes
+      // first in the alternation — one replacement, not a nested one
+      (3L, "card 4111111111111111 end", "card [PII] end", 1),
+      (4L, "call +1 (555) 123-4567 today", "call [PII] today", 1),
+      // 20 digits: the bounded id-run REJECTS (no 19-digit prefix match)
+      // and the phone branch takes the whole run
+      (5L, "x 12345678901234567890 y", "x [PII] y", 1),
+      (6L, "a@b.co and 1.2.3.4", "[PII] and [PII]", 2),
+      (7L, "", "", 0),
+      (8L, "no pii at all here", "no pii at all here", 0))
+    (cases.map { case (id, t, _, _) => (id, Option(t)) } :+
+      (9L -> Option.empty[String]))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.qPiiRedact.run(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, text, redacted, n) <- cases) {
+      val r = got(id)
+      assert(r.getAs[Int]("n_redactions") == n, s"doc $id n_redactions")
+      assert(r.getAs[String]("clean_hash") == md5hex(redacted),
+        s"doc $id rewrite differs from '$redacted'")
+      assert(r.getAs[Int]("clean_len") == redacted.length, s"doc $id len")
+      assert(r.getAs[Long]("redact_delta") == text.length - redacted.length,
+        s"doc $id delta")
+    }
+    // null text stays unassessed — never md5('')
+    assert(got(9L).isNullAt(got(9L).fieldIndex("clean_hash")))
+    assert(got(9L).isNullAt(got(9L).fieldIndex("n_redactions")))
+  }
+
   // driver mirror of Det.exactDiv: half-up integer division at scale r
   private def halfUp(num: BigInt, den: BigInt, r: Int): Double = {
     val p = BigInt(10).pow(r)
