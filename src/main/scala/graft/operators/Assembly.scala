@@ -317,15 +317,7 @@ object Assembly {
       else {
         val ((l, r), n) = counts.toSeq.minBy { case ((a, b), m) => (-m, a, b) }
         out += ((rank, l, r, l + r, n))
-        vocab = vocab.map { case (syms, f) =>
-          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
-          for (sym <- syms) {
-            if (acc.nonEmpty && acc.last == l && sym == r)
-              acc(acc.length - 1) = l + r
-            else acc += sym
-          }
-          (acc.toArray, f)
-        }
+        vocab = vocab.map { case (syms, f) => (mergeLocal(syms, l, r), f) }
         rank += 1
       }
     }
@@ -356,12 +348,7 @@ object Assembly {
         merges += ((rank, l, r, l + r, n))
         // greedy left-to-right re-segmentation of every word
         val prev = vocab
-        vocab = vocab.select(col("freq"), aggregate(
-          col("syms"), typedlit(Seq.empty[String]),
-          (acc, sym) => when(
-            get(acc, size(acc) - 1) === lit(l) && sym === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-            .otherwise(concat(acc, array(sym)))).as("syms"))
+        vocab = vocab.withColumn("syms", mergeFold(l, r))
           .localCheckpoint()
         prev.unpersist()
         rank += 1
@@ -371,6 +358,32 @@ object Assembly {
     merges.result()
   }
 
+  /** The greedy left-to-right merge of pair (l, r) over a `syms` array —
+    * the ONE fold both the training loop's re-segmentation and the
+    * distributed encode apply (accumulator tail via null-safe get(),
+    * never a negative element_at — the ANSI rule).
+    */
+  private def mergeFold(l: String, r: String): org.apache.spark.sql.Column = aggregate(
+    col("syms"), typedlit(Seq.empty[String]),
+    (acc, sym) => when(
+      get(acc, size(acc) - 1) === lit(l) && sym === lit(r),
+      concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+      .otherwise(concat(acc, array(sym))))
+
+  /** The driver-side greedy merge — the same fold as [[mergeFold]], the
+    * shared encode of [[driverLoop]] and the driver segmentation path.
+    */
+  private def mergeLocal(syms: Array[String], l: String, r: String)
+      : Array[String] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (sym <- syms) {
+      if (acc.nonEmpty && acc.last == l && sym == r)
+        acc(acc.length - 1) = l + r
+      else acc += sym
+    }
+    acc.toArray
+  }
+
   /** The ranked merge table of a [[BpeMerges]]-round BPE training run —
     * rows-only (an iterative fixpoint is not SQL-expressible; the spec
     * pins the whole loop against a driver-side reference BPE on both a
@@ -378,5 +391,84 @@ object Assembly {
     */
   val qBpeMerges: Q = Q.rowsOnly("q_bpe_merges") { (s, d) => bpeTrain(s, d) }
 
-  val all: Seq[Q] = Seq(qShardAssign, qShardManifest, qPairCounts, qBpeMerges)
+  /** BPE ENCODE — the trained tokenizer applied back to the corpus,
+    * closing the loop [[qBpeMerges]] opens (train → encode → corpus
+    * statistics): per source, whitespace words, the exact BPE token
+    * count under the learned merges, and tokens-per-word — the
+    * compression a tokenizer buys, measured on its own training corpus
+    * (the fertility statistic of tokenizer evaluation).
+    *
+    * Scale shape (100 TB): tokenization is a pure function of the WORD,
+    * so the corpus never re-segments — the distinct-word table segments
+    * once (driver-side under [[BpeDriverMaxVocab]], model-sized work;
+    * above it the distributed [[mergeFold]] cascade in rank order — the
+    * training loop's own re-segmentation machinery) and the corpus
+    * joins its words to the (word, n_bpe) dictionary: broadcast under
+    * the gate (a stopword is a hot join key — a broadcast join never
+    * shuffles it), plain AQE-skew-splittable join above. One corpus
+    * scan, one map-side-combined source rollup.
+    */
+  val qBpeEncode: Q = Q.rowsOnly("q_bpe_encode") { (s, d) => bpeEncode(s, d) }
+
+  /** [[qBpeEncode]]'s implementation; `maxDriverVocab` exposed so the
+    * spec can force the distributed segmentation path (the bpeTrain
+    * dual-path contract).
+    */
+  def bpeEncode(s: SparkSession, d: String,
+      maxDriverVocab: Long = BpeDriverMaxVocab): DataFrame = {
+    import org.apache.spark.sql.types._
+    val merges = bpeTrain(s, d).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    val words = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("source"),
+        explode(filter(split(Text.norm(col("text")), " "), t => t =!= ""))
+          .as("word"))
+    val vocab = words.select("word").distinct().localCheckpoint()
+    val nVocab = vocab.count()
+    val segmented: DataFrame =
+      if (nVocab <= maxDriverVocab) {
+        // model-sized: segment every distinct word on the driver
+        val segSchema = StructType(Seq(
+          StructField("word", StringType, nullable = false),
+          StructField("n_bpe", LongType, nullable = false)))
+        val collected = vocab.collect().map(_.getString(0))
+        vocab.unpersist()
+        val rows = collected.map { w =>
+          var syms = w.map(_.toString).toArray :+ BpeEow
+          for ((l, r) <- merges) syms = mergeLocal(syms, l, r)
+          org.apache.spark.sql.Row(w, syms.length.toLong)
+        }
+        broadcast(s.createDataFrame(
+          s.sparkContext.parallelize(rows.toSeq,
+            math.max(1, rows.length / 65536)), segSchema))
+      } else {
+        // oversized vocab: the training loop's own distributed cascade
+        var seg = vocab.withColumn("syms", concat(
+          filter(split(col("word"), ""), c => c =!= ""),
+          array(lit(BpeEow)))).localCheckpoint()
+        for ((l, r) <- merges) {
+          val prev = seg
+          seg = seg.withColumn("syms", mergeFold(l, r)).localCheckpoint()
+          prev.unpersist()
+        }
+        vocab.unpersist()
+        // the final checkpointed segmentation stays cached: the returned
+        // plan reads it lazily and a truncated-lineage cache cannot be
+        // recomputed once released
+        seg.select(col("word"), size(col("syms")).cast("long").as("n_bpe"))
+      }
+    words.join(segmented, Seq("word"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_bpe")).cast("long").as("n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        graft.functions.Det.exactDiv(col("n_bpe_tokens"), col("n_words"), 4)
+          .as("bpe_per_word"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] =
+    Seq(qShardAssign, qShardManifest, qPairCounts, qBpeMerges, qBpeEncode)
 }

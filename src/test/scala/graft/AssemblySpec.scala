@@ -188,6 +188,50 @@ class AssemblySpec extends SparkSpec {
       "physical strategy changed the merge table")
   }
 
+  test("bpe encode: source stats match a driver recompute; both segmentation paths identical") {
+    val docs = Tables.documents(spark, sfDir).select("source", "text")
+      .collect().flatMap(r => Option(r.getAs[String]("text"))
+        .map(t => r.getAs[String]("source") -> t))
+    def toks(t: String) =
+      t.trim.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+    val freqs = docs.flatMap(p => toks(p._2))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val merges = refBpe(freqs, Assembly.BpeMerges).map(m => (m._2, m._3))
+    // reference encode: segment each distinct word by the merges in rank
+    // order (greedy left-to-right), then roll up per source
+    val segLen = freqs.keys.map { w =>
+      var syms = w.map(_.toString).toArray :+ Assembly.BpeEow
+      for ((l, r) <- merges) {
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (sym <- syms) {
+          if (acc.nonEmpty && acc.last == l && sym == r)
+            acc(acc.length - 1) = l + r
+          else acc += sym
+        }
+        syms = acc.toArray
+      }
+      w -> syms.length.toLong
+    }.toMap
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val ws = ds.flatMap(p => toks(p._2))
+      val nb = ws.map(segLen).sum
+      val n = ws.length.toLong
+      (src, n, nb, ((2L * nb * 10000L + n) / (2L * n)).toDouble / 10000.0)
+    }.toSet
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_bpe_tokens"), r.getAs[Double]("bpe_per_word"))).toSet
+    val got = rows(SparkEntry.queries("q_bpe_encode")(spark, sfDir))
+    assert(got == expect, s"encode stats diverge:\n got=$got\n exp=$expect")
+    // a merge strictly compresses: fewer BPE tokens than chars+EOW,
+    // but never fewer than one token per word
+    got.foreach { case (src, n, nb, _) =>
+      assert(nb >= n, s"$src: fewer BPE tokens than words") }
+    // the vocab-size gate must be invisible in the result
+    assert(rows(Assembly.bpeEncode(spark, sfDir, maxDriverVocab = 0L)) == got,
+      "distributed segmentation diverged from the driver path")
+  }
+
   test("bpe training: real corpus matches the reference loop end-to-end") {
     // independent word-frequency recount (same normalization as the SUT)
     val words = Tables.documents(spark, sfDir).select("text").collect()
