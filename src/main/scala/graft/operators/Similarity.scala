@@ -545,13 +545,19 @@ object Similarity {
   /** Embeddings with integer-quantized vectors (units of 10⁻⁴) and their
     * exact squared norm.
     */
+  /** The ONE spelling of the 10⁻⁴ integer quantization, shared by the
+    * corpus index build and [[ivfAssignIncrement]]'s new-vector path so
+    * an increment cannot quantize differently from the index it joins.
+    */
+  private val QuantizeExpr =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
   private def quantized(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "quantized") {
       GraftFunctions.register(s)
       Tables.embeddings(s, d).select(
         col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
-          .as("qv"))
+        expr(QuantizeExpr).as("qv"))
         .withColumn("n2", call_function("graft_dot_q", col("qv"), col("qv")))
     }
 
@@ -952,6 +958,47 @@ object Similarity {
             .getField("cid"))
         .select("vec_id", "cid")
     }
+  }
+
+  /** Incremental IVF index maintenance — the embedding-side member of
+    * the incremental family ([[minhashIncrement]] for MinHash,
+    * [[graft.streaming.IngestStream.neardupSink]] for SimHash): a daily
+    * increment of new vectors is assigned against the FROZEN coarse
+    * quantizer (production IVF contract: the codebook retrains offline
+    * on a schedule, never per batch — FAISS's add-vs-train split) and
+    * the rows land in the written index keyed-idempotent, so re-ingests
+    * and crash replays are per-key no-ops ([[graft.sources
+    * .Store.appendDeduped]]). Assignment is the same narrow per-row
+    * argmin over the typedlit model as the batch index build — nothing
+    * shuffles, the increment never touches the existing corpus.
+    */
+  def ivfAssignIncrement(s: SparkSession, d: String,
+      newVecs: DataFrame): DataFrame = {
+    val model = ivfModel(s, d)
+    require(model.nonEmpty,
+      "ivfAssignIncrement: no IVF model — train on a non-empty corpus first")
+    GraftFunctions.register(s)
+    newVecs.select(col("vec_id"),
+        expr(QuantizeExpr).as("qv"))
+      .filter(col("qv").isNotNull)
+      .withColumn("n2", call_function("graft_dot_q", col("qv"), col("qv")))
+      .withColumn("cid",
+        array_min(centDists(model, col("qv"), col("n2"))).getField("cid"))
+      .select("vec_id", "cid")
+  }
+
+  /** [[ivfAssignIncrement]] composed with the keyed-idempotent index
+    * write: the complete maintenance operation a nightly embedding
+    * ingest runs. A vec_id seen before keeps its FIRST assignment (the
+    * INSERT OR IGNORE contract — assignments under one frozen model are
+    * identical anyway; after an offline retrain a deploy rewrites the
+    * index wholesale rather than mixing models in one store).
+    */
+  def ivfIndexAppend(s: SparkSession, d: String, newVecs: DataFrame,
+      path: String): Unit = {
+    graft.sources.Store.appendDeduped(
+      ivfAssignIncrement(s, d, newVecs), path, "vec_id")
+    ()
   }
 
   /** Corpus clustering rollup (rows-only; spec pins the full model +

@@ -516,6 +516,37 @@ class SimilaritySpec extends SparkSpec {
     assert(frac <= 0.2, s"candidate fraction $frac exceeds 0.2")
   }
 
+  test("ivf increment: frozen-model assignment equals driver argmin; index append idempotent") {
+    import spark.implicits._
+    val model = Similarity.ivfModel(spark, sfDir)
+    assert(model.nonEmpty)
+    // new vectors the corpus has never seen: perturbed copies of real ones
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .limit(20).collect().map(r =>
+        (r.getLong(0) + 1000000L, r.getSeq[Float](1).map(x => x + 0.05f)))
+    val newVecs = base.toSeq.toDF("vec_id", "embedding")
+    val got = Similarity.ivfAssignIncrement(spark, sfDir, newVecs)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid")).toMap
+    // driver argmin against the same frozen model + quantization
+    val expect = base.map { case (id, emb) =>
+      val qv = emb.map(x => math.round(x.toDouble * 10000)).toArray
+      val n2 = qv.map(x => x * x).sum
+      id -> model.map { case (c, cent, n2c) =>
+        (n2 + n2c - 2L * qv.zip(cent).map { case (a, b) => a * b }.sum, c)
+      }.min._2
+    }.toMap
+    assert(got == expect, s"increment assignment diverged:\n$got\nvs\n$expect")
+    // the written index: first append lands all, replay is a per-key no-op
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfinc")
+      .resolve("index").toString
+    Similarity.ivfIndexAppend(spark, sfDir, newVecs, path)
+    assert(spark.read.parquet(path).count() == base.length.toLong)
+    Similarity.ivfIndexAppend(spark, sfDir, newVecs, path)
+    val stored = spark.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid")).toMap
+    assert(stored == expect, "replay changed the landed index")
+  }
+
   test("pq codebook + codes match a full driver recompute") {
     val vecs = Tables.embeddings(spark, sfDir)
       .filter(col("embedding").isNotNull).orderBy("vec_id").collect()
