@@ -55,6 +55,7 @@ object Bench {
     graft.operators.Similarity.clearIndexCache()
     graft.operators.Labeling.clearSelCache()
     graft.operators.Ingest.clearSessionCache()
+    graft.operators.Assembly.clearBpeCache()
 
     // shared index builds, timed as their own named entries (a failed
     // build reports -1 like a failed query and its consumers then pay —
@@ -80,7 +81,9 @@ object Bench {
         timedBuild("build_dup_span_counts")(
           operators.TextOps.prebuildDupSpanCounts(spark, sfDir)) ++
         timedBuild("build_token_counts")(
-          operators.TextOps.prebuildTokenCounts(spark, sfDir))
+          operators.TextOps.prebuildTokenCounts(spark, sfDir)) ++
+        timedBuild("build_bpe_merges")(
+          operators.Assembly.prebuildBpeMerges(spark, sfDir))
 
     // a failed query reports -1, never a bogus elapsed time; Throwable so
     // a codegen/linkage Error cannot abort the run and lose the JSON line

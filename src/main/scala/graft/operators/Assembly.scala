@@ -276,26 +276,57 @@ object Assembly {
       StructField("right", StringType, nullable = false),
       StructField("merged", StringType, nullable = false),
       StructField("pair_count", LongType, nullable = false)))
-    // the ONE corpus pass: word-frequency table (O(vocabulary) rows)
-    val vocab0 = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(explode(filter(split(Text.norm(col("text")), " "),
-        t => t =!= "")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      // initial segmentation: characters + the end-of-word marker
-      .select(col("freq"), concat(
-        filter(split(col("word"), ""), c => c =!= ""),
-        array(lit(BpeEow))).as("syms"))
-      .localCheckpoint()
-    val merges =
-      if (vocab0.count() <= maxDriverVocab) driverLoop(vocab0, nMerges)
-      else distributedLoop(vocab0, nMerges)
-    vocab0.unpersist()
+    val merges = bpeMerges(s, d, nMerges, maxDriverVocab)
     s.createDataFrame(
       s.sparkContext.parallelize(merges.map {
         case (rk, l, r, m, n) => org.apache.spark.sql.Row(rk, l, r, m, n)
       }, 1), outSchema)
   }
+
+  /** Trained merge tables per (session, dir, rounds, gate) — the model
+    * cache ([[graft.operators.Similarity]] ivfModels pattern): the merge
+    * table IS the tokenizer model, and without the memo every consumer
+    * ([[qBpeMerges]], [[qBpeEncode]], bench repeats) re-runs the full
+    * corpus scan + merge loop. The GATE is part of the key on purpose:
+    * the dual-path spec forces the distributed loop with gate 0 and must
+    * not be handed the driver loop's cached result.
+    */
+  private val bpeModels = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Long), Seq[(Int, String, String, String, Long)]]
+
+  /** Forget every trained BPE model (after rewriting a dir's inputs —
+    * the [[graft.Tables.clearResolved]] analog).
+    */
+  def clearBpeCache(): Unit = bpeModels.clear()
+
+  /** Bench hook: train the default merge table so timed q_bpe_* runs
+    * measure the query, the shared training cost being its own named
+    * entry (the Similarity prebuild convention).
+    */
+  def prebuildBpeMerges(s: SparkSession, d: String): Unit = {
+    bpeMerges(s, d, BpeMerges, BpeDriverMaxVocab); ()
+  }
+
+  private[graft] def bpeMerges(s: SparkSession, d: String, nMerges: Int,
+      maxDriverVocab: Long): Seq[(Int, String, String, String, Long)] =
+    bpeModels.getOrElseUpdate((s, d, nMerges, maxDriverVocab), {
+      // the ONE corpus pass: word-frequency table (O(vocabulary) rows)
+      val vocab0 = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(filter(split(Text.norm(col("text")), " "),
+          t => t =!= "")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        // initial segmentation: characters + the end-of-word marker
+        .select(col("freq"), concat(
+          filter(split(col("word"), ""), c => c =!= ""),
+          array(lit(BpeEow))).as("syms"))
+        .localCheckpoint()
+      val merges =
+        if (vocab0.count() <= maxDriverVocab) driverLoop(vocab0, nMerges)
+        else distributedLoop(vocab0, nMerges)
+      vocab0.unpersist()
+      merges
+    })
 
   /** The in-driver merge loop — the [[bpeTrain]] small-vocab fast path.
     * Same argmax order and greedy replace as the distributed form.
@@ -315,7 +346,11 @@ object Assembly {
         counts((syms(i), syms(i + 1))) += f
       if (counts.isEmpty) exhausted = true
       else {
-        val ((l, r), n) = counts.toSeq.minBy { case ((a, b), m) => (-m, a, b) }
+        // tie-break in UTF-8 BYTE order — exactly the distributed
+        // loop's orderBy (Spark compares strings byte-wise)
+        implicit val ord: Ordering[String] = Utf8Order
+        val ((l, r), n) = counts.toSeq
+          .minBy { case ((a, b), m) => (-m, a, b) }
         out += ((rank, l, r, l + r, n))
         vocab = vocab.map { case (syms, f) => (mergeLocal(syms, l, r), f) }
         rank += 1
@@ -370,6 +405,41 @@ object Assembly {
       concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
       .otherwise(concat(acc, array(sym))))
 
+  /** Code-POINT segmentation of a word — the driver mirror of the
+    * Spark-side `split(word, "")` (Java regex splits between code
+    * points, keeping surrogate pairs whole). `w.map(_.toString)` would
+    * split UTF-16 code units instead, so an emoji word would segment
+    * differently on the two [[bpeEncode]] gate paths and merges learned
+    * over whole-code-point symbols could never fire on the driver path.
+    */
+  private def codePointSyms(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    (out += BpeEow).toArray
+  }
+
+  /** UTF-8 byte-wise string order — Spark's binary string comparison.
+    * The driver loop's argmax tie-break must sort EXACTLY as the
+    * distributed loop's `orderBy` does; Scala's default String ordering
+    * compares UTF-16 code units, which disagrees with UTF-8 byte order
+    * for supplementary characters vs U+E000..U+FFFF.
+    */
+  private[graft] val Utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var cmp = 0
+    while (cmp == 0 && i < n) {
+      cmp = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff); i += 1
+    }
+    if (cmp != 0) cmp else java.lang.Integer.compare(x.length, y.length)
+  }
+
   /** The driver-side greedy merge — the same fold as [[mergeFold]], the
     * shared encode of [[driverLoop]] and the driver segmentation path.
     */
@@ -417,9 +487,8 @@ object Assembly {
   def bpeEncode(s: SparkSession, d: String,
       maxDriverVocab: Long = BpeDriverMaxVocab): DataFrame = {
     import org.apache.spark.sql.types._
-    val merges = bpeTrain(s, d).collect()
-      .sortBy(_.getAs[Int]("rank"))
-      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    val merges = bpeMerges(s, d, BpeMerges, BpeDriverMaxVocab)
+      .sortBy(_._1).map(m => (m._2, m._3))
     val words = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("source"),
@@ -436,7 +505,7 @@ object Assembly {
         val collected = vocab.collect().map(_.getString(0))
         vocab.unpersist()
         val rows = collected.map { w =>
-          var syms = w.map(_.toString).toArray :+ BpeEow
+          var syms = codePointSyms(w)
           for ((l, r) <- merges) syms = mergeLocal(syms, l, r)
           org.apache.spark.sql.Row(w, syms.length.toLong)
         }

@@ -157,18 +157,31 @@ object Similarity {
     * union from per-doc cardinalities. jaccard is one double division of
     * exact integers.
     */
-  private def jaccardPairs(sh: DataFrame, tau: Double): DataFrame = {
+  /** Shared candidate-pair machinery over a (doc_id, sh_h) shingle
+    * index: shared-shingle intersection counts (x) with both endpoints'
+    * post-prune cardinalities (na, nb) attached — the ONE definition
+    * both the symmetric Jaccard and the directed containment score read,
+    * so the candidate join/df-cap interaction cannot drift between them.
+    * `directed = false` emits each unordered pair once (id_a < id_b);
+    * `true` emits both orders (a ≠ b).
+    */
+  private def shinglePairStats(sh: DataFrame, directed: Boolean): DataFrame = {
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("id_a"), col("sh_h"))
     val b = sh.select(col("doc_id").as("id_b"), col("sh_h"))
-    a.join(b, Seq("sh_h")).filter(col("id_a") < col("id_b"))
+    val pred =
+      if (directed) col("id_a") =!= col("id_b") else col("id_a") < col("id_b")
+    a.join(b, Seq("sh_h")).filter(pred)
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("x"))
       .join(card.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
       .join(card.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+  }
+
+  private def jaccardPairs(sh: DataFrame, tau: Double): DataFrame =
+    shinglePairStats(sh, directed = false)
       .select(col("id_a"), col("id_b"),
         (col("x").cast("double") / (col("na") + col("nb") - col("x"))).as("jaccard"))
       .filter(col("jaccard") >= tau)
-  }
 
   /** Stop-shingle document-frequency cap for the exact Jaccard join: a
     * shingle present in more than this many documents contributes C(df,2)
@@ -264,13 +277,7 @@ object Similarity {
        |WHERE CAST(x AS DOUBLE) / ca.n >= $ContainmentTau
        |ORDER BY id_a, id_b""".stripMargin
   ) { (s, d) =>
-    val sh = keptShingles(s, d)
-    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("id_a"), col("sh_h"))
-    val b = sh.select(col("doc_id").as("id_b"), col("sh_h"))
-    a.join(b, Seq("sh_h")).filter(col("id_a") =!= col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("x"))
-      .join(card.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+    shinglePairStats(keptShingles(s, d), directed = true)
       .select(col("id_a"), col("id_b"), col("na").as("n_grams_a"),
         col("x").as("n_shared"),
         (col("x").cast("double") / col("na")).as("containment"))
@@ -1198,6 +1205,11 @@ object Similarity {
     */
   private[graft] def pqCodesFrame(s: SparkSession, d: String): DataFrame = {
     val model = pqModel(s, d)
+    // the LUT stride is the ACTUAL per-block code count — a corpus with
+    // fewer than PqCodes vectors trains a narrower codebook (the
+    // ivfModelK seeds-short contract), and a hard-coded 16 would read
+    // the wrong block's norms (and overrun under ANSI)
+    val k = model(0).length
     materialized(s, d, "pq_codes") {
       GraftFunctions.register(s)
       val cents = pqCents(model)
@@ -1210,7 +1222,7 @@ object Similarity {
         .withColumn("n2pq",
           aggregate(sequence(lit(0), lit(PqBlocks - 1)), lit(0L),
             (acc, j) => acc + element_at(n2lut,
-              j * lit(PqCodes) + element_at(col("codes"), j + 1) + 1)))
+              j * lit(k) + element_at(col("codes"), j + 1) + 1)))
         .select("vec_id", "codes", "n2pq")
     }
   }
@@ -1240,12 +1252,15 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
           lit(1).as("rank"), lit(0.0).as("cosine"))
     } else {
+      // stride = the ACTUAL per-block code count (a small corpus trains
+      // a narrower codebook — the pqCodesFrame contract)
+      val nk = model(0).length
       val queries = q.filter(col("vec_id") < 10 && col("qv").isNotNull)
         .select("vec_id", "qv", "n2").collect()
       val lutRows = queries.map { r =>
         val qv = r.getSeq[Long](1).toArray
-        val lut = Array.tabulate(PqBlocks * PqCodes) { i =>
-          val (j, k) = (i / PqCodes, i % PqCodes)
+        val lut = Array.tabulate(PqBlocks * nk) { i =>
+          val (j, k) = (i / nk, i % nk)
           val c = model(j)(k)._1
           var dot = 0L
           var p = 0
@@ -1271,7 +1286,7 @@ object Similarity {
         .select(col("query_id"), col("vec_id"), col("n2q"), col("n2pq"),
           aggregate(sequence(lit(0), lit(PqBlocks - 1)), lit(0L),
             (acc, j) => acc + element_at(col("lut"),
-              j * lit(PqCodes) + element_at(col("codes"), j + 1) + 1))
+              j * lit(nk) + element_at(col("codes"), j + 1) + 1))
             .as("sdot"))
         .select(col("query_id"), col("vec_id"),
           (col("sdot").cast("double") /

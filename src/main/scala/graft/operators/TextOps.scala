@@ -893,13 +893,19 @@ object TextOps {
        |  md5(regexp_replace(text, '$PiiAll', '[PII]', 'g')) AS clean_hash
        |FROM documents ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    val clean = regexp_replace(col("text"), PiiAll, "[PII]")
+    // two-stage projection (the qualityScored rule): three consumers
+    // reference the redacted string — inlining the replace would run the
+    // 4-branch alternation kernel 3× per row (Catalyst does not CSE the
+    // duplicated regex aliases — measured on the quality ratios)
     Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        regexp_replace(col("text"), PiiAll, "[PII]").as("clean"))
       .select(col("doc_id"),
         regexp_count(col("text"), lit(PiiAll)).as("n_redactions"),
-        (length(col("text")) - length(clean)).cast("long").as("redact_delta"),
-        length(clean).as("clean_len"),
-        md5(clean).as("clean_hash"))
+        (length(col("text")) - length(col("clean"))).cast("long")
+          .as("redact_delta"),
+        length(col("clean")).as("clean_len"),
+        md5(col("clean")).as("clean_hash"))
       .orderBy("doc_id")
   }
 

@@ -603,6 +603,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq survives a corpus narrower than PqCodes (short codebook, valid codes)") {
+    import spark.implicits._
+    // 5 vectors < 16 seeds: the codebook trains at width 5 and every
+    // stride (codes frame n2lut, query LUTs) must follow the ACTUAL
+    // width — a hard-coded 16 reads the wrong block's norms or overruns
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqsmall").toString
+    val rnd = new scala.util.Random(7)
+    (0 until 5).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f).toSeq, i % 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val model = Similarity.pqModel(spark, dir)
+    assert(model.forall(_.length == 5), "codebook must be 5 wide")
+    val codes = Similarity.pqCodesFrame(spark, dir).collect()
+    assert(codes.length == 5)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(cs.forall(c => c >= 0 && c < 5), s"code out of range: $cs")
+    }
+    val out = Similarity.qAnnPq.run(spark, dir).collect()
+    assert(out.nonEmpty, "small-corpus ANN must still answer")
+    out.foreach(r => assert(!r.isNullAt(r.fieldIndex("cosine"))))
+  }
+
   test("pq ann: recall@5 >= 0.8 vs brute force from 16-byte rows") {
     val brute = Similarity.qCosineTopk.run(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
