@@ -861,6 +861,61 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Cross-source content-overlap matrix — which sources duplicate EACH
+    * OTHER (the crawl-overlap diagnostic: successive CommonCrawl-style
+    * dumps share most of their content, and a mix that treats them as
+    * independent double-counts it; [[qSourceDedup]] charges removals per
+    * source — this names the PAIRS responsible): for every source pair
+    * sharing at least one normalized content hash, the shared distinct
+    * contents, both sides' distinct-content cardinalities, and the exact
+    * Jaccard of the two content sets. Null text is unassessed and never
+    * enters a content set (the dedup-accounting rule).
+    *
+    * Scale shape (100 TB): one (source, hash) DISTINCT shuffle of
+    * 16-byte keys, then a hash-keyed self-join — a viral page is a hot
+    * JOIN key (AQE-skew-splittable, the [[qSourceDedup]] rule) whose
+    * fan-out is bounded by C(#sources, 2) per hash, NOT by corpus size;
+    * the output is source-pair grain, post-aggregation-tiny. Pairs with
+    * zero overlap are absent (an inner join — the matrix is sparse by
+    * construction at web scale).
+    */
+  val qSourceOverlap: Q = Q(
+    "q_source_overlap",
+    s"""WITH h AS (
+       |  SELECT DISTINCT source, md5($normSql) AS ch
+       |  FROM documents WHERE text IS NOT NULL),
+       |card AS (SELECT source, COUNT(*) AS n FROM h GROUP BY 1),
+       |x AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS x
+       |  FROM h a JOIN h b ON a.ch = b.ch AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, x AS shared_contents,
+       |  ca.n AS n_contents_a, cb.n AS n_contents_b,
+       |  CAST(x AS DOUBLE) / (ca.n + cb.n - x) AS content_jaccard
+       |FROM x
+       |JOIN card ca ON ca.source = source_a
+       |JOIN card cb ON cb.source = source_b
+       |ORDER BY source_a, source_b""".stripMargin
+  ) { (s, d) =>
+    val h = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), md5(norm).as("ch")).distinct()
+    val card = h.groupBy("source").agg(count(lit(1)).as("n"))
+    val x = h.select(col("source").as("source_a"), col("ch"))
+      .join(h.select(col("source").as("source_b"), col("ch")), Seq("ch"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("x"))
+    x.join(card.select(col("source").as("source_a"), col("n").as("na")),
+        "source_a")
+      .join(card.select(col("source").as("source_b"), col("n").as("nb")),
+        "source_b")
+      .select(col("source_a"), col("source_b"),
+        col("x").as("shared_contents"),
+        col("na").as("n_contents_a"), col("nb").as("n_contents_b"),
+        (col("x").cast("double") / (col("na") + col("nb") - col("x")))
+          .as("content_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** PII redaction REWRITE — the transform [[qPiiScan]] only accounts
     * for (the [[qSubstringDedup]] contract applied to the privacy
     * stage): every PII match replaced by the uniform `[PII]` token in
@@ -1908,7 +1963,7 @@ object TextOps {
   val all: Seq[Q] = Seq(
     qDedupExact, qLangId, qQualityScore, qTokenCount, qVocabGrowth,
     qSeqPack, qWeightedSample, qTfidfTerms, qFingerprint, qRepetitionStats,
-    qDecontaminate, qPiiScan, qPiiRedact, qSourceMix, qMixTemperature, qQualityKs,
+    qDecontaminate, qPiiScan, qPiiRedact, qSourceOverlap, qSourceMix, qMixTemperature, qQualityKs,
     qBlocklistScan, qDupSpans,
     qBudgetSelect, qLineDedup, qFamiliarity, qDocFeatures, qSourceDedup,
     qSubstringDedup)

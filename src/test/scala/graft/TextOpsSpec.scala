@@ -575,6 +575,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("source overlap: crafted cross-source corpus pins the matrix; within-source dups don't count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_overlap").toString
+    // content sets: A={x,y} (y duplicated WITHIN A — distinct'd away),
+    // B={x,z} (x differs only by case/whitespace — same normalized
+    // hash), C={w}, plus a null doc (unassessed). Only (A,B) overlaps:
+    // shared=1, jaccard = 1/(2+2-1) = 1/3
+    Seq(
+      (1L, "A", Some("x one two")), (2L, "A", Some("y three")),
+      (3L, "A", Some("y three")),
+      (4L, "B", Some("X  ONE two")), (5L, "B", Some("z four")),
+      (6L, "C", Some("w five")), (7L, "C", None))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextOps.qSourceOverlap.run(spark, dir).collect()
+    assert(rows.length == 1, s"only (A,B) overlaps: ${rows.toSeq}")
+    val r = rows.head
+    assert((r.getAs[String]("source_a"), r.getAs[String]("source_b")) ==
+      (("A", "B")))
+    assert(r.getAs[Long]("shared_contents") == 1L)
+    assert(r.getAs[Long]("n_contents_a") == 2L,
+      "within-source duplicate must collapse in the content set")
+    assert(r.getAs[Long]("n_contents_b") == 2L)
+    assert(r.getAs[Double]("content_jaccard") == 1.0 / 3.0)
+  }
+
   test("pii redact: crafted rewrites match hand-written expectations incl. alternation priority") {
     import spark.implicits._
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
