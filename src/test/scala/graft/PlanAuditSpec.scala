@@ -326,6 +326,42 @@ class PlanAuditSpec extends SparkSpec {
       "a document-grain window crept into the KS plan:\n" + p)
   }
 
+  test("pii redact: the alternation replace kernel evaluates once per row") {
+    // three consumers (delta, len, hash) read the redacted string; the
+    // two-stage projection keeps ONE regexp_replace in the plan —
+    // Catalyst does not CSE duplicated regex aliases (measured on the
+    // quality ratios), so a flattened select silently pays 3x
+    val p = plan("q_pii_redact")
+    val replaces = "regexp_replace".r.findAllIn(p).length
+    assert(replaces == 1,
+      s"expected ONE redaction kernel in the plan, found $replaces:\n" + p)
+    assert(p.split("\n").count(_.contains("Scan parquet")) == 1)
+  }
+
+  test("pq ann: LUTs broadcast; the ADC sweep reads the narrow codes index") {
+    val df = SparkEntry.queries("q_ann_pq")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the per-query lookup tables are a driver-built model: they must
+    // ride a broadcast, never shuffle against the corpus
+    assert(p.contains("Broadcast"), "query LUTs must broadcast:\n" + p)
+    // the sweep side reads the materialized (vec_id, codes, n2pq) index —
+    // 16-byte rows, the point of PQ — not the full quantized vectors
+    assert(p.contains("InMemoryTableScan"),
+      "ADC sweep must read the written codes index:\n" + p)
+  }
+
+  test("source overlap: pair fan-out rides the hash join, no corpus-grain window") {
+    val p = plan("q_source_overlap")
+    // (source, hash) distinct + hash-keyed self-join + source-pair
+    // aggregate — all shuffle machinery; a window would mean a
+    // corpus-grain ranking crept in
+    assert(!p.contains("windowspecdefinition"),
+      "no window belongs in the overlap matrix:\n" + p)
+    assert(p.contains("partial_count"),
+      "pair counts must partial-combine map-side:\n" + p)
+  }
+
   test("dup spans: inline gram hashes; df join-back over the one materialized count table") {
     // execute first: ReusedExchange only appears in the finalized AQE plan
     val df = SparkEntry.queries("q_dup_spans")(spark, sfDir)
