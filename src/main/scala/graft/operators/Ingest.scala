@@ -534,6 +534,52 @@ object Ingest {
       .orderBy("event_type")
   }
 
+  /** Semi-structured payload SCHEMA profile — the schema-drift monitor
+    * for the JSON props channel ([[qPropsExtract]] reads the keys the
+    * pipeline EXPECTS; this reports the keys that actually ARRIVE — a
+    * scraper that renames or adds a payload field changes nothing the
+    * typed extraction sees until its column silently goes all-NULL):
+    * per payload key, how many events carry it, its presence rate over
+    * ALL events (malformed/null props count in the denominator — a
+    * payload that stops parsing must DROP the rate, not vanish from
+    * it), and the distinct-value count. Values compare in their
+    * unquoted scalar string form (both engines agree on scalars; the
+    * reference's props are flat by contract — models/review.py).
+    *
+    * Scale shape: one map-side-combined (key) aggregate over the
+    * per-row key explode — payload keys are few (schema grain), so the
+    * output is post-aggregation-tiny and the global denominator rides a
+    * broadcast 1-row aggregate (the [[qQualityMetrics]] pattern).
+    */
+  val qPropsSchema: Q = Q(
+    "q_props_schema",
+    s"""WITH tot AS (SELECT COUNT(*) AS n FROM events),
+       |kv AS (
+       |  SELECT k AS key, json_extract_string(e.props, '$$.' || k) AS v
+       |  FROM (SELECT props FROM events
+       |        WHERE props IS NOT NULL AND json_valid(props)) e,
+       |       UNNEST(json_keys(e.props)) AS t(k))
+       |SELECT key, COUNT(*) AS n_present,
+       |  ${exactDivSql("COUNT(*)", "tot.n", 4)} AS present_rate,
+       |  COUNT(DISTINCT v) AS n_distinct_values
+       |FROM kv, tot GROUP BY key, tot.n ORDER BY key""".stripMargin
+  ) { (s, d) =>
+    val tot = Tables.events(s, d).agg(count(lit(1)).as("n"))
+    Tables.events(s, d)
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))).as(Seq("key", "v")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_present"),
+        countDistinct(col("v")).as("n_distinct_values"))
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("n_present"),
+        exactDiv(col("n_present"), col("n"), 4).as("present_rate"),
+        col("n_distinct_values"))
+      .orderBy("key")
+  }
+
   /** Run-tracking ledger (db_manager.start_scrape_run:266,
     * complete_scrape_run:295, scrape_runs in schema.sql:83; monitor.py
     * reads its history from this table): the run-lifecycle record the
@@ -1242,7 +1288,7 @@ object Ingest {
 
   val all: Seq[Q] = Seq(
     qIncrementalIngest, qIngestMetrics, qRunDeltas, qAnomalyZscore,
-    qQualityMetrics, qRunDrift, qWindowedCounts, qSessionize, qPropsExtract, qDbGrowth,
+    qQualityMetrics, qRunDrift, qWindowedCounts, qSessionize, qPropsExtract, qPropsSchema, qDbGrowth,
     qRetention, qFunnel, qSessionStats, qRunLedger, qRunHistory,
     qSessionLedger, qReportSessions, qAppHealth, qAlerts)
 }

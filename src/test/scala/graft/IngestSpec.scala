@@ -245,6 +245,32 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("props schema: crafted payloads pin key rates, distinct values, malformed handling") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-04-01 00:00:00")
+    // 8 events: k in all 5 valid payloads (values 1,1,2,"x",null —
+    // distinct non-null = 3), extra in 2 of them, plus a malformed, an
+    // empty-object and a NULL props row (all three in the denominator)
+    val rows = Seq(
+      """{"k": 1}""", """{"k": 1}""", """{"k": 2, "extra": true}""",
+      """{"k": "x", "extra": false}""", """{"k": null}""",
+      "not json", "{}", null)
+      .zipWithIndex.map { case (p, i) =>
+        (i.toLong, ts, i.toLong, "t", 1.0, p)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft_props").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Ingest.qPropsSchema.run(spark, dir).collect()
+      .map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("n_present"), r.getAs[Double]("present_rate"),
+          r.getAs[Long]("n_distinct_values"))).toMap
+    // k: 5 of 8 rows; JSON-null value stays out of the distinct count
+    assert(got == Map(
+      "k" -> ((5L, 0.625, 3L)),
+      "extra" -> ((2L, 0.25, 2L))), s"schema profile off: $got")
+  }
+
   test("windowed counts sum to total events") {
     val rows = Ingest.qWindowedCounts.run(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n_events")).sum ==
