@@ -1755,6 +1755,42 @@ object Similarity {
   private[graft] def dedupClusterLabels(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "dedup_cluster_labels")(components(minhashPairs(s, d)))
 
+  /** Near-dup cross-source exposure — the near-dup-tier complement of
+    * [[graft.operators.TextOps.qSourceOverlap]]'s exact matrix (exact
+    * hashes only see verbatim copies; a templated or lightly-edited page
+    * shared between two crawls lands HERE, in a MinHash cluster
+    * spanning both): per source touching any near-dup cluster, how many
+    * clusters it touches, how many of those span ANOTHER source too,
+    * and the exact cross rate. A source whose near-dup exposure is
+    * mostly cross-source duplicates other crawls rather than itself —
+    * the mix double-counting signal at the paraphrase tier.
+    *
+    * Scale shape: the memoized cluster labels join the corpus's
+    * (doc_id, source) — a big cluster is a hot JOIN key
+    * (AQE-splittable); everything after is (cluster, source)-DISTINCT
+    * grain, post-aggregation-small (bounded by cluster count ×
+    * sources-touched, not corpus size). Rows-only (MinHash clustering
+    * is not SQL-expressible); the spec recomputes the rollup from the
+    * spec-pinned cluster labels and the raw sources.
+    */
+  val qNeardupCrossSource: Q = Q.rowsOnly("q_neardup_cross_source") { (s, d) =>
+    val cs = dedupClusterLabels(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id").as("id"),
+        col("source")), "id")
+      .select(col("label"), col("source")).distinct()
+    val spanning = cs.groupBy("label")
+      .agg(count(lit(1)).as("n_sources"))
+      .filter(col("n_sources") > 1).select("label")
+    cs.join(spanning.withColumn("cross", lit(1L)), Seq("label"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(coalesce(col("cross"), lit(0L))).as("n_cross_clusters"))
+      .select(col("source"), col("n_clusters"), col("n_cross_clusters"),
+        graft.functions.Det.exactDiv(col("n_cross_clusters"),
+          col("n_clusters"), 4).as("cross_rate"))
+      .orderBy("source")
+  }
+
   val qDedupClusters: Q = Q.rowsOnly("q_dedup_clusters") { (s, d) =>
     val labels = dedupClusterLabels(s, d)
     // members as a sorted CSV string, not array<long>: the driver
@@ -2071,7 +2107,7 @@ object Similarity {
     qNgramContainment,
     qNgramJaccard, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
     qCosineTopk, qAnnLsh, qAnnIvf, qAnnPq, qEmbedClusters, qKnnJoin, qKnnJoinIvf,
-    qDedupClusters, qDedupSurvivors, qDedupSurvivorsBest, qDedupWeights,
+    qDedupClusters, qNeardupCrossSource, qDedupSurvivors, qDedupSurvivorsBest, qDedupWeights,
     qLabelCentroids, qDecontaminateSemantic, qLabelPropagate,
     qDiverseSample)
 }

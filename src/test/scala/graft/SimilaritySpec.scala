@@ -516,6 +516,30 @@ class SimilaritySpec extends SparkSpec {
     assert(frac <= 0.2, s"candidate fraction $frac exceeds 0.2")
   }
 
+  test("neardup cross-source: rollup matches a driver recompute from the pinned labels") {
+    val labels = Similarity.dedupClusterLabels(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label"))
+    assert(labels.nonEmpty, "corpus must have near-dup clusters")
+    val srcOf = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source"))
+      .toMap
+    val pairs = labels.map { case (id, l) => (l, srcOf(id)) }.distinct
+    val crossClusters = pairs.groupBy(_._1).collect {
+      case (l, ms) if ms.map(_._2).distinct.length > 1 => l
+    }.toSet
+    val expect = pairs.groupBy(_._2).map { case (src, cs) =>
+      val n = cs.length.toLong
+      val x = cs.count(p => crossClusters(p._1)).toLong
+      (src, n, x, ((2L * x * 10000L + n) / (2L * n)).toDouble / 10000.0)
+    }.toSet
+    val got = Similarity.qNeardupCrossSource.run(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_cross_clusters"), r.getAs[Double]("cross_rate")))
+      .toSet
+    assert(got == expect, s"cross-source rollup off:\n got=$got\n exp=$expect")
+    assert(got.nonEmpty)
+  }
+
   test("ivf increment: frozen-model assignment equals driver argmin; index append idempotent") {
     import spark.implicits._
     val model = Similarity.ivfModel(spark, sfDir)
