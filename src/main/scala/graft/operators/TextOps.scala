@@ -1086,6 +1086,41 @@ object TextOps {
     */
   private[graft] val MixSqrtScale = 10000L
 
+  /** Per-source token totals plus the exact integer square root
+    * sq = ⌊√(n_tokens·[[MixSqrtScale]])⌋ — the (source, n_tokens, sq)
+    * frame BOTH temperature-mix operators derive from ([[qMixTemperature]]
+    * reports the tempered shares; [[qMixApply]] materializes them as a
+    * deterministic subsample). ONE definition so the two cannot disagree
+    * about the tempered mass of a source. The ±1 integer correction on
+    * the hardware sqrt makes the root exact in both engines (no
+    * decimal-tie hazard) — see the [[qMixTemperature]] scaladoc.
+    */
+  private[graft] def mixSourceStats(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(Text.wordCount(col("text"))).cast("long").as("n_tokens"))
+    val x = col("n_tokens") * lit(MixSqrtScale)
+    val f = floor(sqrt(x.cast("double"))).cast("long")
+    t.withColumn("sq", f + when((f + 1) * (f + 1) <= x, 1L)
+      .when(f * f > x, -1L).otherwise(0L))
+  }
+
+  /** DuckDB mirror of [[mixSourceStats]]: CTEs `t` and `s` (callers embed
+    * inside a WITH and read `s(source, n_tokens, sq)`).
+    */
+  private[graft] val mixSourceStatsSql: String =
+    s"""t AS (
+       |  SELECT source,
+       |    CAST(SUM(${Text.wordCountSql}) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |s AS (
+       |  SELECT source, n_tokens,
+       |    CAST(f + CASE WHEN (f+1)*(f+1) <= x THEN 1
+       |             WHEN f*f > x THEN -1 ELSE 0 END AS BIGINT) AS sq
+       |  FROM (SELECT source, n_tokens, n_tokens * $MixSqrtScale AS x,
+       |          CAST(FLOOR(SQRT(n_tokens * $MixSqrtScale)) AS BIGINT) AS f
+       |        FROM t))""".stripMargin
+
   /** Temperature-scaled training mix (α = 0.5) — the sampling-smoothing
     * companion of [[qSourceMix]] (mT5/XLM-R-style temperature sampling,
     * Pile-style source re-weighting): raw token share p_s flattens to
@@ -1116,17 +1151,7 @@ object TextOps {
     */
   val qMixTemperature: Q = Q(
     "q_mix_temperature",
-    s"""WITH t AS (
-       |  SELECT source,
-       |    CAST(SUM(${Text.wordCountSql}) AS BIGINT) AS n_tokens
-       |  FROM documents GROUP BY 1),
-       |s AS (
-       |  SELECT source, n_tokens,
-       |    CAST(f + CASE WHEN (f+1)*(f+1) <= x THEN 1
-       |             WHEN f*f > x THEN -1 ELSE 0 END AS BIGINT) AS sq
-       |  FROM (SELECT source, n_tokens, n_tokens * $MixSqrtScale AS x,
-       |          CAST(FLOOR(SQRT(n_tokens * $MixSqrtScale)) AS BIGINT) AS f
-       |        FROM t)),
+    s"""WITH $mixSourceStatsSql,
        |g AS (
        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
        |    CAST(SUM(sq) AS BIGINT) AS stot FROM s)
@@ -1142,17 +1167,7 @@ object TextOps {
        |FROM s, g ORDER BY source""".stripMargin
   ) { (s, d) =>
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val t = Tables.documents(s, d)
-      .groupBy("source")
-      .agg(sum(Text.wordCount(col("text"))).cast("long").as("n_tokens"))
-    // exact integer sqrt: hardware sqrt is correctly rounded, so
-    // floor() is off by at most one — a single integer correction lands
-    // both engines on floor(√x) exactly (no decimal-tie hazard)
-    val x = col("n_tokens") * lit(MixSqrtScale)
-    val f = floor(sqrt(x.cast("double"))).cast("long")
-    val sq = t
-      .withColumn("sq", f + when((f + 1) * (f + 1) <= x, 1L)
-        .when(f * f > x, -1L).otherwise(0L))
+    val sq = mixSourceStats(s, d)
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val tot = sum(col("n_tokens")).over(w).cast("long")
     val stot = sum(col("sq")).over(w).cast("long")
@@ -1164,6 +1179,130 @@ object TextOps {
         when(col("n_tokens") === 0 || stot === 0, lit(null))
           .otherwise(exactDiv(col("sq").cast(dec) * tot,
             stot.cast(dec) * col("n_tokens"), 4)).as("boost"))
+      .orderBy("source")
+  }
+
+  /** Hash-threshold grain of [[qMixApply]]'s Bernoulli draw: the keep
+    * decision compares the first 6 md5 hex chars (24 uniform bits,
+    * granularity 16⁻⁶ ≈ 6·10⁻⁸) against a per-source integer threshold
+    * ⌊rate·16⁶⌋ — fine enough that the realized rate is within one part
+    * in 16 million of the exact rational at any corpus size.
+    */
+  private[graft] val MixHexChars = 6
+  private[graft] val MixHexSpace = 1L << (4 * MixHexChars)
+
+  /** ONE epoch of the α=0.5 tempered mix, materialized — [[qMixTemperature]]
+    * computes the target shares; this applies them as a deterministic
+    * per-document Bernoulli (the [[qBpeMerges]]→[[qBpeEncode]] train/apply
+    * pairing, for the mix family). A pure subsample cannot upsample, so
+    * rates normalize against the most-boosted source m (the max of
+    * sq_s/n_s — lowest-resource): m keeps everything, and source s keeps
+    * documents at the exact rational rate (sq_s·n_m)/(n_s·sq_m) ≤ 1, which
+    * realizes token mass ∝ the tempered share sq_s. The draw is
+    * u = md5("mix:"‖doc_id) — SALTED, because the raw doc_id md5 already
+    * carries the [[Text.evalSlice]] holdout semantics (first hex char
+    * '0'): an unsalted low-rate source would sample entirely INSIDE the
+    * eval slice instead of uniformly. Per source: in/kept doc and token
+    * counts, the exact target rate, and the realized doc-grain rate.
+    *
+    * Exactness: the champion is picked by the IEEE double sq/n (one
+    * correctly-rounded division — identical in both engines), ties to the
+    * smallest source; the rate and the 24-bit threshold ⌊rate·16⁶⌋ are
+    * exact integer arithmetic in DECIMAL(38,0)/HUGEINT; the keep
+    * predicate compares fixed-width lowercase hex lexicographically
+    * (equal-length hex strings order like their integers, and the
+    * rate-1 case short-circuits so the threshold never needs a 7th
+    * char). A zero-token source carries no tempered mass: its rate is
+    * NULL and it keeps nothing (no mass ≠ full pass-through).
+    *
+    * Scale shape (100 TB): scan 1 collapses to the O(#sources) stats
+    * frame (map-side combined); the champion is a 1-row
+    * TakeOrderedAndProject over it; the rate table stays O(#sources) and
+    * broadcasts into scan 2, where the keep predicate evaluates map-side
+    * (salted md5 + one string compare, codegen'd) — no doc-grain shuffle
+    * at all, and the final rollup is again map-side-combined source
+    * grain. Two corpus scans total; a lake deployment that materializes
+    * per-doc token counts (the [[prebuildTokenCounts]] pattern) pays the
+    * text parse once.
+    */
+  val qMixApply: Q = Q(
+    "q_mix_apply",
+    s"""WITH $mixSourceStatsSql,
+       |r AS (SELECT source, n_tokens, sq FROM s WHERE n_tokens > 0),
+       |m AS (SELECT sq AS m_sq, n_tokens AS m_tokens FROM r
+       |      ORDER BY CAST(sq AS DOUBLE)/n_tokens DESC, source ASC LIMIT 1),
+       |rt AS (
+       |  SELECT source,
+       |    CAST(sq AS HUGEINT) * m_tokens AS a,
+       |    CAST(n_tokens AS HUGEINT) * m_sq AS b,
+       |    CASE WHEN CAST(sq AS HUGEINT) * m_tokens >=
+       |              CAST(n_tokens AS HUGEINT) * m_sq THEN NULL
+       |      ELSE lpad(lower(to_hex(CAST(
+       |        (CAST(sq AS HUGEINT) * m_tokens * $MixHexSpace) //
+       |        (CAST(n_tokens AS HUGEINT) * m_sq) AS BIGINT))),
+       |        $MixHexChars, '0') END AS thr
+       |  FROM r, m),
+       |d AS (
+       |  SELECT doc_id, source, ${Text.wordCountSql} AS toks,
+       |    substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, $MixHexChars) AS u
+       |  FROM documents),
+       |j AS (
+       |  SELECT d.source, d.toks,
+       |    COALESCE(rt.a IS NOT NULL AND (rt.thr IS NULL OR d.u < rt.thr),
+       |             FALSE) AS kept
+       |  FROM d LEFT JOIN rt ON d.source IS NOT DISTINCT FROM rt.source),
+       |g AS (
+       |  SELECT source, COUNT(*) AS docs_in,
+       |    CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+       |    CAST(SUM(toks) AS BIGINT) AS tokens_in,
+       |    CAST(SUM(CASE WHEN kept THEN toks ELSE 0 END) AS BIGINT)
+       |      AS tokens_kept
+       |  FROM j GROUP BY 1)
+       |SELECT g.source, docs_in, docs_kept, tokens_in, tokens_kept,
+       |  CASE WHEN rt.a IS NULL THEN NULL
+       |    ELSE ${exactDivSql("rt.a", "rt.b", 6)} END AS rate,
+       |  ${exactDivSql("docs_kept", "docs_in", 6)} AS realized_rate
+       |FROM g LEFT JOIN rt ON g.source IS NOT DISTINCT FROM rt.source
+       |ORDER BY g.source""".stripMargin
+  ) { (s, d) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val r = mixSourceStats(s, d).filter(col("n_tokens") > 0)
+    val m = r
+      .orderBy((col("sq").cast("double") / col("n_tokens")).desc,
+        col("source").asc_nulls_last)
+      .limit(1)
+      .select(col("sq").as("m_sq"), col("n_tokens").as("m_tokens"))
+    val a = col("sq").cast(dec) * col("m_tokens")
+    val b = col("n_tokens").cast(dec) * col("m_sq")
+    val num = a * lit(MixHexSpace)
+    val thrInt = ((num - pmod(num, b)) / b).cast(dec).cast("long")
+    val rt = r.crossJoin(broadcast(m))
+      .select(col("source").as("rsrc"), a.as("a"), b.as("b"),
+        when(a >= b, lit(null))
+          .otherwise(lpad(lower(hex(thrInt)), MixHexChars, "0")).as("thr"))
+    val u = substring(
+      md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, MixHexChars)
+    val j = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        Text.wordCount(col("text")).as("toks"), u.as("u"))
+      .join(broadcast(rt.select("rsrc", "a", "thr")),
+        col("source") <=> col("rsrc"), "left")
+      .select(col("source"), col("toks"),
+        coalesce(col("a").isNotNull &&
+          (col("thr").isNull || col("u") < col("thr")), lit(false)).as("kept"))
+    j.groupBy("source")
+      .agg(count(lit(1)).as("docs_in"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("docs_kept"),
+        sum(col("toks")).cast("long").as("tokens_in"),
+        sum(when(col("kept"), col("toks")).otherwise(0L)).cast("long")
+          .as("tokens_kept"))
+      .join(broadcast(rt.select("rsrc", "a", "b")),
+        col("source") <=> col("rsrc"), "left")
+      .select(col("source"), col("docs_in"), col("docs_kept"),
+        col("tokens_in"), col("tokens_kept"),
+        when(col("a").isNull, lit(null))
+          .otherwise(exactDiv(col("a"), col("b"), 6)).as("rate"),
+        exactDiv(col("docs_kept"), col("docs_in"), 6).as("realized_rate"))
       .orderBy("source")
   }
 
@@ -1963,7 +2102,8 @@ object TextOps {
   val all: Seq[Q] = Seq(
     qDedupExact, qLangId, qQualityScore, qTokenCount, qVocabGrowth,
     qSeqPack, qWeightedSample, qTfidfTerms, qFingerprint, qRepetitionStats,
-    qDecontaminate, qPiiScan, qPiiRedact, qSourceOverlap, qSourceMix, qMixTemperature, qQualityKs,
+    qDecontaminate, qPiiScan, qPiiRedact, qSourceOverlap, qSourceMix, qMixTemperature, qMixApply,
+    qQualityKs,
     qBlocklistScan, qDupSpans,
     qBudgetSelect, qLineDedup, qFamiliarity, qDocFeatures, qSourceDedup,
     qSubstringDedup)

@@ -514,6 +514,16 @@ class PlanAuditSpec extends SparkSpec {
       "pair counts must partial-aggregate map-side:\n" + p)
   }
 
+  test("mix apply: rate table broadcasts into the corpus scan; champion is a bounded top-1") {
+    val p = plan("q_mix_apply")
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) >= 2,
+      "both rate-table joins must broadcast the O(#sources) side:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "no doc-grain shuffle join — the rate table is tiny by grain:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "the champion pick must be a bounded top-1, not a global sort:\n" + p)
+  }
+
   test("hot expressions stay inside whole-stage codegen") {
     // execute first: codegen spans only appear in the finalized AQE plan
     val df = SparkEntry.queries("q_quality_score")(spark, sfDir)

@@ -684,6 +684,54 @@ class TextOpsSpec extends SparkSpec {
       "smaller sources must receive larger boosts")
   }
 
+  test("mix apply: champion keeps all, exact rate + salted-hash keep set, zero-token source keeps nothing") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixapply").toString
+    // A: 40 docs × 10 tokens = 400 (sq 2000, sq/n = 5); B: 10 docs × 10
+    // = 100 (sq 1000, sq/n = 10 → CHAMPION, keeps all); C: empty text
+    // (zero tokens → NULL rate, keeps nothing); plus a null-text doc in A
+    val docs =
+      (1L to 40L).map(i => (i, "A", Option(Seq.fill(10)("w").mkString(" ")))) ++
+        (41L to 50L).map(i => (i, "B", Option(Seq.fill(10)("w").mkString(" ")))) ++
+        Seq((51L, "C", Option("")), (52L, "A", Option.empty[String]))
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.qMixApply.run(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // A's exact rate: (2000·100)/(400·1000) = 1/2 → thr = 16⁶/2 = "800000"
+    val thr = "800000"
+    val keptA = (1L to 40L).count(i => md5hex(s"mix:$i").take(6) < thr)
+    val a = got("A")
+    assert(a.getAs[Long]("docs_in") == 41L) // null-text doc counts in
+    assert(a.getAs[Long]("tokens_in") == 400L)
+    assert(a.getAs[Double]("rate") == 0.5)
+    assert(a.getAs[Long]("docs_kept") ==
+      keptA + (if (md5hex("mix:52").take(6) < thr) 1 else 0),
+      "A's keep set must equal the salted-md5 threshold rule")
+    assert(a.getAs[Long]("tokens_kept") == 10L * keptA,
+      "a kept null-text doc contributes no tokens")
+    assert(a.getAs[Double]("realized_rate") ==
+      halfUp(a.getAs[Long]("docs_kept"), 41, 6))
+    val b = got("B")
+    assert(b.getAs[Double]("rate") == 1.0)
+    assert(b.getAs[Long]("docs_kept") == 10L && b.getAs[Long]("docs_in") == 10L,
+      "the most-boosted source is the normalization anchor: keeps everything")
+    assert(b.getAs[Long]("tokens_kept") == 100L)
+    val c = got("C")
+    assert(c.isNullAt(c.fieldIndex("rate")),
+      "zero-token source: NULL rate, not 0 or 1")
+    assert(c.getAs[Long]("docs_kept") == 0L,
+      "no tempered mass → keeps nothing")
+    // the salt matters: unsalted md5 prefixes are the evalSlice hash —
+    // at least one doc must decide differently under the salt, or the
+    // draw would be correlated with the eval holdout
+    val unsaltedKeptA = (1L to 40L).count(i => md5hex(s"$i").take(6) < thr)
+    assert(keptA != unsaltedKeptA || (1L to 40L).exists(i =>
+      (md5hex(s"mix:$i").take(6) < thr) != (md5hex(s"$i").take(6) < thr)))
+  }
+
   test("quality ks: exact driver recount on the real corpus") {
     val rows = graft.operators.TextOps.qQualityKs.run(spark, sfDir).collect()
     // independent recount from the operator's own scored frame
