@@ -1306,6 +1306,28 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** The (source, quality-bucket, count) histogram BOTH score-distribution
+    * operators derive from ([[qQualityKs]] — the drift statistic;
+    * [[qScoreCalibrate]] — the percentile map): ONE corpus evaluation of
+    * the quality regexes, collapsed to ≤ #sources × [[BudgetBlocks]]+2
+    * rows and persisted inline (the [[dupSpanCounts]] contract — the
+    * b-IS-NOT-NULL filter pushes BELOW the aggregate in the scored-
+    * histogram branch, so the consumers' exchanges stop canonicalizing
+    * equal and ReuseExchange alone re-scans the corpus once per
+    * consumer; measured 12 scans on the KS query). CacheManager dedupes
+    * repeat calls by canonicalized plan, so every consumer — including a
+    * different operator in the same session — shares one entry
+    * (plan-guarded). NULL-score docs ride along with b = NULL:
+    * unassessed ≠ low-quality, and each consumer decides their
+    * treatment explicitly.
+    */
+  private def sourceBucketCounts(s: SparkSession, d: String): DataFrame =
+    qualityScored(Tables.documents(s, d))
+      .select(col("source"),
+        floor(col("quality_score") * BudgetBlocks).cast("int").as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Per-source quality-distribution divergence — the KS (Kolmogorov–
     * Smirnov) member of the drift family ([[Ingest.qRunDrift]] watches
     * the event-type MIX run-over-run; this watches the quality-score
@@ -1383,21 +1405,7 @@ object TextOps {
        |ORDER BY st.source""".stripMargin
   ) { (s, d) =>
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val q = qualityScored(Tables.documents(s, d))
-      .select(col("source"),
-        floor(col("quality_score") * BudgetBlocks).cast("int").as("b"))
-    // ONE corpus evaluation: every downstream frame (per-source totals,
-    // the scored histogram, the source list) derives from this (source,
-    // bucket) aggregate. Persisted inline — the [[dupSpanCounts]]
-    // contract: the b-IS-NOT-NULL filter pushes BELOW the aggregate in
-    // the histogram branch, so the consumers' exchanges stop
-    // canonicalizing equal and ReuseExchange alone re-scans the corpus
-    // (and re-runs the quality regexes) once per consumer — measured 12
-    // scans. The cached rows are post-aggregation-tiny (≤ #sources ×
-    // BudgetBlocks+2); CacheManager dedupes repeat calls by
-    // canonicalized plan (plan-guarded).
-    val sbAll = q.groupBy("source", "b").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sbAll = sourceBucketCounts(s, d)
     val st = sbAll.groupBy("source").agg(
       sum("c").cast("long").as("n_docs"),
       sum(when(col("b").isNull, col("c")).otherwise(0L)).cast("long")
@@ -1434,6 +1442,103 @@ object TextOps {
         when(col("n_s").isNull || col("n_g") === col("n_s"), lit(null))
           .otherwise(col("b")).as("peak_bucket"))
       .orderBy("source")
+  }
+
+  /** Per-document quality-score PERCENTILE calibration — the
+    * normalization that makes one quality bar work across sources: a raw
+    * threshold tuned on one crawl does not transfer (CCNet's insight —
+    * its perplexity filter buckets per language/domain for exactly this
+    * reason), and [[qQualityKs]] MEASURES the distribution shift this
+    * operator corrects for. Per document: its ⌊q·[[BudgetBlocks]]⌋
+    * quality bucket, its percentile WITHIN its source, and its corpus-
+    * wide percentile — so "keep the top 30% of every source" and "keep
+    * the corpus top 30%" are both one filter on this frame, and the two
+    * columns side-by-side show how much a source's internal ranking
+    * disagrees with the global one.
+    *
+    * Percentile = SQL PERCENT_RANK at bucket grain: all docs in a bucket
+    * share rank = (scored docs below the bucket), pct = below/(n−1).
+    * The division is ONE IEEE double division of exact integers —
+    * identical in both engines, no rounding machinery needed. NULL-score
+    * docs stay in the report with NULL percentiles (unassessed ≠ rank
+    * 0); a source with a single scored doc has no internal ordering —
+    * pct_source NULL, never 0.
+    *
+    * Scale shape (100 TB): the corpus never reaches a window — the
+    * percentile map derives from the shared [[sourceBucketCounts]]
+    * histogram (post-aggregation grain, ≤ #sources×2002 rows): per-source
+    * and global CDFs as bucket-grain windows, then joined BACK to the
+    * doc-grain scan (the [[qDupSpans]] df join-back rule). The CDF-side
+    * joins ship unhinted — O(#sources×2002) rows is broadcastable for
+    * any sane source count and AQE size-decides, the
+    * [[Similarity.qDedupSurvivors]] convention — and the 1-row corpus
+    * total broadcasts explicitly. A doc-grain PERCENT_RANK window
+    * (PARTITION BY source) would serialize each source through one task;
+    * this shape never does.
+    */
+  val qScoreCalibrate: Q = Q(
+    "q_score_calibrate",
+    s"""WITH q AS (
+       |  SELECT doc_id, source,
+       |    CAST(FLOOR(($qualityScoreSql) * $BudgetBlocks) AS INT) AS b
+       |  FROM documents),
+       |sb AS (SELECT source, b, COUNT(*) AS c FROM q
+       |       WHERE b IS NOT NULL GROUP BY 1, 2),
+       |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM sb GROUP BY 1),
+       |cs AS (
+       |  SELECT source, b,
+       |    CAST(COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS below_s
+       |  FROM sb),
+       |gb AS (
+       |  SELECT b,
+       |    CAST(COALESCE(SUM(cb) OVER (ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS below_g
+       |  FROM (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM sb GROUP BY 1)),
+       |gt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_g FROM sb)
+       |SELECT q.doc_id, q.source, q.b AS q_bucket,
+       |  CASE WHEN q.b IS NULL OR ns.n_s <= 1 THEN NULL
+       |    ELSE CAST(cs.below_s AS DOUBLE) / (ns.n_s - 1) END AS pct_source,
+       |  CASE WHEN q.b IS NULL OR gt.n_g <= 1 THEN NULL
+       |    ELSE CAST(gb.below_g AS DOUBLE) / (gt.n_g - 1) END AS pct_global
+       |FROM q
+       |LEFT JOIN ns ON ns.source IS NOT DISTINCT FROM q.source
+       |LEFT JOIN cs ON cs.source IS NOT DISTINCT FROM q.source
+       |  AND cs.b = q.b
+       |LEFT JOIN gb ON gb.b = q.b
+       |CROSS JOIN gt
+       |ORDER BY q.doc_id""".stripMargin
+  ) { (s, d) =>
+    val sb = sourceBucketCounts(s, d).filter(col("b").isNotNull)
+    val ns = sb.groupBy("source").agg(sum("c").cast("long").as("n_s"))
+    val wS = Window.partitionBy("source").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cs = sb.select(col("source").as("csrc"), col("b").as("cbk"),
+      coalesce(sum(col("c")).over(wS), lit(0L)).cast("long").as("below_s"))
+    val wG = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val gb = sb.groupBy("b").agg(sum("c").as("cb"))
+      .select(col("b").as("gbk"),
+        coalesce(sum(col("cb")).over(wG), lit(0L)).cast("long").as("below_g"))
+    val gt = sb.agg(sum("c").cast("long").as("n_g"))
+    qualityScored(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"),
+        floor(col("quality_score") * BudgetBlocks).cast("int").as("b"))
+      .join(ns.withColumnRenamed("source", "nsrc"),
+        col("source") <=> col("nsrc"), "left")
+      .join(cs, col("source") <=> col("csrc") && col("b") === col("cbk"),
+        "left")
+      .join(gb, col("b") === col("gbk"), "left")
+      .crossJoin(broadcast(gt))
+      .select(col("doc_id"), col("source"), col("b").as("q_bucket"),
+        when(col("b").isNull || col("n_s") <= 1, lit(null))
+          .otherwise(col("below_s").cast("double") / (col("n_s") - 1))
+          .as("pct_source"),
+        when(col("b").isNull || col("n_g") <= 1, lit(null))
+          .otherwise(col("below_g").cast("double") / (col("n_g") - 1))
+          .as("pct_global"))
+      .orderBy("doc_id")
   }
 
   /** Word-gram order for the repeated-span coverage scan — long enough
@@ -2103,7 +2208,7 @@ object TextOps {
     qDedupExact, qLangId, qQualityScore, qTokenCount, qVocabGrowth,
     qSeqPack, qWeightedSample, qTfidfTerms, qFingerprint, qRepetitionStats,
     qDecontaminate, qPiiScan, qPiiRedact, qSourceOverlap, qSourceMix, qMixTemperature, qMixApply,
-    qQualityKs,
+    qQualityKs, qScoreCalibrate,
     qBlocklistScan, qDupSpans,
     qBudgetSelect, qLineDedup, qFamiliarity, qDocFeatures, qSourceDedup,
     qSubstringDedup)

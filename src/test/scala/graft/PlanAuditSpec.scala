@@ -514,6 +514,21 @@ class PlanAuditSpec extends SparkSpec {
       "pair counts must partial-aggregate map-side:\n" + p)
   }
 
+  test("score calibrate: CDFs ride the shared bucket histogram; the corpus never reaches a window") {
+    val df = SparkEntry.queries("q_score_calibrate")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the per-source totals + both CDF branches read the ONE persisted
+    // (source, bucket) histogram — the sourceBucketCounts contract
+    assert(p.split("\n").count(_.contains("InMemoryTableScan")) >= 3,
+      "CDF branches must read the materialized (source,bucket) table:\n" + p)
+    // percentiles join BACK to the doc grain — a PERCENT_RANK window
+    // partitioned by source would serialize each source into one task
+    assert(!p.contains("windowspecdefinition(doc_id") &&
+      !p.contains("windowspecdefinition(text"),
+      "a document-grain window crept into the calibrate plan:\n" + p)
+  }
+
   test("mix apply: rate table broadcasts into the corpus scan; champion is a bounded top-1") {
     val p = plan("q_mix_apply")
     assert(p.split("\n").count(_.contains("BroadcastHashJoin")) >= 2,

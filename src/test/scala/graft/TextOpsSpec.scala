@@ -732,6 +732,62 @@ class TextOpsSpec extends SparkSpec {
       (md5hex(s"mix:$i").take(6) < thr) != (md5hex(s"$i").take(6) < thr)))
   }
 
+  test("score calibrate: exact percentile recount on the real corpus; single-doc-source and null rules") {
+    // driver recount of the whole percentile map from the operator's own
+    // scored frame — bucket, below-counts, and the one IEEE division
+    val scored = graft.operators.TextOps
+      .qualityScored(Tables.documents(spark, sfDir))
+      .select("doc_id", "source", "quality_score").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        Option(r.getAs[java.lang.Double]("quality_score"))
+          .map(q => math.floor(q * 2000).toInt)))
+    val byB = scored.collect { case (_, s, Some(b)) => (s, b) }
+    val nS = byB.groupBy(_._1).map { case (s, xs) => s -> xs.length }
+    val nG = byB.length
+    val rows = graft.operators.TextOps.qScoreCalibrate.run(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == scored.length)
+    for ((id, src, bOpt) <- scored) {
+      val r = rows(id)
+      bOpt match {
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("q_bucket")), s"doc $id bucket")
+          assert(r.isNullAt(r.fieldIndex("pct_source")), s"doc $id src pct")
+          assert(r.isNullAt(r.fieldIndex("pct_global")), s"doc $id glob pct")
+        case Some(b) =>
+          assert(r.getAs[Int]("q_bucket") == b, s"doc $id bucket")
+          val belowS = byB.count(p => p._1 == src && p._2 < b)
+          val belowG = byB.count(_._2 < b)
+          if (nS(src) > 1)
+            assert(r.getAs[Double]("pct_source") ==
+              belowS.toDouble / (nS(src) - 1), s"doc $id pct_source")
+          else assert(r.isNullAt(r.fieldIndex("pct_source")), s"doc $id")
+          if (nG > 1)
+            assert(r.getAs[Double]("pct_global") ==
+              belowG.toDouble / (nG - 1), s"doc $id pct_global")
+          else assert(r.isNullAt(r.fieldIndex("pct_global")), s"doc $id")
+      }
+    }
+    // crafted: a source with ONE scored doc has no internal ordering —
+    // pct_source NULL (not 0) while pct_global stays defined
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cal").toString
+    Seq((1L, "A", Option("good text here ok")),
+      (2L, "A", Option("more good text fine")),
+      (3L, "S", Option("single scored document")),
+      (4L, "S", Option.empty[String]))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val c = graft.operators.TextOps.qScoreCalibrate.run(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(c(3L).isNullAt(c(3L).fieldIndex("pct_source")),
+      "single-scored-doc source: pct_source must be NULL, not 0")
+    assert(!c(3L).isNullAt(c(3L).fieldIndex("pct_global")),
+      "the corpus-wide percentile is still defined")
+    assert(c(4L).isNullAt(c(4L).fieldIndex("pct_global")),
+      "null text stays unassessed on BOTH percentile columns")
+  }
+
   test("quality ks: exact driver recount on the real corpus") {
     val rows = graft.operators.TextOps.qQualityKs.run(spark, sfDir).collect()
     // independent recount from the operator's own scored frame
