@@ -286,6 +286,60 @@ object Profiling {
       .orderBy("user_id", "event_type")
   }
 
+  /** How many heavy keys [[qSkewKeys]] reports. */
+  private[graft] val SkewTopK = 20
+
+  /** Heavy-hitter shuffle-key diagnostic — the measurement behind every
+    * SURVEY §4 salting/skew decision (the reference's per-app rollups
+    * assume keys distribute evenly; at web scale they never do — one
+    * viral user/page/domain makes one shuffle partition the straggler):
+    * the top-[[SkewTopK]] `user_id` keys of the event stream by row
+    * count, each with its exact corpus share and its skew multiple
+    * (count ÷ the mean rows-per-key). A key at skew_x ≫ 1 is precisely
+    * the key AQE skew-join splitting or salting exists for; a flat
+    * report certifies the key is safe to shuffle on. Reading this BEFORE
+    * picking a join/aggregation strategy is the executable form of
+    * §4.10's "the operator knows more than the optimizer".
+    *
+    * Scale shape (100 TB): per-key counts are one map-side-combined
+    * aggregate (a hot key's updates are absorbed in partials — a hash
+    * aggregate has no hot-partition problem, unlike a window); the
+    * top-k is a bounded-heap TakeOrderedAndProject over the
+    * post-aggregation key table — never a global sort; the 1-row
+    * (total, n_keys) frame broadcasts; the rank window orders
+    * [[SkewTopK]] rows. Ratios are exact integer divisions.
+    */
+  val qSkewKeys: Q = Q(
+    "q_skew_keys",
+    s"""WITH c AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |g AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c),
+       |t AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id
+       |      LIMIT $SkewTopK)
+       |SELECT row_number() OVER (ORDER BY n DESC, user_id) AS rank,
+       |  user_id, n AS n_events,
+       |  ${exactDivSql("n", "total", 6)} AS share,
+       |  ${exactDivSql("CAST(n AS HUGEINT) * n_keys", "total", 2)} AS skew_x
+       |FROM t, g ORDER BY rank""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val g = c.agg(sum("n").cast("long").as("total"),
+      count(lit(1)).as("n_keys"))
+    c.orderBy(col("n").desc, col("user_id")).limit(SkewTopK)
+      .crossJoin(broadcast(g))
+      .select(
+        row_number().over(Window.orderBy(col("n").desc, col("user_id")))
+          .as("rank"),
+        col("user_id"), col("n").as("n_events"),
+        exactDiv(col("n"), col("total"), 6).as("share"),
+        exactDiv(col("n").cast(DecimalType(38, 0)) * col("n_keys"),
+          col("total"), 2).as("skew_x"))
+      .orderBy("rank")
+  }
+
   /** Repeated-content detection (deep 5b "top repeated texts") on the
     * 2-word opening phrase — duplicate-content grouping that still
     * aggregates (never collects) at scale.
@@ -596,7 +650,7 @@ object Profiling {
 
   val all: Seq[Q] = Seq(qApproxProfile,
     qProfileCompleteness, qMoments, qLengthPercentiles, qLengthHistogram,
-    qLengthByGroup, qDupKeys, qDupContent, qTemporalHistogram, qQualityFlags,
+    qLengthByGroup, qDupKeys, qSkewKeys, qDupContent, qTemporalHistogram, qQualityFlags,
     qRepeatedChars, qScriptDistribution, qEncodingIssues, qZeroInflation,
     qCohortCompare, qCorrPearson)
 }

@@ -514,6 +514,14 @@ class PlanAuditSpec extends SparkSpec {
       "pair counts must partial-aggregate map-side:\n" + p)
   }
 
+  test("skew keys: bounded top-k over map-side-combined counts; rank window over k rows only") {
+    val p = plan("q_skew_keys")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the heavy-key cut must be a bounded heap, not a global sort:\n" + p)
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "per-key counts must partial-aggregate map-side:\n" + p)
+  }
+
   test("score calibrate: CDFs ride the shared bucket histogram; the corpus never reaches a window") {
     val df = SparkEntry.queries("q_score_calibrate")(spark, sfDir)
     df.collect()

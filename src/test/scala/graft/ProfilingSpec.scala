@@ -133,4 +133,23 @@ class ProfilingSpec extends SparkSpec {
     // the coefficient is a real signal, not a degenerate 0/NaN column
     assert(got.values.exists(v => math.abs(v) > 1e-6))
   }
+
+  test("skew keys: crafted hot-key corpus lands exact shares and skew multiples") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // user 1: 6 events, user 2: 3, user 3: 1 → total 10, 3 keys,
+    // mean 10/3 rows/key
+    val rows = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L))
+      .zipWithIndex.map { case (u, i) => (i.toLong, ts, u, "t", 1.0, "{}") }
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Profiling.qSkewKeys.run(spark, dir).collect()
+    assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    assert(got.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(got.map(_.getAs[Long]("n_events")).toSeq == Seq(6L, 3L, 1L))
+    assert(got.map(_.getAs[Double]("share")).toSeq == Seq(0.6, 0.3, 0.1))
+    // skew_x = n·n_keys/total half-up at 2: 18/10, 9/10, 3/10
+    assert(got.map(_.getAs[Double]("skew_x")).toSeq == Seq(1.8, 0.9, 0.3))
+  }
 }
