@@ -162,6 +162,76 @@ object TextOps {
       .orderBy("lang", "predicted")
   }
 
+  /** Language × source token mix — the grain multilingual temperature
+    * sampling actually operates on (mT5/XLM-R smooth per-LANGUAGE token
+    * shares, and [[qSourceMix]]/[[qMixTemperature]]'s per-source tables
+    * cannot see that an "en-heavy" mix hides inside balanced sources):
+    * per (predicted language, source) cell, doc and token counts plus
+    * two exact shares — of the language (which sources supply each
+    * language; the low-resource-language supply map) and of the corpus
+    * (the cell's absolute weight). The language is the engine's own
+    * [[langPredCol]] PREDICTION, not the stored label — the mix a
+    * curation decision would act on is the one the classifier sees.
+    * Shares over an all-null-token cell stay NULL (unassessed ≠ zero
+    * mass).
+    *
+    * Scale shape (100 TB): ONE corpus scan (lang signals + token count
+    * per row, codegen'd map-side) into a map-side-combined
+    * (predicted, source) aggregate; both share denominators ride
+    * windows over the post-aggregation grain (≤ 6 langs × #sources
+    * rows — the [[qSourceMix]] rule). Exact integer divisions.
+    */
+  val qLangMix: Q = Q(
+    "q_lang_mix",
+    s"""WITH p AS (
+       |  SELECT source, text,
+       |    $cjkSql AS cjk,
+       |    $paddedSql AS padded,
+       |    ${Text.wordCountSql} AS toks
+       |  FROM documents),
+       |sc AS (
+       |  SELECT source, toks, cjk, padded,
+       |    $langScoresSql
+       |  FROM p),
+       |a AS (
+       |  SELECT $langCaseSql AS predicted, source,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(toks) AS BIGINT) AS n_tokens
+       |  FROM sc GROUP BY 1, 2),
+       |w AS (
+       |  SELECT predicted, source, n_docs, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY predicted) AS BIGINT)
+       |      AS lang_tot,
+       |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS corpus_tot
+       |  FROM a)
+       |SELECT predicted, source, n_docs, n_tokens,
+       |  CASE WHEN n_tokens IS NULL OR lang_tot = 0 THEN NULL
+       |    ELSE ${exactDivSql("n_tokens", "lang_tot", 6)} END
+       |    AS share_of_lang,
+       |  CASE WHEN n_tokens IS NULL OR corpus_tot = 0 THEN NULL
+       |    ELSE ${exactDivSql("n_tokens", "corpus_tot", 6)} END
+       |    AS share_of_corpus
+       |FROM w ORDER BY predicted, source""".stripMargin
+  ) { (s, d) =>
+    val a = withLangSignals(Tables.documents(s, d).select("source", "text"))
+      .select(langPredCol.as("predicted"), col("source"),
+        Text.wordCount(col("text")).as("toks"))
+      .groupBy("predicted", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("n_tokens"))
+    val lt = sum(col("n_tokens")).over(Window.partitionBy("predicted"))
+      .cast("long")
+    val gt = sum(col("n_tokens")).over(
+      Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)).cast("long")
+    a.select(col("predicted"), col("source"), col("n_docs"), col("n_tokens"),
+        when(col("n_tokens").isNull || lt === 0, lit(null))
+          .otherwise(exactDiv(col("n_tokens"), lt, 6)).as("share_of_lang"),
+        when(col("n_tokens").isNull || gt === 0, lit(null))
+          .otherwise(exactDiv(col("n_tokens"), gt, 6)).as("share_of_corpus"))
+      .orderBy("predicted", "source")
+  }
+
   /** DuckDB fragments of the four quality components and the composite —
     * ONE spelling driving the [[qQualityScore]] oracle and every other
     * oracle that orders or gates on quality ([[qBudgetSelect]]), so the
@@ -2205,7 +2275,7 @@ object TextOps {
   }
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qLangId, qQualityScore, qTokenCount, qVocabGrowth,
+    qDedupExact, qLangId, qLangMix, qQualityScore, qTokenCount, qVocabGrowth,
     qSeqPack, qWeightedSample, qTfidfTerms, qFingerprint, qRepetitionStats,
     qDecontaminate, qPiiScan, qPiiRedact, qSourceOverlap, qSourceMix, qMixTemperature, qMixApply,
     qQualityKs, qScoreCalibrate,

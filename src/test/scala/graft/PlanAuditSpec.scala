@@ -514,6 +514,16 @@ class PlanAuditSpec extends SparkSpec {
       "pair counts must partial-aggregate map-side:\n" + p)
   }
 
+  test("lang mix: one corpus scan; share windows run at post-aggregation grain") {
+    val p = plan("q_lang_mix")
+    assert(p.split("\n").count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan")) == 1,
+      "lang mix must read the corpus exactly once:\n" + p)
+    assert(!p.contains("windowspecdefinition(doc_id") &&
+      !p.contains("windowspecdefinition(text"),
+      "share windows must run over the (lang, source) aggregate:\n" + p)
+  }
+
   test("skew keys: bounded top-k over map-side-combined counts; rank window over k rows only") {
     val p = plan("q_skew_keys")
     assert(p.contains("TakeOrderedAndProject"),

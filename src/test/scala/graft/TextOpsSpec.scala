@@ -684,6 +684,40 @@ class TextOpsSpec extends SparkSpec {
       "smaller sources must receive larger boosts")
   }
 
+  test("lang mix: crafted corpus lands exact per-language share arithmetic and the und/null rules") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_langmix").toString
+    Seq(
+      (1L, "A", Option("the cat and dog")), // en, 4 tokens
+      (2L, "B", Option("is blue")), // en, 2 tokens
+      (3L, "A", Option("el que y")), // es, 3 tokens
+      (4L, "B", Option.empty[String])) // und, NULL tokens
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.qLangMix.run(spark, dir).collect()
+      .map(r => (r.getAs[String]("predicted"), r.getAs[String]("source")) -> r)
+      .toMap
+    assert(got.keySet ==
+      Set(("en", "A"), ("en", "B"), ("es", "A"), ("und", "B")))
+    val enA = got(("en", "A"))
+    assert(enA.getAs[Long]("n_tokens") == 4L)
+    assert(enA.getAs[Double]("share_of_lang") == halfUp(4, 6, 6))
+    assert(enA.getAs[Double]("share_of_corpus") == halfUp(4, 9, 6))
+    val enB = got(("en", "B"))
+    assert(enB.getAs[Double]("share_of_lang") == halfUp(2, 6, 6))
+    assert(enB.getAs[Double]("share_of_corpus") == halfUp(2, 9, 6))
+    val esA = got(("es", "A"))
+    assert(esA.getAs[Double]("share_of_lang") == 1.0,
+      "a language's only source supplies 100% of it")
+    assert(esA.getAs[Double]("share_of_corpus") == halfUp(3, 9, 6))
+    val und = got(("und", "B"))
+    assert(und.getAs[Long]("n_docs") == 1L)
+    assert(und.isNullAt(und.fieldIndex("n_tokens")) &&
+      und.isNullAt(und.fieldIndex("share_of_lang")) &&
+      und.isNullAt(und.fieldIndex("share_of_corpus")),
+      "an all-null-token cell is unassessed, not zero-mass")
+  }
+
   test("mix apply: champion keeps all, exact rate + salted-hash keep set, zero-token source keeps nothing") {
     import spark.implicits._
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
