@@ -340,6 +340,69 @@ object Profiling {
       .orderBy("rank")
   }
 
+  /** Embedding-table health profile — the completeness audit for the
+    * VECTOR side of the lake (the text/event profiles 18–29 have no
+    * embedding member, yet every similarity/ANN operator quietly assumes
+    * vectors are present, finite, non-zero and same-dimension; an
+    * upstream encoder bug ships NaNs or zero vectors long before any
+    * recall metric notices). Per label: vector count, NULL vectors,
+    * NaN-carrying vectors, all-zero vectors (cosine-undefined — a zero
+    * vector silently lands wherever the kernel's 0/0 goes), the usable
+    * rate, and the min/max dimension (a healthy table has exactly one).
+    * The categories are mutually exclusive in rule order
+    * null → NaN → zero, so the counts add up.
+    *
+    * Everything is integer-exact — no float aggregate crosses engines:
+    * NaN/zero detection is a per-row lambda (codegen'd HOF, no UDF),
+    * counts and the half-up usable rate are exact integers.
+    *
+    * Scale shape (100 TB): ONE scan, one map-side-combined label-grain
+    * aggregate — label cardinality is tiny, and a hash aggregate absorbs
+    * any hot label in partials. No shuffle beyond the O(#labels) rows.
+    */
+  val qEmbedProfile: Q = Q(
+    "q_embed_profile",
+    s"""SELECT label, COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_null_vec,
+       |  CAST(SUM(CASE WHEN embedding IS NOT NULL
+       |    AND len(list_filter(embedding, x -> isnan(x))) > 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nan_vec,
+       |  CAST(SUM(CASE WHEN embedding IS NOT NULL
+       |    AND len(list_filter(embedding, x -> isnan(x))) = 0
+       |    AND len(list_filter(embedding, x -> x <> 0)) = 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vec,
+       |  ${exactDivSql(
+             "COUNT(*) - SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)" +
+               " - SUM(CASE WHEN embedding IS NOT NULL AND" +
+               " len(list_filter(embedding, x -> isnan(x))) > 0" +
+               " THEN 1 ELSE 0 END)" +
+               " - SUM(CASE WHEN embedding IS NOT NULL AND" +
+               " len(list_filter(embedding, x -> isnan(x))) = 0 AND" +
+               " len(list_filter(embedding, x -> x <> 0)) = 0" +
+               " THEN 1 ELSE 0 END)",
+             "COUNT(*)", 4)} AS usable_rate,
+       |  CAST(MIN(len(embedding)) AS BIGINT) AS min_dim,
+       |  CAST(MAX(len(embedding)) AS BIGINT) AS max_dim
+       |FROM embeddings GROUP BY 1 ORDER BY label""".stripMargin
+  ) { (s, d) =>
+    val isNullV = col("embedding").isNull
+    val hasNan = exists(col("embedding"), x => isnan(x))
+    val isZero = size(filter(col("embedding"), x => x =!= lit(0.0f))) === 0
+    val nNull = sum(when(isNullV, 1L).otherwise(0L))
+    val nNan = sum(when(!isNullV && hasNan, 1L).otherwise(0L))
+    val nZero = sum(when(!isNullV && !hasNan && isZero, 1L).otherwise(0L))
+    Tables.table(s, d, "embeddings")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        nNull.as("n_null_vec"), nNan.as("n_nan_vec"), nZero.as("n_zero_vec"),
+        exactDiv(count(lit(1)) - nNull - nNan - nZero, count(lit(1)), 4)
+          .as("usable_rate"),
+        min(size(col("embedding"))).cast("long").as("min_dim"),
+        max(size(col("embedding"))).cast("long").as("max_dim"))
+      .orderBy("label")
+  }
+
   /** Repeated-content detection (deep 5b "top repeated texts") on the
     * 2-word opening phrase — duplicate-content grouping that still
     * aggregates (never collects) at scale.
@@ -650,7 +713,7 @@ object Profiling {
 
   val all: Seq[Q] = Seq(qApproxProfile,
     qProfileCompleteness, qMoments, qLengthPercentiles, qLengthHistogram,
-    qLengthByGroup, qDupKeys, qSkewKeys, qDupContent, qTemporalHistogram, qQualityFlags,
+    qLengthByGroup, qDupKeys, qSkewKeys, qDupContent, qEmbedProfile, qTemporalHistogram, qQualityFlags,
     qRepeatedChars, qScriptDistribution, qEncodingIssues, qZeroInflation,
     qCohortCompare, qCorrPearson)
 }

@@ -134,6 +134,34 @@ class ProfilingSpec extends SparkSpec {
     assert(got.values.exists(v => math.abs(v) > 1e-6))
   }
 
+  test("embed profile: crafted NaN/zero/null/ragged vectors land in the right exclusive buckets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_embp").toString
+    Seq(
+      (1L, Option(Seq(1.0f, 2.0f)), 0),
+      (2L, Option.empty[Seq[Float]], 0), // null vector
+      (3L, Option(Seq(Float.NaN, 0.0f)), 0), // NaN wins over zero check
+      (4L, Option(Seq(0.0f, 0.0f)), 0), // all-zero: cosine-undefined
+      (5L, Option(Seq(1.0f, 1.0f, 1.0f)), 0), // ragged dim
+      (6L, Option(Seq(2.0f, 3.0f)), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Profiling.qEmbedProfile.run(spark, dir)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    val l0 = got(0)
+    assert(l0.getAs[Long]("n_vecs") == 5L)
+    assert(l0.getAs[Long]("n_null_vec") == 1L)
+    assert(l0.getAs[Long]("n_nan_vec") == 1L,
+      "a NaN-carrying vector counts as NaN, not zero — exclusive buckets")
+    assert(l0.getAs[Long]("n_zero_vec") == 1L)
+    assert(l0.getAs[Double]("usable_rate") == 0.4) // 2 of 5
+    assert(l0.getAs[Long]("min_dim") == 2L && l0.getAs[Long]("max_dim") == 3L,
+      "ragged dimensions must surface in the min/max spread")
+    val l1 = got(1)
+    assert(l1.getAs[Double]("usable_rate") == 1.0)
+    assert(l1.getAs[Long]("min_dim") == 2L && l1.getAs[Long]("max_dim") == 2L)
+  }
+
   test("skew keys: crafted hot-key corpus lands exact shares and skew multiples") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
