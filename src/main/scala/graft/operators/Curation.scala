@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -154,5 +154,172 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qCurationFunnel, qCleanCorpus)
+  /** The corpus DATA CARD — the one-page summary every dataset release
+    * ships (the reference's run_full_analysis/print_summary surface,
+    * src/analysis/data_quality_analyzer.py:37,490, re-aimed at the
+    * training corpus): eleven headline numbers in long format
+    * (section, metric, value, rate), each computed by the SAME shared
+    * definition as its standalone report — token counting
+    * ([[Text.wordCount]]), content keys ([[Text.norm]]+md5, the
+    * exact-dedup rule), PII and blocklist flags ([[TextOps.piiCols]],
+    * [[TextOps.blocklistFlags]]), language prediction
+    * ([[TextOps.predictedLang]]), quality buckets
+    * ([[TextOps.sourceBucketCounts]]) — so the card cannot disagree
+    * with any detailed report it summarizes. Sections: volume (docs,
+    * sources, predicted languages, tokens, null-text), dedup (distinct
+    * contents, exact-dup docs + rate), quality (scored docs, median
+    * quality bucket — integer-exact: smallest bucket with 2·cum ≥ n —
+    * PII docs, blocklist-flagged docs, each with its exact rate).
+    *
+    * Scale shape (100 TB): five independent global aggregates — the
+    * flags scan (one pass, all per-row kernels chained), the distinct
+    * counts (source: tiny; content: the q_dedup_exact 16-byte-key
+    * shuffle — the one genuinely wide exchange, and it IS the dedup
+    * measurement), the language scan, and the quality histogram read
+    * from the shared cache — each collapsing to ONE row before the
+    * 1-row cross joins; the 11 card rows explode from that single row
+    * (the funnel-cells rule: a per-metric union would re-run the
+    * aggregates once per row). Rates are exact half-up divisions; an
+    * empty lake yields the 11 rows with zero counts and NULL rates.
+    */
+  val qDatacard: Q = Q(
+    "q_datacard",
+    s"""WITH f AS (
+       |  SELECT text,
+       |    len(list_filter(string_split(${Text.normSql}, ' '), t -> t <> ''))
+       |      AS n_tok,
+       |    len(list_filter(string_split(${Text.normSql}, ' '),
+       |      t -> t IN (${TextOps.Blocklist.map(w => s"'$w'").mkString(", ")})))
+       |      AS n_blocked,
+       |    ${Text.wordCountSql} AS toks,
+       |    len(regexp_extract_all(text, '${TextOps.PiiEmail}'))
+       |      + len(regexp_extract_all(text, '${TextOps.PiiIpv4}'))
+       |      + len(regexp_extract_all(text, '${TextOps.PiiPhone}'))
+       |      + len(regexp_extract_all(text, '${TextOps.PiiIdRun}')) AS npii
+       |  FROM documents),
+       |a1 AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_null_text,
+       |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN npii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS pii_docs,
+       |    CAST(SUM(CASE WHEN n_blocked * 20 > n_tok THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS blk_docs
+       |  FROM f),
+       |a2 AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+       |a3 AS (
+       |  SELECT COUNT(DISTINCT CASE WHEN predicted <> 'und' THEN predicted
+       |    END) AS n_langs
+       |  FROM (${TextOps.predictedLangSql}) lp),
+       |a4 AS (
+       |  SELECT COUNT(*) AS n_content,
+       |    COUNT(DISTINCT md5(${Text.normSql})) AS n_distinct
+       |  FROM documents WHERE text IS NOT NULL),
+       |qh AS (
+       |  SELECT CAST(FLOOR((${TextOps.qualityScoreSql})
+       |    * ${TextOps.BudgetBlocks}) AS INT) AS b
+       |  FROM documents),
+       |qb AS (SELECT b, COUNT(*) AS c FROM qh WHERE b IS NOT NULL GROUP BY 1),
+       |sc AS (SELECT CAST(SUM(c) AS BIGINT) AS n_scored FROM qb),
+       |md AS (
+       |  SELECT MIN(b) AS median_bucket
+       |  FROM (SELECT b, SUM(c) OVER (ORDER BY b) AS cum FROM qb) t, sc
+       |  WHERE 2 * cum >= n_scored),
+       |one AS (SELECT * FROM a1, a2, a3, a4, sc, md)
+       |SELECT * FROM (
+       |  SELECT 'volume' AS section, 'n_docs' AS metric,
+       |    CAST(n_docs AS BIGINT) AS value, CAST(NULL AS DOUBLE) AS rate
+       |  FROM one
+       |  UNION ALL SELECT 'volume', 'n_sources',
+       |    CAST(n_sources AS BIGINT), NULL FROM one
+       |  UNION ALL SELECT 'volume', 'n_langs_predicted',
+       |    CAST(n_langs AS BIGINT), NULL FROM one
+       |  UNION ALL SELECT 'volume', 'n_tokens', n_tokens, NULL FROM one
+       |  UNION ALL SELECT 'volume', 'null_text_docs', n_null_text,
+       |    ${exactDivSqlC("n_null_text", "n_docs")} FROM one
+       |  UNION ALL SELECT 'dedup', 'distinct_contents',
+       |    CAST(n_distinct AS BIGINT), NULL FROM one
+       |  UNION ALL SELECT 'dedup', 'exact_dup_docs',
+       |    CAST(n_content - n_distinct AS BIGINT),
+       |    ${exactDivSqlC("n_content - n_distinct", "n_content")} FROM one
+       |  UNION ALL SELECT 'quality', 'scored_docs', n_scored,
+       |    ${exactDivSqlC("n_scored", "n_docs")} FROM one
+       |  UNION ALL SELECT 'quality', 'median_quality_bucket',
+       |    CAST(median_bucket AS BIGINT), NULL FROM one
+       |  UNION ALL SELECT 'quality', 'pii_docs', pii_docs,
+       |    ${exactDivSqlC("pii_docs", "n_docs")} FROM one
+       |  UNION ALL SELECT 'quality', 'blocklist_flagged_docs', blk_docs,
+       |    ${exactDivSqlC("blk_docs", "n_docs")} FROM one
+       |) card ORDER BY section, metric""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.Det.exactDiv
+    val docs = Tables.documents(s, d)
+    val flagged = TextOps.blocklistFlags(docs)
+      .select(col("text"), col("blocked"),
+        Text.wordCount(col("text")).as("toks"),
+        TextOps.piiCols(col("text")).take(4).reduce(_ + _).as("npii"))
+    val a1 = flagged.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).cast("long")
+        .as("n_null_text"),
+      sum(col("toks")).cast("long").as("n_tokens"),
+      sum(when(col("npii") > 0, 1L).otherwise(0L)).cast("long").as("pii_docs"),
+      sum(when(col("blocked"), 1L).otherwise(0L)).cast("long").as("blk_docs"))
+    val a2 = docs.agg(countDistinct(col("source")).as("n_sources"))
+    val a3 = TextOps.predictedLang(s, d)
+      .agg(countDistinct(when(col("predicted") =!= "und", col("predicted")))
+        .as("n_langs"))
+    val a4 = docs.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("n_content"),
+        countDistinct(md5(Text.norm(col("text")))).as("n_distinct"))
+    val qb = TextOps.sourceBucketCounts(s, d).filter(col("b").isNotNull)
+      .groupBy("b").agg(sum("c").as("cb"))
+    val sc = qb.agg(sum("cb").cast("long").as("n_scored"))
+    val md = qb
+      .withColumn("cum", sum("cb").over(Window.orderBy("b")))
+      .crossJoin(broadcast(sc.select(col("n_scored").as("nsc"))))
+      .filter(col("cum") * 2 >= col("nsc"))
+      .agg(min("b").as("median_bucket"))
+    val one = a1.crossJoin(broadcast(a2)).crossJoin(broadcast(a3))
+      .crossJoin(broadcast(a4)).crossJoin(broadcast(sc))
+      .crossJoin(broadcast(md))
+    def row(section: String, metric: String, value: Column, rate: Column) =
+      struct(lit(section).as("section"), lit(metric).as("metric"),
+        value.cast("long").as("value"), rate.cast("double").as("rate"))
+    val nullRate = lit(null).cast("double")
+    one
+      .select(explode(array(
+        row("volume", "n_docs", col("n_docs"), nullRate),
+        row("volume", "n_sources", col("n_sources"), nullRate),
+        row("volume", "n_langs_predicted", col("n_langs"), nullRate),
+        row("volume", "n_tokens", col("n_tokens"), nullRate),
+        row("volume", "null_text_docs", col("n_null_text"),
+          exactDiv(col("n_null_text"), col("n_docs"), 4)),
+        row("dedup", "distinct_contents", col("n_distinct"), nullRate),
+        row("dedup", "exact_dup_docs", col("n_content") - col("n_distinct"),
+          exactDiv(col("n_content") - col("n_distinct"), col("n_content"), 4)),
+        row("quality", "scored_docs", col("n_scored"),
+          exactDiv(col("n_scored"), col("n_docs"), 4)),
+        row("quality", "median_quality_bucket", col("median_bucket"),
+          nullRate),
+        row("quality", "pii_docs", col("pii_docs"),
+          exactDiv(col("pii_docs"), col("n_docs"), 4)),
+        row("quality", "blocklist_flagged_docs", col("blk_docs"),
+          exactDiv(col("blk_docs"), col("n_docs"), 4)))).as("r"))
+      .select(col("r.section").as("section"), col("r.metric").as("metric"),
+        col("r.value").as("value"), col("r.rate").as("rate"))
+      .orderBy("section", "metric")
+  }
+
+  /** The datacard's rate spelling: half-up at 4, NULL on a zero
+    * denominator (the [[graft.functions.Det.exactDivSql]] quotient nulls
+    * on `// 0` in DuckDB only under a NULLIF guard — counts here can be
+    * legitimately zero on an empty lake).
+    */
+  private def exactDivSqlC(num: String, den: String): String =
+    s"CASE WHEN ($den) = 0 THEN NULL ELSE " +
+      graft.functions.Det.exactDivSql(num, den, 4) + " END"
+
+  val all: Seq[Q] = Seq(qCurationFunnel, qCleanCorpus, qDatacard)
 }

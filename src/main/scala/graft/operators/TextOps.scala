@@ -133,6 +133,25 @@ object TextOps {
       .when(col("s_de") >= col("s_fr"), "de")
       .otherwise("fr")
 
+  /** The per-document language prediction as a one-column frame — the
+    * [[langPredCol]] rule exported for cross-module consumers (the
+    * [[Curation]] datacard's language count) without widening the
+    * signal-column internals.
+    */
+  private[graft] def predictedLang(s: SparkSession, d: String): DataFrame =
+    withLangSignals(Tables.documents(s, d).select("text"))
+      .select(langPredCol.as("predicted"))
+
+  /** DuckDB mirror of [[predictedLang]]: a full subquery yielding one
+    * `predicted` column per document.
+    */
+  private[graft] val predictedLangSql: String =
+    s"""SELECT $langCaseSql AS predicted
+       |FROM (SELECT cjk, padded,
+       |        $langScoresSql
+       |      FROM (SELECT $cjkSql AS cjk, $paddedSql AS padded, text
+       |            FROM documents) p0) sc""".stripMargin
+
   /** Language ID via stopword-hit counting over a letters-only lowercase
     * padding, CJK short-circuit first; deterministic argmax with fixed
     * priority en>es>de>fr, 'und' when no list hits. Output is the
@@ -252,7 +271,7 @@ object TextOps {
     """CASE WHEN length(text) = 0 THEN 0.0
       |       ELSE CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
       |            / length(text) END""".stripMargin
-  private val qualityScoreSql =
+  private[graft] val qualityScoreSql =
     s"""0.4 * $lenScoreSql
        |  + 0.3 * ($stopScoreSql)
        |  + 0.15 * (1.0 - $punctRatioSql)
@@ -1391,7 +1410,7 @@ object TextOps {
     * unassessed ≠ low-quality, and each consumer decides their
     * treatment explicitly.
     */
-  private def sourceBucketCounts(s: SparkSession, d: String): DataFrame =
+  private[graft] def sourceBucketCounts(s: SparkSession, d: String): DataFrame =
     qualityScored(Tables.documents(s, d))
       .select(col("source"),
         floor(col("quality_score") * BudgetBlocks).cast("int").as("b"))

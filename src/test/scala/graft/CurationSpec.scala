@@ -101,6 +101,56 @@ class CurationSpec extends SparkSpec {
     assertFunnelMatchesRecount("/root/testdata/sf0.1")
   }
 
+  test("datacard: every headline number matches the standalone report it summarizes") {
+    val card = Curation.qDatacard.run(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("section"), r.getAs[String]("metric")) ->
+        (Option(r.getAs[java.lang.Long]("value")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("rate")).map(_.toDouble))).toMap
+    def v(s: String, m: String): Long = card((s, m))._1.get
+    val docs = Tables.documents(spark, sfDir)
+    assert(v("volume", "n_docs") == docs.count())
+    assert(v("volume", "n_sources") ==
+      docs.select("source").distinct().count())
+    assert(v("volume", "null_text_docs") ==
+      docs.filter(org.apache.spark.sql.functions.col("text").isNull).count())
+    // cross-operator identities: the card must agree with the detailed
+    // reports users read — the "one shared definition" claim, verified
+    val mix = TextOps.qSourceMix.run(spark, sfDir).collect()
+    assert(v("volume", "n_tokens") ==
+      mix.map(_.getAs[Long]("n_tokens")).sum, "card vs q_source_mix tokens")
+    val langs = TextOps.qLangId.run(spark, sfDir).collect()
+      .map(_.getAs[String]("predicted")).distinct.filter(_ != "und")
+    assert(v("volume", "n_langs_predicted") == langs.length.toLong,
+      "card vs q_lang_id predicted languages")
+    val dedup = TextOps.qDedupExact.run(spark, sfDir).collect()
+      .filter(!_.isNullAt(0)) // non-null content groups only
+    assert(v("dedup", "distinct_contents") == dedup.length.toLong,
+      "card vs q_dedup_exact distinct contents")
+    assert(v("dedup", "exact_dup_docs") ==
+      dedup.map(_.getAs[Long]("n_copies") - 1).sum,
+      "card vs q_dedup_exact dup members")
+    val ks = TextOps.qQualityKs.run(spark, sfDir).collect()
+    assert(v("quality", "scored_docs") ==
+      ks.map(r => r.getAs[Long]("n_docs") - r.getAs[Long]("n_null")).sum,
+      "card vs q_quality_ks scored docs")
+    val blk = TextOps.qBlocklistScan.run(spark, sfDir).collect()
+    assert(v("quality", "blocklist_flagged_docs") ==
+      blk.map(_.getAs[Long]("flagged_docs")).sum,
+      "card vs q_blocklist_scan flags")
+    val feats = TextOps.qDocFeatures.run(spark, sfDir).collect()
+    assert(v("quality", "pii_docs") ==
+      feats.count(r => !r.isNullAt(r.fieldIndex("n_pii")) &&
+        r.getAs[Long]("n_pii") > 0).toLong,
+      "card vs q_doc_features pii docs")
+    // median bucket: integer-exact smallest b with 2·cum ≥ n, recomputed
+    val buckets = feats.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("quality_score"))
+        .map(q => math.floor(q * 2000).toInt)).sorted
+    val medWant = buckets(((buckets.length + 1) / 2) - 1)
+    assert(v("quality", "median_quality_bucket") == medWant.toLong,
+      "card vs driver median bucket")
+  }
+
   test("stagedFlags: size-gated broadcast — both physical forms identical") {
     // gate on → non-keeper join hinted; gate forced to 0 (the web-corpus
     // 30-50%-dup case) → unhinted, AQE size-decides. Same attribution
