@@ -727,14 +727,24 @@ object Similarity {
     * better-conditioned path.
     */
   val qAnnLsh: Q = Q.rowsOnly("q_ann_lsh") { (s, d) =>
+    annLshTop5(s, d, col("vec_id") < 10)
+  }
+
+  /** The LSH point-query path parameterized on the query set — the
+    * registered [[qAnnLsh]] demo (ids < 10) and the [[qAnnHealth]]
+    * hash-picked probe sample share this one spelling.
+    */
+  private[graft] def annLshTop5(s: SparkSession, d: String,
+      queryFilter: Column): DataFrame = {
     val q = quantized(s, d)
     // dedup candidate (query, neighbor) ids FIRST — the shortlist
     // shuffles three longs, not 64-element vectors — then rejoin the
     // cached quantized index for the exact pass
-    val candIds = annLshShortlist(s, d).select("query_id", "vec_id")
+    val candIds = annLshShortlist(s, d, queryFilter = queryFilter)
+      .select("query_id", "vec_id")
     val candidates = candIds
       .join(q.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
-      .join(broadcast(q.filter(col("vec_id") < 10).select(
+      .join(broadcast(q.filter(queryFilter).select(
         col("vec_id").as("query_id"), col("qv").as("qq"), col("n2").as("n2q"))),
         "query_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
@@ -1060,6 +1070,15 @@ object Similarity {
     * (vec_id, cid) table co-partitioned with the corpus.
     */
   val qAnnIvf: Q = Q.rowsOnly("q_ann_ivf") { (s, d) =>
+    annIvfTop5(s, d, col("vec_id") < 10)
+  }
+
+  /** The IVF point-query path parameterized on the query set — the
+    * registered [[qAnnIvf]] demo (ids < 10) and the [[qAnnHealth]]
+    * hash-picked probe sample share this one spelling.
+    */
+  private[graft] def annIvfTop5(s: SparkSession, d: String,
+      queryFilter: Column): DataFrame = {
     val q = quantized(s, d)
     val model = ivfModel(s, d)
     if (model.isEmpty) {
@@ -1073,7 +1092,7 @@ object Similarity {
       // keep the head — no window needed for a K-element array. A query
       // with a null vector has no meaningful probes: drop it here (the
       // assignment side already does), or it would emit null-cosine rows
-      val qprobe = q.filter(col("vec_id") < 10 && col("qv").isNotNull)
+      val qprobe = q.filter(queryFilter && col("qv").isNotNull)
         .select(col("vec_id").as("query_id"),
           explode(slice(
             array_sort(centDists(model, col("qv"), col("n2"))),
@@ -1083,7 +1102,7 @@ object Similarity {
         .select("query_id", "vec_id").distinct()
       val candidates = candIds
         .join(q.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
-        .join(broadcast(q.filter(col("vec_id") < 10 && col("qv").isNotNull).select(
+        .join(broadcast(q.filter(queryFilter && col("qv").isNotNull).select(
           col("vec_id").as("query_id"), col("qv").as("qq"), col("n2").as("n2q"))),
           "query_id")
       val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
@@ -1095,6 +1114,82 @@ object Similarity {
         .filter(col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank", "cosine")
         .orderBy("query_id", "rank")
+    }
+  }
+
+  /** Probe-sample size for [[qAnnHealth]] — the [[KnnProbeQueries]]
+    * convention: a hash-picked spread sample, large enough for a stable
+    * recall estimate, small enough that the exact ground truth stays
+    * linear (S·n dots).
+    */
+  private[graft] val AnnHealthQueries = 64
+
+  /** ANN index HEALTH monitor — recall@5 of the written LSH and IVF
+    * indexes measured IN PRODUCTION, not just in the test suite ("measure,
+    * don't guess" applied to the indexes themselves): embedding drift is
+    * silent — a new encoder version or a domain shift can collapse
+    * bucket/list selectivity while every query still returns 5 plausible
+    * neighbors, and nothing downstream errors. This query hash-picks
+    * [[AnnHealthQueries]] spread queries (the [[knnGeometryStats]]
+    * sampling rule — a lowest-id sample would bias toward one ingest
+    * batch), computes their EXACT brute-force top-5 (S·n dots — linear,
+    * tiny beside any index build), runs the same queries through both
+    * index paths ([[annLshTop5]]/[[annIvfTop5]] — the registered
+    * operators' own spellings, so the monitor measures exactly what
+    * users query), and reports per index: queries probed, truth pairs,
+    * matched pairs, and the exact recall@5. A deploy alerts on this the
+    * way it alerts on [[graft.operators.Ingest]]'s run metrics.
+    *
+    * The sampled query ids are a driver collect — [[AnnHealthQueries]]
+    * longs, a model-sized probe (the IVF-model convention), never
+    * corpus data.
+    *
+    * Scale shape (100 TB): ground truth is one corpus scan against a
+    * broadcast 64-row sample into a bounded-heap top-k
+    * ([[TopK.perKey]]); the index paths are the production point-query
+    * plans themselves (bucketed/listed, broadcast probes); the
+    * truth⋈answer match is a semi-join over ≤ 5·S rows. The truth
+    * frame persists inline (tiny; 4 consumers would otherwise re-run
+    * the linear scan each).
+    */
+  val qAnnHealth: Q = Q.rowsOnly("q_ann_health") { (s, d) =>
+    import graft.functions.Det.exactDiv
+    GraftFunctions.register(s)
+    val q = quantized(s, d).filter(col("qv").isNotNull)
+    val ids = q.select(col("vec_id"))
+      .orderBy(xxhash64(col("vec_id").cast("string")), col("vec_id"))
+      .limit(AnnHealthQueries).collect().map(_.getLong(0))
+    if (ids.isEmpty) {
+      import s.implicits._
+      Seq.empty[(String, Long, Long, Long, Option[Double])]
+        .toDF("index_kind", "n_queries", "n_truth", "n_matched", "recall_at_5")
+    } else {
+      val qf = col("vec_id").isin(ids.toIndexedSeq: _*)
+      val sample = q.filter(qf).select(col("vec_id").as("query_id"),
+        col("qv").as("qq"), col("n2").as("n2q"))
+      val scored = q.join(broadcast(sample), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(call_function("graft_dot_q", col("qq"), col("qv")),
+            col("n2q"), col("n2")).as("c"))
+      val truth = TopK.perKey(scored, Seq("query_id"), "c", "vec_id", 5)
+        .select(col("query_id"), col("vec_id").as("nid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def statsFor(name: String, approx: DataFrame): DataFrame = {
+        val t = truth
+          .agg(countDistinct(col("query_id")).as("n_queries"),
+            count(lit(1)).as("n_truth"))
+        val m = truth
+          .join(approx.select(col("query_id"),
+            col("neighbor_id").as("nid")), Seq("query_id", "nid"), "left_semi")
+          .agg(count(lit(1)).as("n_matched"))
+        t.crossJoin(broadcast(m))
+          .select(lit(name).as("index_kind"), col("n_queries"),
+            col("n_truth"), col("n_matched"),
+            exactDiv(col("n_matched"), col("n_truth"), 4).as("recall_at_5"))
+      }
+      statsFor("ivf", annIvfTop5(s, d, qf))
+        .unionByName(statsFor("lsh", annLshTop5(s, d, qf)))
+        .orderBy("index_kind")
     }
   }
 
@@ -2106,7 +2201,7 @@ object Similarity {
   val all: Seq[Q] = Seq(
     qNgramContainment,
     qNgramJaccard, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
-    qCosineTopk, qAnnLsh, qAnnIvf, qAnnPq, qEmbedClusters, qKnnJoin, qKnnJoinIvf,
+    qCosineTopk, qAnnLsh, qAnnIvf, qAnnPq, qAnnHealth, qEmbedClusters, qKnnJoin, qKnnJoinIvf,
     qDedupClusters, qNeardupCrossSource, qDedupSurvivors, qDedupSurvivorsBest, qDedupWeights,
     qLabelCentroids, qDecontaminateSemantic, qLabelPropagate,
     qDiverseSample)

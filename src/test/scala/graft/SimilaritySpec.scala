@@ -954,4 +954,86 @@ class SimilaritySpec extends SparkSpec {
     assert(agree >= 0.9,
       f"approx vote drifts from the exact rule: agreement $agree%.2f")
   }
+
+  test("ann health: reported recalls equal a driver recompute; the monitor separates geometries") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    // the operator's own sample rule (shared spelling), then everything
+    // downstream recomputed independently in the driver
+    val q = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ids = q.filter(col("embedding").isNotNull).select(col("vec_id"))
+      .orderBy(xxhash64(col("vec_id").cast("string")), col("vec_id"))
+      .limit(Similarity.AnnHealthQueries).collect().map(_.getLong(0)).toSet
+    val vecs = q.collect().flatMap { r =>
+      Option(r.getSeq[Float](1)).map(emb =>
+        (r.getLong(0), emb.map(x => math.round(x.toDouble * 10000)).toArray))
+    }
+    val n2 = vecs.map { case (id, v) => id -> v.map(x => x * x).sum }.toMap
+    def cos(a: Array[Long], b: Array[Long], na: Long, nb: Long): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    val truth = vecs.filter(p => ids(p._1)).map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (jd, w) => (jd, cos(v, w, n2(id), n2(jd))) }
+        .sortBy { case (jd, c) => (-c, jd) }.take(5).map(_._1).toSet
+    }.toMap
+    val nTruth = truth.values.map(_.size).sum
+    val qf = col("vec_id").isin(ids.toSeq: _*)
+    def matched(approx: org.apache.spark.sql.DataFrame): Long =
+      approx.collect().count(r =>
+        truth(r.getAs[Long]("query_id"))
+          .contains(r.getAs[Long]("neighbor_id"))).toLong
+    val mLsh = matched(Similarity.annLshTop5(spark, sfDir, qf))
+    val mIvf = matched(Similarity.annIvfTop5(spark, sfDir, qf))
+    val got = Similarity.qAnnHealth.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("index_kind") -> r).toMap
+    for ((kind, m) <- Seq("lsh" -> mLsh, "ivf" -> mIvf)) {
+      val r = got(kind)
+      assert(r.getAs[Long]("n_queries") == ids.size.toLong, s"$kind queries")
+      assert(r.getAs[Long]("n_truth") == nTruth.toLong, s"$kind truth pairs")
+      assert(r.getAs[Long]("n_matched") == m, s"$kind matched pairs")
+      assert(r.getAs[Double]("recall_at_5") ==
+        ((2L * m * 10000L + nTruth) / (2L * nTruth)).toDouble / 10000.0,
+        s"$kind recall arithmetic")
+    }
+    // the monitor must read a healthy LSH index as healthy on this corpus
+    assert(got("lsh").getAs[Double]("recall_at_5") >= 0.7,
+      "LSH recall floor on the real corpus")
+    // ...and SEPARATE the geometries: on this near-isotropic corpus IVF
+    // lists carry no similarity signal (the documented ~0.37 regime that
+    // motivates the knnGraph dispatch) — the health report is exactly
+    // where that shows up in production
+    assert(got("ivf").getAs[Double]("recall_at_5") <
+      got("lsh").getAs[Double]("recall_at_5"),
+      "the monitor should expose the isotropic-corpus IVF weakness")
+  }
+
+  test("ann health: a clustered corpus reads the IVF index as healthy") {
+    import spark.implicits._
+    // the qKnnJoinIvf spec's deterministic 200-cluster corpus
+    val nClusters = 200; val perCluster = 10; val dim = 64
+    def mix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def uni(seed: Long): Double =
+      math.floorMod(mix(seed), 1000000L) / 500000.0 - 1.0
+    val rows = for (m <- 0 until perCluster; c <- 0 until nClusters) yield {
+      val id = (m * nClusters + c).toLong
+      val emb = Array.tabulate(dim) { i =>
+        (uni(c * 7919L + i) + 0.08 * uni(id * 104729L + i + 13)).toFloat
+      }
+      (id, emb, c)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_annhealth").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.qAnnHealth.run(spark, dir).collect()
+      .map(r => r.getAs[String]("index_kind") ->
+        r.getAs[Double]("recall_at_5")).toMap
+    info(f"clustered-corpus health: ivf=${got("ivf")}%.3f lsh=${got("lsh")}%.3f")
+    assert(got("ivf") >= 0.8,
+      "a healthy IVF index on clustered data must read healthy")
+  }
 }
