@@ -1417,6 +1417,90 @@ object TextOps {
       .groupBy("source", "b").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Per-source token-count histogram in POWER-OF-TWO buckets — the
+    * context-length planning view ([[Profiling.qLengthHistogram]] buckets
+    * characters corpus-wide; training consumes TOKENS, context windows
+    * come in powers of two, and packing efficiency is per source): per
+    * (source, bucket) the doc/token counts, the bucket bounds
+    * [2^(k−1), 2^k), the share of the source's measured docs, and the
+    * cumulative share up to the bucket — so "what fraction of source S
+    * fits a 512-token context un-truncated" ([[qSeqPack]]'s input
+    * question) is one row lookup. Bucket k = bit length of the token
+    * count (EXACT in both engines: the length of the binary string —
+    * never floor(log2(x)), whose libm ulp at exact powers of two is the
+    * cross-engine hazard the [[qMixTemperature]] isqrt exists to avoid);
+    * zero-token docs land in bucket 0, null-text docs keep a NULL bucket
+    * row with NULL shares (unassessed — the [[qLangMix]] rule).
+    *
+    * Scale shape (100 TB): ONE corpus scan into a map-side-combined
+    * (source, bucket) aggregate (≤ #sources × ~20 buckets); totals and
+    * cumulative shares ride windows over that post-aggregation grain.
+    * Exact integer divisions.
+    */
+  val qTokenHist: Q = Q(
+    "q_token_hist",
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CASE WHEN toks IS NULL THEN NULL
+       |      WHEN toks = 0 THEN 0
+       |      ELSE CAST(strlen(bin(toks)) AS INT) END AS k,
+       |    toks
+       |  FROM (SELECT source, ${Text.wordCountSql} AS toks
+       |        FROM documents) t0),
+       |a AS (
+       |  SELECT source, k, COUNT(*) AS n_docs,
+       |    CAST(SUM(toks) AS BIGINT) AS n_tokens
+       |  FROM t GROUP BY 1, 2),
+       |w AS (
+       |  SELECT source, k, n_docs, n_tokens,
+       |    CASE WHEN k IS NULL THEN NULL ELSE
+       |      CAST(SUM(CASE WHEN k IS NOT NULL THEN n_docs END)
+       |        OVER (PARTITION BY source) AS BIGINT) END AS src_docs,
+       |    CASE WHEN k IS NULL THEN NULL ELSE
+       |      CAST(SUM(CASE WHEN k IS NOT NULL THEN n_docs END)
+       |        OVER (PARTITION BY source ORDER BY k) AS BIGINT) END
+       |      AS cum_docs
+       |  FROM a)
+       |SELECT source, k AS bucket,
+       |  CASE WHEN k IS NULL THEN NULL
+       |    WHEN k = 0 THEN 0 ELSE CAST(2 ** (k - 1) AS BIGINT) END AS lo,
+       |  CASE WHEN k IS NULL THEN NULL
+       |    WHEN k = 0 THEN 0 ELSE CAST(2 ** k - 1 AS BIGINT) END AS hi,
+       |  n_docs, n_tokens,
+       |  CASE WHEN k IS NULL THEN NULL
+       |    ELSE ${exactDivSql("n_docs", "src_docs", 4)} END AS doc_share,
+       |  CASE WHEN k IS NULL THEN NULL
+       |    ELSE ${exactDivSql("cum_docs", "src_docs", 4)} END
+       |    AS cum_doc_share
+       |FROM w ORDER BY source, bucket""".stripMargin
+  ) { (s, d) =>
+    val toks = Text.wordCount(col("text"))
+    val k = when(toks.isNull, lit(null))
+      .when(toks === 0, 0)
+      .otherwise(length(bin(toks)).cast("int"))
+    val a = Tables.documents(s, d)
+      .select(col("source"), k.as("k"), toks.as("toks"))
+      .groupBy("source", "k")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("n_tokens"))
+    val measured = when(col("k").isNotNull, col("n_docs"))
+    val srcDocs = sum(measured).over(Window.partitionBy("source"))
+      .cast("long")
+    val cumDocs = sum(measured)
+      .over(Window.partitionBy("source").orderBy("k")).cast("long")
+    a.select(col("source"), col("k").as("bucket"),
+        when(col("k").isNull, lit(null)).when(col("k") === 0, 0L)
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), k - 1)")).as("lo"),
+        when(col("k").isNull, lit(null)).when(col("k") === 0, 0L)
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), k) - 1")).as("hi"),
+        col("n_docs"), col("n_tokens"),
+        when(col("k").isNull, lit(null))
+          .otherwise(exactDiv(col("n_docs"), srcDocs, 4)).as("doc_share"),
+        when(col("k").isNull, lit(null))
+          .otherwise(exactDiv(cumDocs, srcDocs, 4)).as("cum_doc_share"))
+      .orderBy("source", "bucket")
+  }
+
   /** Per-source quality-distribution divergence — the KS (Kolmogorov–
     * Smirnov) member of the drift family ([[Ingest.qRunDrift]] watches
     * the event-type MIX run-over-run; this watches the quality-score
@@ -2294,7 +2378,7 @@ object TextOps {
   }
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qLangId, qLangMix, qQualityScore, qTokenCount, qVocabGrowth,
+    qDedupExact, qLangId, qLangMix, qQualityScore, qTokenCount, qTokenHist, qVocabGrowth,
     qSeqPack, qWeightedSample, qTfidfTerms, qFingerprint, qRepetitionStats,
     qDecontaminate, qPiiScan, qPiiRedact, qSourceOverlap, qSourceMix, qMixTemperature, qMixApply,
     qQualityKs, qScoreCalibrate,

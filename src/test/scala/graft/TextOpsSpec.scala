@@ -684,6 +684,48 @@ class TextOpsSpec extends SparkSpec {
       "smaller sources must receive larger boosts")
   }
 
+  test("token hist: power-of-two buckets, exact bounds, cumulative context-fit shares") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tokhist").toString
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    Seq((1L, Option("")), (2L, Option(words(1))), (3L, Option(words(2))),
+      (4L, Option(words(3))), (5L, Option(words(7))), (6L, Option(words(8))),
+      (7L, Option.empty[String]))
+      .map { case (id, t) => (id, "A", t) }
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.qTokenHist.run(spark, dir).collect()
+      .map(r => Option(r.getAs[java.lang.Integer]("bucket"))
+        .map(_.toInt) -> r).toMap
+    // bucket k holds counts in [2^(k-1), 2^k): 0→{0}, 1→{1}, 2→{2,3},
+    // 3→{4..7}, 4→{8..15}; null text keeps a NULL-bucket row
+    assert(got.keySet == Set(Some(0), Some(1), Some(2), Some(3), Some(4), None))
+    def chk(k: Int, lo: Long, hi: Long, nDocs: Long, nToks: Long,
+        cum: Long): Unit = {
+      val r = got(Some(k))
+      assert(r.getAs[Long]("lo") == lo && r.getAs[Long]("hi") == hi,
+        s"bucket $k bounds")
+      assert(r.getAs[Long]("n_docs") == nDocs, s"bucket $k docs")
+      assert(r.getAs[Long]("n_tokens") == nToks, s"bucket $k tokens")
+      assert(r.getAs[Double]("doc_share") == halfUp(nDocs, 6, 4),
+        s"bucket $k share")
+      assert(r.getAs[Double]("cum_doc_share") == halfUp(cum, 6, 4),
+        s"bucket $k cumulative")
+    }
+    chk(0, 0, 0, 1, 0, 1)
+    chk(1, 1, 1, 1, 1, 2)
+    chk(2, 2, 3, 2, 5, 4)
+    chk(3, 4, 7, 1, 7, 5)
+    chk(4, 8, 15, 1, 8, 6)
+    assert(got(Some(4)).getAs[Double]("cum_doc_share") == 1.0,
+      "the last bucket's cumulative share closes at exactly 1")
+    val nullRow = got(None)
+    assert(nullRow.getAs[Long]("n_docs") == 1L)
+    assert(nullRow.isNullAt(nullRow.fieldIndex("doc_share")) &&
+      nullRow.isNullAt(nullRow.fieldIndex("cum_doc_share")),
+      "null-text docs stay out of the measured distribution")
+  }
+
   test("lang mix: crafted corpus lands exact per-language share arithmetic and the und/null rules") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_langmix").toString
