@@ -296,6 +296,78 @@ object Similarity {
     sh.join(broadcast(hot), Seq("sh_h"), "left_anti")
   }
 
+  /** Shingle document-frequency PROFILE — the measurement behind the
+    * [[StopShingleDf]] cap (the [[graft.operators.Profiling.qSkewKeys]]
+    * principle applied to the similarity join's own key space): the
+    * candidate-pair work of the inverted-index join is Σ C(df, 2) per
+    * shingle type, so a handful of boilerplate shingles (license
+    * headers, templates) carry almost all of it while contributing no
+    * similarity signal. Per power-of-two df bucket: shingle types,
+    * postings, the EXACT pair work Σ df·(df−1)/2, its share of all pair
+    * work, and how many of the bucket's types the cap removes — the
+    * report that justifies (or re-tunes) the cap on a new corpus
+    * instead of trusting a constant chosen on this one.
+    *
+    * Bucket = bit length of df (the [[TextOps.qTokenHist]] rule — exact
+    * both engines as the binary-string length). The Spark side profiles
+    * the HASHED shingle index (the 8-byte keys the join actually
+    * shuffles); the oracle profiles the raw strings — identical absent
+    * xxhash64 collisions, the same standing assumption the Jaccard
+    * oracle itself makes.
+    *
+    * Scale shape (100 TB): df is one map-side-combined aggregate over
+    * the materialized shingle index (hot types absorb in partials);
+    * everything after is bucket grain (≤ ~40 rows) — windows and the
+    * 1-row total broadcast are post-aggregation only.
+    */
+  val qShingleDfProfile: Q = Q(
+    "q_shingle_df_profile",
+    s"""WITH $shinglesSql,
+       |df AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+       |b AS (SELECT CAST(strlen(bin(df)) AS INT) AS k, df FROM df),
+       |a AS (
+       |  SELECT k, COUNT(*) AS n_shingles,
+       |    CAST(SUM(df) AS BIGINT) AS n_postings,
+       |    CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(CASE WHEN df > $StopShingleDf THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_capped
+       |  FROM b GROUP BY 1),
+       |g AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot FROM a)
+       |SELECT k AS bucket,
+       |  CAST(2 ** (k - 1) AS BIGINT) AS lo,
+       |  CAST(2 ** k - 1 AS BIGINT) AS hi,
+       |  n_shingles, n_postings, n_pairs,
+       |  CASE WHEN tot = 0 THEN NULL
+       |    ELSE ${graft.functions.Det.exactDivSql("n_pairs", "tot", 4)} END
+       |    AS pair_share,
+       |  n_capped
+       |FROM a, g ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.Det.exactDiv
+    val df = shingles(s, d).groupBy("sh_h").agg(count(lit(1)).as("df"))
+    val a = df
+      .select(length(bin(col("df"))).cast("int").as("k"), col("df"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).cast("long").as("n_postings"),
+        // DIV, not `/`: Spark `/` on longs is DOUBLE division (df·(df−1)
+        // is always even, so integer DIV is exact)
+        sum(expr("df * (df - 1) DIV 2")).cast("long").as("n_pairs"),
+        sum(when(col("df") > StopShingleDf, 1L).otherwise(0L)).cast("long")
+          .as("n_capped"))
+    val tot = sum(col("n_pairs")).over(
+      Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)).cast("long")
+    a.select(col("k").as("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), k - 1)").as("lo"),
+        expr("shiftleft(CAST(1 AS BIGINT), k) - 1").as("hi"),
+        col("n_shingles"), col("n_postings"), col("n_pairs"),
+        when(tot === 0, lit(null))
+          .otherwise(exactDiv(col("n_pairs"), tot, 4)).as("pair_share"),
+        col("n_capped"))
+      .orderBy("bucket")
+  }
+
   private val MinhashK = 32
   private val BandRows = 4 // 8 bands × 4 rows
 
@@ -2200,7 +2272,7 @@ object Similarity {
 
   val all: Seq[Q] = Seq(
     qNgramContainment,
-    qNgramJaccard, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
+    qNgramJaccard, qShingleDfProfile, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
     qCosineTopk, qAnnLsh, qAnnIvf, qAnnPq, qAnnHealth, qEmbedClusters, qKnnJoin, qKnnJoinIvf,
     qDedupClusters, qNeardupCrossSource, qDedupSurvivors, qDedupSurvivorsBest, qDedupWeights,
     qLabelCentroids, qDecontaminateSemantic, qLabelPropagate,

@@ -955,6 +955,41 @@ class SimilaritySpec extends SparkSpec {
       f"approx vote drifts from the exact rule: agreement $agree%.2f")
   }
 
+  test("shingle df profile: crafted boilerplate corpus lands exact pair-work accounting") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dfprof").toString
+    // 20 copies of one boilerplate gram (df=20 > cap 16), one gram shared
+    // by 3 docs (df=3), two unique grams (df=1)
+    val docs =
+      (1L to 20L).map(i => (i, "A", "boil er plate")) ++
+        (21L to 23L).map(i => (i, "A", "share gram one")) ++
+        Seq((24L, "A", "unique alpha text"), (25L, "A", "unique beta words"))
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Similarity.qShingleDfProfile.run(spark, dir).collect()
+      .map(r => r.getAs[Int]("bucket") -> r).toMap
+    assert(got.keySet == Set(1, 2, 5), s"buckets: ${got.keySet}")
+    def halfUp(num: Long, den: Long): Double =
+      ((2L * num * 10000L + den) / (2L * den)).toDouble / 10000.0
+    val b1 = got(1) // df = 1: the two unique grams
+    assert(b1.getAs[Long]("n_shingles") == 2L &&
+      b1.getAs[Long]("n_postings") == 2L && b1.getAs[Long]("n_pairs") == 0L &&
+      b1.getAs[Long]("n_capped") == 0L)
+    val b2 = got(2) // df ∈ [2,3]: the shared gram, C(3,2) = 3 pairs
+    assert(b2.getAs[Long]("lo") == 2L && b2.getAs[Long]("hi") == 3L)
+    assert(b2.getAs[Long]("n_shingles") == 1L &&
+      b2.getAs[Long]("n_postings") == 3L && b2.getAs[Long]("n_pairs") == 3L)
+    assert(b2.getAs[Double]("pair_share") == halfUp(3, 193))
+    val b5 = got(5) // df ∈ [16,31]: boilerplate, C(20,2) = 190 pairs, capped
+    assert(b5.getAs[Long]("n_shingles") == 1L &&
+      b5.getAs[Long]("n_postings") == 20L &&
+      b5.getAs[Long]("n_pairs") == 190L)
+    assert(b5.getAs[Long]("n_capped") == 1L,
+      "the boilerplate gram must show as cap-removed")
+    assert(b5.getAs[Double]("pair_share") == halfUp(190, 193),
+      "one boilerplate gram carries 98% of the pair work — the cap's case")
+  }
+
   test("ann health: reported recalls equal a driver recompute; the monitor separates geometries") {
     import org.apache.spark.sql.functions.{col, xxhash64}
     // the operator's own sample rule (shared spelling), then everything
