@@ -1714,6 +1714,76 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Quality–length correlation — the score-VALIDITY diagnostic (a
+    * composite quality score that correlates ~1 with token count is just
+    * a length proxy: its "quality floor" silently becomes a length
+    * floor, and short high-quality text — reference answers, headlines,
+    * code snippets — gets curated out; Gopher's quality rules were
+    * audited for exactly this failure): per source, the Pearson
+    * correlation between the ⌊q·[[BudgetBlocks]]⌋ quality bucket and the
+    * token count, over scored documents. Near ±1 ⇒ the score adds
+    * nothing beyond length for that source; near 0 ⇒ it measures
+    * something length doesn't.
+    *
+    * Exactness: the [[graft.operators.Profiling.qCorrPearson]]
+    * machinery — all five sums are exact integers (bucket ≤ 2002,
+    * token counts are longs; products recombine in DECIMAL/HUGEINT),
+    * the correlation is the one double expression both engines evaluate
+    * in identical association order, rounded half-even at 4. A source
+    * with < 2 scored docs or zero variance on either side reports NULL
+    * (undefined, never 0).
+    *
+    * Scale shape (100 TB): ONE corpus scan (score + token count per
+    * row) into a map-side-combined source-grain aggregate of five
+    * integer sums — nothing else shuffles.
+    */
+  val qQualityCorr: Q = Q(
+    "q_quality_corr",
+    s"""WITH z AS (
+       |  SELECT source,
+       |    CAST(FLOOR(($qualityScoreSql) * $BudgetBlocks) AS HUGEINT) AS x,
+       |    CAST(${Text.wordCountSql} AS HUGEINT) AS y
+       |  FROM documents WHERE ($qualityScoreSql) IS NOT NULL
+       |), s AS (
+       |  SELECT source, COUNT(*) AS n,
+       |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+       |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+       |  FROM z GROUP BY source
+       |)
+       |SELECT source, n AS n_pairs,
+       |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+       |    ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+       |      (SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) *
+       |       SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 4)
+       |  END AS corr_quality_tokens
+       |FROM s WHERE n >= 2 ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val scored = qualityScored(Tables.documents(s, d))
+      .filter(col("quality_score").isNotNull)
+      .select(col("source"),
+        floor(col("quality_score") * BudgetBlocks).cast("long").as("x"),
+        Text.wordCount(col("text")).cast("long").as("y"))
+    val sums = scored.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast(DecimalType(12, 0))
+    def d18(c: Column) = c.cast(DecimalType(18, 0))
+    val num = n * d18(col("sxy")) - d18(col("sx")) * d18(col("sy"))
+    val dx = n * d18(col("sxx")) - d18(col("sx")) * d18(col("sx"))
+    val dy = n * d18(col("syy")) - d18(col("sy")) * d18(col("sy"))
+    sums.where(col("n") >= 2)
+      .select(col("source"), col("n").as("n_pairs"),
+        when(dx > 0 && dy > 0,
+          round(num.cast("double") /
+            (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 4))
+          .as("corr_quality_tokens"))
+      .orderBy("source")
+  }
+
   /** Word-gram order for the repeated-span coverage scan — long enough
     * that cross-document collisions mean real shared phrasing, short
     * enough to catch partial copies (RefinedWeb's exact-substring dedup
@@ -2381,7 +2451,7 @@ object TextOps {
     qDedupExact, qLangId, qLangMix, qQualityScore, qTokenCount, qTokenHist, qVocabGrowth,
     qSeqPack, qWeightedSample, qTfidfTerms, qFingerprint, qRepetitionStats,
     qDecontaminate, qPiiScan, qPiiRedact, qSourceOverlap, qSourceMix, qMixTemperature, qMixApply,
-    qQualityKs, qScoreCalibrate,
+    qQualityKs, qScoreCalibrate, qQualityCorr,
     qBlocklistScan, qDupSpans,
     qBudgetSelect, qLineDedup, qFamiliarity, qDocFeatures, qSourceDedup,
     qSubstringDedup)

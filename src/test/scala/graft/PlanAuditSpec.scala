@@ -557,6 +557,41 @@ class PlanAuditSpec extends SparkSpec {
       "the champion pick must be a bounded top-1, not a global sort:\n" + p)
   }
 
+  test("token hist: one corpus scan; share windows at bucket grain") {
+    val p = plan("q_token_hist")
+    assert(p.split("\n").count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan")) == 1,
+      "token hist must read the corpus exactly once:\n" + p)
+    assert(!p.contains("windowspecdefinition(doc_id") &&
+      !p.contains("windowspecdefinition(text"),
+      "share windows must run over the (source, bucket) aggregate:\n" + p)
+  }
+
+  test("datacard: quality section reads the shared bucket histogram; card rows explode from one row") {
+    val df = SparkEntry.queries("q_datacard")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.split("\n").exists(_.contains("InMemoryTableScan")),
+      "the median/scored metrics must read the cached quality histogram:\n" + p)
+    // the AdaptiveSparkPlan string prints the explode once per plan
+    // rendering (final + initial) — assert the SHAPE: explode present,
+    // and no Union of per-metric branches (which would re-run every
+    // aggregate once per card row)
+    assert(p.contains("Generate explode"),
+      "the 11 card rows must explode from ONE joined row:\n" + p)
+    assert(!p.split("\n").exists(_.trim.startsWith("Union")),
+      "a per-metric union re-runs every aggregate:\n" + p)
+  }
+
+  test("quality corr: one scan into a map-side-combined source aggregate") {
+    val p = plan("q_quality_corr")
+    assert(p.split("\n").count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan")) == 1,
+      "quality corr must read the corpus exactly once:\n" + p)
+    assert(p.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "the five integer sums must partial-aggregate map-side:\n" + p)
+  }
+
   test("hot expressions stay inside whole-stage codegen") {
     // execute first: codegen spans only appear in the finalized AQE plan
     val df = SparkEntry.queries("q_quality_score")(spark, sfDir)

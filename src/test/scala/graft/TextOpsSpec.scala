@@ -684,6 +684,55 @@ class TextOpsSpec extends SparkSpec {
       "smaller sources must receive larger boosts")
   }
 
+  test("quality corr: exact-integer Pearson matches a driver recompute; degenerate rules") {
+    val scored = graft.operators.TextOps
+      .qualityScored(Tables.documents(spark, sfDir))
+      .filter(org.apache.spark.sql.functions.col("quality_score").isNotNull)
+      .collect()
+      .map { r =>
+        val q = r.getAs[Double]("quality_score")
+        val toks = Option(r.getAs[String]("text")).map(t =>
+          if (t.trim.isEmpty) 0L
+          else t.trim.split("[ \\t\\n\\r\\f]+").length.toLong).getOrElse(0L)
+        (r.getAs[String]("source"), math.floor(q * 2000).toLong, toks)
+      }
+    val want = scored.groupBy(_._1).collect { case (src, xs) if xs.length >= 2 =>
+      val n = BigInt(xs.length)
+      val sx = BigInt(xs.map(_._2).sum); val sy = BigInt(xs.map(_._3).sum)
+      val sxy = xs.map(p => BigInt(p._2) * p._3).sum
+      val sxx = xs.map(p => BigInt(p._2) * p._2).sum
+      val syy = xs.map(p => BigInt(p._3) * p._3).sum
+      val num = n * sxy - sx * sy
+      val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+      src -> (if (dx > 0 && dy > 0)
+        Some(BigDecimal(num.toDouble /
+          (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None)
+    }.toMap
+    val got = graft.operators.TextOps.qQualityCorr.run(spark, sfDir)
+      .collect().map(r => r.getAs[String]("source") ->
+        Option(r.getAs[java.lang.Double]("corr_quality_tokens"))
+          .map(_.toDouble)).toMap
+    assert(got.keySet == want.keySet)
+    for ((src, w) <- want)
+      assert(got(src) == w, s"$src: got ${got(src)} want $w")
+    // the diagnostic must read a real signal somewhere, not all-NULL
+    assert(got.values.flatten.nonEmpty)
+    // degenerate rules: zero variance → NULL; single doc → no row
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_qcorr").toString
+    Seq((1L, "Z", "same text here ok"), (2L, "Z", "same text here ok"),
+      (3L, "S", "only one document here"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val c = graft.operators.TextOps.qQualityCorr.run(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(c.keySet == Set("Z"), "n<2 sources carry no correlation row")
+    assert(c("Z").isNullAt(c("Z").fieldIndex("corr_quality_tokens")),
+      "zero variance on both axes is undefined, never 0 or 1")
+  }
+
   test("token hist: power-of-two buckets, exact bounds, cumulative context-fit shares") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tokhist").toString
