@@ -1286,9 +1286,69 @@ object Ingest {
       max(dur).as("max_duration_us"))
   }
 
+  /** Calendar-gap detector — the completeness monitor the run ledger
+    * cannot express (the ledger reports the runs that HAPPENED;
+    * a scraper outage, a dropped cron, or a silently failing source
+    * shows up as days with NO run and NO events at all — absence has no
+    * row to alert on): every maximal run of consecutive days with zero
+    * events between the stream's first and last day, as
+    * (gap_start, gap_end, n_days). An empty report is the good-news
+    * certificate ingestion was continuous.
+    *
+    * Exactness: day grain is date_trunc in both engines (timestamp
+    * normalization per [[graft.Tables.normalizeEventTs]]); gap runs
+    * collapse by the islands-and-gaps rule (day − row_number constant
+    * within a run — pure date/integer arithmetic); dates emit as
+    * yyyy-MM-dd strings (the cross-engine date convention).
+    *
+    * Scale shape (100 TB): observed days are ONE map-side-combined
+    * distinct over the scan (≤ a few thousand rows for any real
+    * stream); the calendar generates from a broadcast 1-row min/max
+    * frame; the anti-join, the island window and the rollup all run at
+    * day grain — post-aggregation only.
+    */
+  val qCoverageGaps: Q = Q(
+    "q_coverage_gaps",
+    """WITH days AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events WHERE ts IS NOT NULL),
+      |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM days),
+      |cal AS (
+      |  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+      |    AS day
+      |  FROM span WHERE lo IS NOT NULL),
+      |miss AS (SELECT day FROM cal
+      |         WHERE day NOT IN (SELECT day FROM days)),
+      |g AS (
+      |  SELECT day,
+      |    day - CAST(row_number() OVER (ORDER BY day) AS INTEGER) AS grp
+      |  FROM miss)
+      |SELECT strftime(MIN(day), '%Y-%m-%d') AS gap_start,
+      |  strftime(MAX(day), '%Y-%m-%d') AS gap_end,
+      |  COUNT(*) AS n_days
+      |FROM g GROUP BY grp ORDER BY gap_start""".stripMargin
+  ) { (s, d) =>
+    val days = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"))
+      .filter(col("day").isNotNull).distinct()
+    val cal = days.agg(min("day").as("lo"), max("day").as("hi"))
+      .filter(col("lo").isNotNull)
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val missing = cal.join(days, Seq("day"), "left_anti")
+    missing
+      .withColumn("grp",
+        expr("date_sub(day, row_number() OVER (ORDER BY day))"))
+      .groupBy("grp")
+      .agg(date_format(min("day"), "yyyy-MM-dd").as("gap_start"),
+        date_format(max("day"), "yyyy-MM-dd").as("gap_end"),
+        count(lit(1)).as("n_days"))
+      .select("gap_start", "gap_end", "n_days")
+      .orderBy("gap_start")
+  }
+
   val all: Seq[Q] = Seq(
     qIncrementalIngest, qIngestMetrics, qRunDeltas, qAnomalyZscore,
     qQualityMetrics, qRunDrift, qWindowedCounts, qSessionize, qPropsExtract, qPropsSchema, qDbGrowth,
     qRetention, qFunnel, qSessionStats, qRunLedger, qRunHistory,
-    qSessionLedger, qReportSessions, qAppHealth, qAlerts)
+    qSessionLedger, qReportSessions, qAppHealth, qAlerts, qCoverageGaps)
 }

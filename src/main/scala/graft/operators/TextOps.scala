@@ -1731,7 +1731,13 @@ object TextOps {
     * the correlation is the one double expression both engines evaluate
     * in identical association order, rounded half-even at 4. A source
     * with < 2 scored docs or zero variance on either side reports NULL
-    * (undefined, never 0).
+    * (undefined, never 0). Magnitude bound (the [[qMixTemperature]]
+    * fail-loud contract): the y² lane sums token-count squares in a
+    * LONG — exact to Σy² < 2⁶³, i.e. ~10⁶ docs of 10⁶ tokens per
+    * source per 10⁶-fold headroom; past it Spark ANSI throws
+    * ARITHMETIC_OVERFLOW rather than silently wrapping, and the lane
+    * moves to [[graft.functions.Det.longTotal]] if a corpus ever hits
+    * it.
     *
     * Scale shape (100 TB): ONE corpus scan (score + token count per
     * row) into a map-side-combined source-grain aggregate of five

@@ -339,4 +339,24 @@ class IngestSpec extends SparkSpec {
     assert(got("2024-04-02") == ((8L, 3L, Some(0.5), Some(1L), Some(0L))))
     assert(got("2024-04-03") == ((5L, 1L, Some(0.75), Some(0L), Some(2L))))
   }
+
+  test("coverage gaps: crafted outage calendar lands exact gap islands; continuous stream is empty") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // events on Jan 1, 2, 5, 6, 10 -> gaps (3..4, 2 days) and (7..9, 3 days)
+    val rows = Seq(1, 2, 5, 6, 10).zipWithIndex.map { case (day, i) =>
+      (i.toLong, ts(day), 1L, "t", 1.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_gaps").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Ingest.qCoverageGaps.run(spark, dir).collect()
+      .map(r => (r.getAs[String]("gap_start"), r.getAs[String]("gap_end"),
+        r.getAs[Long]("n_days")))
+    assert(got.toSeq == Seq(
+      ("2024-01-03", "2024-01-04", 2L),
+      ("2024-01-07", "2024-01-09", 3L)))
+    // the real stream is continuous -> the good-news empty certificate
+    assert(Ingest.qCoverageGaps.run(spark, sfDir).count() == 0L)
+  }
 }
