@@ -87,6 +87,7 @@ object Similarity {
       timed("build_minhash_candidates")(minhashCandidates(s, d)),
       timed("build_minhash_pairs")(minhashPairs(s, d)),
       timed("build_ngram_postings")(shingles(s, d)),
+      timed("build_ngram_pairs")(keptPairStats(s, d)),
       timed("build_simhash_fp")(simhashFingerprints(s, d)),
       timed("build_dedup_clusters")(dedupClusterLabels(s, d)))
   }
@@ -232,7 +233,15 @@ object Similarity {
        |WHERE CAST(x AS DOUBLE) / (ca.n + cb.n - x) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
   ) { (s, d) =>
-    jaccardPairs(keptShingles(s, d), 0.5).orderBy("id_a", "id_b")
+    // the id_a < id_b half of the SHARED directed pair-stats table —
+    // x/na/nb are direction-independent, so the corpus pays the
+    // shingle-keyed candidate join once across both n-gram operators
+    keptPairStats(s, d).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("x").cast("double") / (col("na") + col("nb") - col("x")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
   }
 
   /** Containment threshold for [[qNgramContainment]] — the partial-copy
@@ -277,13 +286,26 @@ object Similarity {
        |WHERE CAST(x AS DOUBLE) / ca.n >= $ContainmentTau
        |ORDER BY id_a, id_b""".stripMargin
   ) { (s, d) =>
-    shinglePairStats(keptShingles(s, d), directed = true)
+    keptPairStats(s, d)
       .select(col("id_a"), col("id_b"), col("na").as("n_grams_a"),
         col("x").as("n_shared"),
         (col("x").cast("double") / col("na")).as("containment"))
       .filter(col("containment") >= ContainmentTau)
       .orderBy("id_a", "id_b")
   }
+
+  /** The df-capped DIRECTED pair statistics (id_a ≠ id_b with the
+    * shared-shingle count x and both cardinalities) — materialized ONCE
+    * and read by BOTH n-gram join operators: [[qNgramContainment]]
+    * directly, [[qNgramJaccard]] as its id_a < id_b half (x/na/nb are
+    * direction-independent). Before this the two operators each ran the
+    * full shingle-keyed candidate join (~1.9 s each at sf0.1); the
+    * shared table pays it once, and the pair table itself is small by
+    * the [[StopShingleDf]] bound (C(cap,2) pairs per shingle type).
+    */
+  private def keptPairStats(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "shingle_pair_stats")(
+      shinglePairStats(keptShingles(s, d), directed = true))
 
   /** The df-capped shingle index feeding [[qNgramJaccard]] (package-
     * visible for the pair-count-bound spec). The df aggregate partial-
