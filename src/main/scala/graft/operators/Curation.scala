@@ -321,5 +321,197 @@ object Curation {
     s"CASE WHEN ($den) = 0 THEN NULL ELSE " +
       graft.functions.Det.exactDivSql(num, den, 4) + " END"
 
-  val all: Seq[Q] = Seq(qCurationFunnel, qCleanCorpus, qDatacard)
+  /** [[qReleaseGate]] thresholds, in BASIS POINTS (integer ten-
+    * thousandths) so every pass/fail decision is an exact integer
+    * cross-multiplication — never a comparison on a rounded double.
+    * Declared ABOVE the Q val (the CLAUDE.md oracle-string
+    * initialization-order rule). Values are release policy, tuned per
+    * deployment; these defaults encode "mostly deduped, scoreable,
+    * near-zero PII/blocklist exposure, no single-source capture, no
+    * ingest outages".
+    */
+  private[graft] val GateDupMaxBp = 2000L // exact-dup rate ≤ 20%
+  private[graft] val GateNullMaxBp = 500L // null-text rate ≤ 5%
+  private[graft] val GatePiiMaxBp = 100L // PII doc rate ≤ 1%
+  private[graft] val GateBlockMaxBp = 200L // blocklist flag rate ≤ 2%
+  private[graft] val GateScoredMinBp = 9000L // scoreable-doc rate ≥ 90%
+  private[graft] val GateTopSourceMaxBp = 8000L // max source token share ≤ 80%
+
+  /** The RELEASE GATE — the [[qDatacard]] turned into a go/no-go
+    * checklist (what a dataset release process actually runs: the card
+    * informs a human, the gate blocks a pipeline): seven checks, each a
+    * row (check, observed, threshold, pass) — exact-dup rate, null-text
+    * rate, PII doc rate, blocklist flag rate, scoreable rate, the
+    * largest source's token share (single-source capture), and ingest
+    * continuity (zero [[Ingest.qCoverageGaps]] gap days). Every pass/
+    * fail decision is an exact INTEGER cross-multiplication against the
+    * basis-point threshold (`observed` is the rounded display value;
+    * the decision never reads it — a rate sitting exactly on the bar
+    * must gate identically in both engines). A check with an empty
+    * denominator passes vacuously with NULL observed: the gate blocks
+    * PROVEN violations, and the volume checks belong to ingest
+    * monitoring, not the release gate. The deploy-grade gate unions in
+    * the rows-only monitors ([[Similarity.qAnnHealth]] recall floors,
+    * [[Ingest]] threshold alerts) the same way.
+    *
+    * Scale shape (100 TB): the [[qDatacard]] shape minus the language
+    * scan — four global aggregates (flags scan, content distinct,
+    * source token max/total, the cached quality histogram) plus the
+    * day-grain gap count, each ONE row before the 1-row cross joins;
+    * the 7 gate rows explode from the single joined row.
+    */
+  val qReleaseGate: Q = Q(
+    "q_release_gate",
+    s"""WITH f AS (
+       |  SELECT text,
+       |    len(list_filter(string_split(${Text.normSql}, ' '), t -> t <> ''))
+       |      AS n_tok,
+       |    len(list_filter(string_split(${Text.normSql}, ' '),
+       |      t -> t IN (${TextOps.Blocklist.map(w => s"'$w'").mkString(", ")})))
+       |      AS n_blocked,
+       |    ${Text.wordCountSql} AS toks,
+       |    len(regexp_extract_all(text, '${TextOps.PiiEmail}'))
+       |      + len(regexp_extract_all(text, '${TextOps.PiiIpv4}'))
+       |      + len(regexp_extract_all(text, '${TextOps.PiiPhone}'))
+       |      + len(regexp_extract_all(text, '${TextOps.PiiIdRun}')) AS npii,
+       |    source
+       |  FROM documents),
+       |a1 AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS n_null_text,
+       |    CAST(COALESCE(SUM(CASE WHEN npii > 0 THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS pii_docs,
+       |    CAST(COALESCE(SUM(CASE WHEN n_blocked * 20 > n_tok
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS blk_docs
+       |  FROM f),
+       |a4 AS (
+       |  SELECT COUNT(*) AS n_content,
+       |    COUNT(DISTINCT md5(${Text.normSql})) AS n_distinct
+       |  FROM documents WHERE text IS NOT NULL),
+       |st AS (
+       |  SELECT COALESCE(MAX(s_toks), 0) AS max_toks,
+       |    CAST(COALESCE(SUM(s_toks), 0) AS BIGINT) AS tot_toks
+       |  FROM (SELECT CAST(SUM(toks) AS BIGINT) AS s_toks
+       |        FROM f GROUP BY source) src),
+       |qh AS (
+       |  SELECT CAST(FLOOR((${TextOps.qualityScoreSql})
+       |    * ${TextOps.BudgetBlocks}) AS INT) AS b
+       |  FROM documents),
+       |sc AS (SELECT CAST(COUNT(b) AS BIGINT) AS n_scored FROM qh),
+       |days AS (
+       |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+       |  FROM events WHERE ts IS NOT NULL),
+       |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM days),
+       |gap AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS gap_days
+       |  FROM (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))
+       |          AS DATE) AS day
+       |        FROM span WHERE lo IS NOT NULL) cal
+       |  WHERE cal.day NOT IN (SELECT day FROM days)),
+       |one AS (SELECT * FROM a1, a4, st, sc, gap)
+       |SELECT * FROM (
+       |  SELECT 'exact_dup_rate' AS "check",
+       |    ${exactDivSqlC("n_content - n_distinct", "n_content")}
+       |      AS observed,
+       |    ${GateDupMaxBp / 10000.0} AS threshold,
+       |    (n_content - n_distinct) * 10000 <= $GateDupMaxBp * n_content
+       |      AS pass
+       |  FROM one
+       |  UNION ALL SELECT 'null_text_rate',
+       |    ${exactDivSqlC("n_null_text", "n_docs")},
+       |    ${GateNullMaxBp / 10000.0},
+       |    n_null_text * 10000 <= $GateNullMaxBp * n_docs FROM one
+       |  UNION ALL SELECT 'pii_doc_rate',
+       |    ${exactDivSqlC("pii_docs", "n_docs")},
+       |    ${GatePiiMaxBp / 10000.0},
+       |    pii_docs * 10000 <= $GatePiiMaxBp * n_docs FROM one
+       |  UNION ALL SELECT 'blocklist_flag_rate',
+       |    ${exactDivSqlC("blk_docs", "n_docs")},
+       |    ${GateBlockMaxBp / 10000.0},
+       |    blk_docs * 10000 <= $GateBlockMaxBp * n_docs FROM one
+       |  UNION ALL SELECT 'scored_rate',
+       |    ${exactDivSqlC("n_scored", "n_docs")},
+       |    ${GateScoredMinBp / 10000.0},
+       |    n_scored * 10000 >= $GateScoredMinBp * n_docs FROM one
+       |  UNION ALL SELECT 'top_source_token_share',
+       |    ${exactDivSqlC("max_toks", "tot_toks")},
+       |    ${GateTopSourceMaxBp / 10000.0},
+       |    max_toks * 10000 <= $GateTopSourceMaxBp * tot_toks FROM one
+       |  UNION ALL SELECT 'ingest_gap_days',
+       |    CAST(gap_days AS DOUBLE), 0.0, gap_days = 0 FROM one
+       |) g ORDER BY "check"""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.Det.exactDiv
+    val docs = Tables.documents(s, d)
+    val flagged = TextOps.blocklistFlags(docs)
+      .select(col("text"), col("blocked"), col("source"),
+        Text.wordCount(col("text")).as("toks"),
+        TextOps.piiCols(col("text")).take(4).reduce(_ + _).as("npii"))
+    // empty-lake sums coalesce to 0: a NULL count makes the integer
+    // gate comparison NULL and the pass column undecidable
+    val a1 = flagged.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(when(col("text").isNull, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_null_text"),
+      coalesce(sum(when(col("npii") > 0, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("pii_docs"),
+      coalesce(sum(when(col("blocked"), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("blk_docs"))
+    val a4 = docs.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("n_content"),
+        countDistinct(md5(Text.norm(col("text")))).as("n_distinct"))
+    val st = flagged.groupBy("source")
+      .agg(sum(col("toks")).cast("long").as("s_toks"))
+      .agg(coalesce(max("s_toks"), lit(0L)).as("max_toks"),
+        coalesce(sum("s_toks"), lit(0L)).cast("long").as("tot_toks"))
+    val sc = TextOps.sourceBucketCounts(s, d).filter(col("b").isNotNull)
+      .agg(coalesce(sum("c"), lit(0L)).cast("long").as("n_scored"))
+    val days = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"))
+      .filter(col("day").isNotNull).distinct()
+    val gap = days.agg(min("day").as("lo"), max("day").as("hi"))
+      .filter(col("lo").isNotNull)
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      .join(days, Seq("day"), "left_anti")
+      .agg(count(lit(1)).as("gap_days"))
+    val one = a1.crossJoin(broadcast(a4)).crossJoin(broadcast(st))
+      .crossJoin(broadcast(sc)).crossJoin(broadcast(gap))
+    def row(check: String, observed: Column, thresholdBp: Long,
+        pass: Column) =
+      struct(lit(check).as("check"),
+        observed.cast("double").as("observed"),
+        lit(thresholdBp / 10000.0).as("threshold"),
+        pass.as("pass"))
+    def rate(num: Column, den: Column): Column =
+      when(den === 0, lit(null)).otherwise(exactDiv(num, den, 4))
+    val nDup = col("n_content") - col("n_distinct")
+    one
+      .select(explode(array(
+        row("exact_dup_rate", rate(nDup, col("n_content")), GateDupMaxBp,
+          nDup * 10000 <= lit(GateDupMaxBp) * col("n_content")),
+        row("null_text_rate", rate(col("n_null_text"), col("n_docs")),
+          GateNullMaxBp,
+          col("n_null_text") * 10000 <= lit(GateNullMaxBp) * col("n_docs")),
+        row("pii_doc_rate", rate(col("pii_docs"), col("n_docs")),
+          GatePiiMaxBp,
+          col("pii_docs") * 10000 <= lit(GatePiiMaxBp) * col("n_docs")),
+        row("blocklist_flag_rate", rate(col("blk_docs"), col("n_docs")),
+          GateBlockMaxBp,
+          col("blk_docs") * 10000 <= lit(GateBlockMaxBp) * col("n_docs")),
+        row("scored_rate", rate(col("n_scored"), col("n_docs")),
+          GateScoredMinBp,
+          col("n_scored") * 10000 >= lit(GateScoredMinBp) * col("n_docs")),
+        row("top_source_token_share",
+          rate(col("max_toks"), col("tot_toks")), GateTopSourceMaxBp,
+          col("max_toks") * 10000 <=
+            lit(GateTopSourceMaxBp) * col("tot_toks")),
+        row("ingest_gap_days", col("gap_days").cast("double"), 0L,
+          col("gap_days") === 0))).as("r"))
+      .select(col("r.check").as("check"), col("r.observed").as("observed"),
+        col("r.threshold").as("threshold"), col("r.pass").as("pass"))
+      .orderBy("check")
+  }
+
+  val all: Seq[Q] = Seq(qCurationFunnel, qCleanCorpus, qDatacard, qReleaseGate)
 }

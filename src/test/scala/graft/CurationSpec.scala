@@ -151,6 +151,54 @@ class CurationSpec extends SparkSpec {
       "card vs driver median bucket")
   }
 
+  test("release gate: integer-exact boundary decisions, outage fail, vacuous pass on empty lake") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    // 10 docs, 8 distinct contents → dup rate EXACTLY 0.2000 = the bar:
+    // the ≤ decision must pass via integer cross-multiply, never a
+    // rounded-double compare. One blocklisted doc → 10% > 2% fails.
+    val texts = (1 to 8).map(i => s"unique document number $i body") ++
+      Seq("unique document number 1 body", "unique document number 2 body")
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, "A", if (i == 7) "slow slow slow ok" else t)
+    }
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    Seq(1, 2, 4).zipWithIndex.map { case (day, i) =>
+      (i.toLong, ts(day), 1L, "t", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Curation.qReleaseGate.run(spark, dir).collect()
+      .map(r => r.getAs[String]("check") -> r).toMap
+    assert(got.size == 7)
+    val dup = got("exact_dup_rate")
+    assert(dup.getAs[Double]("observed") == 0.2)
+    assert(dup.getAs[Boolean]("pass"),
+      "a rate sitting EXACTLY on the bar must pass the ≤ gate")
+    assert(!got("blocklist_flag_rate").getAs[Boolean]("pass"),
+      "one flagged doc in ten breaches the 2% bar")
+    val gap = got("ingest_gap_days")
+    assert(gap.getAs[Double]("observed") == 1.0 &&
+      !gap.getAs[Boolean]("pass"),
+      "the Jan-3 outage day must fail continuity")
+    assert(!got("top_source_token_share").getAs[Boolean]("pass"),
+      "a single-source corpus is 100% capture")
+    // empty lake: every check passes vacuously (the gate blocks PROVEN
+    // violations; volume checks belong to ingest monitoring)
+    val empty = java.nio.file.Files.createTempDirectory("graft_gate_e").toString
+    spark.read.parquet(s"$dir/documents.parquet").limit(0)
+      .write.parquet(s"$empty/documents.parquet")
+    spark.read.parquet(s"$dir/events.parquet").limit(0)
+      .write.parquet(s"$empty/events.parquet")
+    val e = Curation.qReleaseGate.run(spark, empty).collect()
+    assert(e.length == 7 && e.forall(_.getAs[Boolean]("pass")),
+      "an empty lake proves no violation — vacuous pass")
+    assert(e.filter(_.getAs[String]("check") != "ingest_gap_days")
+      .forall(r => r.isNullAt(r.fieldIndex("observed"))),
+      "empty denominators report NULL observed, not 0")
+  }
+
   test("stagedFlags: size-gated broadcast — both physical forms identical") {
     // gate on → non-keeper join hinted; gate forced to 0 (the web-corpus
     // 30-50%-dup case) → unhinted, AQE size-decides. Same attribution
