@@ -199,13 +199,13 @@ object Curation {
        |  FROM documents),
        |a1 AS (
        |  SELECT COUNT(*) AS n_docs,
-       |    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-       |      AS n_null_text,
-       |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
-       |    CAST(SUM(CASE WHEN npii > 0 THEN 1 ELSE 0 END) AS BIGINT)
-       |      AS pii_docs,
-       |    CAST(SUM(CASE WHEN n_blocked * 20 > n_tok THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS blk_docs
+       |    CAST(COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS n_null_text,
+       |    CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(SUM(CASE WHEN npii > 0 THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS pii_docs,
+       |    CAST(COALESCE(SUM(CASE WHEN n_blocked * 20 > n_tok
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS blk_docs
        |  FROM f),
        |a2 AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
        |a3 AS (
@@ -221,7 +221,7 @@ object Curation {
        |    * ${TextOps.BudgetBlocks}) AS INT) AS b
        |  FROM documents),
        |qb AS (SELECT b, COUNT(*) AS c FROM qh WHERE b IS NOT NULL GROUP BY 1),
-       |sc AS (SELECT CAST(SUM(c) AS BIGINT) AS n_scored FROM qb),
+       |sc AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_scored FROM qb),
        |md AS (
        |  SELECT MIN(b) AS median_bucket
        |  FROM (SELECT b, SUM(c) OVER (ORDER BY b) AS cum FROM qb) t, sc
@@ -259,13 +259,18 @@ object Curation {
       .select(col("text"), col("blocked"),
         Text.wordCount(col("text")).as("toks"),
         TextOps.piiCols(col("text")).take(4).reduce(_ + _).as("npii"))
+    // counts coalesce to 0 on the empty lake (sums over zero rows are
+    // NULL) — the release-gate decidability rule, and what makes the
+    // "zero counts and NULL rates" empty-lake contract above true
     val a1 = flagged.agg(
       count(lit(1)).as("n_docs"),
-      sum(when(col("text").isNull, 1L).otherwise(0L)).cast("long")
-        .as("n_null_text"),
-      sum(col("toks")).cast("long").as("n_tokens"),
-      sum(when(col("npii") > 0, 1L).otherwise(0L)).cast("long").as("pii_docs"),
-      sum(when(col("blocked"), 1L).otherwise(0L)).cast("long").as("blk_docs"))
+      coalesce(sum(when(col("text").isNull, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_null_text"),
+      coalesce(sum(col("toks")), lit(0L)).cast("long").as("n_tokens"),
+      coalesce(sum(when(col("npii") > 0, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("pii_docs"),
+      coalesce(sum(when(col("blocked"), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("blk_docs"))
     val a2 = docs.agg(countDistinct(col("source")).as("n_sources"))
     val a3 = TextOps.predictedLang(s, d)
       .agg(countDistinct(when(col("predicted") =!= "und", col("predicted")))
@@ -275,7 +280,7 @@ object Curation {
         countDistinct(md5(Text.norm(col("text")))).as("n_distinct"))
     val qb = TextOps.sourceBucketCounts(s, d).filter(col("b").isNotNull)
       .groupBy("b").agg(sum("c").as("cb"))
-    val sc = qb.agg(sum("cb").cast("long").as("n_scored"))
+    val sc = qb.agg(coalesce(sum("cb"), lit(0L)).cast("long").as("n_scored"))
     val md = qb
       .withColumn("cum", sum("cb").over(Window.orderBy("b")))
       .crossJoin(broadcast(sc.select(col("n_scored").as("nsc"))))
@@ -399,16 +404,8 @@ object Curation {
        |    * ${TextOps.BudgetBlocks}) AS INT) AS b
        |  FROM documents),
        |sc AS (SELECT CAST(COUNT(b) AS BIGINT) AS n_scored FROM qh),
-       |days AS (
-       |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
-       |  FROM events WHERE ts IS NOT NULL),
-       |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM days),
-       |gap AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS gap_days
-       |  FROM (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))
-       |          AS DATE) AS day
-       |        FROM span WHERE lo IS NOT NULL) cal
-       |  WHERE cal.day NOT IN (SELECT day FROM days)),
+       |${Ingest.missingDaysSql},
+       |gap AS (SELECT CAST(COUNT(*) AS BIGINT) AS gap_days FROM miss),
        |one AS (SELECT * FROM a1, a4, st, sc, gap)
        |SELECT * FROM (
        |  SELECT 'exact_dup_rate' AS "check",
@@ -467,14 +464,7 @@ object Curation {
         coalesce(sum("s_toks"), lit(0L)).cast("long").as("tot_toks"))
     val sc = TextOps.sourceBucketCounts(s, d).filter(col("b").isNotNull)
       .agg(coalesce(sum("c"), lit(0L)).cast("long").as("n_scored"))
-    val days = Tables.events(s, d)
-      .select(to_date(col("ts")).as("day"))
-      .filter(col("day").isNotNull).distinct()
-    val gap = days.agg(min("day").as("lo"), max("day").as("hi"))
-      .filter(col("lo").isNotNull)
-      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
-      .join(days, Seq("day"), "left_anti")
-      .agg(count(lit(1)).as("gap_days"))
+    val gap = Ingest.missingDays(s, d).agg(count(lit(1)).as("gap_days"))
     val one = a1.crossJoin(broadcast(a4)).crossJoin(broadcast(st))
       .crossJoin(broadcast(sc)).crossJoin(broadcast(gap))
     def row(check: String, observed: Column, thresholdBp: Long,

@@ -1286,6 +1286,39 @@ object Ingest {
       max(dur).as("max_duration_us"))
   }
 
+  /** The zero-event missing-day frame — ONE spelling of the day
+    * normalization, calendar generation and anti-join, shared by
+    * [[qCoverageGaps]] (which rolls it into gap islands) and
+    * [[Curation.qReleaseGate]] (which counts it), so the gate cannot
+    * silently disagree with the monitor it summarizes (the
+    * mixSourceStats/sourceBucketCounts single-definition rule).
+    */
+  private[graft] def missingDays(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val days = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"))
+      .filter(col("day").isNotNull).distinct()
+    days.agg(min("day").as("lo"), max("day").as("hi"))
+      .filter(col("lo").isNotNull)
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      .join(days, Seq("day"), "left_anti")
+  }
+
+  /** DuckDB mirror of [[missingDays]]: CTEs `days`, `span`, `miss`
+    * (callers embed inside a WITH and read `miss(day)`).
+    */
+  private[graft] val missingDaysSql: String =
+    """days AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events WHERE ts IS NOT NULL),
+      |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM days),
+      |miss AS (
+      |  SELECT cal.day
+      |  FROM (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))
+      |          AS DATE) AS day
+      |        FROM span WHERE lo IS NOT NULL) cal
+      |  WHERE cal.day NOT IN (SELECT day FROM days))""".stripMargin
+
   /** Calendar-gap detector — the completeness monitor the run ledger
     * cannot express (the ledger reports the runs that HAPPENED;
     * a scraper outage, a dropped cron, or a silently failing source
@@ -1309,16 +1342,7 @@ object Ingest {
     */
   val qCoverageGaps: Q = Q(
     "q_coverage_gaps",
-    """WITH days AS (
-      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
-      |  FROM events WHERE ts IS NOT NULL),
-      |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM days),
-      |cal AS (
-      |  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
-      |    AS day
-      |  FROM span WHERE lo IS NOT NULL),
-      |miss AS (SELECT day FROM cal
-      |         WHERE day NOT IN (SELECT day FROM days)),
+    s"""WITH $missingDaysSql,
       |g AS (
       |  SELECT day,
       |    day - CAST(row_number() OVER (ORDER BY day) AS INTEGER) AS grp
@@ -1328,14 +1352,7 @@ object Ingest {
       |  COUNT(*) AS n_days
       |FROM g GROUP BY grp ORDER BY gap_start""".stripMargin
   ) { (s, d) =>
-    val days = Tables.events(s, d)
-      .select(to_date(col("ts")).as("day"))
-      .filter(col("day").isNotNull).distinct()
-    val cal = days.agg(min("day").as("lo"), max("day").as("hi"))
-      .filter(col("lo").isNotNull)
-      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
-    val missing = cal.join(days, Seq("day"), "left_anti")
-    missing
+    missingDays(s, d)
       .withColumn("grp",
         expr("date_sub(day, row_number() OVER (ORDER BY day))"))
       .groupBy("grp")

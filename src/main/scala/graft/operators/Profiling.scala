@@ -316,9 +316,10 @@ object Profiling {
        |  FROM events GROUP BY 1),
        |g AS (
        |  SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c),
-       |t AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id
+       |t AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id NULLS LAST
        |      LIMIT $SkewTopK)
-       |SELECT row_number() OVER (ORDER BY n DESC, user_id) AS rank,
+       |SELECT row_number() OVER (ORDER BY n DESC, user_id NULLS LAST)
+       |  AS rank,
        |  user_id, n AS n_events,
        |  ${exactDivSql("n", "total", 6)} AS share,
        |  ${exactDivSql("CAST(n AS HUGEINT) * n_keys", "total", 2)} AS skew_x
@@ -328,10 +329,14 @@ object Profiling {
       .groupBy("user_id").agg(count(lit(1)).as("n"))
     val g = c.agg(sum("n").cast("long").as("total"),
       count(lit(1)).as("n_keys"))
-    c.orderBy(col("n").desc, col("user_id")).limit(SkewTopK)
+    c.orderBy(col("n").desc, col("user_id").asc_nulls_last).limit(SkewTopK)
       .crossJoin(broadcast(g))
       .select(
-        row_number().over(Window.orderBy(col("n").desc, col("user_id")))
+        // nulls LAST explicitly: Spark asc defaults nulls first, DuckDB
+        // nulls last — a NULL key tying a real key at the cut would
+        // otherwise rank differently per engine (the champion-pick rule)
+        row_number().over(
+          Window.orderBy(col("n").desc, col("user_id").asc_nulls_last))
           .as("rank"),
         col("user_id"), col("n").as("n_events"),
         exactDiv(col("n"), col("total"), 6).as("share"),
@@ -366,19 +371,19 @@ object Profiling {
        |  CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_null_vec,
        |  CAST(SUM(CASE WHEN embedding IS NOT NULL
-       |    AND len(list_filter(embedding, x -> isnan(x))) > 0
+       |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) > 0
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nan_vec,
        |  CAST(SUM(CASE WHEN embedding IS NOT NULL
-       |    AND len(list_filter(embedding, x -> isnan(x))) = 0
+       |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0
        |    AND len(list_filter(embedding, x -> x <> 0)) = 0
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vec,
        |  ${exactDivSql(
              "COUNT(*) - SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)" +
                " - SUM(CASE WHEN embedding IS NOT NULL AND" +
-               " len(list_filter(embedding, x -> isnan(x))) > 0" +
+               " len(list_filter(embedding, x -> x IS NULL OR isnan(x))) > 0" +
                " THEN 1 ELSE 0 END)" +
                " - SUM(CASE WHEN embedding IS NOT NULL AND" +
-               " len(list_filter(embedding, x -> isnan(x))) = 0 AND" +
+               " len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND" +
                " len(list_filter(embedding, x -> x <> 0)) = 0" +
                " THEN 1 ELSE 0 END)",
              "COUNT(*)", 4)} AS usable_rate,
@@ -387,7 +392,13 @@ object Profiling {
        |FROM embeddings GROUP BY 1 ORDER BY label""".stripMargin
   ) { (s, d) =>
     val isNullV = col("embedding").isNull
-    val hasNan = exists(col("embedding"), x => isnan(x))
+    // the lambda treats a NULL ELEMENT as non-finite too — Spark's
+    // exists() would return NULL on (no true, some null) while DuckDB's
+    // list_filter silently DROPS null lambda results; classifying null
+    // elements as NaN-like first makes both engines agree (and a vector
+    // with missing components is genuinely not usable)
+    val hasNan = coalesce(
+      exists(col("embedding"), x => x.isNull || isnan(x)), lit(false))
     val isZero = size(filter(col("embedding"), x => x =!= lit(0.0f))) === 0
     val nNull = sum(when(isNullV, 1L).otherwise(0L))
     val nNan = sum(when(!isNullV && hasNan, 1L).otherwise(0L))

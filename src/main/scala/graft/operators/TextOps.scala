@@ -1733,11 +1733,12 @@ object TextOps {
     * with < 2 scored docs or zero variance on either side reports NULL
     * (undefined, never 0). Magnitude bound (the [[qMixTemperature]]
     * fail-loud contract): the y² lane sums token-count squares in a
-    * LONG — exact to Σy² < 2⁶³, i.e. ~10⁶ docs of 10⁶ tokens per
-    * source per 10⁶-fold headroom; past it Spark ANSI throws
-    * ARITHMETIC_OVERFLOW rather than silently wrapping, and the lane
-    * moves to [[graft.functions.Det.longTotal]] if a corpus ever hits
-    * it.
+    * LONG — exact to Σy² < 2⁶³ (~10⁶ docs of 10⁶ tokens per source,
+    * with 10⁶-fold headroom), and the decimal recombine runs at (38,0)
+    * so the SUM is the binding constraint, not a cast; past 2⁶³ Spark
+    * ANSI throws ARITHMETIC_OVERFLOW rather than silently wrapping,
+    * and the y/y² lanes move to [[graft.functions.Det.longTotal]] if a
+    * corpus ever hits it.
     *
     * Scale shape (100 TB): ONE corpus scan (score + token count per
     * row) into a map-side-combined source-grain aggregate of five
@@ -1777,10 +1778,13 @@ object TextOps {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
     val n = col("n").cast(DecimalType(12, 0))
-    def d18(c: Column) = c.cast(DecimalType(18, 0))
-    val num = n * d18(col("sxy")) - d18(col("sx")) * d18(col("sy"))
-    val dx = n * d18(col("sxx")) - d18(col("sx")) * d18(col("sx"))
-    val dy = n * d18(col("syy")) - d18(col("sy")) * d18(col("sy"))
+    // (38,0), not the 29c's (18,0): the token-count squares lane runs to
+    // the full long range, and an (18,0) cast would throw ~9x below the
+    // documented 2^63 bound (the cast, not the sum, would bind)
+    def d38(c: Column) = c.cast(DecimalType(38, 0))
+    val num = n * d38(col("sxy")) - d38(col("sx")) * d38(col("sy"))
+    val dx = n * d38(col("sxx")) - d38(col("sx")) * d38(col("sx"))
+    val dy = n * d38(col("syy")) - d38(col("sy")) * d38(col("sy"))
     sums.where(col("n") >= 2)
       .select(col("source"), col("n").as("n_pairs"),
         when(dx > 0 && dy > 0,

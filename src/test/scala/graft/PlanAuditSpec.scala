@@ -579,7 +579,8 @@ class PlanAuditSpec extends SparkSpec {
     // aggregate once per card row)
     assert(p.contains("Generate explode"),
       "the 11 card rows must explode from ONE joined row:\n" + p)
-    assert(!p.split("\n").exists(_.trim.startsWith("Union")),
+    // contains, not startsWith: nested plan lines render as "+- Union"
+    assert(!p.contains("Union"),
       "a per-metric union re-runs every aggregate:\n" + p)
   }
 

@@ -138,23 +138,30 @@ class ProfilingSpec extends SparkSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_embp").toString
     Seq(
-      (1L, Option(Seq(1.0f, 2.0f)), 0),
-      (2L, Option.empty[Seq[Float]], 0), // null vector
-      (3L, Option(Seq(Float.NaN, 0.0f)), 0), // NaN wins over zero check
-      (4L, Option(Seq(0.0f, 0.0f)), 0), // all-zero: cosine-undefined
-      (5L, Option(Seq(1.0f, 1.0f, 1.0f)), 0), // ragged dim
-      (6L, Option(Seq(2.0f, 3.0f)), 1))
+      (1L, Option(Seq[java.lang.Float](1.0f, 2.0f)), 0),
+      (2L, Option.empty[Seq[java.lang.Float]], 0), // null vector
+      // NaN wins over zero check
+      (3L, Option(Seq[java.lang.Float](Float.NaN, 0.0f)), 0),
+      // a NULL ELEMENT is non-finite too (and would otherwise classify
+      // differently per engine: Spark exists() nulls, DuckDB list_filter
+      // drops null lambda results)
+      (7L, Option(Seq[java.lang.Float](null, 0.0f)), 0),
+      // all-zero: cosine-undefined
+      (4L, Option(Seq[java.lang.Float](0.0f, 0.0f)), 0),
+      (5L, Option(Seq[java.lang.Float](1.0f, 1.0f, 1.0f)), 0), // ragged dim
+      (6L, Option(Seq[java.lang.Float](2.0f, 3.0f)), 1))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val got = graft.operators.Profiling.qEmbedProfile.run(spark, dir)
       .collect().map(r => r.getAs[Int]("label") -> r).toMap
     val l0 = got(0)
-    assert(l0.getAs[Long]("n_vecs") == 5L)
+    assert(l0.getAs[Long]("n_vecs") == 6L)
     assert(l0.getAs[Long]("n_null_vec") == 1L)
-    assert(l0.getAs[Long]("n_nan_vec") == 1L,
-      "a NaN-carrying vector counts as NaN, not zero — exclusive buckets")
+    assert(l0.getAs[Long]("n_nan_vec") == 2L,
+      "NaN-carrying AND null-element vectors count as non-finite — " +
+        "exclusive buckets, identical in both engines")
     assert(l0.getAs[Long]("n_zero_vec") == 1L)
-    assert(l0.getAs[Double]("usable_rate") == 0.4) // 2 of 5
+    assert(l0.getAs[Double]("usable_rate") == 0.3333) // 2 of 6, half-up 4
     assert(l0.getAs[Long]("min_dim") == 2L && l0.getAs[Long]("max_dim") == 3L,
       "ragged dimensions must surface in the min/max spread")
     val l1 = got(1)
