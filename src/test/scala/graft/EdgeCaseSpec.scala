@@ -38,10 +38,18 @@ class EdgeCaseSpec extends SparkSpec {
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
     // null embedding vectors and labels exercise the similarity ops'
-    // null guards (quantization, dot kernel, IVF probe/assignment)
+    // null guards (quantization, dot kernel, IVF probe/assignment);
+    // null ELEMENTS inside surviving vectors exercise the per-element
+    // lambda guards — the engine-divergence class where Spark's HOFs
+    // null-propagate while DuckDB's list_filter drops null lambda
+    // results (the q_embed_profile incident)
     Tables.embeddings(spark, sfDir).limit(50)
       .withColumn("embedding",
         when(col("vec_id") % 7 === 0, lit(null)).otherwise(col("embedding")))
+      .withColumn("embedding",
+        when(col("vec_id") % 11 === 0,
+          expr("transform(embedding, (x, i) -> IF(i = 0, NULL, x))"))
+          .otherwise(col("embedding")))
       .withColumn("label",
         when(col("vec_id") % 5 === 0, lit(null: String)).otherwise(col("label")))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
