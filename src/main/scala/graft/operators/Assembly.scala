@@ -297,7 +297,18 @@ object Assembly {
   /** Forget every trained BPE model (after rewriting a dir's inputs —
     * the [[graft.Tables.clearResolved]] analog).
     */
-  def clearBpeCache(): Unit = bpeModels.clear()
+  def clearBpeCache(): Unit = { bpeModels.clear(); bpeSegs.clear() }
+
+  /** Memoized (word, n_bpe) segmentation dictionaries per (session, dir,
+    * gate) — the [[bpeModels]] convention. Without it every
+    * [[bpeEncode]] call above the vocab gate built a FRESH
+    * localCheckpoint cascade whose final truncated-lineage cache can
+    * never be released (the returned plan reads it lazily), so bench
+    * repeats and long-lived sessions accumulated stranded block-manager
+    * storage one cascade per call.
+    */
+  private val bpeSegs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Long), DataFrame]
 
   /** Bench hook: train the default merge table so timed q_bpe_* runs
     * measure the query, the shared training cost being its own named
@@ -494,9 +505,9 @@ object Assembly {
       .select(col("source"),
         explode(filter(split(Text.norm(col("text")), " "), t => t =!= ""))
           .as("word"))
-    val vocab = words.select("word").distinct().localCheckpoint()
-    val nVocab = vocab.count()
-    val segmented: DataFrame =
+    val segmented: DataFrame = bpeSegs.getOrElseUpdate((s, d, maxDriverVocab), {
+      val vocab = words.select("word").distinct().localCheckpoint()
+      val nVocab = vocab.count()
       if (nVocab <= maxDriverVocab) {
         // model-sized: segment every distinct word on the driver
         val segSchema = StructType(Seq(
@@ -525,9 +536,12 @@ object Assembly {
         vocab.unpersist()
         // the final checkpointed segmentation stays cached: the returned
         // plan reads it lazily and a truncated-lineage cache cannot be
-        // recomputed once released
+        // recomputed once released — which is WHY the dictionary is
+        // memoized above (one cascade per (session, dir, gate), released
+        // only by clearBpeCache), not rebuilt per call
         seg.select(col("word"), size(col("syms")).cast("long").as("n_bpe"))
       }
+    })
     words.join(segmented, Seq("word"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_words"),

@@ -555,7 +555,14 @@ object Ingest {
     "q_props_schema",
     s"""WITH tot AS (SELECT COUNT(*) AS n FROM events),
        |kv AS (
-       |  SELECT k AS key, json_extract_string(e.props, '$$.' || k) AS v
+       |  SELECT k AS key,
+       |    -- QUOTED path segment (escaping embedded quotes): a naive
+       |    -- '$$.' || k navigates a dotted/bracketed arriving key as
+       |    -- nested structure and reads NULL where Spark's from_json
+       |    -- map reads the literal key — and contract-violating keys
+       |    -- are exactly what this schema-drift monitor exists to see
+       |    json_extract_string(e.props,
+       |      '$$."' || replace(k, '"', '\\"') || '"') AS v
        |  FROM (SELECT props FROM events
        |        WHERE props IS NOT NULL AND json_valid(props)) e,
        |       UNNEST(json_keys(e.props)) AS t(k))

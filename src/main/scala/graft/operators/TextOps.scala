@@ -1235,8 +1235,10 @@ object TextOps {
     * aggregate (post-aggregation grain only). Ratios are exact integer
     * divisions; the boost cross-products ride DECIMAL(38,0) so
     * lake-scale token counts cannot wrap (the [[Ingest.qRunDrift]]
-    * rule). A zero-token source has no defined share ratio: its tempered
-    * columns are NULL, never 0 (no mass ≠ no boost).
+    * rule). A zero-token source's SHARES are exactly 0 (a defined
+    * quantity: zero tokens genuinely hold zero mass) — only its BOOST
+    * is NULL, never 0, because the boost is the 0/0 ratio of those
+    * shares (no mass ≠ no boost; the spec pins both).
     */
   val qMixTemperature: Q = Q(
     "q_mix_temperature",

@@ -254,7 +254,12 @@ class IngestSpec extends SparkSpec {
     val rows = Seq(
       """{"k": 1}""", """{"k": 1}""", """{"k": 2, "extra": true}""",
       """{"k": "x", "extra": false}""", """{"k": null}""",
-      "not json", "{}", null)
+      "not json", "{}", null,
+      // metacharacter keys: a schema-drift monitor sees EXACTLY the keys
+      // a contract never promised — dots, brackets, quotes must read as
+      // LITERAL keys (the oracle quotes its JSON-path segment; a naive
+      // '$.' || k would navigate "a.b" as nested structure)
+      """{"a.b": 7, "e[0]": 8, "d\"q": 9}""")
       .zipWithIndex.map { case (p, i) =>
         (i.toLong, ts, i.toLong, "t", 1.0, p)
       }
@@ -265,10 +270,13 @@ class IngestSpec extends SparkSpec {
       .map(r => r.getAs[String]("key") ->
         (r.getAs[Long]("n_present"), r.getAs[Double]("present_rate"),
           r.getAs[Long]("n_distinct_values"))).toMap
-    // k: 5 of 8 rows; JSON-null value stays out of the distinct count
+    // k: 5 of 9 rows; JSON-null value stays out of the distinct count
     assert(got == Map(
-      "k" -> ((5L, 0.625, 3L)),
-      "extra" -> ((2L, 0.25, 2L))), s"schema profile off: $got")
+      "k" -> ((5L, 0.5556, 3L)),
+      "extra" -> ((2L, 0.2222, 2L)),
+      "a.b" -> ((1L, 0.1111, 1L)),
+      "e[0]" -> ((1L, 0.1111, 1L)),
+      "d\"q" -> ((1L, 0.1111, 1L))), s"schema profile off: $got")
   }
 
   test("windowed counts sum to total events") {
