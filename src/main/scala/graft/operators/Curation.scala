@@ -91,14 +91,10 @@ object Curation {
     // memoized+materialized), unhinted above the threshold so AQE
     // size-decides. See Similarity.MemberBroadcastMaxRows; both physical
     // forms are spec-pinned identical.
-    val clusterLabels = Similarity.dedupClusterLabels(s, d)
-    val nMembers = clusterLabels.count()
-    val nearNonKeepers = clusterLabels
+    val gated = Similarity.gatedMemberBroadcast(s, d, broadcastMaxRows)
+    val gatedNonKeepers = gated(Similarity.dedupClusterLabels(s, d)
       .filter(col("id") =!= col("label"))
-      .select(col("id").as("doc_id"), lit(true).as("near_dup"))
-    val gatedNonKeepers =
-      if (nMembers <= broadcastMaxRows) broadcast(nearNonKeepers)
-      else nearNonKeepers
+      .select(col("id").as("doc_id"), lit(true).as("near_dup")))
     perDoc
       .withColumn("keep_id",
         when(col("h").isNotNull, min(col("doc_id")).over(wByContent)))

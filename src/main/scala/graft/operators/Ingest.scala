@@ -103,7 +103,7 @@ object Ingest {
       |  SELECT COUNT(*) AS nd, CAST(SUM(cnt) AS HUGEINT) AS sc,
       |         CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS sc2 FROM dly)
       |SELECT day, cnt,
-      |  ROUND(${graft.functions.Det.zScoreSql("cnt", "sc", "sc2", "nd")}, 3)
+      |  ${graft.functions.Det.zScoreSql("cnt", "sc", "sc2", "nd")}
       |    AS zscore,
       |  CAST(CASE WHEN ${graft.functions.Det.zOutlierSql("cnt", "sc", "sc2", "nd", 2)}
       |    THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
@@ -125,7 +125,13 @@ object Ingest {
     dly.crossJoin(broadcast(stats))
       .select(
         col("day"), col("cnt"),
-        round(z, 3).as("zscore"),
+        // RAW double, no ROUND: z is computed in identical association
+        // order on both engines so the doubles are bit-identical, while
+        // round(double, 3) diverges at 4th-decimal ties (Spark rounds
+        // the shortest decimal string, DuckDB the binary value — the
+        // Det scaladoc's documented trap); display rounding is a
+        // consumer choice, parity is ours
+        z.as("zscore"),
         when(graft.functions.Det.zOutlier(
           col("cnt"), col("sc"), col("sc2"), col("nd"), 2), 1)
           .otherwise(0).as("is_anomaly"))
@@ -1042,7 +1048,7 @@ object Ingest {
       rule(graft.functions.Det.zOutlier(
           col("inserted"), col("sum5"), col("sumsq5"), col("n5"), 2),
         "INFO", "reviews_inserted_z_score",
-        lit(2.0), round(abs(z), 3)))
+        lit(2.0), abs(z))) // raw double: bit-identical cross-engine (see qAnomalyZscore)
     r.select(col("run_id"), explode(rules).as("a"))
       .filter(col("a.fires"))
       .select(col("run_id"), col("a.level").as("level"),
@@ -1109,7 +1115,7 @@ object Ingest {
        |        > 5 * CAST(fetched AS HUGEINT) * f5
        |  UNION ALL
        |  SELECT run_id, 'INFO', 'reviews_inserted_z_score', CAST(2.0 AS DOUBLE),
-       |    ROUND(ABS(${graft.functions.Det.zScoreSql("inserted", "sum5", "sumsq5", "n5")}), 3)
+       |    ABS(${graft.functions.Det.zScoreSql("inserted", "sum5", "sumsq5", "n5")})
        |  FROM r WHERE ${graft.functions.Det.zOutlierSql("inserted", "sum5", "sumsq5", "n5", 2)})
        |ORDER BY run_id, metric, level""".stripMargin
   ) { (s, d) => alerts(Tables.events(s, d)) }

@@ -114,8 +114,7 @@ object Similarity {
       // is already multi-split and this is a cheap no-op guard against
       // tiny-file skew)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"),
-        split(regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+", " "), " ").as("w"))
+      .select(col("doc_id"), split(Text.norm(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
 
   /** Distinct shingle POSTINGS per document as (doc_id, sh_h) — the
@@ -144,9 +143,9 @@ object Similarity {
         .distinct())
 
   private val shinglesSql =
-    """toks AS (
+    s"""toks AS (
       |  SELECT doc_id,
-      |    string_split(regexp_replace(lower(trim(text)), '[ \t\n\r\f]+', ' ', 'g'), ' ') AS w
+      |    string_split(${Text.normSql}, ' ') AS w
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
@@ -2028,16 +2027,27 @@ object Similarity {
   /** Quality-aware survivor corpus, parameterized on the broadcast gate
     * so the spec pins both physical forms ([[MemberBroadcastMaxRows]]).
     */
+  /** The measured member-count broadcast gate — ONE spelling for every
+    * consumer of the cluster-member tables ([[dedupSurvivorsBestFrame]],
+    * [[Curation.stagedFlags]]): counts the memoized+materialized label
+    * table (a cache read — the components() precedent) and returns a
+    * gating function that hints broadcast only under the threshold,
+    * shipping unhinted above it so AQE size-decides on 30–50%-dup web
+    * corpora. Factored so a future change to the measure (rows → bytes)
+    * or the threshold cannot silently miss one site.
+    */
+  private[graft] def gatedMemberBroadcast(s: SparkSession, d: String,
+      broadcastMaxRows: Long): DataFrame => DataFrame = {
+    val nMembers = dedupClusterLabels(s, d).count()
+    df => if (nMembers <= broadcastMaxRows) broadcast(df) else df
+  }
+
   private[graft] def dedupSurvivorsBestFrame(
       s: SparkSession, d: String,
       broadcastMaxRows: Long = MemberBroadcastMaxRows): DataFrame = {
     val labels = dedupClusterLabels(s, d)
       .select(col("id").as("doc_id"), col("label"))
-    // measured gate, not an assumed one: dedupClusterLabels is memoized +
-    // materialized, so this count reads the cache (components() precedent)
-    val nMembers = labels.count()
-    def gated(df: DataFrame): DataFrame =
-      if (nMembers <= broadcastMaxRows) broadcast(df) else df
+    val gated = gatedMemberBroadcast(s, d, broadcastMaxRows)
     val memberScores = graft.operators.TextOps.qualityScored(
         Tables.documents(s, d).join(gated(labels.select("doc_id")), "doc_id"))
       .select("doc_id", "quality_score")

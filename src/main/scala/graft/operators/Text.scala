@@ -13,18 +13,39 @@ private[graft] object Text {
   def wordCount(c: Column): Column =
     when(trim(c) === "", 0).otherwise(size(split(trim(c), "[ \\t\\n\\r\\f]+")))
 
-  /** Whitespace-collapsed lowercase normalization — the canonical form all
-    * content dedup/fingerprints key on (batch [[graft.operators.TextOps]]
-    * AND the streaming ingest-time dedup share this one definition).
+  private val AsciiUpper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private val AsciiLower = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Whitespace-collapsed, ASCII-case-folded normalization — the
+    * canonical form all content dedup/fingerprints key on (batch
+    * [[graft.operators.TextOps]] AND the streaming ingest-time dedup
+    * share this one definition).
+    *
+    * Case folding is ASCII-ONLY by contract (translate, not lower()):
+    * full Unicode lowercasing is engine-divergent — Spark's lower() is
+    * ICU FULL case mapping ('İ' → i + combining dot, 2 codepoints;
+    * final 'Σ' → 'ς') while DuckDB's is the utf8proc SIMPLE 1:1 map
+    * ('İ' → 'i'; 'Σ' → 'σ') — so a corpus containing those characters
+    * would split content-identity groups differently per engine and
+    * silently break every md5-keyed dedup/gram oracle. For a CONTENT
+    * KEY, deterministic beats linguistically complete: non-ASCII case
+    * variants simply stay distinct contents. A multilingual deployment
+    * that wants full folding plugs one pinned ICU-versioned fold into
+    * BOTH sides — the contract stays "one spelling, two engines".
     */
   def norm(c: Column): Column =
-    regexp_replace(lower(trim(c)), "[ \\t\\n\\r\\f]+", " ")
+    regexp_replace(translate(trim(c), AsciiUpper, AsciiLower),
+      "[ \\t\\n\\r\\f]+", " ")
 
   /** DuckDB mirror of [[norm]] over the `text` column — kept adjacent so
-    * the whitespace class cannot drift between the engines' sides.
+    * the whitespace and case-fold classes cannot drift between the
+    * engines' sides.
     */
-  val normSql: String =
-    "regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f]+', ' ', 'g')"
+  def normSqlOf(expr: String): String =
+    s"regexp_replace(translate(trim($expr), '$AsciiUpper', '$AsciiLower'), " +
+      "'[ \\t\\n\\r\\f]+', ' ', 'g')"
+
+  val normSql: String = normSqlOf("text")
 
   /** DuckDB mirror of [[wordCount]] over the `text` column. */
   val wordCountSql: String =

@@ -82,6 +82,12 @@ object TextOps {
     * consumers. The SQL pieces assume a frame carrying `padded`, `cjk`
     * and the `s_xx` score columns ([[langSignalsSql]] builds them).
     */
+  // lower() here (NOT Text.norm's ASCII fold) is cross-engine safe
+  // because everything outside [a-z] is stripped AFTER the fold: the
+  // known ICU-full vs utf8proc-simple divergences ('İ' → i+combining
+  // dot vs 'i', final 'Σ' → 'ς' vs 'σ') differ only in non-[a-z]
+  // codepoints, so the surviving letter sequences agree — and the
+  // stopword lists are ASCII
   private val paddedSql =
     "' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' '"
   private val cjkSql = "regexp_matches(text, '[\\x{4e00}-\\x{9fff}]')"
@@ -2133,8 +2139,7 @@ object TextOps {
     * whitespace class applied to each line (kept adjacent to the Spark
     * side so the class cannot drift between engines).
     */
-  private val lineNormSql =
-    "regexp_replace(lower(trim(ls[i])), '[ \\t\\n\\r\\f]+', ' ', 'g')"
+  private val lineNormSql = Text.normSqlOf("ls[i]")
 
   /** Line-grain exact dedup (the C4/RefinedWeb line-level pass: a
     * boilerplate line — nav header, cookie banner, license footer — is

@@ -279,16 +279,26 @@ object IngestStream {
           try {
             graft.sources.Store.appendDeduped(
               fp.select(col("doc_id"), col("ts"), col("fp")), storePath, "doc_id")
-            val seen = graft.operators.Similarity.simhashBands(
-                s.read.parquet(storePath))
-              .select(col("doc_id").as("e_id"), col("ts").as("e_ts"),
-                col("fp").as("e_fp"), col("band"), col("chunk"))
-            val dropped = graft.operators.Similarity.simhashBands(
-                fp.select(col("doc_id"), col("ts"), col("fp")))
-              .join(seen, Seq("band", "chunk"))
-              .filter(bit_count(col("fp").bitwiseXOR(col("e_fp"))) <= 3 &&
-                struct(col("e_ts"), col("e_id")) < struct(col("ts"), col("doc_id")))
-              .select("doc_id").distinct()
+            // the store only materializes once a batch carries a SIGNED
+            // row (appendDeduped skips empty writes): a stream whose
+            // first non-empty batches are all token-free documents has
+            // fingerprints to test nothing against — reading the absent
+            // store would kill the query (and every restart after it)
+            val dropped =
+              if (fp.isEmpty) fp.select("doc_id").limit(0)
+              else {
+                val seen = graft.operators.Similarity.simhashBands(
+                    s.read.parquet(storePath))
+                  .select(col("doc_id").as("e_id"), col("ts").as("e_ts"),
+                    col("fp").as("e_fp"), col("band"), col("chunk"))
+                graft.operators.Similarity.simhashBands(
+                    fp.select(col("doc_id"), col("ts"), col("fp")))
+                  .join(seen, Seq("band", "chunk"))
+                  .filter(bit_count(col("fp").bitwiseXOR(col("e_fp"))) <= 3 &&
+                    struct(col("e_ts"), col("e_id")) <
+                      struct(col("ts"), col("doc_id")))
+                  .select("doc_id").distinct()
+              }
             val kept = fp.join(dropped, Seq("doc_id"), "left_anti").drop("fp")
             // zero-token rows never got a fingerprint: pass them through
             val unsigned = batch.join(fp.select("doc_id"), Seq("doc_id"), "left_anti")

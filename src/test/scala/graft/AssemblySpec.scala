@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
   * re-permutation, and the pair-count primitive on a crafted corpus.
   */
 class AssemblySpec extends SparkSpec {
+  // mirror of Text.norm's ASCII-only case fold (the canonical content
+  // normalization deliberately does NOT full-Unicode-lowercase — see
+  // Text.norm's scaladoc)
+  private def asciiFold(s: String): String =
+    s.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
   import spark.implicits._
 
   private def assigned() =
@@ -193,7 +198,7 @@ class AssemblySpec extends SparkSpec {
       .collect().flatMap(r => Option(r.getAs[String]("text"))
         .map(t => r.getAs[String]("source") -> t))
     def toks(t: String) =
-      t.trim.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+      asciiFold(t.trim).split("[ \t\n\r\f]+").filter(_.nonEmpty)
     val freqs = docs.flatMap(p => toks(p._2))
       .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
     val merges = refBpe(freqs, Assembly.BpeMerges).map(m => (m._2, m._3))
@@ -236,7 +241,7 @@ class AssemblySpec extends SparkSpec {
     // independent word-frequency recount (same normalization as the SUT)
     val words = Tables.documents(spark, sfDir).select("text").collect()
       .flatMap(r => Option(r.getAs[String]("text")))
-      .flatMap(_.trim.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty))
+      .flatMap(t => asciiFold(t.trim).split("[ \t\n\r\f]+").filter(_.nonEmpty))
       .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
     val expect = refBpe(words, Assembly.BpeMerges)
     val got = gotMerges(sfDir)

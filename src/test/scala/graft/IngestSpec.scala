@@ -156,7 +156,11 @@ class IngestSpec extends SparkSpec {
       .toDF("event_id", "event_type", "ts", "props")
     val got = Ingest.alerts(ev).collect()
       .map(r => (r.getAs[String]("run_id"), r.getAs[String]("metric"),
-        r.getAs[String]("level"), r.getAs[Double]("actual")))
+        r.getAs[String]("level"),
+        // the z actual ships as a raw double now (display rounding broke
+        // cross-engine parity at decimal ties); round here for the pin
+        BigDecimal(r.getAs[Double]("actual"))
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble))
     val expected = Set(
       ("2024-03-06", "props_null_rate", "INFO", 40.0),
       ("2024-03-06", "reviews_inserted_z_score", "INFO", 18.974),

@@ -4,6 +4,11 @@ import graft.operators.TextOps
 import org.apache.spark.sql.functions._
 
 class TextOpsSpec extends SparkSpec {
+  // mirror of Text.norm's ASCII-only case fold (the canonical content
+  // normalization deliberately does NOT full-Unicode-lowercase — see
+  // Text.norm's scaladoc)
+  private def asciiFold(s: String): String =
+    s.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
 
   test("every textops query runs") {
     TextOps.all.foreach { q =>
@@ -150,7 +155,7 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
-      val words = texts(id).trim.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+      val words = asciiFold(texts(id).trim).split("[ \t\n\r\f]+").filter(_.nonEmpty)
       assert(r.getAs[Long]("n_words") == words.length, s"doc $id n_words")
       assert(r.getAs[Long]("n_distinct") == words.distinct.length, s"doc $id n_distinct")
       val topWord = words.groupBy(identity).values.map(_.length).max
@@ -174,7 +179,7 @@ class TextOpsSpec extends SparkSpec {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def grams(t: String): Set[String] = {
-      val w = t.trim.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+      val w = asciiFold(t.trim).split("[ \t\n\r\f]+").filter(_.nonEmpty)
       if (w.length < 5) Set.empty else w.sliding(5).map(_.mkString(" ")).toSet
     }
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
@@ -324,7 +329,7 @@ class TextOpsSpec extends SparkSpec {
   test("dup spans: counts match a scala recount; short docs keep NULL fraction") {
     val rows = TextOps.qDupSpans.run(spark, sfDir).collect()
     def toks(t: String): Array[String] =
-      t.trim.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+      asciiFold(t.trim).split("[ \t\n\r\f]+").filter(_.nonEmpty)
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> toks(r.getAs[String]("text")))
     // recount on STRING grams — the operator's xxhash64 keys are exact
