@@ -226,7 +226,7 @@ object Det {
     s"(CAST(CAST($x AS HUGEINT) * ($n) - ($s) AS DOUBLE)" +
       s" * SQRT(CAST(($n) * (($n) - 1) AS DOUBLE))" +
       s" / NULLIF(CAST($n AS DOUBLE)" +
-      s" * SQRT(CAST(($n) * ($s2) - CAST($s AS HUGEINT) * ($s) AS DOUBLE)), 0.0))"
+      s" * SQRT(CAST(CAST($n AS HUGEINT) * ($s2) - CAST($s AS HUGEINT) * ($s) AS DOUBLE)), 0.0))"
 
   /** Exact-integer |z| > t outlier test (t integer): D²·(n−1) > t²·n·V
     * entirely in decimal/HUGEINT — the firing decision never touches a
@@ -243,8 +243,12 @@ object Det {
     n >= 2 && v > 0 && d * d * (n - lit(1)) > lit(t * t) * n * v
   }
 
+  // n*s2 rides HUGEINT explicitly (like every other product lane): a
+  // BIGINT s2 near 1e17 with n in the hundreds overflows BIGINT*BIGINT
+  // multiplication in DuckDB — an ERROR, far below the documented 1e38
+  // envelope the Spark DECIMAL(38,0) side keeps computing in
   def zOutlierSql(x: String, s: String, s2: String, n: String, t: Int): String =
-    s"(($n) >= 2 AND ($n) * ($s2) - CAST($s AS HUGEINT) * ($s) > 0" +
+    s"(($n) >= 2 AND CAST($n AS HUGEINT) * ($s2) - CAST($s AS HUGEINT) * ($s) > 0" +
       s" AND (CAST($x AS HUGEINT) * ($n) - ($s)) * (CAST($x AS HUGEINT) * ($n) - ($s))" +
-      s" * (($n) - 1) > ${t * t} * ($n) * (($n) * ($s2) - CAST($s AS HUGEINT) * ($s)))"
+      s" * (($n) - 1) > ${t * t} * ($n) * (CAST($n AS HUGEINT) * ($s2) - CAST($s AS HUGEINT) * ($s)))"
 }

@@ -200,14 +200,26 @@ case class MatVecQ(mat: Expression, vec: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  /** The folded model: evaluated once at plan time, shared by every row. */
+  /** The folded model: evaluated once at plan time, shared by every row.
+    * A foldable NULL matrix folds to an EMPTY model instead of NPE-ing:
+    * doGenCode forces this lazy while building the codegen references
+    * array, BEFORE the per-row null check runs — the interpreted path
+    * null-propagates first and never sees the hazard, and a crash that
+    * exists only under codegen is the worst kind of divergence. Rows
+    * with a null matrix never reach the kernel either way (nullSafeEval
+    * / nullSafeCodeGen propagate), so the empty model is inert.
+    */
   @transient private lazy val model: Array[Array[Long]] = {
     require(mat.foldable, "graft_matvec_q: matrix argument must be foldable")
-    val m = mat.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val rows = Array.tabulate(m.numElements())(j => m.getArray(j).toLongArray())
-    require(rows.isEmpty || rows.forall(_.length == rows(0).length),
-      "graft_matvec_q: matrix rows must have uniform length")
-    rows
+    val raw = mat.eval()
+    if (raw == null) Array.empty
+    else {
+      val m = raw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val rows = Array.tabulate(m.numElements())(j => m.getArray(j).toLongArray())
+      require(rows.isEmpty || rows.forall(_.length == rows(0).length),
+        "graft_matvec_q: matrix rows must have uniform length")
+      rows
+    }
   }
   @transient private lazy val dim: Int =
     if (model.isEmpty) 0 else model(0).length
@@ -374,10 +386,18 @@ case class BloomContains(bloom: Expression, item: Expression)
   override def inputTypes = Seq(org.apache.spark.sql.types.BinaryType, StringType)
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
 
+  /** A foldable NULL bloom folds to an inert empty filter instead of
+    * NPE-ing in readFrom at codegen time (the MatVecQ null-model rule):
+    * rows never reach it — nullSafeCodeGen propagates the null bloom —
+    * but doGenCode forces this lazy while registering the reference
+    * object, before any row runs.
+    */
   @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter = {
     require(bloom.foldable, "graft_bloom_contains: bloom argument must be foldable")
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bloom.eval().asInstanceOf[Array[Byte]]))
+    val raw = bloom.eval()
+    if (raw == null) org.apache.spark.util.sketch.BloomFilter.create(1)
+    else org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(raw.asInstanceOf[Array[Byte]]))
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -29,10 +29,28 @@ object TopK {
     * physical shape, selected per-partition at runtime — instead of
     * throwing or OOMing. Same rows out on either path.
     */
-  def perKey(df: DataFrame, keys: Seq[String], orderCol: String,
+  def perKey(df0: DataFrame, keys: Seq[String], orderCol: String,
       tiebreakCol: String, k: Int,
       maxRetainedPerPartition: Long =
-        graft.plans.TopKPerKeyExec.DefaultMaxRetained): DataFrame = {
+        graft.plans.TopKPerKeyExec.DefaultMaxRetained,
+      maxRetainedBytesPerPartition: Long =
+        graft.plans.TopKPerKeyExec.DefaultMaxRetainedBytes): DataFrame = {
+    // float/double GROUP keys must normalize -0.0 → 0.0 first: the exec
+    // groups (and hash-partitions) by raw UnsafeProjection key bytes,
+    // and Spark's NormalizeFloatingNumbers rule only rewrites
+    // Aggregate/Window/Join keys — it never sees a custom node, so 0.0
+    // and -0.0 would silently split into two k-row groups where the
+    // Window formulation keeps one. (NaN is already normalized by the
+    // unsafe writer.)
+    val df = keys.foldLeft(df0) { (acc, kn) =>
+      acc.schema(kn).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          acc.withColumn(kn, when(col(kn) === 0.0, lit(0.0)
+            .cast(acc.schema(kn).dataType)).otherwise(col(kn)))
+        case _ => acc
+      }
+    }
     // sessions built by graft install the strategy via GraftExtensions
     // (injectPlannerStrategy → sessionState.planner, which
     // experimental.extraStrategies does NOT reflect — check the planner's
@@ -53,7 +71,8 @@ object TopK {
     val order = Seq(SortOrder(attr(orderCol), Descending),
       SortOrder(attr(tiebreakCol), Ascending))
     GraftSqlBridge.ofRows(df.sparkSession,
-      TopKPerKeyNode(k, keys.map(attr), order, lp, maxRetainedPerPartition))
+      TopKPerKeyNode(k, keys.map(attr), order, lp, maxRetainedPerPartition,
+        maxRetainedBytesPerPartition))
   }
 
   /** Native top-3 events per type by (value desc, event_id asc) — same

@@ -45,7 +45,8 @@ final case class TopKPerKeyNode(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     child: LogicalPlan,
-    maxRetainedPerPartition: Long = TopKPerKeyExec.DefaultMaxRetained)
+    maxRetainedPerPartition: Long = TopKPerKeyExec.DefaultMaxRetained,
+    maxRetainedBytesPerPartition: Long = TopKPerKeyExec.DefaultMaxRetainedBytes)
   extends UnaryNode {
   require(k > 0, "k must be positive")
   override def output: Seq[Attribute] = child.output
@@ -55,8 +56,9 @@ final case class TopKPerKeyNode(
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(k, keys, order, child, maxRetained) =>
-      TopKPerKeyExec(k, keys, order, planLater(child), maxRetained) :: Nil
+    case TopKPerKeyNode(k, keys, order, child, maxRetained, maxBytes) =>
+      TopKPerKeyExec(k, keys, order, planLater(child), maxRetained,
+        maxBytes) :: Nil
     case _ => Nil
   }
 }
@@ -67,6 +69,17 @@ object TopKPerKeyExec {
     * memory, far above any sane top-k working set.
     */
   val DefaultMaxRetained: Long = 8L * 1024 * 1024
+
+  /** Default retained-BYTE cap per partition. The row cap alone is not a
+    * memory rail: the buffered UnsafeRow copies live OUTSIDE the task
+    * memory manager, so 8M rows of kilobyte-wide documents is 8-32 GB of
+    * untracked heap — an executor OOM in the fast path the degrade
+    * contract promises never to hit. Bytes are tracked alongside rows
+    * (including the replace path, whose row count is constant but whose
+    * bytes can creep upward) and EITHER cap degrades the partition to
+    * the spill-capable sorter.
+    */
+  val DefaultMaxRetainedBytes: Long = 512L * 1024 * 1024
 }
 
 final case class TopKPerKeyExec(
@@ -74,7 +87,8 @@ final case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     child: SparkPlan,
-    maxRetainedPerPartition: Long = TopKPerKeyExec.DefaultMaxRetained)
+    maxRetainedPerPartition: Long = TopKPerKeyExec.DefaultMaxRetained,
+    maxRetainedBytesPerPartition: Long = TopKPerKeyExec.DefaultMaxRetainedBytes)
   extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -88,6 +102,7 @@ final case class TopKPerKeyExec(
     val sortOrder = order
     val limit = k
     val maxRetained = maxRetainedPerPartition
+    val maxRetainedBytes = maxRetainedBytesPerPartition
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(numKeys, childOutput)
       // identity projection instead of asInstanceOf[UnsafeRow]: when the
@@ -111,6 +126,7 @@ final case class TopKPerKeyExec(
       // on the replace path. Crossing it switches this partition to the
       // sort-based eviction path below — degrade, never throw/OOM
       var retained = 0L
+      var retainedBytes = 0L
       var overflow = false
       while (it.hasNext && !overflow) {
         val row = it.next()
@@ -123,15 +139,25 @@ final case class TopKPerKeyExec(
           case Some(h) => h
           case None =>
             val h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](rowOrd)
-            heaps.put(key.copy(), h) // the projection reuses its buffer: copy keys
+            val kc = key.copy() // the projection reuses its buffer: copy keys
+            retainedBytes += kc.getSizeInBytes
+            heaps.put(kc, h)
             h
         }
         if (heap.size < limit) {
           retained += 1
-          if (retained > maxRetained) overflow = true
+          retainedBytes += u.getSizeInBytes
+          if (retained > maxRetained || retainedBytes > maxRetainedBytes)
+            overflow = true
           heap += u.copy() // iterator reuses row buffers too
         }
-        else if (base.compare(u, heap.head) < 0) { heap.dequeue(); heap += u.copy() }
+        else if (base.compare(u, heap.head) < 0) {
+          // replace path: row count is constant but BYTES can creep when
+          // the replacement is wider than the evicted row
+          retainedBytes += u.getSizeInBytes - heap.dequeue().getSizeInBytes
+          if (retainedBytes > maxRetainedBytes) overflow = true
+          heap += u.copy()
+        }
       }
       if (!overflow)
         heaps.valuesIterator.flatMap(_.iterator.map(_.asInstanceOf[InternalRow]))
@@ -145,8 +171,9 @@ final case class TopKPerKeyExec(
         // heap-path rows. Constant sort prefix (comparisons fall through
         // to the full record comparator): correct, and this path is the
         // degraded lane — the heap path is where performance lives.
-        logWarning(s"TopKPerKeyExec: retained-row cap $maxRetained crossed " +
-          s"(k=$limit over ${heaps.size}+ keys); degrading this partition " +
+        logWarning(s"TopKPerKeyExec: retained cap crossed (rows " +
+          s"$retained/$maxRetained, bytes $retainedBytes/$maxRetainedBytes, " +
+          s"k=$limit over ${heaps.size}+ keys); degrading this partition " +
           "to sort-based eviction (spillable)")
         val fullOrder = numKeys.map(k => SortOrder(k, Ascending)) ++ sortOrder
         val ord = GenerateOrdering.generate(fullOrder, childOutput)

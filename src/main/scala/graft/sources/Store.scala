@@ -236,7 +236,18 @@ object Store {
     // filesystem errors must propagate: treating them as "no sink" would
     // append already-ingested keys and silently break idempotency
     val p = new org.apache.hadoop.fs.Path(path)
-    val sinkExists = p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // "exists" means COMMITTED DATA exists, not just the directory: a
+    // crashed first write leaves path/ (+_temporary) with zero data
+    // files, and a schemaless CSV read over that throws on schema
+    // inference — permanently wedging every retry of exactly the
+    // crash-recovery append this function exists to make idempotent.
+    // Filesystem ERRORS still propagate (treating them as "no sink"
+    // would append already-ingested keys and break idempotency).
+    val sinkExists = fs.exists(p) && fs.listStatus(p).exists { f =>
+      val n = f.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
     // CSV is header-named but POSITION-mapped when a schema is forced, and
     // appended files must keep the sink's column order: read the existing
     // header as-is, take just the key (cast to the batch's key type), and
@@ -302,6 +313,15 @@ object Store {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // fail LOUD on a Hive-partitioned layout (the writePartitioned
+    // shape): partition discovery would inline the partition columns as
+    // data and the flat compacted output would silently lose the layout
+    // and every downstream partition-pruned scan — compact partitions
+    // one directory at a time instead
+    require(!fs.listStatus(p).exists(f =>
+        f.isDirectory && f.getPath.getName.contains("=")),
+      s"$inPath is Hive-partitioned; compact each partition directory " +
+        "separately or the layout (and scan pruning) is silently lost")
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     s.read.parquet(inPath).coalesce(nFiles)

@@ -66,11 +66,26 @@ object IngestStream {
     * production ingest (spec pins all three behaviors: within-horizon
     * drop, normalization equivalence, beyond-horizon re-admission).
     */
-  def dedupeContent(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
-    docs
+  def dedupeContent(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    // reserved working column (the withSimhashFp/hashRank contract):
+    // silently overwriting a caller's content_hash is wrong data, not
+    // an error
+    require(!docs.columns.contains("content_hash"),
+      "dedupeContent reserves the content_hash column")
+    val keyed = docs
       .withColumn("content_hash", md5(graft.operators.Text.norm(col("text"))))
       .withWatermark("ts", watermark)
+    // a NULL content key (null text) has NO identity: the batch tier
+    // PASSES such documents (q_dedup_exact's null-hash group never joins
+    // a survivor set; Curation stage 1 passes them explicitly), but
+    // dropDuplicatesWithinWatermark keys NULL = NULL and would silently
+    // drop every null-text document after the first — the best-effort
+    // front must only ever drop a SUBSET of what the batch backstop
+    // drops, never rows batch keeps
+    keyed.filter(col("content_hash").isNotNull)
       .dropDuplicatesWithinWatermark("content_hash")
+      .unionByName(keyed.filter(col("content_hash").isNull))
+  }
 
   /** Streaming curation gate — the STATELESS per-document stages of the
     * batch curation funnel (quality floor → blocklist → eval holdout, in
@@ -538,6 +553,15 @@ object IngestStream {
     * 24 h abandoned-assignment reset stays a VIEW-side projection (same
     * rule as batch) because it is relative to read time, not arrival.
     */
+  /** Timestamp → exact epoch-µs — ONE spelling for every stateful op in
+    * this file (getTime carries ms; getNanos the sub-second, so the
+    * sub-ms remainder is (nanos/1000) % 1000). The batch twins read the
+    * same instant through the Spark ts column; a drift here is a drift
+    * between a row's batch and streaming event time.
+    */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
   def queueState(events: Dataset[Event]): Dataset[QueueItemState] = {
     import events.sparkSession.implicits._
     events
@@ -547,7 +571,7 @@ object IngestStream {
         (itemId: Long, it: Iterator[Event], state: GroupState[QueueItemState]) =>
           var cur = state.getOption
           it.foreach { e =>
-            val tUs = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+            val tUs = tsMicros(e.ts)
             val m = e.event_id % 5
             val status =
               if (m == 0) "assigned" else if (m == 1) "completed"
@@ -590,8 +614,8 @@ object IngestStream {
             // would need a timeout in the past (setTimeoutTimestamp throws)
             val wmUs = state.getCurrentWatermarkMs() * 1000
             // micro-batch arrivals are not ordered: sort within the batch
-            val ts = it.map(e => e.ts.getTime * 1000 +
-              (e.ts.getNanos / 1000) % 1000).filter(_ > wmUs).toArray.sorted
+            val ts = it.map(e => tsMicros(e.ts))
+              .filter(_ > wmUs).toArray.sorted
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             ts.foreach { t =>

@@ -180,6 +180,34 @@ class StoreSpec extends SparkSpec {
       "orc round-trip changed cell values")
   }
 
+  test("a crashed first write (directory, no data files) does not wedge the sink") {
+    import spark.implicits._
+    // a failed job leaves path/ with only _temporary: the next append
+    // must treat it as a FRESH sink — a schemaless CSV read over zero
+    // data files throws on schema inference and would wedge every retry
+    // of exactly the crash-recovery append this function exists for
+    val dir = java.nio.file.Files.createTempDirectory("graft_wedge").toString
+    val path = s"$dir/sink"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path, "_temporary"))
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(graft.sources.Store.appendDeduped(batch, path, "id", "csv") == 2L)
+    // and the sink works normally from then on
+    assert(graft.sources.Store.appendDeduped(batch, path, "id", "csv") == 0L)
+  }
+
+  test("compact refuses a Hive-partitioned layout instead of silently flattening it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpart").toString
+    graft.sources.Store.writePartitioned(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "day"), s"$dir/lake", Seq("day"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Store.compact(spark, s"$dir/lake", s"$dir/out")
+    }
+    assert(e.getMessage.contains("partition"),
+      "the guard must explain the pruning loss")
+  }
+
   test("dedupeByKey tolerates map-typed columns") {
     import spark.implicits._
     val df = Seq((1L, Map("a" -> 1)), (1L, Map("b" -> 2)), (2L, Map.empty[String, Int]))

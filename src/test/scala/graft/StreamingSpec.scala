@@ -441,6 +441,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 4, s"expected exactly 4 admitted rows: $texts")
   }
 
+  test("streaming content dedup: null-text documents pass through, never dedup against each other") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    // dropDuplicatesWithinWatermark keys NULL = NULL: without the
+    // null-key bypass the second null-text doc would be silently dropped
+    // — rows the batch tier PASSES (a null content key has no group).
+    // The best-effort front must only ever drop a subset of batch drops.
+    val out = runToCompletion(
+      IngestStream.dedupeContent(mem.toDF().toDF("ts", "text")),
+      "content_dedup_null", mem,
+      Seq(Seq((ts(1), null: String), (ts(2), null: String),
+        (ts(3), "real doc"))))
+    assert(out.length == 3,
+      s"null-text docs must not dedup against each other: ${out.length}")
+    assert(out.count(_.isNullAt(out.head.fieldIndex("text"))) == 2)
+  }
+
   test("streaming curation gate equals the batch funnel's stateless stages") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

@@ -112,6 +112,24 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(2).isNullAt(1), "null vec must yield null")
   }
 
+  test("foldable NULL model arguments: null result under codegen, no NPE") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // doGenCode forces the lazy model while registering the codegen
+    // reference object — BEFORE the per-row null check runs; a null
+    // literal must fold to an inert model, not NPE at plan-compile time
+    val rows = Seq(Tuple1("abc")).toDF("t")
+      .select(
+        call_function("graft_bloom_contains",
+          lit(null).cast("binary"), col("t")).as("b"),
+        call_function("graft_matvec_q",
+          lit(null).cast("array<array<bigint>>"),
+          typedlit(Array(1L, 2L))).as("m"))
+      .collect()
+    assert(rows(0).isNullAt(0), "null bloom must yield null, not crash")
+    assert(rows(0).isNullAt(1), "null matrix must yield null, not crash")
+  }
+
   test("identical texts share fingerprints") {
     val fp = TextOps.qFingerprint.run(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)

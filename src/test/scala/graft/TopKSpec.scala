@@ -103,6 +103,39 @@ class TopKSpec extends SparkSpec {
       .toSet == expect)
   }
 
+  test("wide rows cross the BYTE cap: sort-based fallback, identical rows") {
+    import spark.implicits._
+    // kilobyte-wide rows: the row cap alone would buffer gigabytes of
+    // untracked UnsafeRow copies before tripping — the byte rail is the
+    // real memory contract for document-carrying frames
+    val pad = "x" * 1024
+    val df = (1L to 2000L).map(i => (i, s"key${i % 200}", i.toDouble, pad))
+      .toDF("event_id", "event_type", "value", "payload").repartition(2)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    val expect = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = TopK.perKey(df, Seq("event_type"), "value", "event_id", 3,
+      maxRetainedBytesPerPartition = 64L * 1024) // ~64 rows' worth
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expect, "byte-cap fallback diverged from window form")
+  }
+
+  test("float group keys: -0.0 and 0.0 land in ONE group, like the window form") {
+    import spark.implicits._
+    // the exec groups by raw key bytes and NormalizeFloatingNumbers never
+    // rewrites a custom node — the wrapper must normalize -0.0 itself
+    val df = Seq((1L, 0.0, 10.0), (2L, -0.0, 20.0), (3L, -0.0, 30.0),
+      (4L, 1.5, 40.0))
+      .toDF("event_id", "score_key", "value")
+    val got = TopK.perKey(df, Seq("score_key"), "value", "event_id", 2)
+      .collect().map(_.getLong(0)).toSet
+    // one zero-group of k=2 (ids 3, 2 by value desc) + the 1.5 group
+    assert(got == Set(2L, 3L, 4L),
+      s"-0.0 split the zero key into two groups: kept $got")
+  }
+
   test("large k over sparse keys does not trip the cap spuriously") {
     import spark.implicits._
     // k=5000 but every key holds ONE row: actual retained = 2000 rows,
