@@ -59,6 +59,17 @@ object Tables {
   /** The per-generation `ts` dispatch of [[events]], shared with the
     * streaming file-source path (which reads the same parquet through
     * `readStream` and must apply the identical normalization).
+    *
+    * Documented TIMESTAMP DOMAIN contract (cross-engine date strings):
+    * operators that emit formatted dates (q_daily_stats, q_global_stats,
+    * q_rollup_events, q_coverage_gaps, ...) pair Spark's
+    * date_format('yyyy-MM-dd') with DuckDB's strftime('%Y-%m-%d'),
+    * which agree for years 1–9999 (both zero-pad below 1000 — verified)
+    * but DIVERGE outside: Java's EXCEEDS_PAD prints '+10000-…' for year
+    * ≥ 10000 and 'yyyy' is year-of-era for pre-AD-1. A lake with
+    * corrupt far-out timestamps should gate them at ingest
+    * (q_quality_metrics' ts-bounds rule is the place); within the
+    * documented domain the string cells are identical.
     */
   def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {

@@ -116,8 +116,12 @@ object Labeling {
   private def tiers(s: org.apache.spark.sql.SparkSession, d: String) = {
     val pool = Tables.events(s, d)
       .filter(col("event_id") % 7 =!= 0)
-      .withColumn("k",
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      // try_cast, matching the oracle's TRY_CAST: a payload without a
+      // "k" field regexp-extracts '' and a plain ANSI cast would CRASH
+      // the job where DuckDB quietly yields NULL (an over-INT k likewise
+      // overflows vs NULLs — same crash-vs-clean divergence)
+      .withColumn("k", expr(
+        """try_cast(regexp_extract(props, '"k": (\\d+)', 1) AS INT)"""))
     val out = Seq(col("event_id"), col("event_type"), col("value"))
     // The three value strata are DISJOINT, so tiers 1-3 ride ONE scan:
     // tier CASE + a per-tier sort key whose (DESC, event_id ASC) heap
@@ -438,9 +442,16 @@ object Labeling {
       s"hashRank reserves columns $reserved")
     val withH = df.withColumn("__hr_h", h)
       .withColumn("__hr_blk", substring(col("__hr_h"), 1, 2))
-    val wLoc = Window.partitionBy(part, "__hr_blk").orderBy("__hr_h", id)
+    // nulls LAST explicitly: the oracle's single row_number window ranks
+    // a NULL hash last (DuckDB default) while Spark asc is nulls FIRST —
+    // and since the null block's count feeds every real block's offset,
+    // one NULL id would shift every rank in its class by one, moving
+    // boundary docs across the 80/10/10 split cuts
+    val wLoc = Window.partitionBy(part, "__hr_blk")
+      .orderBy(col("__hr_h").asc_nulls_last, col(id).asc_nulls_last)
     val local = withH.withColumn("__hr_rnl", row_number().over(wLoc))
-    val wOff = Window.partitionBy(part).orderBy("__hr_blk")
+    val wOff = Window.partitionBy(part)
+      .orderBy(col("__hr_blk").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = withH.groupBy(part, "__hr_blk").agg(count(lit(1)).as("__hr_c"))
       .withColumn("__hr_off", coalesce(sum("__hr_c").over(wOff), lit(0L)))
@@ -633,7 +644,11 @@ object Labeling {
     //                    n_r−1 pairs), and s = Σ_l occ_l².
     // Identical results to the oracle's pair-join form (hash-verified),
     // without materializing the quadratic pair set.
-    val cnts = annotations(s, d)
+    // a NULL annotator (NULL user_id) is NOT a participant: the
+    // oracle's pair join (a1.annotator < a2.annotator) never pairs a
+    // NULL, while the closed form would count its vote in n/occ —
+    // filter here so both engines agree the vote never existed
+    val cnts = annotations(s, d).filter(col("annotator").isNotNull)
       .groupBy("review_id", "label").agg(count(lit(1)).as("c"))
       .withColumn("n", sum("c").over(Window.partitionBy("review_id")))
     val m = cnts

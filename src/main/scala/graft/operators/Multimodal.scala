@@ -43,13 +43,17 @@ object Multimodal {
       col("doc_id").as("assetId"),
       col("source"),
       struct(
-        element_at(lit(Array("png", "jpg", "wav")), (col("doc_id") % 3 + 1).cast("int"))
+        // pmod, not %: a negative doc_id makes % yield -1 and
+        // element_at(0) THROWS where the oracle's CASE ... ELSE cleanly
+        // falls through (nothing in the schema forbids negative ids)
+        element_at(lit(Array("png", "jpg", "wav")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
           .as("fmt"),
-        when(col("doc_id") % 3 < 2, (col("doc_id") % 640 + 1).cast("int"))
+        when(pmod(col("doc_id"), lit(3)) < 2, (pmod(col("doc_id"), lit(640)) + 1).cast("int"))
           .otherwise(-1).as("width"),
-        when(col("doc_id") % 3 < 2, (col("doc_id") % 480 + 1).cast("int"))
+        when(pmod(col("doc_id"), lit(3)) < 2, (pmod(col("doc_id"), lit(480)) + 1).cast("int"))
           .otherwise(-1).as("height"),
-        when(col("doc_id") % 3 === 2, 16000).otherwise(-1).as("sampleRate"))
+        when(pmod(col("doc_id"), lit(3)) === 2, 16000).otherwise(-1).as("sampleRate"))
         .as("meta"),
       // a missing payload is an empty asset, never a null pointer
       coalesce(col("text").cast("binary"), lit(Array.emptyByteArray))
@@ -259,7 +263,7 @@ object Multimodal {
   val qBinaryMeta: Q = Q(
     "q_binary_meta",
     """SELECT source,
-      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
+      |  CASE (doc_id % 3 + 3) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
       |  COUNT(*) AS n_assets,
       |  CAST(SUM(COALESCE(strlen(text), 0)) AS BIGINT) AS total_bytes,
       |  CAST(MAX(COALESCE(strlen(text), 0)) AS BIGINT) AS max_bytes
@@ -284,7 +288,7 @@ object Multimodal {
     // the batched mapPartitions decode is not SQL-expressible, but the
     // stub's nBytes is the payload length and fmt is doc_id-derived — so
     // the rollup hash-checks the full binary→batch→decode→aggregate path
-    """SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+    """SELECT CASE (doc_id % 3 + 3) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
       |    ELSE 'wav' END AS fmt,
       |  COUNT(*) AS n,
       |  CAST(SUM(strlen(COALESCE(text, ''))) AS BIGINT) AS total_bytes

@@ -464,11 +464,16 @@ object Profiling {
     */
   val qQualityFlags: Q = Q(
     "q_quality_flags",
-    """SELECT COUNT(*) AS total_docs,
+    raw"""SELECT COUNT(*) AS total_docs,
       |  CAST(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_cnt,
-      |  CAST(SUM(CASE WHEN trim(text) <> '' AND len(string_split_regex(trim(text), '[ \t\n\r\f]+')) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS single_word_cnt,
-      |  CAST(SUM(CASE WHEN trim(text) <> '' AND len(string_split_regex(trim(text), '[ \t\n\r\f]+')) BETWEEN 2 AND 3 THEN 1 ELSE 0 END) AS BIGINT) AS two_three_word_cnt,
-      |  CAST(SUM(CASE WHEN length(text) > 5 AND upper(text) = text AND lower(text) <> text THEN 1 ELSE 0 END) AS BIGINT) AS all_caps_cnt,
+      |  CAST(SUM(CASE WHEN trim(text) <> '' AND ($wordCountSql) = 1
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS single_word_cnt,
+      |  CAST(SUM(CASE WHEN trim(text) <> '' AND ($wordCountSql) BETWEEN 2 AND 3
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS two_three_word_cnt,
+      |  CAST(SUM(CASE WHEN length(text) > 5
+      |    AND ${Text.asciiUpperSql("text")} = text
+      |    AND ${Text.asciiLowerSql("text")} <> text
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS all_caps_cnt,
       |  CAST(SUM(CASE WHEN text <> '' AND NOT regexp_matches(text, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS no_latin_cnt,
       |  CAST(SUM(CASE WHEN length(text) > 5 AND length(regexp_replace(text, '[^!?.,:;]', '', 'g')) * 1.0 / length(text) > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS punct_heavy_cnt,
       |  CAST(SUM(CASE WHEN regexp_matches(text, 'https?://|www\.') THEN 1 ELSE 0 END) AS BIGINT) AS url_cnt
@@ -481,7 +486,12 @@ object Profiling {
       sum(when(trim(t) === "", 1).otherwise(0)).as("empty_cnt"),
       sum(when(trim(t) =!= "" && wc === 1, 1).otherwise(0)).as("single_word_cnt"),
       sum(when(trim(t) =!= "" && wc.between(2, 3), 1).otherwise(0)).as("two_three_word_cnt"),
-      sum(when(length(t) > 5 && upper(t) === t && lower(t) =!= t, 1).otherwise(0)).as("all_caps_cnt"),
+      // ASCII-letter case test by contract (Text.asciiUpper): Spark's
+      // upper() is ICU FULL mapping while DuckDB's is utf8proc SIMPLE —
+      // a ﬁ-ligature (full-maps to FI, simple-maps to itself) flips the
+      // upper(t)=t test between engines
+      sum(when(length(t) > 5 && Text.asciiUpper(t) === t &&
+        Text.asciiLower(t) =!= t, 1).otherwise(0)).as("all_caps_cnt"),
       sum(when(t =!= "" && !t.rlike("[a-zA-Z]"), 1).otherwise(0)).as("no_latin_cnt"),
       sum(when(length(t) > 5 &&
         length(regexp_replace(t, "[^!?.,:;]", "")) * lit(1.0) / length(t) > 0.3, 1).otherwise(0))
@@ -568,7 +578,7 @@ object Profiling {
     */
   val qEncodingIssues: Q = Q(
     "q_encoding_issues",
-    s"""SELECT COUNT(*) AS total_docs,
+    raw"""SELECT COUNT(*) AS total_docs,
        |  CAST(SUM(CASE WHEN strlen(text) > length(text)
        |       THEN 1 ELSE 0 END) AS BIGINT) AS non_ascii_docs,
        |  ${exactDivSql("100 * SUM(CASE WHEN strlen(text) > length(text) THEN 1 ELSE 0 END)",

@@ -55,13 +55,13 @@ object Relational {
       |       date_trunc('microseconds', ts) AS ts, value
       |FROM events
       |WHERE event_type = 'purchase' AND value >= 100
-      |ORDER BY date_trunc('microseconds', ts) DESC, event_id
+      |ORDER BY date_trunc('microseconds', ts) DESC, event_id NULLS LAST
       |LIMIT 100""".stripMargin
   ) { (s, d) =>
     Tables.events(s, d)
       .filter(col("event_type") === "purchase" && col("value") >= 100)
       .select("event_id", "user_id", "event_type", "ts", "value")
-      .orderBy(col("ts").desc, col("event_id"))
+      .orderBy(col("ts").desc, col("event_id").asc_nulls_last)
       .limit(100)
   }
 
@@ -77,13 +77,13 @@ object Relational {
       |       date_trunc('microseconds', ts) AS ts, value
       |FROM events
       |WHERE event_type = 'purchase' AND value >= 100
-      |ORDER BY date_trunc('microseconds', ts) DESC, event_id
+      |ORDER BY date_trunc('microseconds', ts) DESC, event_id NULLS LAST
       |LIMIT 100 OFFSET 100""".stripMargin
   ) { (s, d) =>
     Tables.events(s, d)
       .filter(col("event_type") === "purchase" && col("value") >= 100)
       .select("event_id", "user_id", "event_type", "ts", "value")
-      .orderBy(col("ts").desc, col("event_id"))
+      .orderBy(col("ts").desc, col("event_id").asc_nulls_last)
       .offset(100).limit(100)
   }
 

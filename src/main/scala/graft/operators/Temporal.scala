@@ -32,37 +32,54 @@ object Temporal {
   /** As-of join: every non-purchase event annotated with the user's most
     * recent prior-or-equal 'purchase' (id, value, µs-lag); NULLs when no
     * prior purchase exists. Spark has no native ASOF join — the scalable
-    * form is conditional tagging + a running `last(..., ignoreNulls)`
-    * window over the event stream itself: one shuffle on the key, state
-    * bounded by the window frame, no self-join. (user_id, ts) is unique in
-    * the lake, so ordering by tus alone is deterministic; event_id breaks
-    * hypothetical ties for safety.
+    * form is conditional tagging + a running MAX over a RANGE frame on
+    * the event stream itself: one shuffle on the key, state bounded by
+    * the frame, no self-join. The match is a struct max ordered
+    * (p_tus, p_id, p_value) — a TOTAL order both engines share, so:
+    * (a) a purchase at the SAME microsecond as the event matches (the
+    * ASOF ≥ semantics — a ROWS frame ordered by (tus, id) silently
+    * excluded an equal-tus purchase with a larger id); (b) two purchases
+    * tied on tus resolve to the larger id deterministically in BOTH
+    * engines (a bare ASOF JOIN leaves duplicate-tus resolution
+    * engine-arbitrary); (c) a NULL-ts purchase never matches anything
+    * (it is excluded from the tagging — Spark's nulls-FIRST window
+    * ordering would otherwise propagate it as "most recent" to every
+    * event while DuckDB's ≥ NULL never matches), and a NULL-ts EVENT
+    * reports NULL purchase columns.
     */
   val qAsofJoin: Q = Q(
     "q_asof_join",
     s"""WITH $evSql,
-       |p AS (SELECT user_id, tus AS p_tus, event_id AS p_id, value AS p_value
-       |      FROM e WHERE event_type = 'purchase')
-       |SELECT e.event_id, e.user_id, e.event_type, e.tus,
-       |  p.p_id AS purchase_id, p.p_value AS purchase_value,
-       |  e.tus - p.p_tus AS us_since_purchase
-       |FROM e ASOF LEFT JOIN p
-       |  ON e.user_id = p.user_id AND e.tus >= p.p_tus
-       |WHERE e.event_type <> 'purchase'
+       |a AS (
+       |  SELECT event_id, user_id, event_type, tus,
+       |    MAX(CASE WHEN event_type = 'purchase' AND tus IS NOT NULL
+       |        THEN {'p_tus': tus, 'p_id': event_id, 'p_value': value} END)
+       |      OVER (PARTITION BY user_id ORDER BY tus
+       |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS best
+       |  FROM e)
+       |SELECT event_id, user_id, event_type, tus,
+       |  CASE WHEN tus IS NOT NULL THEN best.p_id END AS purchase_id,
+       |  CASE WHEN tus IS NOT NULL THEN best.p_value END AS purchase_value,
+       |  CASE WHEN tus IS NOT NULL THEN tus - best.p_tus END
+       |    AS us_since_purchase
+       |FROM a WHERE event_type <> 'purchase'
        |ORDER BY event_id""".stripMargin
   ) { (s, d) =>
-    val isP = col("event_type") === "purchase"
-    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isP = col("event_type") === "purchase" && col("tus").isNotNull
+    val w = Window.partitionBy("user_id").orderBy("tus")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val tusOk = col("tus").isNotNull
     ev(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("tus"),
-        when(isP, col("event_id")).as("p_id"),
-        when(isP, col("value")).as("p_value"),
-        when(isP, col("tus")).as("p_tus"))
+        when(isP, struct(col("tus").as("p_tus"), col("event_id").as("p_id"),
+          col("value").as("p_value"))).as("p"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("tus"),
-        last(col("p_id"), ignoreNulls = true).over(w).as("purchase_id"),
-        last(col("p_value"), ignoreNulls = true).over(w).as("purchase_value"),
-        (col("tus") - last(col("p_tus"), ignoreNulls = true).over(w))
+        max(col("p")).over(w).as("best"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("tus"),
+        when(tusOk, col("best").getField("p_id")).as("purchase_id"),
+        when(tusOk, col("best").getField("p_value")).as("purchase_value"),
+        when(tusOk, col("tus") - col("best").getField("p_tus"))
           .as("us_since_purchase"))
       .filter(col("event_type") =!= "purchase")
       .orderBy("event_id")
@@ -173,10 +190,15 @@ object Temporal {
        |  LEAD(tus) OVER w AS valid_to_us,
        |  LEAD(tus) OVER w IS NULL AS is_current
        |FROM e
-       |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+       |WINDOW w AS (PARTITION BY user_id
+       |             ORDER BY tus NULLS LAST, event_id NULLS LAST)
        |ORDER BY user_id, version""".stripMargin
   ) { (s, d) =>
-    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    // nulls LAST on both sides: Spark asc defaults nulls FIRST, DuckDB
+    // LAST — a NULL-ts event would otherwise shift every version number
+    // of its key and flip which row is current
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus").asc_nulls_last, col("event_id").asc_nulls_last)
     ev(s, d)
       .select(col("user_id"),
         row_number().over(w).cast("long").as("version"),

@@ -41,6 +41,19 @@ private[graft] object Text {
     * the whitespace and case-fold classes cannot drift between the
     * engines' sides.
     */
+  /** ASCII-only case maps (Column + SQL) — the [[norm]] contract's
+    * building blocks, exported for flags that compare a string against
+    * its own case-fold (q_quality_flags' all-caps test: full-vs-simple
+    * Unicode mappings diverge per engine on ﬁ/ß/ΐ-class characters, so
+    * the cross-engine-exact test is ASCII-letter-only by contract).
+    */
+  def asciiUpper(c: Column): Column = translate(c, AsciiLower, AsciiUpper)
+  def asciiLower(c: Column): Column = translate(c, AsciiUpper, AsciiLower)
+  def asciiUpperSql(e: String): String =
+    s"translate($e, '$AsciiLower', '$AsciiUpper')"
+  def asciiLowerSql(e: String): String =
+    s"translate($e, '$AsciiUpper', '$AsciiLower')"
+
   def normSqlOf(expr: String): String =
     s"regexp_replace(translate(trim($expr), '$AsciiUpper', '$AsciiLower'), " +
       "'[ \\t\\n\\r\\f]+', ' ', 'g')"
