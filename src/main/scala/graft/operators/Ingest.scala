@@ -717,6 +717,103 @@ object Ingest {
       .limit(10)
   }
 
+  /** Row-grain scrape provenance (db_manager.log_review_scrape_bulk:488 +
+    * review_scrape_log, schema.sql:111 — the (review_id × run_id) junction
+    * the reference keeps so "which run first brought this row" is a read,
+    * not a recompute; the last reference table without a dedicated
+    * operator, r6 verdict item 4). The lake modeling: a review identity is
+    * the stable (user, app) pair — the ledger family's app = event_type
+    * convention — each event row is one scrape OBSERVATION of that review,
+    * and run = ingest day (the qRunDeltas/qRunLedger grain). The log is
+    * then the DISTINCT (review, run) set (INSERT OR IGNORE on the
+    * composite PK ≙ distinct), and this operator is its row-grain
+    * provenance read: first_run_id per review via ONE keyed min-aggregate,
+    * plus the re-scrape footprint (n_runs, n_observations) the log exists
+    * to answer.
+    *
+    * Scale shape: one map-side-combinable aggregate at review grain —
+    * count(DISTINCT day) carries days as a partial set at ≤30 values per
+    * key here and bounded by the run count generally (Spark expands it to
+    * a two-level aggregate, no join, no window).
+    */
+  val qScrapeProvenance: Q = Q(
+    "q_scrape_provenance",
+    """SELECT user_id, event_type AS app_id,
+      |  MIN(strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS first_run_id,
+      |  MAX(strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS last_run_id,
+      |  CAST(COUNT(DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS BIGINT)
+      |    AS n_runs,
+      |  COUNT(*) AS n_observations
+      |FROM events GROUP BY 1, 2 ORDER BY user_id, app_id""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("app_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("run_id"))
+      .groupBy("user_id", "app_id")
+      .agg(
+        min(col("run_id")).as("first_run_id"),
+        max(col("run_id")).as("last_run_id"),
+        countDistinct(col("run_id")).as("n_runs"),
+        count(lit(1)).as("n_observations"))
+      .orderBy("user_id", "app_id")
+  }
+
+  /** Per-run novelty READ FROM the scrape log (monitor.py:557 reads
+    * review_scrape_log per run; the backfill path reconstructs run results
+    * from it) — the run-grain companion of [[qScrapeProvenance]]: for each
+    * run, how many distinct reviews it observed, how many it was the FIRST
+    * to bring (novel — the rows q_incremental_ingest would actually
+    * insert), how many were re-scrapes of earlier runs' reviews, and the
+    * run's re-scrape rate. Derived from the log itself (distinct
+    * (review, run) pairs + the keyed first-run min), not recomputed from
+    * raw counts — the provenance-table discipline the reference table
+    * exists for; the spec reconciles Σ novel = |review space| and the
+    * per-run split against an independent recompute.
+    *
+    * Scale shape: distinct at (review, run) grain, a keyed min window at
+    * review grain (no self-join), then one run-grain aggregate — all
+    * shuffles on narrow rows, output O(#runs).
+    */
+  val qRunNovelty: Q = Q(
+    "q_run_novelty",
+    s"""WITH log AS (
+       |  SELECT DISTINCT user_id, event_type,
+       |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS run_id
+       |  FROM events),
+       |fs AS (
+       |  SELECT user_id, event_type, run_id,
+       |    MIN(run_id) OVER (PARTITION BY user_id, event_type) AS first_run
+       |  FROM log)
+       |SELECT run_id,
+       |  COUNT(*) AS reviews_seen,
+       |  CAST(SUM(CASE WHEN run_id = first_run THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS novel,
+       |  CAST(SUM(CASE WHEN run_id = first_run THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS rescraped,
+       |  ${exactDivSql("SUM(CASE WHEN run_id = first_run THEN 0 ELSE 1 END)",
+          "COUNT(*)", 4)} AS rescrape_rate
+       |FROM fs GROUP BY 1 ORDER BY run_id""".stripMargin
+  ) { (s, d) =>
+    val log = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("run_id"))
+      .distinct()
+    // keyed min window (partitioned by the review key — scales with the
+    // key space, never a global sort); novel ⇔ this run IS the first
+    val first = min(col("run_id")).over(
+      Window.partitionBy("user_id", "event_type"))
+    log.withColumn("novel_flag",
+        when(col("run_id") === first, 1L).otherwise(0L))
+      .groupBy("run_id")
+      .agg(
+        count(lit(1)).as("reviews_seen"),
+        sum(col("novel_flag")).as("novel"),
+        (count(lit(1)) - sum(col("novel_flag"))).as("rescraped"),
+        exactDiv(count(lit(1)) - sum(col("novel_flag")), count(lit(1)), 4)
+          .as("rescrape_rate"))
+      .orderBy("run_id")
+  }
+
   /** Per-(run, app) health breakdown (monitor._build_app_health:395 — the
     * table an operator scans when one app's scraper breaks): for every
     * (run_id, app) cell, fetched/skipped/inserted counts, error count,
@@ -1380,5 +1477,6 @@ object Ingest {
     qIncrementalIngest, qIngestMetrics, qRunDeltas, qAnomalyZscore,
     qQualityMetrics, qRunDrift, qWindowedCounts, qSessionize, qPropsExtract, qPropsSchema, qDbGrowth,
     qRetention, qFunnel, qSessionStats, qRunLedger, qRunHistory,
+    qScrapeProvenance, qRunNovelty,
     qSessionLedger, qReportSessions, qAppHealth, qAlerts, qCoverageGaps)
 }

@@ -1824,6 +1824,18 @@ object Similarity {
     if (knnGeometryIsClustered(s, d)) qKnnJoinIvf.run(s, d)
     else qKnnJoin.run(s, d)
 
+  /** [[knnGraph]] as a REGISTERED query (rows-only) — r6 verdict item 3:
+    * the dispatcher was executable but lived outside `SparkEntry.queries`,
+    * so Verify/Bench never exercised the route decision ("measure, don't
+    * guess" applies to the probe itself). Registering it runs the linear
+    * geometry probe + the routed path under the driver's own harness; on
+    * the near-isotropic driver corpus it must route to the collision-count
+    * path (gap ≈ 0.16 < 0.25 margin), so its rows equal [[qKnnJoin]]'s —
+    * the spec pins BOTH the route and that row identity, and the clustered
+    * route is pinned by the dispatch spec on the 200-cluster corpus.
+    */
+  val qKnnGraph: Q = Q.rowsOnly("q_knn_graph")(knnGraph)
+
   private[graft] def knnGeometryIsClustered(s: SparkSession, d: String): Boolean = {
     val (top5, p90, _) = knnGeometryStats(s, d)
     top5 - p90 > KnnClusteredMargin
@@ -2306,6 +2318,7 @@ object Similarity {
     qNgramContainment,
     qNgramJaccard, qShingleDfProfile, qDedupMinhash, qDedupSimhash, qEmbedNeardup,
     qCosineTopk, qAnnLsh, qAnnIvf, qAnnPq, qAnnHealth, qEmbedClusters, qKnnJoin, qKnnJoinIvf,
+    qKnnGraph,
     qDedupClusters, qNeardupCrossSource, qDedupSurvivors, qDedupSurvivorsBest, qDedupWeights,
     qLabelCentroids, qDecontaminateSemantic, qLabelPropagate,
     qDiverseSample)

@@ -12,6 +12,40 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("scrape provenance: log reads reconcile with an independent recompute") {
+    import org.apache.spark.sql.functions._
+    // the provenance pair (q_scrape_provenance row grain, q_run_novelty
+    // run grain) must tell ONE story: every review is novel in exactly its
+    // first_run_id, so Σ novel over runs = |review space|, each run's
+    // reviews_seen = novel + rescraped, and the per-run novel counts READ
+    // from the log equal a from-scratch recompute that never builds the
+    // log (group first_run_id at row grain) — the reconciliation the r6
+    // verdict asked for against the incremental-ingest keep-first outcome
+    val prov = Ingest.qScrapeProvenance.run(spark, sfDir).collect()
+    val novelty = Ingest.qRunNovelty.run(spark, sfDir).collect()
+    val nReviews = prov.length
+    assert(nReviews > 0)
+    val novelByRun = novelty.map(r =>
+      r.getAs[String]("run_id") -> r.getAs[Long]("novel")).toMap
+    assert(novelByRun.values.sum == nReviews,
+      "sum of per-run novel counts must cover the review space exactly once")
+    novelty.foreach { r =>
+      assert(r.getAs[Long]("reviews_seen") ==
+        r.getAs[Long]("novel") + r.getAs[Long]("rescraped"),
+        s"run ${r.getAs[String]("run_id")}: seen != novel + rescraped")
+    }
+    // independent recompute of novel-per-run from the row-grain read
+    val recomputed = prov.groupBy(_.getAs[String]("first_run_id"))
+      .view.mapValues(_.length.toLong).toMap
+    assert(recomputed == novelByRun.filter(_._2 > 0),
+      "log-derived novel counts diverge from the first-run recompute")
+    // a review observed in exactly one run has first = last and no
+    // re-scrape contribution; multi-run reviews contribute n_runs - 1
+    val expectedRescrapes = prov.map(_.getAs[Long]("n_runs") - 1).sum
+    assert(novelty.map(_.getAs[Long]("rescraped")).sum == expectedRescrapes,
+      "total re-scrapes must equal sum over reviews of (n_runs - 1)")
+  }
+
   test("app health: error beats stale beats ok; counts reconcile") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -215,7 +215,9 @@ class SimilaritySpec extends SparkSpec {
     info(f"geometry probe (driver corpus): top5=$t5%.3f bulkP90=$p90%.3f bulkP50=$p50%.3f")
     assert(!Similarity.knnGeometryIsClustered(spark, sfDir),
       f"probe misread the near-isotropic corpus (gap ${t5 - p90}%.3f)")
-    val viaDispatch = Similarity.knnGraph(spark, sfDir).collect()
+    // drive through the REGISTERED entry (r6 verdict item 3): the same
+    // dispatch the driver's Verify/Bench now execute, not a direct call
+    val viaDispatch = SparkEntry.queries("q_knn_graph")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
         r.getAs[Long]("neighbor_id"))).toSet
     val direct = Similarity.qKnnJoin.run(spark, sfDir).collect()
