@@ -102,6 +102,14 @@ object Bench {
         (name, sorted.head, sorted(Runs / 2)) // min, median
       }
     }
+
+    // ---- streaming sink throughput (r6 verdict item 5): rows/s per sink
+    // over N micro-batches at the bench SF — the sinks were spec-timed
+    // only; this publishes the numbers next to the batch entries. Each
+    // sink gets a FRESH MemoryStream + stores; input is the real bench
+    // corpus (documents for the ingest fronts, events for the monitors),
+    // split into 4 triggers so per-trigger store costs are in the number.
+    val streams: Seq[(String, Long, Double)] = benchStreams(spark, sfDir)
     // 3-decimal timings: sub-ms resolution is noise, and a short line is
     // robust — r2's raw-double line was long enough that the driver's
     // capture truncated it ("parsed": null)
@@ -124,8 +132,13 @@ object Bench {
     // the HEAD of a long line is what gets truncated (BENCH_r03 lost its
     // total/failed exactly this way, two rounds running): detail first,
     // then the queries map, summary fields LAST
+    val streamJson = streams
+      .map { case (k, rows, sec) =>
+        val rps = if (sec > 0) (rows / sec).round else -1L
+        s"\"" + k + s"\":{\"rows\":$rows,\"sec\":${f3(sec)},\"rows_per_sec\":$rps}"
+      }.mkString("{", ",", "}")
     val json =
-      s"""{"detail":$detail,"runs":$Runs,"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","failed":$failed,"value":${f3(total)}}"""
+      s"""{"detail":$detail,"runs":$Runs,"queries":$qs,"stream":$streamJson,"sf":"$sfDir","metric":"total","unit":"sec","failed":$failed,"value":${f3(total)}}"""
     val summary =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"sf":"$sfDir"}"""
     // belt and braces for the driver handoff: the line on stdout (the
@@ -134,22 +147,135 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), json)
     catch { case _: Exception => () }
     println(json)
-    // tail-survivability (r5 verdict finding 4): the driver keeps a
-    // byte-bounded TAIL of stdout, so the head of the long line above is
-    // what truncates — BENCH_r05 lost per-query numbers for the early
-    // alphabet. Re-emit the headline minima split across two SHORT
-    // self-contained lines (builds + a-m, then n-z) placed near the end:
-    // any tail window that held ~one long line holds both parts + the
-    // summary intact, so every query's number survives the capture.
-    val (amPart, nzPart) = results.partition(_._1.stripPrefix("q_") < "n")
+    // tail-survivability (r5 verdict finding 4, resized per the r6 ask):
+    // the driver keeps the LAST 2000 bytes of stdout, so the head of the
+    // long line above truncates first. The 150+-entry registry no longer
+    // fits the window even split in parts (~3.3 KB named), so two layers
+    // ride the tail:
+    //  - FOUR named part lines (~35 entries / ~800 B each) — the last
+    //    one-or-two survive any plausible window with names attached;
+    //  - ONE compact values-only line (~1 KB) carrying EVERY entry's
+    //    minimum in a documented order (builds in emitted order, then
+    //    queries alphabetically — exactly this file's `builds ++ sorted
+    //    results`), with an order checksum (first 8 hex of SHA-1 of the
+    //    comma-joined names) so a decoder can verify its name list;
+    //  - the summary line LAST, tiny and self-contained.
+    // Tail arithmetic: summary (~110 B) + compact (~1 KB) + stream line
+    // (~500 B) fit 2000 B together, so every query number AND the
+    // streaming section survive the capture; the named parts above them
+    // serve wider captures (journald, /tmp/bench.json keeps everything).
+    val ordered = builds ++ results.map { case (k, mn, _) => (k, mn) }
     def partLine(idx: Int, entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
         .mkString(s"""{"detail_part":$idx,"entries":{""", ",", "}}")
-    println(partLine(1, builds ++ amPart.map { case (k, mn, _) => (k, mn) }))
-    println(partLine(2, nzPart.map { case (k, mn, _) => (k, mn) }))
+    val nParts = 4
+    val chunk = (ordered.size + nParts - 1) / nParts
+    ordered.grouped(chunk).zipWithIndex
+      .foreach { case (es, i) => println(partLine(i + 1, es)) }
+    println(s"""{"stream":$streamJson}""")
+    val orderSha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(ordered.map(_._1).mkString(",").getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    println(s"""{"detail_compact":{"order":"builds_then_queries_alpha","n":${ordered.size},"names_sha1":"$orderSha","v":[${ordered.map(e => f3(e._2)).mkString(",")}]}}""")
     // a tiny, complete JSON line printed LAST: whatever tail the driver
     // keeps, this line survives intact and parses on its own
     println(summary)
     spark.stop()
+  }
+
+  /** Streaming-sink throughput entries: (name, input rows, elapsed sec).
+    * Every sink is driven by a fresh MemoryStream over the bench corpus in
+    * 4 micro-batches (documents for the ingest fronts, events for the
+    * monitor loops, with a far-future sentinel so the windowed sinks
+    * close and LAND their runs — the store appends are the cost being
+    * measured). Failures report -1 sec like batch entries.
+    */
+  private def benchStreams(spark: SparkSession, sfDir: String)
+      : Seq[(String, Long, Double)] = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.streaming.{Event, IngestStream}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docRows = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        new java.sql.Timestamp(r.getAs[Long]("doc_id") * 60000L),
+        r.getAs[String]("text")))
+      .sortBy(_._1)
+    val evRows = IngestStream.fromRaw(Tables.events(spark, sfDir))
+      .collect().sortBy(_.ts.getTime)
+    val evSentinel = Event(Long.MaxValue - 1,
+      java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), 0L, "sentinel", 0.0)
+
+    def tmp(n: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft_bs_$n").toString
+    def quarters[T](xs: Seq[T]): Seq[Seq[T]] = {
+      val c = math.max(1, (xs.size + 3) / 4)
+      xs.grouped(c).toSeq
+    }
+    /** Drive `writer` (built over `mkStream`'s DataFrame) to completion
+      * over the 4 batches; returns (name, rows, sec).
+      */
+    def timeDocSink(name: String)(
+        mk: DataFrame => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
+        : (String, Long, Double) = {
+      val t0 = System.nanoTime()
+      try {
+        val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+        val q = mk(mem.toDF().toDF("doc_id", "ts", "text")).start()
+        try quarters(docRows.toSeq).foreach { b =>
+          mem.addData(b); q.processAllAvailable()
+        } finally q.stop()
+        (name, docRows.length.toLong, (System.nanoTime() - t0) / 1e9)
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+        (name, docRows.length.toLong, -1.0)
+      }
+    }
+    def timeEventSink(name: String)(
+        mk: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
+        : (String, Long, Double) = {
+      val t0 = System.nanoTime()
+      try {
+        val mem = MemoryStream[Event]
+        val q = mk(mem.toDS()).start()
+        try {
+          val bs = quarters(evRows.toSeq)
+          bs.zipWithIndex.foreach { case (b, i) =>
+            mem.addData(if (i == bs.size - 1) b :+ evSentinel else b)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        (name, evRows.length.toLong, (System.nanoTime() - t0) / 1e9)
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+        (name, evRows.length.toLong, -1.0)
+      }
+    }
+    Seq(
+      timeDocSink("stream_dedupe_content")(docs =>
+        IngestStream.dedupeContent(docs).writeStream
+          .format("noop").outputMode("append")),
+      timeDocSink("stream_curation_gate")(docs =>
+        IngestStream.curationGate(docs).writeStream
+          .format("noop").outputMode("append")),
+      timeDocSink("stream_neardup_sink")(docs =>
+        IngestStream.neardupSink(docs, tmp("ndstore"), tmp("ndsurv"))),
+      timeDocSink("stream_curation_loop")(docs =>
+        IngestStream.curationLoop(docs, tmp("clfp"), tmp("cllake"),
+          tmp("claudit"))),
+      timeEventSink("stream_alerts_sink")(ev =>
+        IngestStream.alertsSink(
+          ev.toDF().withColumn("props", lit("{}"))
+            .select("event_id", "ts", "props"),
+          tmp("almet"), tmp("alout"))),
+      timeEventSink("stream_drift_sink")(ev =>
+        IngestStream.driftSink(ev, tmp("drcnt"), tmp("drout"))),
+      timeEventSink("stream_health_sink")(ev =>
+        IngestStream.healthReportSink(
+          IngestStream.appHealth(IngestStream.dedupe(ev)), tmp("hrout"))))
   }
 }

@@ -515,24 +515,40 @@ object Ingest {
     // the oracle parses REAL JSON (DuckDB json extension), mirroring
     // from_json's strictness exactly: only an integral JSON number parses
     // (doubles/strings/missing/malformed/null → NULL) — no brittle
-    // fixed-serialization regexp that drifts when the generator changes
+    // fixed-serialization regexp that drifts when the generator changes.
+    // DUPLICATE-KEY payloads read NULL on BOTH sides (r6 ADVICE, verified
+    // divergent on a crafted lake first: Spark's from_json struct takes
+    // the LAST duplicate instance, DuckDB's path extraction the FIRST —
+    // '{"k": 1, "k": 2}' read 2 vs 1. Which instance "wins" in a
+    // contract-violating payload is engine lottery, so neither does.)
     s"""SELECT event_type, COUNT(*) AS n_events,
        |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k,
        |  ${intAvgSql("k", 2)} AS avg_k
        |FROM (SELECT event_type,
        |        CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+       |             WHEN len(json_keys(props)) <>
+       |                  len(list_distinct(json_keys(props))) THEN NULL
        |             WHEN json_type(props, '$$.k') IN ('BIGINT', 'UBIGINT')
        |             THEN TRY_CAST(json_extract_string(props, '$$.k') AS INTEGER)
        |             ELSE NULL END AS k
        |      FROM events)
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   ) { (s, d) =>
+    // from_json to a MAP preserves duplicate entries, so a key list whose
+    // distinct size shrinks IS the duplicate detector; the typed value
+    // still comes from the strict struct parse
+    val pkeys = map_keys(from_json(col("props"),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)))
     Tables.events(s, d)
       .select(col("event_type"),
-        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.IntegerType))))
-          .getField("k").as("k"))
+        when(size(pkeys) =!= size(array_distinct(pkeys)), lit(null))
+          .otherwise(from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType))))
+            .getField("k")).as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         min("k").cast("long").as("min_k"), max("k").cast("long").as("max_k"),
@@ -545,23 +561,37 @@ object Ingest {
     * pipeline EXPECTS; this reports the keys that actually ARRIVE — a
     * scraper that renames or adds a payload field changes nothing the
     * typed extraction sees until its column silently goes all-NULL):
-    * per payload key, how many events carry it, its presence rate over
+    * per payload key, how many EVENTS carry it, its presence rate over
     * ALL events (malformed/null props count in the denominator — a
     * payload that stops parsing must DROP the rate, not vanish from
     * it), and the distinct-value count. Values compare in their
-    * unquoted scalar string form (both engines agree on scalars; the
-    * reference's props are flat by contract — models/review.py).
+    * unquoted scalar string form, in which the engines agree on every
+    * probed class (integers, canonicalized floats — both print 1.50 as
+    * 1.5 — booleans, unquoted strings, compact nested object/array
+    * text; crafted-lake verified).
     *
-    * Scale shape: one map-side-combined (key) aggregate over the
-    * per-row key explode — payload keys are few (schema grain), so the
-    * output is post-aggregation-tiny and the global denominator rides a
-    * broadcast 1-row aggregate (the [[qQualityMetrics]] pattern).
+    * DUPLICATE-instance contract (r6 ADVICE, crafted-lake verified
+    * divergent before the fix): presence counts EVENTS carrying the key
+    * (once each — Spark's from_json map preserves duplicate entries and
+    * DuckDB's json_keys enumerates them, so instance-grain counting
+    * agreed only by accident of the corpus), and an event whose payload
+    * repeats the key contributes NULL to the value domain — DuckDB's
+    * path extraction can only read the FIRST instance while Spark's map
+    * carries both, so picking any instance is engine lottery; the
+    * monitor reports the key's presence and refuses to pick.
+    *
+    * Scale shape: the per-event key dedup folds into the explode-side
+    * aggregate at (event, key) grain (map-side combinable, bounded by
+    * payload width), then the (key) rollup — payload keys are few
+    * (schema grain), so the output is post-aggregation-tiny and the
+    * global denominator rides a broadcast 1-row aggregate (the
+    * [[qQualityMetrics]] pattern).
     */
   val qPropsSchema: Q = Q(
     "q_props_schema",
     s"""WITH tot AS (SELECT COUNT(*) AS n FROM events),
        |kv AS (
-       |  SELECT k AS key,
+       |  SELECT e.event_id, k AS key,
        |    -- QUOTED path segment (escaping embedded quotes): a naive
        |    -- '$$.' || k navigates a dotted/bracketed arriving key as
        |    -- nested structure and reads NULL where Spark's from_json
@@ -569,20 +599,29 @@ object Ingest {
        |    -- are exactly what this schema-drift monitor exists to see
        |    json_extract_string(e.props,
        |      '$$."' || replace(k, '"', '\\"') || '"') AS v
-       |  FROM (SELECT props FROM events
+       |  FROM (SELECT event_id, props FROM events
        |        WHERE props IS NOT NULL AND json_valid(props)) e,
-       |       UNNEST(json_keys(e.props)) AS t(k))
+       |       UNNEST(json_keys(e.props)) AS t(k)),
+       |ek AS (
+       |  SELECT key, CASE WHEN COUNT(*) > 1 THEN NULL ELSE MIN(v) END AS v
+       |  FROM kv GROUP BY event_id, key)
        |SELECT key, COUNT(*) AS n_present,
        |  ${exactDivSql("COUNT(*)", "tot.n", 4)} AS present_rate,
        |  COUNT(DISTINCT v) AS n_distinct_values
-       |FROM kv, tot GROUP BY key, tot.n ORDER BY key""".stripMargin
+       |FROM ek, tot GROUP BY key, tot.n ORDER BY key""".stripMargin
   ) { (s, d) =>
     val tot = Tables.events(s, d).agg(count(lit(1)).as("n"))
     Tables.events(s, d)
-      .select(explode(from_json(col("props"),
+      .select(col("event_id"), explode(from_json(col("props"),
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.StringType))).as(Seq("key", "v")))
+      // (event, key) grain: one presence per event; a duplicated key's
+      // value is NULL by contract (see scaladoc). min() — not first() —
+      // for determinism at any parallelism; with exactly one instance it
+      // IS that instance's value, and v=NULL single instances stay NULL.
+      .groupBy("event_id", "key")
+      .agg(when(count(lit(1)) > 1, lit(null)).otherwise(min(col("v"))).as("v"))
       .groupBy("key")
       .agg(count(lit(1)).as("n_present"),
         countDistinct(col("v")).as("n_distinct_values"))

@@ -35,21 +35,28 @@ object TopK {
         graft.plans.TopKPerKeyExec.DefaultMaxRetained,
       maxRetainedBytesPerPartition: Long =
         graft.plans.TopKPerKeyExec.DefaultMaxRetainedBytes): DataFrame = {
-    // float/double GROUP keys must normalize -0.0 → 0.0 first: the exec
-    // groups (and hash-partitions) by raw UnsafeProjection key bytes,
+    // float/double GROUP keys must normalize -0.0 → 0.0 for GROUPING: the
+    // exec groups (and hash-partitions) by raw UnsafeProjection key bytes,
     // and Spark's NormalizeFloatingNumbers rule only rewrites
     // Aggregate/Window/Join keys — it never sees a custom node, so 0.0
     // and -0.0 would silently split into two k-row groups where the
     // Window formulation keeps one. (NaN is already normalized by the
-    // unsafe writer.)
-    val df = keys.foldLeft(df0) { (acc, kn) =>
-      acc.schema(kn).dataType match {
+    // unsafe writer.) The normalization rides a SHADOW column that only
+    // the exec groups by and is dropped from the output, so emitted rows
+    // keep the caller's original key values bit-for-bit (a -0.0 row is
+    // emitted as -0.0 — the Window formulation's behavior; rewriting the
+    // visible column was an r6 ADVICE finding).
+    val floatKeys = keys.filter { kn =>
+      df0.schema(kn).dataType match {
         case org.apache.spark.sql.types.DoubleType |
-             org.apache.spark.sql.types.FloatType =>
-          acc.withColumn(kn, when(col(kn) === 0.0, lit(0.0)
-            .cast(acc.schema(kn).dataType)).otherwise(col(kn)))
-        case _ => acc
+             org.apache.spark.sql.types.FloatType => true
+        case _ => false
       }
+    }
+    val shadow = floatKeys.map(kn => kn -> s"__topk_group_$kn").toMap
+    val df = floatKeys.foldLeft(df0) { (acc, kn) =>
+      acc.withColumn(shadow(kn), when(col(kn) === 0.0, lit(0.0)
+        .cast(acc.schema(kn).dataType)).otherwise(col(kn)))
     }
     // sessions built by graft install the strategy via GraftExtensions
     // (injectPlannerStrategy → sessionState.planner, which
@@ -70,9 +77,11 @@ object TopK {
       throw new IllegalArgumentException(s"no column $n in ${lp.output.map(_.name)}"))
     val order = Seq(SortOrder(attr(orderCol), Descending),
       SortOrder(attr(tiebreakCol), Ascending))
+    val groupKeys = keys.map(kn => shadow.getOrElse(kn, kn))
     GraftSqlBridge.ofRows(df.sparkSession,
-      TopKPerKeyNode(k, keys.map(attr), order, lp, maxRetainedPerPartition,
-        maxRetainedBytesPerPartition))
+        TopKPerKeyNode(k, groupKeys.map(attr), order, lp,
+          maxRetainedPerPartition, maxRetainedBytesPerPartition))
+      .drop(shadow.values.toSeq: _*)
   }
 
   /** Native top-3 events per type by (value desc, event_id asc) — same

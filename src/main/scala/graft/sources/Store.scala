@@ -243,10 +243,15 @@ object Store {
     // inference — permanently wedging every retry of exactly the
     // crash-recovery append this function exists to make idempotent.
     // Filesystem ERRORS still propagate (treating them as "no sink"
-    // would append already-ingested keys and break idempotency).
+    // would append already-ingested keys and break idempotency). The
+    // probe requires an actual data FILE (isFile), not any non-hidden
+    // directory entry: a crash can leave stray subdirectories or marker
+    // dirs under path/ and those would re-wedge the schemaless CSV read
+    // exactly like the _temporary-only case. One listing level suffices —
+    // every writer this store uses lays part files flat under path/.
     val sinkExists = fs.exists(p) && fs.listStatus(p).exists { f =>
       val n = f.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
     // CSV is header-named but POSITION-mapped when a schema is forced, and
     // appended files must keep the sink's column order: read the existing

@@ -288,41 +288,113 @@ object IngestStream {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        if (!batch.isEmpty) {
-          val fp = graft.operators.Similarity.withSimhashFp(batch).persist()
-          try {
-            graft.sources.Store.appendDeduped(
-              fp.select(col("doc_id"), col("ts"), col("fp")), storePath, "doc_id")
-            // the store only materializes once a batch carries a SIGNED
-            // row (appendDeduped skips empty writes): a stream whose
-            // first non-empty batches are all token-free documents has
-            // fingerprints to test nothing against — reading the absent
-            // store would kill the query (and every restart after it)
-            val dropped =
-              if (fp.isEmpty) fp.select("doc_id").limit(0)
-              else {
-                val seen = graft.operators.Similarity.simhashBands(
-                    s.read.parquet(storePath))
-                  .select(col("doc_id").as("e_id"), col("ts").as("e_ts"),
-                    col("fp").as("e_fp"), col("band"), col("chunk"))
-                graft.operators.Similarity.simhashBands(
-                    fp.select(col("doc_id"), col("ts"), col("fp")))
-                  .join(seen, Seq("band", "chunk"))
-                  .filter(bit_count(col("fp").bitwiseXOR(col("e_fp"))) <= 3 &&
-                    struct(col("e_ts"), col("e_id")) <
-                      struct(col("ts"), col("doc_id")))
-                  .select("doc_id").distinct()
-              }
-            val kept = fp.join(dropped, Seq("doc_id"), "left_anti").drop("fp")
-            // zero-token rows never got a fingerprint: pass them through
-            val unsigned = batch.join(fp.select("doc_id"), Seq("doc_id"), "left_anti")
-            graft.sources.Store.appendDeduped(
-              kept.unionByName(unsigned), survivorsPath, "doc_id")
-          } finally { fp.unpersist(); () }
-        }
+        if (!batch.isEmpty)
+          neardupBatch(batch, storePath)(out =>
+            graft.sources.Store.appendDeduped(out, survivorsPath, "doc_id"))
         ()
     }
+
+  /** The near-dup front's per-batch body, factored out of [[neardupSink]]
+    * so [[curationLoop]] can CHAIN the next stage onto the batch's keepers
+    * instead of reading them back from a landed store: fingerprint + land
+    * fingerprints (keyed — the replay anchor), judge the batch against the
+    * updated store, then hand the keepers (plus unsigned zero-token rows)
+    * to `land` WHILE the fingerprint frame is still pinned — the callback
+    * shape exists because the keepers are lazy over the persisted fp frame
+    * and must be consumed before the finally-unpersist.
+    */
+  private[graft] def neardupBatch(batch: DataFrame, storePath: String)
+      (land: DataFrame => Unit): Unit = {
+    val s = batch.sparkSession
+    val fp = graft.operators.Similarity.withSimhashFp(batch).persist()
+    try {
+      graft.sources.Store.appendDeduped(
+        fp.select(col("doc_id"), col("ts"), col("fp")), storePath, "doc_id")
+      // the store only materializes once a batch carries a SIGNED
+      // row (appendDeduped skips empty writes): a stream whose
+      // first non-empty batches are all token-free documents has
+      // fingerprints to test nothing against — reading the absent
+      // store would kill the query (and every restart after it)
+      val dropped =
+        if (fp.isEmpty) fp.select("doc_id").limit(0)
+        else {
+          val seen = graft.operators.Similarity.simhashBands(
+              s.read.parquet(storePath))
+            .select(col("doc_id").as("e_id"), col("ts").as("e_ts"),
+              col("fp").as("e_fp"), col("band"), col("chunk"))
+          graft.operators.Similarity.simhashBands(
+              fp.select(col("doc_id"), col("ts"), col("fp")))
+            .join(seen, Seq("band", "chunk"))
+            .filter(bit_count(col("fp").bitwiseXOR(col("e_fp"))) <= 3 &&
+              struct(col("e_ts"), col("e_id")) <
+                struct(col("ts"), col("doc_id")))
+            .select("doc_id").distinct()
+        }
+      val kept = fp.join(dropped, Seq("doc_id"), "left_anti").drop("fp")
+      // zero-token rows never got a fingerprint: pass them through
+      val unsigned = batch.join(fp.select("doc_id"), Seq("doc_id"), "left_anti")
+      land(kept.unionByName(unsigned))
+    } finally { fp.unpersist(); () }
+  }
+
+  /** The COMPOSED continuous curation loop — the reference's run loop
+    * (pipeline.py:run, continuous mode: scrape → dedup → insert → track)
+    * chained as ONE streaming query instead of a set of independently
+    * spec'd fronts (r6 verdict item 2: "the pieces compose in principle;
+    * nothing proves they compose"): exact content dedup
+    * ([[dedupeContent]] — the only stateful stage, watermark-scoped) feeds
+    * a per-micro-batch body that runs the near-dup front
+    * ([[neardupBatch]] — fingerprints land keyed FIRST, the replay
+    * anchor) and pushes that batch's keepers straight through the
+    * stateless [[curationGate]]; every gated row lands in the keyed AUDIT
+    * store (quarantine-not-drop — the reference monitor counts rejects)
+    * and the admitted rows land in the keyed LAKE store with their audit
+    * columns stripped — the landed lake carries exactly the input schema.
+    *
+    * Exactly-once is the keyed-append contract three times over
+    * (fingerprints on doc_id; audit on doc_id; lake on doc_id): a
+    * micro-batch retry or full replay re-offers every row and every
+    * anti-join drops it — so the loop is kill-and-restart safe at any
+    * point between the three appends (spec-pinned: a mid-stream restart
+    * from one checkpoint continues the stores without double-landing,
+    * and the composite end-state equals the batch funnel's clean corpus
+    * on the same lake).
+    *
+    * Scale shape: per trigger, the exact front is state-bounded by
+    * arrival rate × watermark horizon; the near-dup band join is linear
+    * in store size (the [[neardupSink]] accounting); the gate is map-only;
+    * the three appends are anti-joins against keyed stores — the same
+    * per-trigger costs the standalone fronts pay, just paid once in one
+    * query instead of three.
+    *
+    * Returns the prepared writer; the caller adds checkpoint/trigger.
+    */
+  def curationLoop(docs: DataFrame, fpStorePath: String, lakePath: String,
+      auditPath: String, watermark: String = "1 hour")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    dedupeContent(docs, watermark)
+      // the exact front's working column: the downstream stages reserve
+      // their own working columns and the landed lake must carry the
+      // input schema
+      .drop("content_hash")
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            neardupBatch(batch, fpStorePath) { kept =>
+              // one materialization for the two consumers (audit + lake):
+              // foreachBatch hands over a plan, not rows, and kept chains
+              // the band join + gate projections
+              val gated = curationGate(kept).persist()
+              try {
+                graft.sources.Store.appendDeduped(gated, auditPath, "doc_id")
+                graft.sources.Store.appendDeduped(
+                  gated.filter(col("admitted"))
+                    .drop("quality_score", "blocked", "gate", "admitted"),
+                  lakePath, "doc_id")
+              } finally { gated.unpersist(); () }
+            }
+          ()
+      }
 
   /** Streaming threshold alerts — the monitor's evaluate_run in the
     * reference's CONTINUOUS mode (pipeline.py run loop +

@@ -46,6 +46,51 @@ class IngestSpec extends SparkSpec {
       "total re-scrapes must equal sum over reviews of (n_runs - 1)")
   }
 
+  test("props contract: duplicate-key and non-scalar payloads (crafted lake)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the r6 ADVICE class made executable: payload shapes ABSENT from the
+    // synthetic corpus where the engines' JSON semantics could diverge.
+    // Cross-engine: this exact lake was run through Verify + the DuckDB
+    // oracles (both queries MATCH — incl. beyond-double integers,
+    // exponent forms, unicode escapes, nested key order, and the 1.5/1.50
+    // canonical-twin merge); this spec pins the Spark half so a
+    // regression breaks loudly.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val props = Seq(
+      """{"k": 1, "k": 2}""",            // duplicate key -> NULL by contract
+      """{"k": {"a": 1, "b": [1,2]}}""", // nested object
+      """{"k": 1.50}""",                 // canonicalizes to 1.5
+      """{"k": 1.5}""",                  // its canonical twin
+      """{"k": null}""",
+      """{"a b": 3}""",                  // metachar key
+      null,
+      "not json",
+      """{"k": 7}""")
+    val ev = props.zipWithIndex.map { case (p, i) =>
+      (i.toLong, ts(i), i.toLong % 3, "click", 1.0, p)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_props").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    // extract: the dup-key payload must read NULL k (Spark's struct parse
+    // takes the LAST instance, DuckDB's path extract the FIRST — neither
+    // may win), so min/max/avg see only the clean k=7
+    val ex = Ingest.qPropsExtract.run(spark, dir).collect()
+    assert(ex.length == 1)
+    assert(ex.head.getAs[Long]("min_k") == 7L && ex.head.getAs[Long]("max_k") == 7L,
+      s"dup-key payload leaked an instance: ${ex.head}")
+    // schema: presence is EVENT grain (dup key counts once), the dup
+    // event's value is NULL, and 1.50/1.5 merge to ONE canonical value
+    val sc = Ingest.qPropsSchema.run(spark, dir).collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("n_present"), r.getAs[Long]("n_distinct_values")))).toMap
+    // k carried by: dup, nested, 1.50, 1.5, null-valued, 7 -> 6 events;
+    // distinct values: nested + canonical 1.5 + 7 (dup->NULL, null->NULL)
+    assert(sc("k") == ((6L, 3L)), s"schema row for k: ${sc("k")}")
+    assert(sc("a b") == ((1L, 1L)), s"metachar key row: ${sc.get("a b")}")
+  }
+
   test("app health: error beats stale beats ok; counts reconcile") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

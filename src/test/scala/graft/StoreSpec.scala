@@ -194,6 +194,13 @@ class StoreSpec extends SparkSpec {
     assert(graft.sources.Store.appendDeduped(batch, path, "id", "csv") == 2L)
     // and the sink works normally from then on
     assert(graft.sources.Store.appendDeduped(batch, path, "id", "csv") == 0L)
+    // a stray NON-hidden subdirectory (crash debris, marker dir) must not
+    // read as committed data either: only actual data FILES count
+    val path2 = s"$dir/sink2"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path2, "debris"))
+    assert(graft.sources.Store.appendDeduped(batch, path2, "id", "csv") == 2L)
+    assert(graft.sources.Store.appendDeduped(batch, path2, "id", "csv") == 0L)
   }
 
   test("compact refuses a Hive-partitioned layout instead of silently flattening it") {

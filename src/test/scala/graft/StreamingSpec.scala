@@ -490,6 +490,147 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("composed run loop: chained fronts + monitors, one checkpoint root, kill-and-restart") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // ---- corpus: every funnel stage represented, in event-time order ----
+    // unique docs: distinct synthetic tokens + stopword filler (quality
+    // passes: 0.3 stop + 0.15 + 0.15 >= 0.5 floor regardless of length)
+    def salad(i: Long): String =
+      (1 to 12).map(j => s"tok${i}x$j").zipWithIndex.map { case (w, k) =>
+        if (k % 3 == 0) s"the $w" else if (k % 3 == 1) s"$w of" else s"$w and"
+      }.mkString(" ")
+    def dayTs(day: Int, minutes: Long): Timestamp =
+      new Timestamp((day * 1440L + minutes) * 60000L)
+    // 80 tokens: at this length a one-token change is SimHash Hamming 1
+    // AND MinHash Jaccard 0.93 (crafted-lake measured), so the streaming
+    // simhash front and the batch funnel's minhash stage agree on the
+    // pair — the corpus property the lake-equality assertion needs (a
+    // 40-token pair measured Hamming > 3: minhash-only, and would
+    // diverge the tiers BY DESIGN — that regime is the batch backstop's)
+    val nearBase = (1 to 80).map(j => s"near${j}gram").mkString(" ")
+    val nearVar = nearBase.replace("near20gram", "CHANGED")
+    val uniq1 = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i => (i, dayTs(1, i), salad(i)))
+    val day1 = uniq1 ++ Seq(
+      (10L, dayTs(1, 10), salad(10)), (11L, dayTs(1, 11), nearBase),
+      (20L, dayTs(1, 20), salad(10)), // exact dup of 10 -> stage 1
+      (21L, dayTs(1, 21), nearVar))   // near dup of 11 -> stage 2
+    val day2 = Seq(
+      (30L, dayTs(2, 1), salad(30)), (31L, dayTs(2, 2), salad(31)),
+      (32L, dayTs(2, 3), "XX!!"), // unscoreable-quality -> stage 3
+      (33L, dayTs(2, 4),          // blocklist-heavy -> stage 4
+        "slow big merge the slow big of merge and slow big merge"),
+      (27L, dayTs(2, 5), salad(27)), // md5('27') starts '0' -> stage 5
+      (97L, dayTs(2, 6), salad(97))) // %97 id: the monitors' error event
+    val sentinel = Seq((9999L, dayTs(40, 0), salad(9999)))
+    val allDocs = day1 ++ day2 ++ sentinel
+    // ---- batch side: the same corpus as a lake dir ----
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft_loop_lake").toString
+    allDocs.toDF("doc_id", "ts", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        concat(lit("src"), col("doc_id") % 2).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.parquet(s"$lakeDir/documents.parquet")
+    graft.operators.Similarity.clearIndexCache()
+    val staged = graft.operators.Curation.stagedFlags(spark, lakeDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Integer]("dropped_at")).map(_.toInt)).toMap
+    // precondition: the crafted corpus exercises EVERY stage (and the
+    // minhash stage-2 catch coincides with the simhash front's, which the
+    // lake-equality assertion below then proves)
+    assert((1 to 5).forall(k => staged.values.flatten.exists(_ == k)),
+      s"corpus must cover all 5 stages: $staged")
+    val expectedClean = staged.collect { case (id, None) => id }.toSet
+    // ---- streaming side: ONE stream, one checkpoint root, 4 queries ----
+    val root = java.nio.file.Files.createTempDirectory("graft_runloop")
+    def p(n: String) = root.resolve(n).toString
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    def docsDf = mem.toDF().toDF("doc_id", "ts", "text")
+    def eventsDs = docsDf.select(
+        col("doc_id").as("event_id"), col("ts"),
+        (col("doc_id") % 5).as("user_id"),
+        concat(lit("src"), col("doc_id") % 2).as("event_type"),
+        lit(1.0).as("value")).as[Event]
+    def rawDf = docsDf.select(col("doc_id").as("event_id"), col("ts"),
+      lit("{}").as("props"))
+    def startAll() = Seq(
+      IngestStream.curationLoop(docsDf, p("fp"), p("lake"), p("audit"))
+        .option("checkpointLocation", p("ck/loop")).start(),
+      IngestStream.alertsSink(rawDf, p("metrics"), p("alerts"))
+        .option("checkpointLocation", p("ck/alerts")).start(),
+      IngestStream.driftSink(eventsDs, p("counts"), p("drift"))
+        .option("checkpointLocation", p("ck/drift")).start(),
+      IngestStream.healthReportSink(
+          IngestStream.appHealth(IngestStream.dedupe(eventsDs)), p("health"))
+        .option("checkpointLocation", p("ck/health")).start())
+    def feed(qs: Seq[org.apache.spark.sql.streaming.StreamingQuery],
+        b: Seq[(Long, Timestamp, String)]): Unit = {
+      mem.addData(b); qs.foreach(_.processAllAvailable())
+    }
+    // first incarnation: day 1 lands, then the whole deployment STOPS
+    // (crash/deploy) mid-stream
+    val qs1 = startAll()
+    try feed(qs1, day1) finally qs1.foreach(_.stop())
+    // second incarnation resumes every query from the same checkpoint
+    // root and processes day 2 + the closing sentinel
+    val qs2 = startAll()
+    try { feed(qs2, day2); feed(qs2, sentinel) } finally qs2.foreach(_.stop())
+    // ---- composite end-state ≡ the batch funnel ----
+    val landed = spark.read.parquet(p("lake")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(landed == expectedClean,
+      s"composed loop diverged from the batch funnel " +
+        s"(missing ${expectedClean -- landed}, extra ${landed -- expectedClean})")
+    // landed lake carries the input schema (audit columns stripped)
+    assert(spark.read.parquet(p("lake")).columns.sorted.toSeq ==
+      Seq("doc_id", "text", "ts"))
+    // audit rows exist exactly for the docs that REACHED the gate (= all
+    // docs minus the stateful fronts' drops), each with the batch
+    // funnel's own stage-3..5 attribution
+    val names = graft.operators.Curation.StageNames.toMap
+    val audit = spark.read.parquet(p("audit")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("gate"), r.getAs[Boolean]("admitted")))).toMap
+    val frontDrops = staged.collect {
+      case (id, Some(k)) if k <= 2 => id }.toSet
+    assert(audit.keySet == allDocs.map(_._1).toSet -- frontDrops,
+      "audit store must hold exactly the gate-judged documents")
+    audit.foreach { case (id, (gate, admitted)) =>
+      staged(id) match {
+        case None => assert(gate == "pass" && admitted, s"doc $id: $gate")
+        case Some(k) if k >= 3 =>
+          assert(gate == names(k) && !admitted,
+            s"doc $id: batch stage $k vs gate $gate")
+        case Some(k) => fail(s"doc $id dropped at front stage $k yet gated")
+      }
+    }
+    // ---- monitors ≡ their batch twins on the closed runs ----
+    val closedEvents = (day1 ++ day2).map { case (id, t, _) =>
+      Event(id, t, id % 5, s"src${id % 2}", 1.0) }
+    val healthBatch = graft.operators.Ingest.appHealth(
+      closedEvents.toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val healthStored = spark.read.parquet(p("health")).drop("report_key")
+    assert(healthStored.count() == healthBatch.count() &&
+      healthStored.exceptAll(healthBatch).isEmpty &&
+      healthBatch.exceptAll(healthStored).isEmpty,
+      "health store diverged from the batch operator")
+    val driftBatch = graft.operators.Ingest.driftOf(
+        closedEvents.toDF().groupBy(
+          date_format(col("ts"), "yyyy-MM-dd").as("run_id"),
+          col("event_type")).agg(count(lit(1)).as("c")))
+      .collect().map(_.getAs[String]("run_id")).toSet
+    assert(spark.read.parquet(p("drift")).collect()
+      .map(_.getAs[String]("run_id")).toSet == driftBatch,
+      "drift store diverged from the batch rule's run set")
+    val alertsBatch = graft.operators.Ingest.alerts(
+        closedEvents.map(e => (e.event_id, e.ts, "{}"))
+          .toDF("event_id", "ts", "props"))
+      .collect().map(alertKey).toSet
+    assert(spark.read.parquet(p("alerts")).drop("alert_key").collect()
+      .map(alertKey).toSet == alertsBatch,
+      "alerts store diverged from the batch rules")
+  }
+
   test("streaming sessionizer closes sessions on gap and on watermark timeout") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

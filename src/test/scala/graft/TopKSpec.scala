@@ -129,11 +129,25 @@ class TopKSpec extends SparkSpec {
     val df = Seq((1L, 0.0, 10.0), (2L, -0.0, 20.0), (3L, -0.0, 30.0),
       (4L, 1.5, 40.0))
       .toDF("event_id", "score_key", "value")
-    val got = TopK.perKey(df, Seq("score_key"), "value", "event_id", 2)
-      .collect().map(_.getLong(0)).toSet
+    val out = TopK.perKey(df, Seq("score_key"), "value", "event_id", 2)
+      .collect()
+    val got = out.map(_.getLong(0)).toSet
     // one zero-group of k=2 (ids 3, 2 by value desc) + the 1.5 group
     assert(got == Set(2L, 3L, 4L),
       s"-0.0 split the zero key into two groups: kept $got")
+    // the normalization is GROUPING-only (shadow key): emitted rows keep
+    // the caller's original key bits — row 2's key is still -0.0, like
+    // the window formulation (r6 ADVICE: the visible rewrite was a
+    // bit-level divergence from the 'identical rows' pin)
+    val keyOf = out.map(r => r.getLong(0) -> r.getAs[Double]("score_key")).toMap
+    assert(java.lang.Double.doubleToRawLongBits(keyOf(2L)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0),
+      "emitted key must keep the original -0.0 bits")
+    assert(java.lang.Double.doubleToRawLongBits(keyOf(3L)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0))
+    // and no shadow working column leaks into the output schema
+    assert(!out.head.schema.fieldNames.exists(_.startsWith("__topk")),
+      "shadow grouping column leaked into the output")
   }
 
   test("large k over sparse keys does not trip the cap spuriously") {
