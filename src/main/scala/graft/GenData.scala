@@ -83,7 +83,15 @@ object GenData {
     // read a bare file path)
     def save(name: String, df: DataFrame): Unit = {
       val tmp = s"$outDir/_gen_$name"
-      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      // 16 MB row groups: the driver layout is one FILE per table, and a
+      // Spark scan can only split a file at row-group boundaries — a
+      // 100 MB single-row-group sf1 lineitem would pin every scan to one
+      // task, flattering nothing and starving everything (a cluster gets
+      // its scan parallelism from many files; a single-file local lake
+      // gets it from row groups). Small SFs are unaffected (< 16 MB).
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (16 * 1024 * 1024).toString)
+        .parquet(tmp)
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
@@ -218,15 +226,27 @@ object GenData {
       length(col("text")).cast("long").as("n_chars")))
 
     // embeddings: isotropic unit vectors, 64-dim float, labels 0..9
+    save("embeddings", embeddingsDf(spark, nEmb))
+  }
+
+  /** The embeddings table alone (package-visible): the k-NN dispatch
+    * null-model spec generates a LARGE isotropic corpus (n = 20000)
+    * without paying for the fact tables — the regression it pins (a
+    * fixed gap margin misrouting isotropic data once n grows the
+    * extreme order statistics past it) only appears at this scale.
+    */
+  private[graft] def embeddingsDf(spark: SparkSession, nEmb: Long): DataFrame = {
+    val rows = spark.range(0, nEmb, 1,
+      math.max(1, math.min(64, nEmb / 100000 + 1).toInt)).toDF("id")
     val rawVec = array((0 until 64).map(i => gauss($id, 80 + i)): _*)
-    save("embeddings", range(nEmb)
+    rows
       .withColumn("raw", rawVec)
       .withColumn("norm",
         sqrt(aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x)))
       .select(
         $id.as("vec_id"),
         transform(col("raw"), x => (x / col("norm")).cast("float")).as("embedding"),
-        ui($id, 90, 10).cast("int").as("label")))
+        ui($id, 90, 10).cast("int").as("label"))
   }
 
   private def $id: Column = col("id")

@@ -14,6 +14,14 @@ object Sessions {
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // split size matched to the lake layout (SURVEY §4): the testdata
+      // convention is ONE parquet file per table, so scan parallelism
+      // comes from intra-file splits at row-group boundaries — with the
+      // 128 MB default a 107 MB sf1 lineitem reads as ONE task and every
+      // scan-bound operator serializes on one core, which a real cluster
+      // (thousands of files) never does. 16 MB matches GenData's
+      // row-group size; sub-16 MB files still read as one task each.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1548,12 +1548,18 @@ object Similarity {
     // decontaminate eval-count pattern)
     val nEval = q.filter(isEval && col("qv").isNotNull).count()
     val small = nEval <= SemanticEvalBroadcastMaxDocs
-    // double the point-query candidate budget: a contamination gate is
-    // high-stakes (a miss ships a tainted eval member) and its exact
-    // work is |eval|·budget — the eval slice is the small side, so the
-    // extra dots are cheap where they matter most
-    val budget = math.max(2 * ShortlistMin,
-      math.ceil(q.count() * 2 * ShortlistFrac).toInt)
+    // double the √n point-query candidate budget (2·knnBudget): a
+    // contamination gate is high-stakes (a miss ships a tainted eval
+    // member) and its exact work is |eval|·budget — the eval slice is
+    // the small side, so the extra dots are cheap where they matter
+    // most. √n, NOT the fractional ShortlistFrac form: with |eval| ∝
+    // corpus, a fractional budget makes exact work Θ(frac·n²) BY
+    // CONSTRUCTION — the r3 qKnnJoin lesson, and exactly what the
+    // sf0.1→sf1 scaling study measured here (exponent 1.76) before
+    // this fix; the √n law keeps the pass Θ(n^1.5) like the rest of
+    // the ANN family (at the spec SF the two budgets coincide: 152 vs
+    // 150 at n=500, so the under-flag/recall pins are unchanged).
+    val budget = 2 * knnBudget(q.count())
     val candIds = annLshShortlist(s, d, queryFilter = isEval,
         broadcastProbes = small, budget = Some(budget),
         candidateFilter = not(isEval))
@@ -1773,14 +1779,35 @@ object Similarity {
     */
   private[graft] val KnnProbeQueries = 64
 
-  /** Dispatch margin for [[knnGraph]]: clustered ⇔ meanTop5 − bulkP90 >
-    * margin. Measured: the near-isotropic driver corpus probes a gap of
-    * 0.160 (sf0.001) / 0.167 (sf0.01) — the extreme-order-statistic tail
-    * of one distribution — while the 200-cluster spec corpus probes
-    * 0.833 (cluster-mates vs bulk). 0.25 splits the regimes with ≥ 0.08
-    * slack below and ≥ 0.58 above; the spec pins the dispatch on each.
+  /** Dispatch rule for [[knnGraph]] — an ISOTROPIC NULL MODEL, not a
+    * fixed gap margin (the r7 scaling study caught the fixed form
+    * misrouting): on a corpus with no cluster structure the probe's
+    * top-5 cosines ARE the extreme order statistics of its own bulk
+    * score distribution, so their expected level GROWS with corpus size
+    * (≈ σ·√(2 ln n)). The old `top5 − p90 > 0.25` split measured 0.16
+    * at n = 500 but crossed 0.25 by n = 20000 on the SAME isotropic
+    * geometry — sending the sf1 corpus down the IVF path whose recall
+    * there is the documented 0.37. The test is therefore RELATIVE to
+    * the null: clustered ⇔ (top5 − p50) > [[KnnNullFactor]] · σ̂ ·
+    * z(1 − 2.5/n), with σ̂ = (p90 − p50)/z(0.9) estimated from the
+    * probe's own bulk sample and z the standard normal quantile. On
+    * isotropic corpora the measured ratio sits ≈ 1.0 at ANY n (the
+    * top-5 are literally draws from the null — measured 0.99 at n=500
+    * and 1.00 at n=20000); on the 200-cluster spec corpus it measures
+    * ≫ 1.5. Factor 1.5 splits with wide slack both sides; the spec
+    * pins the dispatch on each geometry.
     */
-  private[graft] val KnnClusteredMargin = 0.25
+  private[graft] val KnnNullFactor = 1.5
+
+  /** Upper-tail standard normal quantile z with P(Z > z) = p, for
+    * p ≤ 0.5 (Hastings' rational approximation, |err| < 4.5e-4 — far
+    * inside the 1.5× decision slack).
+    */
+  private[graft] def zUpper(p: Double): Double = {
+    val pc = math.min(0.5, math.max(1e-300, p))
+    val t = math.sqrt(-2.0 * math.log(pc))
+    t - (2.30753 + 0.27061 * t) / (1.0 + 0.99229 * t + 0.04481 * t * t)
+  }
 
   private[graft] def knnGeometryStats(s: SparkSession, d: String): (Double, Double, Double) = {
     GraftFunctions.register(s)
@@ -1837,8 +1864,15 @@ object Similarity {
   val qKnnGraph: Q = Q.rowsOnly("q_knn_graph")(knnGraph)
 
   private[graft] def knnGeometryIsClustered(s: SparkSession, d: String): Boolean = {
-    val (top5, p90, _) = knnGeometryStats(s, d)
-    top5 - p90 > KnnClusteredMargin
+    val (top5, p90, p50) = knnGeometryStats(s, d)
+    // n drives the null's order-statistic level; a cache read off the
+    // materialized quantized frame. Tiny corpora route to the collision
+    // path unconditionally — at n < 50 both paths are trivial and the
+    // null model's tail quantile is meaningless.
+    val n = quantized(s, d).filter(col("qv").isNotNull).count()
+    if (n < 50) return false
+    val sigma = math.max((p90 - p50) / zUpper(0.1), 1e-9)
+    (top5 - p50) > KnnNullFactor * sigma * zUpper(2.5 / n)
   }
 
   /** Connected components over an undirected pair graph (columns id_a <
@@ -2274,10 +2308,13 @@ object Similarity {
     val isHeld = Text.evalSlice(col("vec_id"))
     val nHeld = q.filter(isHeld && col("qv").isNotNull).count()
     val small = nHeld <= SemanticEvalBroadcastMaxDocs
-    // 2× point-query budget, the decontaminate-semantic dial: a label
-    // proposal gates human queue routing, and held is the small side
-    val budget = math.max(2 * ShortlistMin,
-      math.ceil(q.count() * 2 * ShortlistFrac).toInt)
+    // 2× √n point-query budget (2·knnBudget), the decontaminate-semantic
+    // dial: a label proposal gates human queue routing, and held is the
+    // small side. √n, not fractional — with |held| ∝ corpus a fractional
+    // budget is Θ(frac·n²) exact work by construction (measured exponent
+    // 1.53 on the sf0.1→sf1 step before this fix); √n keeps Θ(n^1.5),
+    // and the budgets coincide at the spec SF so the accuracy pin holds.
+    val budget = 2 * knnBudget(q.count())
     val candIds = annLshShortlist(s, d, queryFilter = isHeld,
         broadcastProbes = small, budget = Some(budget),
         candidateFilter = not(isHeld))

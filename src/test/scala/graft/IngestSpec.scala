@@ -67,6 +67,8 @@ class IngestSpec extends SparkSpec {
       """{"a b": 3}""",                  // metachar key
       null,
       "not json",
+      """[1, 2]""",                      // valid JSON, not an object
+      """17""",                          // valid JSON scalar
       """{"k": 7}""")
     val ev = props.zipWithIndex.map { case (p, i) =>
       (i.toLong, ts(i), i.toLong % 3, "click", 1.0, p)

@@ -226,6 +226,27 @@ class SimilaritySpec extends SparkSpec {
     assert(viaDispatch == direct, "dispatcher must route to the collision path here")
   }
 
+  test("knn geometry dispatch: LARGE isotropic corpus still takes the collision path") {
+    // the r7 scaling-study regression, pinned: an isotropic corpus's
+    // top-5 cosines are extreme order statistics of its own bulk, so
+    // they GROW with n (σ·√(2 ln n)) — the old fixed 0.25 gap margin
+    // read an n=20000 isotropic corpus as clustered (gap ≈ 0.30) and
+    // routed it to the IVF path whose recall there is the documented
+    // 0.37. The null-model rule must hold the route at ANY n.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigiso").toString
+    GenData.embeddingsDf(spark, 20000)
+      .write.parquet(s"$dir/embeddings.parquet")
+    val (t5, p90, p50) = Similarity.knnGeometryStats(spark, dir)
+    info(f"geometry probe (n=20000 isotropic): top5=$t5%.3f bulkP90=$p90%.3f bulkP50=$p50%.3f")
+    // the raw gap really does cross the old margin — otherwise this
+    // corpus would not exercise the regression at all
+    assert(t5 - p90 > 0.25,
+      f"corpus no longer exercises the old-margin regression (gap ${t5 - p90}%.3f)")
+    assert(!Similarity.knnGeometryIsClustered(spark, dir),
+      f"null model misread a large isotropic corpus as clustered " +
+        f"(top5=$t5%.3f p90=$p90%.3f p50=$p50%.3f)")
+  }
+
   test("ngram jaccard: symmetric-free (a<b), jaccard in (0,1], dups found") {
     val rows = Similarity.qNgramJaccard.run(spark, sfDir).collect()
     assert(rows.nonEmpty, "expected near-dup pairs (corpus has exact dups)")
