@@ -98,9 +98,40 @@ object Bench {
     // (its quadratic-fallback entries are minutes each; min-of-2 under
     // throttle is noisier but the exponent study compares MINIMA at two
     // SFs run back-to-back on one host, where one repeat absorbs JIT and
-    // the second is the measurement)
-    val Runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+    // the second is the measurement). Clamped: a non-numeric value falls
+    // back to 3 and 0/negative to 1 — a bad env var must not kill the
+    // whole bench before any output line is emitted.
+    val Runs = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+        .getOrElse(3))
+    // quadratic-fallback bench policy (r7 verdict item 2): q_knn_join is
+    // the DOCUMENTED Θ(n²) adversarial-regime baseline — kept registered
+    // for correctness (Verify still runs it at every SF), but above
+    // KnnQuadCap vectors its bench entry is SKIPPED with an explicit
+    // marker instead of timed: at sf1 it alone was 65% of the wall and
+    // grows ~100× per decade, making every larger scaling study
+    // unrunnable for one entry whose cost law is already published.
+    // q_knn_graph (the dispatcher) is skipped only when its geometry
+    // probe actually routes to the quadratic path (isotropic corpus) —
+    // on clustered corpora it benches its Θ(n^1.5) IVF route normally.
+    // The honest routed cost of the quadratic path above the cap is
+    // measured once per study via graft.QTime and published in SURVEY §8,
+    // not re-paid Runs× in every bench pass.
+    val KnnQuadCap = 10000L
+    val nVec = try Tables.table(spark, sfDir, "embeddings").count()
+      catch { case _: Throwable => 0L }
+    val skippedQuadratic: Seq[String] =
+      if (nVec <= KnnQuadCap) Seq.empty
+      else {
+        val graphRoutesQuadratic =
+          try !operators.Similarity.knnGeometryIsClustered(spark, sfDir)
+          catch { case _: Throwable => false }
+        Seq("q_knn_join") ++
+          (if (graphRoutesQuadratic) Seq("q_knn_graph") else Seq.empty)
+      }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => skippedQuadratic.contains(q._1))
+      .map { case (name, _) =>
       val ts = Seq.fill(Runs)(timeOnce(name))
       if (ts.exists(_ < 0)) (name, -1.0, -1.0)
       else {
@@ -143,10 +174,11 @@ object Bench {
         val rps = if (sec > 0) (rows / sec).round else -1L
         s"\"" + k + s"\":{\"rows\":$rows,\"sec\":${f3(sec)},\"rows_per_sec\":$rps}"
       }.mkString("{", ",", "}")
+    val skippedJson = skippedQuadratic.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"detail":$detail,"runs":$Runs,"queries":$qs,"stream":$streamJson,"sf":"$sfDir","metric":"total","unit":"sec","failed":$failed,"value":${f3(total)}}"""
+      s"""{"detail":$detail,"runs":$Runs,"queries":$qs,"stream":$streamJson,"skipped_quadratic":$skippedJson,"quad_cap_vectors":$KnnQuadCap,"n_vectors":$nVec,"sf":"$sfDir","metric":"total","unit":"sec","failed":$failed,"value":${f3(total)}}"""
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"skipped_quadratic":$skippedJson,"sf":"$sfDir"}"""
     // belt and braces for the driver handoff: the line on stdout (the
     // contract) AND the same JSON at a fixed path, immune to interleaved
     // log lines or tail truncation
@@ -205,13 +237,26 @@ object Bench {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+    // the MemoryStream feed collects to the driver by construction — cap
+    // the input at a fixed row budget so an sf1+ bench measures SINK
+    // throughput, not driver heap (uncapped, sf1's 1M events is hundreds
+    // of MB of driver-side Row[]). The caps cover the full sf0.1 bench
+    // corpus (5k docs / 100k events), so driver-protocol numbers are
+    // unchanged; above them the rows/s denominator is the capped count
+    // actually fed (the `rows` field in the JSON). The cut is the
+    // LOWEST-id/earliest prefix via TakeOrdered — deterministic and
+    // bounded on the executors, never a post-collect truncation.
+    val MaxStreamDocs = 20000
+    val MaxStreamEvents = 200000
     val docRows = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").limit(MaxStreamDocs)
       .collect()
       .map(r => (r.getAs[Long]("doc_id"),
         new java.sql.Timestamp(r.getAs[Long]("doc_id") * 60000L),
         r.getAs[String]("text")))
       .sortBy(_._1)
     val evRows = IngestStream.fromRaw(Tables.events(spark, sfDir))
+      .orderBy("ts", "event_id").limit(MaxStreamEvents)
       .collect().sortBy(_.ts.getTime)
     val evSentinel = Event(Long.MaxValue - 1,
       java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), 0L, "sentinel", 0.0)

@@ -246,7 +246,11 @@ object GenData {
       .select(
         $id.as("vec_id"),
         transform(col("raw"), x => (x / col("norm")).cast("float")).as("embedding"),
-        ui($id, 90, 10).cast("int").as("label"))
+        // salt 200: OUTSIDE the 80..143 and 7999..8062 salt ranges the 64
+        // gauss dims consume (the old 90 collided with dim-10's first
+        // uniform — same xxhash64(id, 90) feeding both label and vector,
+        // a weak coupling contradicting the label-independence claim)
+        ui($id, 200, 10).cast("int").as("label"))
   }
 
   private def $id: Column = col("id")

@@ -1857,7 +1857,9 @@ object Similarity {
     * guess" applies to the probe itself). Registering it runs the linear
     * geometry probe + the routed path under the driver's own harness; on
     * the near-isotropic driver corpus it must route to the collision-count
-    * path (gap ≈ 0.16 < 0.25 margin), so its rows equal [[qKnnJoin]]'s —
+    * path (the [[KnnNullFactor]] null-model test reads the isotropic
+    * corpus's top-5 as draws from its own bulk: (top5 − p50) ≈ 1.0 · σ̂ ·
+    * z(2.5/n) < 1.5·σ̂·z), so its rows equal [[qKnnJoin]]'s —
     * the spec pins BOTH the route and that row identity, and the clustered
     * route is pinned by the dispatch spec on the 200-cluster corpus.
     */
