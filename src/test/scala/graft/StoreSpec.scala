@@ -140,6 +140,56 @@ class StoreSpec extends SparkSpec {
     assert(sink.select("doc_id").distinct().count() == b2.count())
   }
 
+  test("append anti-join scan is recent-horizon pruned: scanned rows stay bounded as the store grows") {
+    // r7 verdict item 4: every streaming sink here pays an anti-join
+    // against its keyed store per trigger; unpruned, that scan grows with
+    // the store and the per-trigger cost of a long-running stream is
+    // quadratic in stream length. appendDeduped filters the store side to
+    // the batch's [min, max] key range, and because each append's files
+    // carry exactly their own batch's key range in the parquet footer
+    // stats, a monotonic-key stream's scan skips every old file's rows.
+    import spark.implicits._
+    val path = tmp("pruned")
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi).toDF("doc_id")
+      .withColumn("payload", concat(lit("p"), col("doc_id")))
+    // a store grown by 8 sequential-range appends (the streaming shape)
+    (0 until 8).foreach(i =>
+      Store.appendDeduped(batch(i * 25000L, (i + 1) * 25000L), path, "doc_id"))
+    // the probe range a next trigger would carry: recent keys only
+    def scanRows(mn: Long, mx: Long): Long = {
+      val df = Store.existingKeyScan(spark, path, "doc_id",
+        org.apache.spark.sql.types.LongType, "parquet", mn, mx)
+      df.collect()
+      // rows EMITTED by the file scan (post row-group pruning): the leaf
+      // metric, not the post-filter count — an unfiltered full-store
+      // read would emit every stored row here
+      val leaf = df.queryExecution.executedPlan.collectLeaves().head
+      leaf.metrics("numOutputRows").value
+    }
+    val small = scanRows(190000L, 191000L)
+    assert(small <= 50000L,
+      s"scan emitted $small rows for a 1k-key probe over a 200k store — " +
+        "row-group pruning is not reaching the parquet footers")
+    // grow the store 2x with LATER key ranges; the same probe must not
+    // scan more than before — bounded per-trigger cost as the store grows
+    (8 until 16).foreach(i =>
+      Store.appendDeduped(batch(i * 25000L, (i + 1) * 25000L), path, "doc_id"))
+    val grown = scanRows(190000L, 191000L)
+    assert(grown <= small,
+      s"per-trigger scan grew with the store ($small -> $grown rows)")
+    // and the range predicate is genuinely PUSHED, not post-scan only
+    val plan = Store.existingKeyScan(spark, path, "doc_id",
+      org.apache.spark.sql.types.LongType, "parquet", 0L, 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(doc_id") &&
+      plan.contains("LessThanOrEqual(doc_id"),
+      s"key-range predicate not pushed to the scan:\n$plan")
+    // correctness under pruning: an overlapping re-append is still a no-op
+    assert(Store.appendDeduped(batch(399000L, 401000L), path, "doc_id") == 1000L)
+    assert(spark.read.parquet(path).count() == 401000L)
+  }
+
   test("csv append stays idempotent with embedded newlines and reordered columns") {
     import spark.implicits._
     val path = tmp("csvappend")
