@@ -129,8 +129,18 @@ object Bench {
         Seq("q_knn_join") ++
           (if (graphRoutesQuadratic) Seq("q_knn_graph") else Seq.empty)
       }
+    // SPARK_GRAFT_ONLY=comma,separated,names restricts the timed registry
+    // (the sf10+ heavy-family studies, where timing all 138 queries at
+    // full repeat count is days of wall). Prebuilds still run — their
+    // cost is part of any similarity-family number — and the streaming
+    // section is skipped (a family subset is a batch study). Unset =
+    // the driver protocol, unchanged.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => skippedQuadratic.contains(q._1))
+      .filter(q => only.isEmpty || only(q._1))
       .map { case (name, _) =>
       val ts = Seq.fill(Runs)(timeOnce(name))
       if (ts.exists(_ < 0)) (name, -1.0, -1.0)
@@ -146,7 +156,8 @@ object Bench {
     // sink gets a FRESH MemoryStream + stores; input is the real bench
     // corpus (documents for the ingest fronts, events for the monitors),
     // split into 4 triggers so per-trigger store costs are in the number.
-    val streams: Seq[(String, Long, Double)] = benchStreams(spark, sfDir)
+    val streams: Seq[(String, Long, Double)] =
+      if (only.nonEmpty) Seq.empty else benchStreams(spark, sfDir)
     // 3-decimal timings: sub-ms resolution is noise, and a short line is
     // robust — r2's raw-double line was long enough that the driver's
     // capture truncated it ("parsed": null)

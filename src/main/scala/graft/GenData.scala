@@ -59,15 +59,29 @@ object GenData {
       .cast("timestamp_ntz")
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: GenData <outDir> <sf>")
+    require(args.length >= 2, "usage: GenData <outDir> <sf> [skew]")
     val outDir = args(0)
     val sf = args(1).toDouble
     val spark = Sessions.buildDefault()
-    write(spark, outDir, sf)
+    write(spark, outDir, sf, skew = args.length > 2 && args(2) == "skew")
     spark.stop()
   }
 
-  def write(spark: SparkSession, outDir: String, sf: Double): Unit = {
+  /** With `skew = true`, the lake is generated with ADVERSARIAL key
+    * skew instead of the driver's near-uniform distributions (r7 verdict
+    * item 7 — the AQE-skew claims were plan-shape-asserted but never
+    * executed against actual skew): one hot event_type carries 50% of
+    * events (plus its uniform residual ≈ 60% total), one hot source
+    * carries 90% of documents, and one hot user carries 30% of events
+    * (the sessionization / per-user-window stress). Everything else —
+    * schemas, key domains, dup seeding, text model — is unchanged, so
+    * the full oracle registry runs on a skewed lake exactly as on a
+    * uniform one. Skew salts (300–302) live outside the gauss ranges.
+    */
+  def write(spark: SparkSession, outDir: String, sf: Double,
+      skew: Boolean = false): Unit = {
+    def skewed(frac: Double, salt: Int, hot: Column, base: Column): Column =
+      if (!skew) base else when(u($id, salt) < frac, hot).otherwise(base)
     def n(base: Long, floor: Long): Long = math.max(floor, math.round(base * sf))
     val nCustomer = n(150000, 150)
     val nSupplier = n(10000, 10)
@@ -189,9 +203,10 @@ object GenData {
       $id.as("event_id"),
       timestamp_micros(lit(Epoch2024Us) +
         (u($id, 60) * lit(30.0 * 86400 * 1e6)).cast("long")).cast("timestamp_ntz").as("ts"),
-      ui($id, 61, nUsers).as("user_id"),
-      element_at(array(Seq("click", "error", "purchase", "signup", "view").map(lit): _*),
-        (ui($id, 62, 5) + 1).cast("int")).as("event_type"),
+      skewed(0.3, 301, lit(0L), ui($id, 61, nUsers)).as("user_id"),
+      skewed(0.5, 300, lit("click"),
+        element_at(array(Seq("click", "error", "purchase", "signup", "view").map(lit): _*),
+          (ui($id, 62, 5) + 1).cast("int"))).as("event_type"),
       round2(-lit(50.0) * log(lit(1.0) - u($id, 63))).as("value"),
       concat(lit("{\"k\": "), ui($id, 64, 100), lit("}")).as("props")))
 
@@ -222,7 +237,8 @@ object GenData {
         .when(col("r") < 0.705, "es")
         .when(col("r") < 0.8525, "fr")
         .otherwise("zh").as("lang"),
-      concat(lit("src"), ui($id, 73, 20)).as("source"),
+      skewed(0.9, 302, lit("src0"),
+        concat(lit("src"), ui($id, 73, 20))).as("source"),
       length(col("text")).cast("long").as("n_chars")))
 
     // embeddings: isotropic unit vectors, 64-dim float, labels 0..9

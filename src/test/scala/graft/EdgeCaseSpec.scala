@@ -82,6 +82,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("every query runs on an adversarially SKEWED lake without throwing") {
+    import org.apache.spark.sql.functions._
+    // r7 verdict item 7: the AQE-skew claims were plan-shape-asserted but
+    // never EXECUTED against actual skew. GenData's skew mode puts 50% of
+    // events on one hot event_type, 90% of documents on one hot source
+    // and 30% of events on one hot user — the hot keys dominate every
+    // groupBy/window/join on those columns. The full registry must still
+    // plan and execute (the sf0.1-scale skewed lake additionally goes
+    // through the full Verify + DuckDB oracle gate out-of-band — §8).
+    val dir = Files.createTempDirectory("graft_skewed").toString
+    GenData.write(spark, dir, 0.001, skew = true)
+    // the skew is real, not a no-op flag
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val hotType = ev.filter(col("event_type") === "click").count().toDouble / ev.count()
+    assert(hotType > 0.55 && hotType < 0.65, s"hot event_type share $hotType")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val hotSrc = docs.filter(col("source") === "src0").count().toDouble / docs.count()
+    assert(hotSrc > 0.88, s"hot source share $hotSrc")
+    val hotUser = ev.filter(col("user_id") === 0L).count().toDouble / ev.count()
+    assert(hotUser > 0.28, s"hot user share $hotUser")
+    val failures = SparkEntry.registry.flatMap { q =>
+      try { q.run(spark, dir).collect(); None }
+      catch { case e: Throwable => Some(s"${q.name}: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("null class keys are ranked/packed, not silently dropped") {
     import org.apache.spark.sql.functions._
     // the two-level decompositions replace class-partitioned windows with
