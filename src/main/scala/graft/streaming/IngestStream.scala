@@ -279,8 +279,12 @@ object IngestStream {
     * document ever seen (the written SimHash index of a production
     * deployment, the [[graft.operators.Similarity]] incremental-index
     * premise); the per-trigger cost is one band join of the batch
-    * against the store, linear in store size like every
-    * anti-join-per-trigger sink here ([[healthReportSink]] caveat).
+    * against the store — linear in store size BY SEMANTICS (a new
+    * document must be tested against all history; a production layout
+    * bounds it by partitioning the store on band). The keyed APPENDS are
+    * no longer store-linear: [[graft.sources.Store.appendDeduped]]
+    * prunes its existing-keys scan to the batch's key range (r8), which
+    * for this store's monotonic doc_id keys skips all old files.
     *
     * Returns the prepared writer; the caller adds checkpoint/trigger.
     */
@@ -362,10 +366,12 @@ object IngestStream {
     *
     * Scale shape: per trigger, the exact front is state-bounded by
     * arrival rate × watermark horizon; the near-dup band join is linear
-    * in store size (the [[neardupSink]] accounting); the gate is map-only;
-    * the three appends are anti-joins against keyed stores — the same
-    * per-trigger costs the standalone fronts pay, just paid once in one
-    * query instead of three.
+    * in store size by semantics (the [[neardupSink]] accounting); the
+    * gate is map-only; the three appends are key-range-pruned anti-joins
+    * against keyed stores (r8 — monotonic doc_id keys skip all old
+    * files, so per-trigger append cost stays bounded as the stores
+    * grow) — the same per-trigger costs the standalone fronts pay, just
+    * paid once in one query instead of three.
     *
     * Returns the prepared writer; the caller adds checkpoint/trigger.
     */

@@ -37,10 +37,18 @@ def main():
         print(f"{e:9.2f}  {ts:8.3f}  {tb:8.3f}  {k}")
     tot_s = sum(v for v in small.values() if v > 0)
     tot_b = sum(v for v in big.values() if v > 0)
+    common = set(small) & set(big)
+    com_s = sum(v for k, v in small.items() if k in common and v > 0)
+    com_b = sum(v for k, v in big.items() if k in common and v > 0)
     print(f"\n{len(rows)} entries above {FLOOR}s floor; {quiet} sub-floor "
           f"in both runs (fixed-overhead regime, not listed)")
-    print(f"totals: {tot_s:.1f}s -> {tot_b:.1f}s  "
-          f"(wall exponent {math.log10(tot_b / tot_s) / decades:.2f} "
+    print(f"totals (each run's own entries): {tot_s:.1f}s -> {tot_b:.1f}s")
+    # the honest wall exponent compares the SAME work at both SFs — the
+    # bench policy may skip quadratic entries only at the larger SF, and
+    # a subset run (SPARK_GRAFT_ONLY) times fewer entries by design
+    print(f"totals over the {len(common)} common entries: "
+          f"{com_s:.1f}s -> {com_b:.1f}s  "
+          f"(wall exponent {math.log10(com_b / com_s) / decades:.2f} "
           f"over {decades} decade(s))")
 
 
