@@ -39,6 +39,11 @@ object Bench {
       try step catch { case t: Throwable =>
         System.err.println(s"[bench] warmup $label failed: ${t.getMessage}")
       }
+    // SPARK_GRAFT_STREAMS_ONLY=1 runs JUST the streaming-sink section (a
+    // before/after store-layout study re-measures 7 sinks in minutes
+    // instead of paying the full batch protocol to reach them); batch
+    // warmups, prebuilds and the timed registry are all skipped.
+    val streamsOnly = sys.env.get("SPARK_GRAFT_STREAMS_ONLY").contains("1")
     warm("icu")(Warm.icu(spark))
     warm("entry")(SparkEntry.entry(spark).count())
     Seq("lineitem", "orders", "documents", "embeddings")
@@ -46,10 +51,11 @@ object Bench {
     warm("events")(Tables.events(spark, sfDir).count())
     // the heavy warm list derives from the registry (plus the cheap text/
     // labeling codegen paths) so a renamed query cannot silently drop out
-    (operators.Similarity.all.map(_.name) ++
-      Seq("q_dedup_exact", "q_agreement", "q_queue_state", "q_split_leakproof"))
-      .foreach(q => warm(q)(
-        SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()))
+    if (!streamsOnly)
+      (operators.Similarity.all.map(_.name) ++
+        Seq("q_dedup_exact", "q_agreement", "q_queue_state", "q_split_leakproof"))
+        .foreach(q => warm(q)(
+          SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()))
     // the warm-up pinned sf0.001 caches the timed loop never reads —
     // release that storage memory before timing the sf0.1 builds
     graft.operators.Similarity.clearIndexCache()
@@ -62,14 +68,20 @@ object Bench {
     // and expose — the cost themselves)
     def timedBuild(name: String)(body: => Unit): Seq[(String, Double)] = {
       val t0 = System.nanoTime()
-      try { body; Seq(name -> (System.nanoTime() - t0) / 1e9) }
+      try {
+        body
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name done in $dt%.3f s")
+        Seq(name -> dt)
+      }
       catch { case t: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
         Seq(name -> -1.0)
       }
     }
     val builds: Seq[(String, Double)] =
-      (try operators.Similarity.prebuildIndexes(spark, sfDir)
+      if (streamsOnly) Seq.empty
+      else (try operators.Similarity.prebuildIndexes(spark, sfDir)
        catch { case t: Throwable =>
          System.err.println(s"[bench] prebuild FAILED: ${t.getMessage}")
          Seq("build_failed" -> -1.0)
@@ -138,16 +150,25 @@ object Bench {
     val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(q => skippedQuadratic.contains(q._1))
-      .filter(q => only.isEmpty || only(q._1))
-      .map { case (name, _) =>
+    val timed =
+      if (streamsOnly) Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot(q => skippedQuadratic.contains(q._1))
+        .filter(q => only.isEmpty || only(q._1))
+    val results = timed.zipWithIndex.map { case ((name, _), i) =>
       val ts = Seq.fill(Runs)(timeOnce(name))
-      if (ts.exists(_ < 0)) (name, -1.0, -1.0)
-      else {
-        val sorted = ts.sorted
-        (name, sorted.head, sorted(Runs / 2)) // min, median
-      }
+      val r =
+        if (ts.exists(_ < 0)) (name, -1.0, -1.0)
+        else {
+          val sorted = ts.sorted
+          (name, sorted.head, sorted(Runs / 2)) // min, median
+        }
+      // progress line per COMPLETED entry: a multi-hour large-SF study
+      // that dies (OOM, host kill) keeps its partial measurements on
+      // stderr instead of losing everything to the JSON-at-end contract
+      System.err.println(
+        f"[bench] ${i + 1}/${timed.size} $name min=${r._2}%.3f med=${r._3}%.3f")
+      r
     }
 
     // ---- streaming sink throughput (r6 verdict item 5): rows/s per sink
@@ -157,7 +178,8 @@ object Bench {
     // corpus (documents for the ingest fronts, events for the monitors),
     // split into 4 triggers so per-trigger store costs are in the number.
     val streams: Seq[(String, Long, Double)] =
-      if (only.nonEmpty) Seq.empty else benchStreams(spark, sfDir)
+      if (only.nonEmpty && !streamsOnly) Seq.empty
+      else benchStreams(spark, sfDir)
     // 3-decimal timings: sub-ms resolution is noise, and a short line is
     // robust — r2's raw-double line was long enough that the driver's
     // capture truncated it ("parsed": null)

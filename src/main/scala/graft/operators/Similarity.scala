@@ -66,7 +66,10 @@ object Similarity {
     // build would silently deflate the bench instead of surfacing)
     def timed(name: String)(body: => Any): (String, Double) =
       try {
-        val t0 = System.nanoTime(); body; (name, (System.nanoTime() - t0) / 1e9)
+        val t0 = System.nanoTime(); body
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name done in $dt%.3f s")
+        (name, dt)
       } catch { case t: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
         (name, -1.0)
