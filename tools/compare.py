@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [--present-only]
 
 Loads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB against the sf parquet tables,
 sorts columns by name + rows by value, and compares cell-by-cell.
+
+--present-only: compare only queries that HAVE a Spark dump (a targeted
+`graft.Verify <sf> <out> q_a q_b ...` subset run — e.g. the sf10+
+heavy-family studies); a missing dump is then not a failure. The driver's
+own gate always does the full dump, where a missing dump IS a failure.
 """
 import json
 import math
@@ -43,6 +48,7 @@ def cells_equal(a, b) -> bool:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    present_only = "--present-only" in sys.argv[3:]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -52,6 +58,8 @@ def main():
     for name in sorted(oracle):
         qdir = Path(out_dir, name)
         if not qdir.exists():
+            if present_only:
+                continue
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
