@@ -7,13 +7,19 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: restrict the dump to the named queries (dev
-    // iteration); the driver always passes exactly two args → full dump
-    val only = args.drop(2).toSet
+    // iteration); a leading '-' EXCLUDES instead (the sf10+ studies run
+    // everything except the quadratic-routing entries without having to
+    // enumerate all 138 names). The driver always passes exactly two
+    // args → full dump.
+    val (excl, incl) = args.drop(2).partition(_.startsWith("-"))
+    val only = incl.toSet
+    val excluded = excl.map(_.drop(1)).toSet
     val spark = Sessions.buildDefault()
     Warm.icu(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) =>
+        (only.isEmpty || only(name)) && !excluded(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -49,6 +49,7 @@ object Similarity {
     indexCache.clear()
     ivfModels.clear()
     pqModels.clear()
+    lshBitsCache.clear()
   }
 
   /** Build every shared similarity index for (session, dir) in dependency
@@ -628,21 +629,53 @@ object Similarity {
         .select("doc_id", "fp")
     }
 
+  /** SimHash near-dup pairs (Hamming ≤ 3), band-joined over DISTINCT
+    * fingerprints.
+    *
+    * Why distinct-first (measured, r8 sf1→sf10): the naive doc-grain band
+    * self-join is Θ(Σ load²) over (band, chunk) buckets, and fingerprints
+    * CONCENTRATE on real corpora — exact duplicates, boilerplate, and any
+    * bounded-vocabulary text collapse many documents onto few fps, so hot
+    * buckets carry Θ(n) docs and the join is Θ(n²) rows BEFORE the
+    * Hamming filter (17.8 s at sf1 → killed past 35 min at sf10 on the
+    * doc-grain form). Collapsing to distinct fps first makes the band
+    * join Θ(D²/buckets) with D corpus-intrinsic (vocabulary-, not
+    * corpus-, bound — D saturates while n grows), then expands fp-grain
+    * matches back to doc pairs: same-fp groups to hamming-0 pairs, and
+    * distinct cross-fp matches (deduped at fp grain, which is also what
+    * retires the old post-expansion `distinct()` over the pair flood) to
+    * member cross products. Every surviving row is OUTPUT — the remaining
+    * quadratic term is the answer itself (a dup-dense corpus genuinely
+    * HAS Θ(n²) near-dup pairs; a lake-scale deployment reports clusters —
+    * [[qDedupClusters]] — precisely to avoid materializing that).
+    */
   val qDedupSimhash: Q = Q.rowsOnly("q_dedup_simhash") { (s, d) =>
     GraftFunctions.register(s)
     val fp = simhashFingerprints(s, d)
-    val bands = simhashBands(fp)
-    val l = bands.select(col("doc_id").as("id_a"), col("fp").as("fp_a"),
-      col("band"), col("chunk"))
-    val r = bands.select(col("doc_id").as("id_b"), col("fp").as("fp_b"),
-      col("band"), col("chunk"))
-    l.join(r, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 3)
-      .orderBy("id_a", "id_b")
+    val m = fp.select(col("doc_id"), col("fp"))
+    // hamming-0: all pairs within an identical-fp group (pure expansion)
+    val same = m.as("x").join(m.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(0).as("hamming"))
+    // hamming 1..3: band join over distinct fps (any pair within Hamming
+    // ≤ 3 shares ≥ 1 untouched 16-bit band), deduped at fp grain
+    val dfp = fp.select("fp").distinct()
+    val bands = simhashBands(dfp)
+    val fpPairs = bands.select(col("fp").as("fp_a"), col("band"), col("chunk"))
+      .join(bands.select(col("fp").as("fp_b"), col("band"), col("chunk")),
+        Seq("band", "chunk"))
+      .filter(col("fp_a") < col("fp_b"))
+      .select("fp_a", "fp_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .filter(col("hamming").between(1, 3))
+    val cross = fpPairs
+      .join(m.select(col("fp").as("fp_a"), col("doc_id").as("ida")), "fp_a")
+      .join(m.select(col("fp").as("fp_b"), col("doc_id").as("idb")), "fp_b")
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
+    same.unionByName(cross).orderBy("id_a", "id_b")
   }
 
   /** Embeddings with integer-quantized vectors (units of 10⁻⁴) and their
@@ -740,14 +773,43 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes (splitmix64 → integer
-    * components in [-1000, 1000]); 32 tables × 8 bits (256 buckets per
-    * table). The query side runs query-directed multiprobe (Lv et al.,
-    * VLDB'07): per table it also probes the buckets reached by flipping
-    * ≤ 2 of its [[ProbeBits]] LEAST-CONFIDENT sign bits (smallest |dot| —
-    * the hyperplanes the query sits closest to, the dominant miss mode).
+    * components in [-1000, 1000]); 32 tables × [[lshBitsFor]](n) bits
+    * (≥ 256 buckets per table). The query side runs query-directed
+    * multiprobe (Lv et al., VLDB'07): per table it also probes the
+    * buckets reached by flipping ≤ 2 of its [[ProbeBits]]
+    * LEAST-CONFIDENT sign bits (smallest |dot| — the hyperplanes the
+    * query sits closest to, the dominant miss mode).
     */
   private[operators] val Tables_ = 32
   private[operators] val BitsPerTable = 8
+
+  /** n-ADAPTIVE bucket width: bits = max(8, ⌈½·log₂ n⌉), i.e. 2^bits ≈
+    * √n buckets per table once the corpus outgrows 2^16 vectors.
+    *
+    * Why the bucket count must scale (measured, r8 sf1→sf10 step): the
+    * collision join emits Θ(|queries| · probes · n/2^bits) rows — with a
+    * FIXED 256-bucket table and a query set ∝ n (the self-join, semantic
+    * decontamination, label propagation), that is Θ(n²/256) shuffle
+    * traffic no matter how tight the exact-rescore budget is. The √n
+    * budget fix bounded the rescore stage at Θ(n^1.5) but the sf10 bench
+    * measured the COLLISION-COUNT aggregate taking over (the n² term's
+    * constant is 1/256, invisible at sf1, dominant at sf10). Expected
+    * bucket load n/2^bits = O(√n) restores Θ(|queries|·probes·√n) =
+    * Θ(n^1.5) END-TO-END — the ANN family's law — for corpus-scale query
+    * sets, and leaves point queries linear as before.
+    *
+    * Below 2^16 vectors (EVERY spec/test SF and the driver lakes up to
+    * sf1) the floor keeps 8 bits, so buckets — and the pinned
+    * recall/fraction measurements — are BIT-IDENTICAL to the fixed-width
+    * form there. Recall cost of each extra bit: a true neighbor's
+    * per-table collision odds shrink ~(1 − θ/π), compensated by the 22
+    * multiprobe flips targeting exactly the least-confident bits;
+    * measured at sf10 via q_ann_health (recall on a hash-picked probe
+    * sample vs exact brute force) — see SURVEY §8.
+    */
+  private[graft] def lshBitsFor(n: Long): Int =
+    math.max(BitsPerTable,
+      math.ceil(math.log(math.max(2L, n).toDouble) / (2.0 * math.log(2.0))).toInt)
 
   /** How many least-confident bits are eligible for probe flips (probes
     * per table = 1 + m + C(m,2) = 22 at m=6 — tiny vs the corpus side).
@@ -788,19 +850,33 @@ object Similarity {
     * curve.
     */
   private[graft] val KnnProbeBits = 4
-  private[operators] lazy val hyperplanes: Array[Array[Long]] = {
-    def splitmix(seed: Long): Long = {
-      var z = seed + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    Array.tabulate(Tables_ * BitsPerTable) { j =>
-      Array.tabulate(64) { i =>
-        math.floorMod(splitmix(j * 64L + i), 2001L) - 1000L
+
+  /** The hyperplane bank for a given bucket width — row (t, b) is plane
+    * j = t·bits + b, so at bits = 8 the bank is BIT-IDENTICAL to the
+    * historical fixed-width one (every pinned recall measurement keeps
+    * its exact buckets); wider banks are a different (equally valid)
+    * deterministic hash family. Memoized per width: the bank literal is
+    * also the codegen reference object of the matvec kernel, and a
+    * stable array identity lets plan/kernel caches hit.
+    */
+  private val hyperplaneBanks =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Long]]]
+  private[graft] def hyperplanesFor(bits: Int): Array[Array[Long]] =
+    hyperplaneBanks.getOrElseUpdate(bits, {
+      def splitmix(seed: Long): Long = {
+        var z = seed + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
       }
-    }
-  }
+      Array.tabulate(Tables_ * bits) { j =>
+        Array.tabulate(64) { i =>
+          math.floorMod(splitmix(j * 64L + i), 2001L) - 1000L
+        }
+      }
+    })
+  private[graft] def hyperplanes: Array[Array[Long]] =
+    hyperplanesFor(BitsPerTable)
 
   /** LSH-bucketed ANN (rows-only; spec pins recall ≥ 0.8 AND candidate
     * fraction ≤ 0.2): random-hyperplane sign buckets over 32 tables ×
@@ -860,13 +936,24 @@ object Similarity {
     * Package-visible so the spec can assert the candidate-fraction cap
     * directly.
     */
-  // the whole 256×64 hyperplane bank rides the plan as ONE literal into
-  // the codegen'd graft_matvec_q kernel (256 dots per vector in two
-  // generated loops). The earlier formulation shipped 256 separate
+  // the whole (32·bits)×64 hyperplane bank rides the plan as ONE literal
+  // into the codegen'd graft_matvec_q kernel (32·bits dots per vector in
+  // two generated loops). The earlier formulation shipped 256 separate
   // 64-element array literals (one DotQ each) — an O(K·D)-node analyzed
   // tree that cost ~30 s of driver-side analysis/codegen per cold plan.
-  private def bankDots: Column =
-    call_function("graft_matvec_q", typedlit(hyperplanes), col("qv"))
+  private def bankDots(bits: Int): Column =
+    call_function("graft_matvec_q", typedlit(hyperplanesFor(bits)), col("qv"))
+
+  /** Bucket width for (session, dir) = [[lshBitsFor]] of the indexed
+    * (non-null) vector count, memoized beside the index it shapes (the
+    * count is a cheap job off the materialized quantized cache);
+    * [[clearIndexCache]] forgets it with the rest.
+    */
+  private val lshBitsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+  private def lshBits(s: SparkSession, d: String): Int =
+    lshBitsCache.getOrElseUpdate((s, d),
+      lshBitsFor(quantized(s, d).filter(col("qv").isNotNull).count()))
 
   // materialized: the probe side and the corpus side both read the
   // bucket table, and the 256 hyperplane dots per vector should run
@@ -880,12 +967,13 @@ object Similarity {
   private def lshBuckets(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "lsh_buckets") {
       GraftFunctions.register(s)
+      val bits = lshBits(s, d)
       quantized(s, d).filter(col("qv").isNotNull)
-        .select(col("vec_id"), bankDots.as("ds256"))
+        .select(col("vec_id"), bankDots(bits).as("ds256"))
         .select(col("vec_id"), posexplode(expr(
           s"transform(sequence(0, ${Tables_ - 1}), t -> " +
-            s"aggregate(sequence(0, ${BitsPerTable - 1}), 0L, " +
-            s"(acc, b) -> acc + IF(ds256[t * $BitsPerTable + b] >= 0, " +
+            s"aggregate(sequence(0, ${bits - 1}), 0L, " +
+            s"(acc, b) -> acc + IF(ds256[t * $bits + b] >= 0, " +
             s"shiftleft(1L, b), 0L)))"))
           .as(Seq("table_id", "bucket")))
     }
@@ -899,7 +987,8 @@ object Similarity {
       candidateFilter: Column = lit(true)): DataFrame = {
     GraftFunctions.register(s)
     val q = quantized(s, d)
-    val dots = bankDots
+    val bits = lshBits(s, d)
+    val dots = bankDots(bits)
     // candidateFilter restricts the CORPUS side of the bucket join (e.g.
     // q_decontaminate_semantic probes eval queries against train-only
     // candidates) BEFORE the per-query top-b cut — filtering the
@@ -917,13 +1006,13 @@ object Similarity {
       .select(col("vec_id").as("query_id"), dots.as("ds256"))
       .select(col("query_id"), posexplode(expr(
         s"transform(sequence(0, ${Tables_ - 1}), t -> " +
-          s"slice(ds256, t * $BitsPerTable + 1, $BitsPerTable))"))
+          s"slice(ds256, t * $bits + 1, $bits))"))
         .as(Seq("table_id", "ds")))
       .withColumn("bucket", expr(
-        s"aggregate(sequence(0, ${BitsPerTable - 1}), 0L, " +
+        s"aggregate(sequence(0, ${bits - 1}), 0L, " +
           s"(acc, b) -> acc + IF(ds[b] >= 0, shiftleft(1L, b), 0L))"))
       .withColumn("fl", expr(
-        s"slice(transform(array_sort(transform(sequence(0, ${BitsPerTable - 1}), " +
+        s"slice(transform(array_sort(transform(sequence(0, ${bits - 1}), " +
           s"b -> struct(abs(ds[b]) AS a, b AS b))), s -> s.b), 1, $probeBits)"))
       // masks: no flip, each single flip, each pair flip (distinct bits ⇒
       // + is exact); XOR against the base bucket yields the probe buckets

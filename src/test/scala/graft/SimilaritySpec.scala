@@ -360,6 +360,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("simhash pair set equals all-pairs brute force exactly (distinct-fp rewrite guard)") {
+    // the r8 distinct-fingerprint rewrite (hot identical-fp band buckets
+    // made the doc-grain band join Θ(n²) rows at sf10) must emit EXACTLY
+    // the pairs the definition names: every unordered doc pair whose
+    // fingerprints sit within Hamming ≤ 3, each exactly once
+    graft.functions.GraftFunctions.register(spark)
+    val fps = Similarity.withSimhashFp(Tables.documents(spark, sfDir))
+      .select("doc_id", "fp").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp")))
+    val expected = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield ((a, b), h)).toMap
+    val rows = Similarity.qDedupSimhash.run(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Int]("hamming")))
+    assert(rows.length == rows.toMap.size, "a pair must be emitted exactly once")
+    assert(rows.toMap == expected,
+      s"pair sets differ: got ${rows.length}, expected ${expected.size}")
+  }
+
   test("SimHash64 expression equals the 64-aggregate DataFrame formulation") {
     import org.apache.spark.sql.functions.{filter => afilter, _}
     graft.functions.GraftFunctions.register(spark)
@@ -1093,5 +1114,39 @@ class SimilaritySpec extends SparkSpec {
     info(f"clustered-corpus health: ivf=${got("ivf")}%.3f lsh=${got("lsh")}%.3f")
     assert(got("ivf") >= 0.8,
       "a healthy IVF index on clustered data must read healthy")
+  }
+
+  test("adaptive LSH bucket width: 8-bit floor through 2^16 vectors, then the sqrt-n law") {
+    // the r8 sf1→sf10 study measured the collision-count aggregate of the
+    // corpus-scale query ops going Θ(n²/256) under FIXED 256-bucket
+    // tables (q_decontaminate_semantic exponent 1.73 at the second decade
+    // despite the √n rescore budget) — bucket count must grow as √n so
+    // expected bucket load (= collision rows per probe) is O(√n).
+    // Every spec/test SF and driver lake up to sf1 sits under the floor:
+    // buckets there are bit-identical to the historical fixed width.
+    for (n <- Seq(0L, 1L, 500L, 2000L, 5000L, 20000L, 65536L))
+      assert(Similarity.lshBitsFor(n) == 8, s"floor violated at n=$n")
+    assert(Similarity.lshBitsFor(65537L) == 9)   // first width step
+    assert(Similarity.lshBitsFor(200000L) == 9)  // the sf10 lake
+    assert(Similarity.lshBitsFor(2000000L) == 11)
+    assert(Similarity.lshBitsFor(300000000L) == 15)
+    // monotone, and load n/2^bits stays within [√n/2, 2√n] above the floor
+    var prev = 8
+    for (e <- 17 to 40) {
+      val n = 1L << e
+      val b = Similarity.lshBitsFor(n)
+      assert(b >= prev, s"width must be monotone in n (n=2^$e)")
+      prev = b
+      val load = n.toDouble / (1L << b)
+      val root = math.sqrt(n.toDouble)
+      assert(load <= root && load >= root / 2.0,
+        f"load $load%.0f off the √n law ($root%.0f) at n=2^$e")
+    }
+    // the wider bank's first-8-bit prefix is NOT the 8-bit bank (it is a
+    // fresh deterministic family), but the 8-bit bank itself must be
+    // byte-stable: pinned recalls depend on its exact planes
+    val b8 = Similarity.hyperplanesFor(8)
+    assert(b8.length == 256 && b8(0)(0) == Similarity.hyperplanes(0)(0))
+    assert(Similarity.hyperplanesFor(9).length == 32 * 9)
   }
 }
