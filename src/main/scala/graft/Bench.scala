@@ -24,8 +24,91 @@ import org.apache.spark.sql.SparkSession
   * benchmark exists to measure.
   */
 object Bench {
+
+  /** Host-load fingerprint, stamped into the bench JSON so the artifact is
+    * SELF-CERTIFYING (r8 verdict: BENCH_r08.json was contention-poisoned —
+    * specific entries 3–7× their idle-host values with nothing inside the
+    * JSON saying so; a reader drew per-entry conclusions from noise).
+    *
+    *  - `other_jvms`: java processes on the host that are not this process
+    *    or an ancestor (sbt forks the bench JVM — its parent sbt must not
+    *    read as contention). Any OTHER JVM — a leftover Spark session, a
+    *    concurrent test run — is exactly the ~60%-inflation mode
+    *    CLAUDE.md warns about.
+    *  - `loadavg1`: 1-minute load average at the sample time.
+    *  - `calib_ms`: min-of-3 wall time of a fixed 2²⁸-step xorshift64
+    *    loop — single-threaded pure register work, a host-constant under
+    *    idle conditions; CPU contention or hypervisor steal inflates it
+    *    proportionally, so two artifacts' calib values are directly
+    *    comparable where their wall totals are not.
+    *
+    * Sampled at START and END of the run: contention that arrives mid-run
+    * is visible in the end sample. `contended` is the conservative gate a
+    * reader can key on (any other JVM at either sample); with
+    * SPARK_GRAFT_PREFLIGHT=strict the run REFUSES to start when the
+    * start sample is contended, so a committed artifact can be produced
+    * under a policy, not just a convention.
+    */
+  private[graft] final case class Preflight(otherJvms: Seq[Long],
+      loadavg1: Double, calibMs: Double) {
+    def json: String =
+      s"""{"other_jvms":${otherJvms.size},"loadavg1":$loadavg1,""" +
+        s""""calib_ms":${calibMs.round}}"""
+  }
+
+  private def calibMs(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < (1 << 28)) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      // data dependency on x defeats dead-code elimination of the loop
+      if (x == 42L) System.err.println("")
+      (System.nanoTime() - t0) / 1e6
+    }
+    Seq.fill(3)(once()).min
+  }
+
+  private[graft] def preflight(): Preflight = {
+    import scala.jdk.CollectionConverters._
+    val ancestors = {
+      val b = scala.collection.mutable.Set.empty[Long]
+      var h = Option(ProcessHandle.current())
+      while (h.isDefined) {
+        b += h.get.pid()
+        h = if (h.get.parent().isPresent) Some(h.get.parent().get) else None
+      }
+      b
+    }
+    val jvms =
+      try ProcessHandle.allProcesses().iterator().asScala
+        .filterNot(p => ancestors.contains(p.pid()))
+        .filter { p =>
+          val c = p.info().command()
+          c.isPresent && c.get.contains("java")
+        }
+        .map(_.pid()).toList
+      catch { case _: Throwable => Seq.empty[Long] }
+    val load =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    Preflight(jvms, load, calibMs())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val preStart = preflight()
+    System.err.println(s"[bench] preflight start: ${preStart.json}")
+    if (preStart.otherJvms.nonEmpty) {
+      System.err.println("[bench] WARNING: other JVMs running " +
+        s"(pids ${preStart.otherJvms.mkString(",")}) — timings will be " +
+        "contention-poisoned (CLAUDE.md: totals inflate ~60%)")
+      if (sys.env.get("SPARK_GRAFT_PREFLIGHT").contains("strict"))
+        sys.error("preflight strict: refusing to bench on a contended host")
+    }
     val spark = Sessions.buildDefault()
 
     def force(name: String): Unit =
@@ -208,10 +291,18 @@ object Bench {
         s"\"" + k + s"\":{\"rows\":$rows,\"sec\":${f3(sec)},\"rows_per_sec\":$rps}"
       }.mkString("{", ",", "}")
     val skippedJson = skippedQuadratic.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // end-of-run load sample: contention that ARRIVED mid-run shows here;
+    // `contended` is the one-bit gate a reader keys on before trusting
+    // any per-entry number (r8: a poisoned artifact carried no marker)
+    val preEnd = preflight()
+    System.err.println(s"[bench] preflight end: ${preEnd.json}")
+    val contended = preStart.otherJvms.nonEmpty || preEnd.otherJvms.nonEmpty
+    val preflightJson =
+      s"""{"start":${preStart.json},"end":${preEnd.json},"contended":$contended}"""
     val json =
-      s"""{"detail":$detail,"runs":$Runs,"queries":$qs,"stream":$streamJson,"skipped_quadratic":$skippedJson,"quad_cap_vectors":$KnnQuadCap,"n_vectors":$nVec,"sf":"$sfDir","metric":"total","unit":"sec","failed":$failed,"value":${f3(total)}}"""
+      s"""{"detail":$detail,"runs":$Runs,"queries":$qs,"stream":$streamJson,"skipped_quadratic":$skippedJson,"quad_cap_vectors":$KnnQuadCap,"n_vectors":$nVec,"preflight":$preflightJson,"sf":"$sfDir","metric":"total","unit":"sec","failed":$failed,"value":${f3(total)}}"""
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"skipped_quadratic":$skippedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"skipped_quadratic":$skippedJson,"contended":$contended,"sf":"$sfDir"}"""
     // belt and braces for the driver handoff: the line on stdout (the
     // contract) AND the same JSON at a fixed path, immune to interleaved
     // log lines or tail truncation
