@@ -1149,4 +1149,104 @@ class SimilaritySpec extends SparkSpec {
     assert(b8.length == 256 && b8(0)(0) == Similarity.hyperplanes(0)(0))
     assert(Similarity.hyperplanesFor(9).length == 32 * 9)
   }
+
+  test("simhash: NO-concentration corpus (distinct fp ≈ n) — pair set still exact") {
+    // the adversarial regime for the r8 distinct-fp rewrite ITSELF: on a
+    // corpus where fingerprints do NOT concentrate (distinct-fp count ≈ n,
+    // every doc's token set unique), the rewrite's distinct+expand stages
+    // are pure overhead — this pins that in that regime the emitted pair
+    // set is still EXACTLY the brute-force definition (every unordered
+    // pair within Hamming ≤ 3, once), with both branches exercised:
+    // hamming-0 via three planted exact dups (6 distinct fps lost out of
+    // 900 keeps the regime), and the cross-fp band path via planted
+    // one-token-extended neighbors whose hamming straddles the ≤3 bar
+    // (whichever side each deterministic fingerprint lands, brute force
+    // and the operator must agree on it).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nofp").toString
+    val n = 900
+    def toks(i: Int): Seq[String] = (0 until 60).map(j => s"t${i}_$j")
+    val base = (0 until n).map(i => (i.toLong, toks(i).mkString(" ")))
+    val exactDups = (0 until 3).map(i => ((n + i).toLong, toks(i).mkString(" ")))
+    val nearDups = (10 until 22).map(i =>
+      ((n + 100 + i).toLong, (toks(i) :+ s"extra_$i").mkString(" ")))
+    (base ++ exactDups ++ nearDups).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.functions.GraftFunctions.register(spark)
+    val fps = Similarity.withSimhashFp(Tables.documents(spark, dir))
+      .select("doc_id", "fp").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp")))
+    // the regime premise, asserted: distinct fps ≈ n (no concentration)
+    val distinctFp = fps.map(_._2).distinct.length
+    assert(distinctFp >= fps.length - 3,
+      s"corpus stopped being concentration-free: $distinctFp distinct of ${fps.length}")
+    val expected = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield ((a, b), h)).toMap
+    assert(expected.exists(_._2 == 0), "planted exact dups missing from truth")
+    val got = Similarity.qDedupSimhash.run(spark, dir).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Int]("hamming")))
+    val nNear = expected.count(_._2 > 0)
+    info(s"no-concentration corpus: ${fps.length} docs, $distinctFp distinct fps, " +
+      s"${expected.size} true pairs (${nNear} at hamming 1..3)")
+    assert(got.length == got.toMap.size, "a pair must be emitted exactly once")
+    assert(got.toMap == expected,
+      s"pair sets differ: got ${got.length}, expected ${expected.size}")
+  }
+
+  test("lsh recall floor holds past the 8→9-bit adaptive-width boundary (n > 2^16)") {
+    // r8 made the bucket width n-adaptive (√n buckets above 2^16 vectors)
+    // on an asymptotic argument; every pinned recall measurement sits in
+    // the 8-bit floor regime, so the recall COST of the first width step
+    // was an argument, not a number. This generates the smallest corpus
+    // past the step (70 000 > 2^16 isotropic vectors — the hard regime:
+    // real clustered embeddings only collide more), asserts the 9-bit
+    // bank is actually in use (bucket ids past the 8-bit ceiling), and
+    // pins recall@5 of the production point-query path against an exact
+    // driver-side brute force over a hash-picked probe sample.
+    val dir = java.nio.file.Files.createTempDirectory("graft_width9").toString
+    val n = 70000L
+    GenData.embeddingsDf(spark, n).write.parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.lshBitsFor(n) == 9)
+    val maxBucket = Similarity.lshBuckets(spark, dir)
+      .agg(max(col("bucket"))).collect()(0).getLong(0)
+    assert(maxBucket > 255L && maxBucket <= 511L,
+      s"9-bit bank not in use (max bucket $maxBucket)")
+    // exact truth, driver-side, over the SAME 10⁻⁴ integer quantization
+    // the index path scores with (ties must break identically)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+        .as("qv"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Long]]("qv").toArray))
+    val byId = vecs.toMap
+    val probeIds = Tables.embeddings(spark, dir).select(col("vec_id"))
+      .orderBy(xxhash64(col("vec_id").cast("string")), col("vec_id"))
+      .limit(32).collect().map(_.getLong(0))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var d = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val truth: Map[Long, Set[Long]] = probeIds.map { qid =>
+      val q = byId(qid)
+      qid -> vecs.iterator.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(q, v)) }.toSeq
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val got = Similarity.annLshTop5(spark, dir,
+        col("vec_id").isin(probeIds.toIndexedSeq: _*)).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val matched = probeIds.map(q => (truth(q) & got.getOrElse(q, Set.empty)).size).sum
+    val recall = matched.toDouble / (probeIds.length * 5)
+    info(f"recall@5 at 9-bit width (n=$n isotropic): $recall%.3f")
+    // floor: the registered qAnnLsh spec pins ≥ 0.8 in the 8-bit regime;
+    // the width step must not collapse it (multiprobe compensation claim)
+    assert(recall >= 0.8, f"9-bit recall $recall%.3f below floor")
+    Similarity.clearIndexCache()
+  }
 }
