@@ -49,11 +49,16 @@ object Bench {
     * start sample is contended, so a committed artifact can be produced
     * under a policy, not just a convention.
     */
-  private[graft] final case class Preflight(otherJvms: Seq[Long],
+  private[graft] final case class Preflight(otherJvms: Option[Seq[Long]],
       loadavg1: Double, calibMs: Double) {
+    // None = the process scan itself failed: the host state is UNKNOWN,
+    // which must read differently from certified-clean (`other_jvms":-1`
+    // in the JSON) and must NOT certify the artifact (r9 ADVICE: a
+    // swallowed scan failure previously read as an idle host)
     def json: String =
-      s"""{"other_jvms":${otherJvms.size},"loadavg1":$loadavg1,""" +
-        s""""calib_ms":${calibMs.round}}"""
+      s"""{"other_jvms":${otherJvms.map(_.size).getOrElse(-1)},""" +
+        s""""loadavg1":$loadavg1,"calib_ms":${calibMs.round}}"""
+    def certifiedClean: Boolean = otherJvms.exists(_.isEmpty)
   }
 
   private def calibMs(): Double = {
@@ -83,18 +88,19 @@ object Bench {
       b
     }
     val jvms =
-      try ProcessHandle.allProcesses().iterator().asScala
+      try Some(ProcessHandle.allProcesses().iterator().asScala
         .filterNot(p => ancestors.contains(p.pid()))
         .filter { p =>
           val c = p.info().command()
           c.isPresent && c.get.contains("java")
         }
-        .map(_.pid()).toList
-      catch { case _: Throwable => Seq.empty[Long] }
+        .map(_.pid()).toList)
+      catch { case _: Exception => None } // Exception only: an Error must
+      // propagate, and a failed scan must surface as unknown, not clean
     val load =
       try java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
+      catch { case _: Exception => -1.0 }
     Preflight(jvms, load, calibMs())
   }
 
@@ -102,12 +108,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val preStart = preflight()
     System.err.println(s"[bench] preflight start: ${preStart.json}")
-    if (preStart.otherJvms.nonEmpty) {
-      System.err.println("[bench] WARNING: other JVMs running " +
-        s"(pids ${preStart.otherJvms.mkString(",")}) — timings will be " +
-        "contention-poisoned (CLAUDE.md: totals inflate ~60%)")
+    if (!preStart.certifiedClean) {
+      val why = preStart.otherJvms match {
+        case Some(pids) => s"other JVMs running (pids ${pids.mkString(",")})" +
+          " — timings will be contention-poisoned (CLAUDE.md: totals inflate ~60%)"
+        case None => "process scan FAILED — host state unknown, artifact cannot certify clean"
+      }
+      System.err.println(s"[bench] WARNING: $why")
       if (sys.env.get("SPARK_GRAFT_PREFLIGHT").contains("strict"))
-        sys.error("preflight strict: refusing to bench on a contended host")
+        sys.error("preflight strict: refusing to bench on an uncertified host")
     }
     val spark = Sessions.buildDefault()
 
@@ -296,7 +305,7 @@ object Bench {
     // any per-entry number (r8: a poisoned artifact carried no marker)
     val preEnd = preflight()
     System.err.println(s"[bench] preflight end: ${preEnd.json}")
-    val contended = preStart.otherJvms.nonEmpty || preEnd.otherJvms.nonEmpty
+    val contended = !preStart.certifiedClean || !preEnd.certifiedClean
     val preflightJson =
       s"""{"start":${preStart.json},"end":${preEnd.json},"contended":$contended}"""
     val json =

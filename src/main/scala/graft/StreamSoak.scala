@@ -95,7 +95,7 @@ object StreamSoak {
 
     val preEnd = Bench.preflight()
     System.err.println(s"[soak] preflight end: ${preEnd.json}")
-    val contended = preStart.otherJvms.nonEmpty || preEnd.otherJvms.nonEmpty
+    val contended = !preStart.certifiedClean || !preEnd.certifiedClean
     def f3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val json =

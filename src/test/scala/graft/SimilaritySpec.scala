@@ -1157,11 +1157,12 @@ class SimilaritySpec extends SparkSpec {
     // are pure overhead — this pins that in that regime the emitted pair
     // set is still EXACTLY the brute-force definition (every unordered
     // pair within Hamming ≤ 3, once), with both branches exercised:
-    // hamming-0 via three planted exact dups (6 distinct fps lost out of
-    // 900 keeps the regime), and the cross-fp band path via planted
+    // hamming-0 via three planted exact dups (3 distinct fps lost out of
+    // 915 docs keeps the regime), and the cross-fp band path via planted
     // one-token-extended neighbors whose hamming straddles the ≤3 bar
     // (whichever side each deterministic fingerprint lands, brute force
-    // and the operator must agree on it).
+    // and the operator must agree on it — including hamming 0, where a
+    // near-dup's fp may coincide with its base and cost a distinct fp).
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_nofp").toString
     val n = 900
@@ -1176,9 +1177,13 @@ class SimilaritySpec extends SparkSpec {
     val fps = Similarity.withSimhashFp(Tables.documents(spark, dir))
       .select("doc_id", "fp").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp")))
-    // the regime premise, asserted: distinct fps ≈ n (no concentration)
+    // the regime premise, asserted: distinct fps ≈ n (no concentration).
+    // Guaranteed losses: the 3 exact dups; additionally each of the 12
+    // one-token-extended near-dups MAY land at hamming 0 from its base
+    // (a legitimate outcome the pair-set check must handle), so the
+    // bound allows for them without weakening the ≈ n premise
     val distinctFp = fps.map(_._2).distinct.length
-    assert(distinctFp >= fps.length - 3,
+    assert(distinctFp >= fps.length - 3 - nearDups.size,
       s"corpus stopped being concentration-free: $distinctFp distinct of ${fps.length}")
     val expected = (for {
       (a, fa) <- fps; (b, fb) <- fps if a < b

@@ -16,6 +16,9 @@ def main():
     d = json.load(open(sys.argv[1]))
     xs = d["per_trigger_sec"]
     n = len(xs)
+    if n < 3:
+        sys.exit(f"need >=3 triggers to summarize (got {n}): trigger 1 is "
+                 "dropped as plan warmup and quartile means need a body")
     rows = d["rows_per_trigger"]
     body = xs[1:]  # trigger 1 pays one-time plan analysis/codegen
     q = max(1, len(body) // 4)
