@@ -171,8 +171,15 @@ object Bench {
         Seq(name -> -1.0)
       }
     }
+    // SPARK_GRAFT_SKIP_BUILDS=1 skips the shared prebuilds (subset
+    // studies of NON-similarity entries at large SF — paying 15 min of
+    // ANN index builds to time six relational queries measures nothing;
+    // a similarity entry run this way pays — and exposes — its build
+    // cost inside its own timing, which the JSON's missing build_*
+    // entries make visible)
+    val skipBuilds = sys.env.get("SPARK_GRAFT_SKIP_BUILDS").contains("1")
     val builds: Seq[(String, Double)] =
-      if (streamsOnly) Seq.empty
+      if (streamsOnly || skipBuilds) Seq.empty
       else (try operators.Similarity.prebuildIndexes(spark, sfDir)
        catch { case t: Throwable =>
          System.err.println(s"[bench] prebuild FAILED: ${t.getMessage}")

@@ -620,6 +620,42 @@ object Similarity {
         shiftrightunsigned(col("fp"), k * 16).bitwiseAND(0xffff)): _*))
       .as(Seq("band", "chunk")))
 
+  /** Half-probe keys for the Hamming ≤ 3 candidate join (r10 —
+    * block-probing in the spirit of Manku et al., WWW'07 §3, re-expressed
+    * as a Spark equi-join): split the 64-bit fingerprint into two 32-bit
+    * halves. A pair within Hamming ≤ 3 has ≤ 1 differing bit in ONE half
+    * (3 diffs across 2 halves ⇒ min ≤ 1), so if the PROBE side enumerates
+    * each half's identity plus all 32 single-bit flips (66 keys/fp) and
+    * the CORPUS side keeps each half exactly (2 keys/fp), the probe hits
+    * the corpus key of every true pair. Keys pack (half, value) into one
+    * long: value | half << 32.
+    *
+    * Why 33-bit exact keys instead of the 16-bit pigeonhole bands
+    * (measured at sf10, Diag artifacts in SURVEY §8): fingerprints of a
+    * shared-vocabulary corpus CORRELATE, so 16-bit band values concentrate
+    * — 500k docs → 274k distinct fps but only ~8–13k distinct values per
+    * band, hot buckets of 16.7k fps, Σ C(load,2) ≈ 1.0e9 candidate pairs
+    * (2405.6 s). A 28-bit two-level band⊕sub-chunk key still measured
+    * 209M candidates (1685 s) — correlated bits don't spread. EXACT
+    * 32-bit halves are near-unique (max bucket 735, Σ C(load,2) = 7.8M),
+    * and the flip enumeration moves the fan-out to the PROBE side where
+    * it is a fixed ×66 on narrow rows, not a bucket-load square. The
+    * corpus key side is 2 rows/fp — at this scale a broadcastable build
+    * side, so the 66·D probe rows never shuffle.
+    */
+  private[graft] def simhashHalfKeys(fp: DataFrame, probe: Boolean): DataFrame = {
+    val lo = col("fp").bitwiseAND(lit(0xffffffffL))
+    val hi = shiftrightunsigned(col("fp"), 32)
+    def key(h: Int, v: Column): Column = v.bitwiseOR(lit(h.toLong << 32))
+    val keys =
+      if (!probe) Seq(key(0, lo), key(1, hi))
+      else for { h <- 0 to 1; k <- -1 until 32 } yield {
+        val base = if (h == 0) lo else hi
+        key(h, if (k < 0) base else base.bitwiseXOR(lit(1L << k)))
+      }
+    fp.select(col("*"), explode(array(keys: _*)).as("hk"))
+  }
+
   private def simhashFingerprints(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "simhash_fp") {
       withSimhashFp(Tables.documents(s, d)
@@ -638,16 +674,28 @@ object Similarity {
     * bounded-vocabulary text collapse many documents onto few fps, so hot
     * buckets carry Θ(n) docs and the join is Θ(n²) rows BEFORE the
     * Hamming filter (17.8 s at sf1 → killed past 35 min at sf10 on the
-    * doc-grain form). Collapsing to distinct fps first makes the band
-    * join Θ(D²/buckets) with D corpus-intrinsic (vocabulary-, not
-    * corpus-, bound — D saturates while n grows), then expands fp-grain
-    * matches back to doc pairs: same-fp groups to hamming-0 pairs, and
-    * distinct cross-fp matches (deduped at fp grain, which is also what
-    * retires the old post-expansion `distinct()` over the pair flood) to
-    * member cross products. Every surviving row is OUTPUT — the remaining
-    * quadratic term is the answer itself (a dup-dense corpus genuinely
-    * HAS Θ(n²) near-dup pairs; a lake-scale deployment reports clusters —
+    * doc-grain form). Collapsing to distinct fps first bounds the join by
+    * distinct-fp bucket loads, then expands fp-grain matches back to doc
+    * pairs: same-fp groups to hamming-0 pairs, and distinct cross-fp
+    * matches (deduped at fp grain, which is also what retires the old
+    * post-expansion `distinct()` over the pair flood) to member cross
+    * products. Every surviving expansion row is OUTPUT — that quadratic
+    * term is the answer itself (a dup-dense corpus genuinely HAS Θ(n²)
+    * near-dup pairs; a lake-scale deployment reports clusters —
     * [[qDedupClusters]] — precisely to avoid materializing that).
+    *
+    * r10 CORRECTION (measured at sf10): the r8 premise "D is
+    * vocabulary-bound" does NOT hold on corpora of mostly-unique
+    * documents — at sf10 D/n = 0.547 — and band VALUES concentrate
+    * because fingerprint bits correlate across a shared vocabulary, so
+    * the single-level 16-bit band self-join over distinct fps measured
+    * Θ(D²) anyway (2405.6 s at sf10, exponent 2.08 over sf1; Σ C(load,2)
+    * = 1.0e9 candidate pairs). The candidate join now runs on
+    * [[simhashHalfKeys]]'s exact-32-bit-half probe keys, whose load
+    * profile is corpus-measured near-unique; the exact Hamming filter
+    * and the expansion stages are unchanged, so the emitted pair set is
+    * identical (spec-pinned against brute force on both the concentrated
+    * and the no-concentration crafted corpora).
     */
   val qDedupSimhash: Q = Q.rowsOnly("q_dedup_simhash") { (s, d) =>
     GraftFunctions.register(s)
@@ -658,13 +706,17 @@ object Similarity {
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         lit(0).as("hamming"))
-    // hamming 1..3: band join over distinct fps (any pair within Hamming
-    // ≤ 3 shares ≥ 1 untouched 16-bit band), deduped at fp grain
+    // hamming 1..3: half-probe join over distinct fps (a pair within
+    // Hamming ≤ 3 has a half with ≤ 1 diff, so a probe-side 1-flip
+    // enumeration hits the corpus-side exact half key — see
+    // [[simhashHalfKeys]] for why exact 33-bit keys replace the 16-bit
+    // pigeonhole bands that correlated fingerprints concentrate),
+    // deduped at fp grain
     val dfp = fp.select("fp").distinct()
-    val bands = simhashBands(dfp)
-    val fpPairs = bands.select(col("fp").as("fp_a"), col("band"), col("chunk"))
-      .join(bands.select(col("fp").as("fp_b"), col("band"), col("chunk")),
-        Seq("band", "chunk"))
+    val fpPairs = simhashHalfKeys(dfp, probe = true)
+      .select(col("fp").as("fp_a"), col("hk"))
+      .join(simhashHalfKeys(dfp, probe = false)
+        .select(col("fp").as("fp_b"), col("hk")), Seq("hk"))
       .filter(col("fp_a") < col("fp_b"))
       .select("fp_a", "fp_b").distinct()
       .withColumn("hamming",

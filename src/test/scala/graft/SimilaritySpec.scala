@@ -1150,6 +1150,46 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hyperplanesFor(9).length == 32 * 9)
   }
 
+  test("simhashHalfKeys: probe keys of a hit the exact key of b for every pair within hamming <= 3") {
+    // the r10 half-probe join's soundness invariant, probed at the
+    // adversarial placements: flips ON the 32-bit half border, all three
+    // diffs in ONE half (the other half must carry the identity hit),
+    // and diffs split 2+1 / 1+2 across halves (the ≤1-diff half must be
+    // reached by exactly one probe flip)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val bases = Seq.fill(25)(rnd.nextLong())
+    val flips: Seq[Seq[Int]] = Seq(
+      Seq(0), Seq(31), Seq(32), Seq(63),
+      Seq(0, 1), Seq(31, 32), Seq(0, 63), Seq(33, 34),
+      Seq(0, 1, 2), Seq(61, 62, 63), Seq(0, 1, 32), Seq(0, 32, 33),
+      Seq(31, 32, 63), Seq(5, 17, 29), Seq(36, 47, 58), Seq(15, 31, 47))
+    val pairs = for { b <- bases; f <- flips }
+      yield (b, f.foldLeft(b)((x, i) => x ^ (1L << i)))
+    val fps = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    def keysOf(probe: Boolean): Map[Long, Set[Long]] =
+      Similarity.simhashHalfKeys(fps.toDF("fp"), probe).collect()
+        .groupBy(_.getAs[Long]("fp"))
+        .view.mapValues(_.map(_.getAs[Long]("hk")).toSet).toMap
+    val probeKeys = keysOf(probe = true)
+    val exactKeys = keysOf(probe = false)
+    fps.foreach { f =>
+      assert(exactKeys(f).size == 2, s"fp $f must emit 2 exact half keys")
+      assert(exactKeys(f).subsetOf(probeKeys(f)),
+        "identity probes must include the exact keys")
+      assert(probeKeys(f).size == 66,
+        s"fp $f must emit 66 distinct probe keys (identity + 32 flips per half)")
+    }
+    pairs.filter(p => p._1 != p._2).foreach { case (a, b) =>
+      val h = java.lang.Long.bitCount(a ^ b)
+      assert(h <= 3, "crafted pairs stay within the guarantee's premise")
+      assert(probeKeys(a).intersect(exactKeys(b)).nonEmpty,
+        s"hamming-$h pair: a's probes miss b's exact half keys: $a $b")
+      assert(probeKeys(b).intersect(exactKeys(a)).nonEmpty,
+        s"hamming-$h pair: b's probes miss a's exact half keys: $a $b")
+    }
+  }
+
   test("simhash: NO-concentration corpus (distinct fp ≈ n) — pair set still exact") {
     // the adversarial regime for the r8 distinct-fp rewrite ITSELF: on a
     // corpus where fingerprints do NOT concentrate (distinct-fp count ≈ n,
