@@ -225,6 +225,10 @@ object Bench {
     // q_knn_graph (the dispatcher) is skipped only when its geometry
     // probe actually routes to the quadratic path (isotropic corpus) —
     // on clustered corpora it benches its Θ(n^1.5) IVF route normally.
+    // q_embed_neardup (r11) is the same class: a per-label all-pairs
+    // exact baseline — Θ(n²) by design (measured exponent 1.96, 125.8 s
+    // at sf10) — whose cost law is published, so above the cap it is
+    // skipped with the same marker instead of re-timed.
     // The honest routed cost of the quadratic path above the cap is
     // measured once per study via graft.QTime and published in SURVEY §8,
     // not re-paid Runs× in every bench pass.
@@ -237,7 +241,7 @@ object Bench {
         val graphRoutesQuadratic =
           try !operators.Similarity.knnGeometryIsClustered(spark, sfDir)
           catch { case _: Throwable => false }
-        Seq("q_knn_join") ++
+        Seq("q_knn_join", "q_embed_neardup") ++
           (if (graphRoutesQuadratic) Seq("q_knn_graph") else Seq.empty)
       }
     // SPARK_GRAFT_ONLY=comma,separated,names restricts the timed registry

@@ -7,17 +7,24 @@ import org.apache.spark.sql.functions._
   * IS the join cost, so a slow measured entry can be attributed to a
   * specific hot-key distribution instead of argued about.
   *
-  * Usage: runMain graft.Diag <simhash|lsh> <sfDir>
+  * Usage: runMain graft.Diag <simhash|halfjoin|halves|lsh|semdecon> <sfDir>
   *
   *  - `simhash`: distinct-fingerprint count vs corpus size (the r8
   *    rewrite's "D is vocabulary-bound" premise, checkable), then per
   *    16-bit band: distinct band values, the top bucket loads, and
   *    Σ C(load, 2) — the exact candidate-pair count the band self-join
   *    must emit before the Hamming filter.
+  *  - `halfjoin`: the r10 half-probe join's actual pre-filter candidate
+  *    row count (probe keys ⋈ exact keys) — the number to compare against
+  *    `simhash`'s Σ C(load,2).
+  *  - `halves`: exact-32-bit-half value concentration — the load profile
+  *    that makes the half-probe join's candidate volume near-linear.
   *  - `lsh`: bucket width in use, per-table load second moment
   *    Σ load² / n (the expected collision fan-out per probe row), and the
-  *    top bucket loads — the collision-join volume model of
-  *    q_decontaminate_semantic / q_knn_join.
+  *    top bucket loads — the collision-join volume model of q_knn_join
+  *    (and, through r10, of the since-rerouted point gates).
+  *  - `semdecon`: flagged-set recall of the IVF-rerouted
+  *    q_decontaminate_semantic vs a brute-force exact pass at this SF.
   */
 object Diag {
   def main(args: Array[String]): Unit = {
@@ -83,6 +90,42 @@ object Diag {
             s"[diag] half ${r.get(0)}: ${r.getLong(1)} distinct values, " +
               s"max bucket ${r.getLong(2)}, exact-equal pairs ${r.getLong(3)}"))
 
+      case "semdecon" =>
+        // recall study of the r11 IVF-rerouted q_decontaminate_semantic
+        // at an arbitrary SF: brute-force exact max train cosine per
+        // eval vector (|eval|·|train| integer dots — a one-off study
+        // pass, NOT the operator), then the operator's own report
+        // joined against it → flagged-set recall + shortfall profile.
+        val q = operators.Similarity.quantized(spark, sfDir)
+          .filter(col("qv").isNotNull)
+        val isEval = operators.Text.evalSlice(col("vec_id"))
+        val eval = q.filter(isEval).select(col("vec_id").as("eid"),
+          col("qv").as("eq"), col("n2").as("en2"))
+        val exact = q.filter(!isEval).crossJoin(broadcast(eval))
+          .select(col("eid"),
+            (call_function("graft_dot_q", col("eq"), col("qv")).cast("double") /
+              (sqrt(col("en2").cast("double")) * sqrt(col("n2").cast("double"))))
+              .as("c"))
+          .groupBy("eid").agg(max("c").as("exact_max"))
+        val tau = operators.Similarity.SemanticTau
+        val got = operators.Similarity.qDecontaminateSemantic
+          .run(spark, sfDir)
+          .select(col("vec_id").as("eid"), col("max_train_cosine"),
+            col("contaminated"))
+        val j = exact.join(got, Seq("eid")).persist()
+        val nEval = j.count()
+        val exFlag = j.filter(col("exact_max") >= tau)
+        val nExFlag = exFlag.count()
+        val hit = exFlag.filter(col("contaminated") === true).count()
+        val falsePos = j.filter(col("contaminated") === true &&
+          col("exact_max") < tau).count()
+        val meanShort = j.agg(avg(col("exact_max") -
+          coalesce(col("max_train_cosine"), lit(0.0)))).head().getDouble(0)
+        println(f"[diag] eval vectors: $nEval%d, exact-contaminated (τ=$tau): " +
+          f"$nExFlag%d, flagged by operator: $hit%d → recall = " +
+          f"${if (nExFlag == 0) 1.0 else hit.toDouble / nExFlag}%.3f; " +
+          f"false positives: $falsePos%d; mean max-cosine shortfall = $meanShort%.4f")
+
       case "lsh" =>
         val b = operators.Similarity.lshBuckets(spark, sfDir)
         val loads = b.groupBy("table_id", "bucket").agg(count(lit(1)).as("m"))
@@ -92,8 +135,11 @@ object Diag {
         loads.agg(
           countDistinct(col("table_id"), col("bucket")).as("buckets"),
           max("m").as("max_load"),
-          sum(expr("m * m")).as("m2")).collect().foreach { r =>
-            val m2PerTable = r.getLong(2).toDouble / 32
+          sum(expr("m * m")).as("m2"),
+          countDistinct(col("table_id")).as("tables")).collect().foreach { r =>
+            // divisor from the data, not a hardcoded 32 — a changed table
+            // count must not silently skew the per-table expectation
+            val m2PerTable = r.getLong(2).toDouble / r.getLong(3)
             println(f"[diag] occupied (table,bucket) pairs: ${r.getLong(0)}%d, " +
               f"max load ${r.getLong(1)}%d, per-table E[load | hit] = " +
               f"Σload²/n = ${m2PerTable / n}%.1f (uniform would be ${n / math.pow(2, operators.Similarity.lshBitsFor(n))}%.1f)")
@@ -102,7 +148,8 @@ object Diag {
         loads.orderBy(col("m").desc).limit(12).collect().foreach(r =>
           println(s"[diag]   table ${r.get(0)} bucket ${r.get(1)}: ${r.getLong(2)}"))
 
-      case other => sys.error(s"unknown mode $other (simhash|lsh)")
+      case other =>
+        sys.error(s"unknown mode $other (simhash|halfjoin|halves|lsh|semdecon)")
     }
     spark.stop()
   }

@@ -643,6 +643,14 @@ object Similarity {
     * corpus key side is 2 rows/fp — at this scale a broadcastable build
     * side, so the 66·D probe rows never shuffle.
     */
+  /** Fingerprint-count gate for hinting the half-probe join's exact-key
+    * side broadcast: 2 rows/fp × 16 bytes ≈ 130 MB of hash table at the
+    * cap — safely inside a driver/executor heap, and ~500× the sf10
+    * corpus's D. Past the cap the join ships unhinted and AQE
+    * size-decides (a web-scale D must shuffle, not OOM the driver).
+    */
+  private[graft] val SimhashHalfBroadcastMaxFps = 4000000L
+
   private[graft] def simhashHalfKeys(fp: DataFrame, probe: Boolean): DataFrame = {
     val lo = col("fp").bitwiseAND(lit(0xffffffffL))
     val hi = shiftrightunsigned(col("fp"), 32)
@@ -700,6 +708,15 @@ object Similarity {
   val qDedupSimhash: Q = Q.rowsOnly("q_dedup_simhash") { (s, d) =>
     GraftFunctions.register(s)
     val fp = simhashFingerprints(s, d)
+    // size gate for the half-probe join's build side (cheap count off the
+    // materialized fingerprint cache; D ≤ n so gating on n is
+    // conservative): the exact-key side is 2 rows/fp — broadcastable far
+    // past this corpus — but an unbounded hint would OOM the driver on a
+    // web-scale D, and an UNHINTED join silently reverts to shuffling the
+    // 66·D probe rows once 2·D crosses autoBroadcastJoinThreshold (the
+    // r10 advice finding). Below the gate the hint is explicit (and
+    // plan-audited); above it AQE size-decides, like dedupSurvivorsBest.
+    val nFp = fp.count()
     val m = fp.select(col("doc_id"), col("fp"))
     // hamming-0: all pairs within an identical-fp group (pure expansion)
     val same = m.as("x").join(m.as("y"),
@@ -713,10 +730,12 @@ object Similarity {
     // pigeonhole bands that correlated fingerprints concentrate),
     // deduped at fp grain
     val dfp = fp.select("fp").distinct()
+    val exactKeys = simhashHalfKeys(dfp, probe = false)
+      .select(col("fp").as("fp_b"), col("hk"))
     val fpPairs = simhashHalfKeys(dfp, probe = true)
       .select(col("fp").as("fp_a"), col("hk"))
-      .join(simhashHalfKeys(dfp, probe = false)
-        .select(col("fp").as("fp_b"), col("hk")), Seq("hk"))
+      .join(if (nFp <= SimhashHalfBroadcastMaxFps) broadcast(exactKeys)
+            else exactKeys, Seq("hk"))
       .filter(col("fp_a") < col("fp_b"))
       .select("fp_a", "fp_b").distinct()
       .withColumn("hamming",
@@ -740,7 +759,7 @@ object Similarity {
   private val QuantizeExpr =
     "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
 
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  private[graft] def quantized(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "quantized") {
       GraftFunctions.register(s)
       Tables.embeddings(s, d).select(
@@ -761,6 +780,13 @@ object Similarity {
   /** Embedding cosine near-dup (τ=0.4), exact within label blocks — the
     * guarded correctness baseline (SURVEY §4.4); q_ann_lsh is the unblocked
     * scale path. Quantized integer dots → bit-identical to the oracle.
+    *
+    * COST LAW (measured sf1→sf10): per-label all-pairs ⇒ Θ(n²) by design
+    * — exponent 1.96, 125.8 s at sf10 (~200k vectors). Like [[qKnnJoin]]
+    * it is therefore under the bench's quadratic policy: above the
+    * KnnQuadCap vector count its bench entry is `skipped_quadratic`
+    * (Verify still runs it at every SF; the honest above-cap wall is
+    * QTime-measured once per study and published in SURVEY §8).
     */
   val qEmbedNeardup: Q = Q(
     "q_embed_neardup",
@@ -1674,19 +1700,25 @@ object Similarity {
     * collision-count shortlist, and a contaminated flag at τ =
     * [[SemanticTau]].
     *
-    * Scale shape: queries are the eval slice only and candidates are
-    * train-only — the [[annLshShortlist]] candidateFilter restricts the
-    * bucket join BEFORE the per-query budget cut, so eval–eval
-    * collisions never crowd the shortlist. Probe rows broadcast while
-    * the eval slice is small (the production case: held-out benchmark
-    * suites), shuffle past [[SemanticEvalBroadcastMaxDocs]]; exact
-    * rescoring pays |eval|·budget integer dots, not |eval|·|train|.
-    * Null-embedding eval rows stay in the report with a NULL verdict —
-    * an unembeddable member is UNASSESSED, not clean (the short-doc
-    * principle of [[graft.operators.TextOps.qDupSpans]]); an embeddable
-    * vector with an EMPTY shortlist is assessed-clean at this budget
-    * (contaminated = false, n_candidates = 0) — the two cases are
-    * deliberately distinguishable.
+    * Scale shape (r11 — rerouted through [[annIvfShortlistPoint]]):
+    * queries are the eval slice only and candidates are train-only —
+    * the candidateFilter restricts the IVF assignment side BEFORE the
+    * list join, so eval–eval neighbors never reach the exact pass. The
+    * shortlist is every train vector in the eval vector's
+    * [[PointIvfProbe]] nearest IVF lists: Θ(|eval|·√n) candidate rows
+    * by construction, vs the LSH collision-count join this operator
+    * rode through r10, whose bucket-load-bound volume measured exponent
+    * 1.89 over sf1→sf10 (3437 s at sf10 — the collision load ran 2.4×
+    * above the √n-bucket model; see SURVEY §8). Probe rows broadcast
+    * while the eval slice is small (the production case: held-out
+    * benchmark suites), shuffle past [[SemanticEvalBroadcastMaxDocs]];
+    * exact rescoring pays ≈ |eval|·1.33√n integer dots, not
+    * |eval|·|train|. Null-embedding eval rows stay in the report with a
+    * NULL verdict — an unembeddable member is UNASSESSED, not clean
+    * (the short-doc principle of [[graft.operators.TextOps.qDupSpans]]);
+    * an embeddable vector with an EMPTY shortlist is assessed-clean at
+    * this probe set (contaminated = false, n_candidates = 0) — the two
+    * cases are deliberately distinguishable.
     */
   val qDecontaminateSemantic: Q = Q.rowsOnly("q_decontaminate_semantic") { (s, d) =>
     val q = quantized(s, d)
@@ -1695,22 +1727,8 @@ object Similarity {
     // decontaminate eval-count pattern)
     val nEval = q.filter(isEval && col("qv").isNotNull).count()
     val small = nEval <= SemanticEvalBroadcastMaxDocs
-    // double the √n point-query candidate budget (2·knnBudget): a
-    // contamination gate is high-stakes (a miss ships a tainted eval
-    // member) and its exact work is |eval|·budget — the eval slice is
-    // the small side, so the extra dots are cheap where they matter
-    // most. √n, NOT the fractional ShortlistFrac form: with |eval| ∝
-    // corpus, a fractional budget makes exact work Θ(frac·n²) BY
-    // CONSTRUCTION — the r3 qKnnJoin lesson, and exactly what the
-    // sf0.1→sf1 scaling study measured here (exponent 1.76) before
-    // this fix; the √n law keeps the pass Θ(n^1.5) like the rest of
-    // the ANN family (at the spec SF the two budgets coincide: 152 vs
-    // 150 at n=500, so the under-flag/recall pins are unchanged).
-    val budget = 2 * knnBudget(q.count())
-    val candIds = annLshShortlist(s, d, queryFilter = isEval,
-        broadcastProbes = small, budget = Some(budget),
-        candidateFilter = not(isEval))
-      .select("query_id", "vec_id")
+    val candIds = annIvfShortlistPoint(s, d, queryFilter = isEval,
+      candidateFilter = not(isEval), broadcastProbes = small)
     val evalVecs = q.filter(isEval && col("qv").isNotNull)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"), col("n2").as("n2q"))
     val rescored = candIds
@@ -1854,6 +1872,71 @@ object Similarity {
     // distinct pass needed. Both sides shuffle narrow rows on cid
     // (probes: nprobe·n rows; assignment: n rows — both linear).
     assigned.join(probes, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+  }
+
+  /** Probed-list count of the POINT-QUERY IVF shortlist
+    * ([[annIvfShortlistPoint]]) — wider than the self-join's
+    * [[KnnIvfProbe]] = 3 because its consumers are high-stakes gates
+    * (a missed contamination ships a tainted eval member; a missed
+    * labeled neighbor mis-votes a queue routing) and their query sets
+    * are the SMALL side: at nprobe = 8 the per-query candidate work is
+    * nprobe·n/K = (8/6)·√n ≈ 1.33·√n — still ~5× below the 2·knnBudget
+    * = 6.8·√n exact-rescore budget the LSH collision path paid, on top
+    * of a candidate-GENERATION stage that is Θ(|queries|·√n) narrow rows
+    * by construction instead of a collision join whose volume tracks
+    * bucket loads (measured 2.4× above its own √n-bucket model at sf10).
+    */
+  private[graft] val PointIvfProbe = 8
+
+  /** IVF-preconditioned candidate shortlist for POINT-QUERY fan-outs
+    * (query slice ≪ corpus): (query_id, vec_id) = every candidateFilter-
+    * passing corpus vector in the query's [[PointIvfProbe]] nearest IVF
+    * lists. The r11 reroute of [[qDecontaminateSemantic]] /
+    * [[qLabelPropagate]], which until then rode [[annLshShortlist]]'s
+    * collision-count join — measured exponents 1.89/1.85 over sf1→sf10
+    * (3437 s / 3461 s — together 57% of the sf10 wall) because the
+    * 9-bit-bucket collision volume ran 2.4× above the √n-bucket model,
+    * while [[qKnnJoinIvf]] measured 1.15 on the same decade with the
+    * same K = ⌈6·√n⌉ coarse quantizer this shortlist reuses (the
+    * `ivf_assign_knn` materialized cache and the memoized model are
+    * SHARED — one training pass serves the self-join and both point
+    * gates).
+    *
+    * Scale shape: probes are |queries|·nprobe narrow (query_id, cid)
+    * rows — broadcast while the query slice is small (the production
+    * case: held-out suites), shuffled on cid past the gate; the list
+    * join emits Θ(|queries|·nprobe·n/K) = Θ(|queries|·√n) candidate rows
+    * BY CONSTRUCTION, no term tracks bucket-load concentration. The
+    * candidateFilter restricts the ASSIGNMENT side before the join (the
+    * shared index scan is untouched), so out-of-scope vectors never
+    * reach the exact pass. Null-vector queries have no list distances:
+    * dropped here, reported unassessed by the consumers.
+    */
+  private[graft] def annIvfShortlistPoint(s: SparkSession, d: String,
+      queryFilter: Column, candidateFilter: Column = lit(true),
+      broadcastProbes: Boolean = true,
+      nprobe: Int = PointIvfProbe): DataFrame = {
+    GraftFunctions.register(s)
+    val q = quantized(s, d)
+    val n = q.filter(col("qv").isNotNull).count()
+    if (n == 0)
+      return q.filter(lit(false))
+        .select(col("vec_id").as("query_id"), col("vec_id"))
+    val k = knnIvfK(n)
+    val model = ivfModelK(s, d, k)
+    val assigned = ivfAssignedK(s, d, k, "ivf_assign_knn")
+      .filter(candidateFilter)
+    val probes = q.filter(queryFilter && col("qv").isNotNull)
+      .select(col("vec_id").as("query_id"),
+        explode(slice(
+          array_sort(centDists(model, col("qv"), col("n2"))),
+          1, math.min(nprobe, k)).getField("cid")).as("cid"))
+    // a vector occupies ONE list and the probed lists are distinct, so
+    // each (query, vec) pair joins at most once — no distinct pass
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
+    assigned.join(probeSide, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
   }
@@ -2440,12 +2523,17 @@ object Similarity {
     * (labeling/sampler.py's tiers choose WHAT to label; this proposes
     * the label).
     *
-    * Scale shape — identical to [[qDecontaminateSemantic]]'s: queries
-    * are the held slice only, candidates labeled-only (candidateFilter
-    * BEFORE the budget cut, so held–held collisions never crowd the
-    * shortlist), probe rows broadcast while the held slice is small
-    * (shuffled past [[SemanticEvalBroadcastMaxDocs]]); exact work is
-    * |held|·budget integer dots, never |held|·|corpus|. A null-vector
+    * Scale shape — identical to [[qDecontaminateSemantic]]'s (r11:
+    * both rerouted through [[annIvfShortlistPoint]]): queries are the
+    * held slice only, candidates labeled-only (candidateFilter on the
+    * IVF assignment side, so held–held neighbors never reach the exact
+    * pass), probe rows broadcast while the held slice is small
+    * (shuffled past [[SemanticEvalBroadcastMaxDocs]]); candidates are
+    * the held vector's [[PointIvfProbe]] nearest lists — Θ(|held|·√n)
+    * rows by construction, retiring the LSH collision join whose
+    * bucket-load-bound volume measured exponent 1.85 over sf1→sf10
+    * (3461 s at sf10; SURVEY §8) — and exact work is ≈ |held|·1.33√n
+    * integer dots, never |held|·|corpus|. A null-vector
     * held row stays in the report unassessed (NULL prediction, zero
     * neighbors) — distinguishable from an assessed row whose shortlist
     * came back empty (also NULL prediction, but the spec pins
@@ -2457,17 +2545,8 @@ object Similarity {
     val isHeld = Text.evalSlice(col("vec_id"))
     val nHeld = q.filter(isHeld && col("qv").isNotNull).count()
     val small = nHeld <= SemanticEvalBroadcastMaxDocs
-    // 2× √n point-query budget (2·knnBudget), the decontaminate-semantic
-    // dial: a label proposal gates human queue routing, and held is the
-    // small side. √n, not fractional — with |held| ∝ corpus a fractional
-    // budget is Θ(frac·n²) exact work by construction (measured exponent
-    // 1.53 on the sf0.1→sf1 step before this fix); √n keeps Θ(n^1.5),
-    // and the budgets coincide at the spec SF so the accuracy pin holds.
-    val budget = 2 * knnBudget(q.count())
-    val candIds = annLshShortlist(s, d, queryFilter = isHeld,
-        broadcastProbes = small, budget = Some(budget),
-        candidateFilter = not(isHeld))
-      .select("query_id", "vec_id")
+    val candIds = annIvfShortlistPoint(s, d, queryFilter = isHeld,
+      candidateFilter = not(isHeld), broadcastProbes = small)
     val heldVecs = q.filter(isHeld && col("qv").isNotNull)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"),
         col("n2").as("n2q"))

@@ -60,6 +60,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_ann_ivf").contains("BroadcastHashJoin"))
   }
 
+  test("simhash half-probe join broadcasts its exact-key side under the gate") {
+    // the rewrite's premise — the 66·D probe rows never shuffle — holds
+    // only while the 2·D exact-key side is the hinted build side; a lost
+    // hint silently reverts to shuffling the probe fan-out (r10 advice)
+    val p = plan("q_dedup_simhash")
+    assert(p.split("\n").exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("hk#")),
+      "hk join must be a BroadcastHashJoin under the fp gate:\n" + p)
+  }
+
   test("asof join is one keyed window pass — no self-join of the event stream") {
     val p = plan("q_asof_join")
     assert(p.contains("Window"), "asof must compile to a running window:\n" + p)
