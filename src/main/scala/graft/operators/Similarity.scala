@@ -762,9 +762,19 @@ object Similarity {
   private[graft] def quantized(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "quantized") {
       GraftFunctions.register(s)
-      Tables.embeddings(s, d).select(
-        col("vec_id"), col("label"),
-        expr(QuantizeExpr).as("qv"))
+      Tables.embeddings(s, d)
+        // the embeddings lake is ONE parquet file: a 200k-vector corpus
+        // scans as ~3 row-group splits, and every map-only consumer of
+        // this cache (the Lloyd training pass, the n×K centroid-argmin
+        // assignment, the LSH bank dots — each Θ(n·K·dim) integer mults)
+        // inherits THAT parallelism and serializes on 3 of 32 cores
+        // (r11 finding: the sf10 IVF build ran 3 concurrent tasks).
+        // Spread rows before quantizing — the simhashFingerprints
+        // precedent; a no-op at lake scale (thousands of files)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(
+          col("vec_id"), col("label"),
+          expr(QuantizeExpr).as("qv"))
         .withColumn("n2", call_function("graft_dot_q", col("qv"), col("qv")))
     }
 
@@ -1712,7 +1722,7 @@ object Similarity {
     * above the √n-bucket model; see SURVEY §8). Probe rows broadcast
     * while the eval slice is small (the production case: held-out
     * benchmark suites), shuffle past [[SemanticEvalBroadcastMaxDocs]];
-    * exact rescoring pays ≈ |eval|·1.33√n integer dots, not
+    * exact rescoring pays ≈ |eval|·5.3√n integer dots, not
     * |eval|·|train|. Null-embedding eval rows stay in the report with a
     * NULL verdict — an unembeddable member is UNASSESSED, not clean
     * (the short-doc principle of [[graft.operators.TextOps.qDupSpans]]);
@@ -1877,18 +1887,26 @@ object Similarity {
   }
 
   /** Probed-list count of the POINT-QUERY IVF shortlist
-    * ([[annIvfShortlistPoint]]) — wider than the self-join's
+    * ([[annIvfShortlistPoint]]) — far wider than the self-join's
     * [[KnnIvfProbe]] = 3 because its consumers are high-stakes gates
     * (a missed contamination ships a tainted eval member; a missed
     * labeled neighbor mis-votes a queue routing) and their query sets
-    * are the SMALL side: at nprobe = 8 the per-query candidate work is
-    * nprobe·n/K = (8/6)·√n ≈ 1.33·√n — still ~5× below the 2·knnBudget
-    * = 6.8·√n exact-rescore budget the LSH collision path paid, on top
-    * of a candidate-GENERATION stage that is Θ(|queries|·√n) narrow rows
-    * by construction instead of a collision join whose volume tracks
-    * bucket loads (measured 2.4× above its own √n-bucket model at sf10).
+    * are the SMALL side. Measured on the sf1 lake (n = 19.7k, the
+    * adversarial regime where τ = 0.4 sits BELOW the isotropic bulk-max
+    * order statistic, so every eval member is exact-contaminated and
+    * the shortlist must find ≥ τ needles in pure noise — `Diag
+    * semdecon`): flagged recall 0.841 / 0.926 / 0.973 at nprobe
+    * 8/16/32, wall FLAT at ~27 s (the shared model build dominates; the
+    * list join is noise). At 32 the per-query exact work is nprobe·n/K
+    * = (32/6)·√n ≈ 5.3·√n integer dots — the same order as the
+    * 2·knnBudget = 6.8·√n budget the LSH collision path paid — but the
+    * candidate-GENERATION stage is Θ(|queries|·√n) narrow rows by
+    * construction instead of a collision join whose volume tracks
+    * bucket loads (measured 2.4× above its own √n-bucket model at
+    * sf10). Planted genuine near-dups (the spec regime) recall at 1.00
+    * from nprobe = 8 up.
     */
-  private[graft] val PointIvfProbe = 8
+  private[graft] val PointIvfProbe = 32
 
   /** IVF-preconditioned candidate shortlist for POINT-QUERY fan-outs
     * (query slice ≪ corpus): (query_id, vec_id) = every candidateFilter-
@@ -2532,7 +2550,7 @@ object Similarity {
     * the held vector's [[PointIvfProbe]] nearest lists — Θ(|held|·√n)
     * rows by construction, retiring the LSH collision join whose
     * bucket-load-bound volume measured exponent 1.85 over sf1→sf10
-    * (3461 s at sf10; SURVEY §8) — and exact work is ≈ |held|·1.33√n
+    * (3461 s at sf10; SURVEY §8) — and exact work is ≈ |held|·5.3√n
     * integer dots, never |held|·|corpus|. A null-vector
     * held row stays in the report unassessed (NULL prediction, zero
     * neighbors) — distinguishable from an assessed row whose shortlist

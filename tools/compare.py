@@ -11,7 +11,15 @@ sorts columns by name + rows by value, and compares cell-by-cell.
 `graft.Verify <sf> <out> q_a q_b ...` subset run — e.g. the sf10+
 heavy-family studies); a missing dump is then not a failure. The driver's
 own gate always does the full dump, where a missing dump IS a failure.
+
+--only=q_a,q_b: restrict to named queries (batching the heavy sf10
+oracles one at a time bounds DuckDB's peak).
+
+Large-SF resource budget (the r10 sf10 compare died of disk-then-OOM at
+100/114): set DUCKDB_MEMORY_LIMIT (e.g. "48GB") and DUCKDB_TEMP_DIR (a
+roomy volume) to let DuckDB spill instead of dying.
 """
+import os
 import json
 import math
 import sys
@@ -49,13 +57,24 @@ def cells_equal(a, b) -> bool:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     present_only = "--present-only" in sys.argv[3:]
+    only = None
+    for a in sys.argv[3:]:
+        if a.startswith("--only="):
+            only = set(x for x in a[len("--only="):].split(",") if x)
     con = duckdb.connect()
+    if os.environ.get("DUCKDB_MEMORY_LIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
+    if os.environ.get("DUCKDB_TEMP_DIR"):
+        Path(os.environ["DUCKDB_TEMP_DIR"]).mkdir(parents=True, exist_ok=True)
+        con.execute(f"SET temp_directory='{os.environ['DUCKDB_TEMP_DIR']}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         qdir = Path(out_dir, name)
         if not qdir.exists():
             if present_only:
@@ -88,11 +107,12 @@ def main():
         else:
             n_fail += 1
         print(f"{status} {name} ({len(spark_df)} rows) {detail}")
-    # queries without oracle: rows-only presence
-    for qdir in sorted(Path(out_dir).iterdir()):
-        if qdir.is_dir() and qdir.name not in oracle:
-            n = len(pd.read_parquet(qdir))
-            print(f"INFO {qdir.name}: rows-only, {n} rows")
+    # queries without oracle: rows-only presence (suppressed under --only)
+    if only is None:
+        for qdir in sorted(Path(out_dir).iterdir()):
+            if qdir.is_dir() and qdir.name not in oracle:
+                n = len(pd.read_parquet(qdir))
+                print(f"INFO {qdir.name}: rows-only, {n} rows")
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
