@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * IS the join cost, so a slow measured entry can be attributed to a
   * specific hot-key distribution instead of argued about.
   *
-  * Usage: runMain graft.Diag <simhash|halfjoin|halves|lsh|semdecon> <sfDir>
+  * Usage: runMain graft.Diag <simhash|halfjoin|halves|lsh|semdecon|pairs> <sfDir>
   *
   *  - `simhash`: distinct-fingerprint count vs corpus size (the r8
   *    rewrite's "D is vocabulary-bound" premise, checkable), then per
@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
   *    (and, through r10, of the since-rerouted point gates).
   *  - `semdecon`: flagged-set recall of the IVF-rerouted
   *    q_decontaminate_semantic vs a brute-force exact pass at this SF.
+  *  - `pairs`: output decomposition of q_dedup_simhash (same-fp pairs,
+  *    cross-fp expansion, total emitted) from group-size aggregations —
+  *    the entry's Θ(emitted-pairs) cost model, without materializing it.
   */
 object Diag {
   def main(args: Array[String]): Unit = {
@@ -90,6 +93,47 @@ object Diag {
             s"[diag] half ${r.get(0)}: ${r.getLong(1)} distinct values, " +
               s"max bucket ${r.getLong(2)}, exact-equal pairs ${r.getLong(3)}"))
 
+      case "pairs" =>
+        // OUTPUT decomposition of q_dedup_simhash at this SF — computed
+        // from per-fingerprint group sizes (aggregations only, never
+        // materializing the doc-grain flood): the entry's wall at large
+        // SF is Θ(emitted pairs) AFTER the r10/r11 join fixes, so the
+        // honest cost model needs the pair count, not more join forensics.
+        val fp = operators.Similarity.withSimhashFp(
+          Tables.documents(spark, sfDir)).select("doc_id", "fp")
+        val n = fp.count()
+        val groups = fp.groupBy("fp").agg(count(lit(1)).as("m")).persist()
+        val d = groups.count()
+        val samePairs = groups.agg(sum(expr("m * (m - 1) div 2")))
+          .head().getLong(0)
+        println(f"[diag] docs with signature: $n%d, distinct fps: $d%d " +
+          f"(D/n = ${d.toDouble / n}%.3f)")
+        println(s"[diag] hamming-0 (same-fp) doc pairs: $samePairs")
+        println("[diag] top 8 fp group sizes:")
+        groups.orderBy(col("m").desc).limit(8).collect().foreach(r =>
+          println(s"[diag]   fp ${r.get(0)}: ${r.getLong(1)} docs"))
+        val dfp = groups.select("fp")
+        val exactKeys = operators.Similarity
+          .simhashHalfKeys(dfp, probe = false)
+          .select(col("fp").as("fp_b"), col("hk"))
+        val fpPairs = operators.Similarity
+          .simhashHalfKeys(dfp, probe = true)
+          .select(col("fp").as("fp_a"), col("hk"))
+          .join(broadcast(exactKeys), Seq("hk"))
+          .filter(col("fp_a") < col("fp_b"))
+          .select("fp_a", "fp_b").distinct()
+          .withColumn("h",
+            bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+          .filter(col("h").between(1, 3))
+        val cross = fpPairs
+          .join(groups.select(col("fp").as("fp_a"), col("m").as("ma")), "fp_a")
+          .join(groups.select(col("fp").as("fp_b"), col("m").as("mb")), "fp_b")
+          .agg(count(lit(1)).as("fp_pairs"), sum(expr("ma * mb")).as("doc_pairs"))
+          .head()
+        println(s"[diag] hamming-1..3 fp pairs: ${cross.getLong(0)}, " +
+          s"their doc-grain expansion: ${cross.getLong(1)}")
+        println(s"[diag] TOTAL emitted pairs: ${samePairs + cross.getLong(1)}")
+
       case "semdecon" =>
         // recall study of the r11 IVF-rerouted q_decontaminate_semantic
         // at an arbitrary SF: brute-force exact max train cosine per
@@ -149,7 +193,7 @@ object Diag {
           println(s"[diag]   table ${r.get(0)} bucket ${r.get(1)}: ${r.getLong(2)}"))
 
       case other =>
-        sys.error(s"unknown mode $other (simhash|halfjoin|halves|lsh|semdecon)")
+        sys.error(s"unknown mode $other (simhash|halfjoin|halves|lsh|semdecon|pairs)")
     }
     spark.stop()
   }

@@ -718,8 +718,24 @@ object Similarity {
     // plan-audited); above it AQE size-decides, like dedupSurvivorsBest.
     val nFp = fp.count()
     val m = fp.select(col("doc_id"), col("fp"))
+    // member-map side of every doc-grain expansion join, size-gated
+    // broadcast (16 B/row — ~8 MB at sf10, borderline vs the 10 MB
+    // autoBroadcast threshold): these joins EXPLODE (2.065e9 output rows
+    // at sf10) and fp group sizes are corpus-skewed (one sf10 fp carries
+    // 31,643 docs = 5.0e8 pairs). Planned as shuffle joins they
+    // co-locate each hot fp on ONE task — and AQE's skew splitter can't
+    // help, because it balances INPUT partition bytes (the whole map is
+    // 8 MB) while the skew here is in OUTPUT rows. Under a broadcast
+    // join the stream side keeps its doc_id-hash partitioning, which
+    // spreads every hot group's members evenly across all tasks
+    // (measured at sf10 — SURVEY §8). Above the gate (web-scale corpora) the
+    // stream side must pre-spread on a salt instead; at that scale the
+    // pair-flood materializer is the wrong consumer anyway (clusters —
+    // [[qDedupClusters]] — are the lake-scale contract).
+    def gatedM(df: DataFrame): DataFrame =
+      if (nFp <= SimhashHalfBroadcastMaxFps) broadcast(df) else df
     // hamming-0: all pairs within an identical-fp group (pure expansion)
-    val same = m.as("x").join(m.as("y"),
+    val same = m.as("x").join(gatedM(m.as("y")),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         lit(0).as("hamming"))
@@ -742,11 +758,21 @@ object Similarity {
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
       .filter(col("hamming").between(1, 3))
     val cross = fpPairs
-      .join(m.select(col("fp").as("fp_a"), col("doc_id").as("ida")), "fp_a")
-      .join(m.select(col("fp").as("fp_b"), col("doc_id").as("idb")), "fp_b")
+      .join(gatedM(m.select(col("fp").as("fp_a"), col("doc_id").as("ida"))), "fp_a")
+      .join(gatedM(m.select(col("fp").as("fp_b"), col("doc_id").as("idb"))), "fp_b")
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
-    same.unionByName(cross).orderBy("id_a", "id_b")
+    // NO global orderBy (r11, measured at sf10): the emitted pair set is
+    // Θ(dup-pairs) — 2.065e9 rows on the sf10 corpus (Diag `pairs`:
+    // 5.64e8 same-fp + 1.50e9 cross-fp; one hot fp carries 31,643 docs)
+    // — and every stage ABOVE streams it (the member map broadcasts at
+    // 8 MB, so the expansion joins never shuffle doc-grain rows); a
+    // final sort was the ONLY full shuffle+spill of the flood, paid for
+    // a cosmetic ordering no consumer needs (specs compare SETS, the
+    // clustering consumer re-shuffles by component anyway). A lake-scale
+    // pair flood is returned unordered; callers that want order pay for
+    // theirs.
+    same.unionByName(cross)
   }
 
   /** Embeddings with integer-quantized vectors (units of 10⁻⁴) and their
