@@ -67,6 +67,10 @@ def main():
     if os.environ.get("DUCKDB_TEMP_DIR"):
         Path(os.environ["DUCKDB_TEMP_DIR"]).mkdir(parents=True, exist_ok=True)
         con.execute(f"SET temp_directory='{os.environ['DUCKDB_TEMP_DIR']}'")
+    if os.environ.get("DUCKDB_THREADS"):
+        # bound the oracle's CPU when it shares the host with a live
+        # Verify/bench JVM (the sf10 runs overlap engine dump + compare)
+        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
