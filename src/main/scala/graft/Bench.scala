@@ -44,10 +44,14 @@ object Bench {
     *
     * Sampled at START and END of the run: contention that arrives mid-run
     * is visible in the end sample. `contended` is the conservative gate a
-    * reader can key on (any other JVM at either sample); with
-    * SPARK_GRAFT_PREFLIGHT=strict the run REFUSES to start when the
-    * start sample is contended, so a committed artifact can be produced
-    * under a policy, not just a convention.
+    * reader can key on — any other JVM at either sample, a busy host at
+    * start (loadavg1 > 4 before Spark spins up), or start→end calibration
+    * drift > 1.25× (external pressure / hypervisor steal that arrived
+    * mid-run; the run's own load saturates the end loadavg, which
+    * therefore does not gate). The emitted `preflight.reasons` list names
+    * which check tripped. With SPARK_GRAFT_PREFLIGHT=strict the run
+    * REFUSES to start when the start sample is contended, so a committed
+    * artifact can be produced under a policy, not just a convention.
     */
   private[graft] final case class Preflight(otherJvms: Option[Seq[Long]],
       loadavg1: Double, calibMs: Double) {
@@ -75,6 +79,18 @@ object Bench {
     }
     Seq.fill(3)(once()).min
   }
+
+  /** Start-sample loadavg above this on a 32-core host means the host was
+    * busy BEFORE the bench's own work started (r11's 25%-inflated
+    * artifact started at 9.2; an idle host sits under 1).
+    */
+  private[graft] val LoadavgIdleMax = 4.0
+
+  /** End/start calibration ratio above this means external CPU pressure
+    * arrived mid-run (the calib loop is single-threaded register work —
+    * self-load does not inflate it once the workload quiesces).
+    */
+  private[graft] val CalibDriftMax = 1.25
 
   private[graft] def preflight(): Preflight = {
     import scala.jdk.CollectionConverters._
@@ -108,10 +124,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val preStart = preflight()
     System.err.println(s"[bench] preflight start: ${preStart.json}")
-    if (!preStart.certifiedClean) {
+    if (!preStart.certifiedClean || preStart.loadavg1 > LoadavgIdleMax) {
       val why = preStart.otherJvms match {
-        case Some(pids) => s"other JVMs running (pids ${pids.mkString(",")})" +
-          " — timings will be contention-poisoned (CLAUDE.md: totals inflate ~60%)"
+        case Some(pids) if pids.nonEmpty =>
+          s"other JVMs running (pids ${pids.mkString(",")})" +
+            " — timings will be contention-poisoned (CLAUDE.md: totals inflate ~60%)"
+        case Some(_) =>
+          f"host busy at start (loadavg1 ${preStart.loadavg1}%.1f > $LoadavgIdleMax)" +
+            " — timings will be throttle-inflated (r11: 25% uniform, stamped clean)"
         case None => "process scan FAILED — host state unknown, artifact cannot certify clean"
       }
       System.err.println(s"[bench] WARNING: $why")
@@ -253,10 +273,38 @@ object Bench {
     val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    // output-law bench policy (r11 verdict item 3): q_dedup_simhash's
+    // PLAN is at its floor (broadcast expansions, no sort — §8), but its
+    // OUTPUT is Θ(dup pairs) — 2.065e9 rows at sf10 growing ~10^2/decade,
+    // so every large-SF study re-paid ~8 min (and sf100 would re-pay
+    // ~10 h) for one already-published output law. Like the quadratic
+    // cap: when the cheap Hamming-0 pair floor (one groupBy over the
+    // fingerprint cache — no pair join) already exceeds the cap, skip
+    // the entry with an explicit marker instead of timing it. Verify
+    // still runs it at every SF (correctness untouched); the honest cost
+    // above the cap is measured once per study via graft.QTime, not
+    // re-paid Runs× per bench.
+    val SimhashPairFloodCap = 100000000L // 1e8 pairs ≈ 25 s of emit at the measured 4.3M pairs/s floor
+    val skippedOutputLaw: Seq[String] =
+      if (streamsOnly || !(only.isEmpty || only("q_dedup_simhash"))) Seq.empty
+      else {
+        val floor = try
+          operators.Similarity.simhashPairFloorEstimate(spark, sfDir)
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] simhash pair-floor probe FAILED: ${t.getMessage}")
+          0L
+        }
+        if (floor > SimhashPairFloodCap) {
+          System.err.println(s"[bench] q_dedup_simhash skipped: Hamming-0 " +
+            s"pair floor $floor > cap $SimhashPairFloodCap (output law)")
+          Seq("q_dedup_simhash")
+        } else Seq.empty
+      }
     val timed =
       if (streamsOnly) Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot(q => skippedQuadratic.contains(q._1))
+        .filterNot(q => skippedOutputLaw.contains(q._1))
         .filter(q => only.isEmpty || only(q._1))
     val results = timed.zipWithIndex.map { case ((name, _), i) =>
       val ts = Seq.fill(Runs)(timeOnce(name))
@@ -311,18 +359,41 @@ object Bench {
         s"\"" + k + s"\":{\"rows\":$rows,\"sec\":${f3(sec)},\"rows_per_sec\":$rps}"
       }.mkString("{", ",", "}")
     val skippedJson = skippedQuadratic.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skippedOutputJson = skippedOutputLaw.map("\"" + _ + "\"").mkString("[", ",", "]")
     // end-of-run load sample: contention that ARRIVED mid-run shows here;
     // `contended` is the one-bit gate a reader keys on before trusting
-    // any per-entry number (r8: a poisoned artifact carried no marker)
+    // any per-entry number (r8: a poisoned artifact carried no marker).
+    // r11 verdict item 4: the other-JVM scan alone false-negatived on
+    // THROTTLED hosts (r11's committed sf0.1 artifact: 25% uniform
+    // inflation, start loadavg 9.2, stamped clean; r9's was 2.2×), so
+    // the bit now also trips on (a) a busy host at START — loadavg
+    // before Spark spins up should be near-idle; the run's own work
+    // saturates the END sample, which therefore does NOT gate — and
+    // (b) start→end CALIBRATION drift: the single-threaded xorshift
+    // loop re-measured after the workload quiesces inflates only under
+    // external CPU pressure / hypervisor steal. `reasons` names which
+    // check tripped, so a flagged artifact is diagnosable, not just
+    // distrusted.
     val preEnd = preflight()
     System.err.println(s"[bench] preflight end: ${preEnd.json}")
-    val contended = !preStart.certifiedClean || !preEnd.certifiedClean
+    val calibDrift =
+      if (preStart.calibMs > 0) preEnd.calibMs / preStart.calibMs else -1.0
+    val contendedReasons = Seq(
+      !preStart.certifiedClean -> "other_jvms_start",
+      !preEnd.certifiedClean -> "other_jvms_end",
+      (preStart.loadavg1 > LoadavgIdleMax) -> "loadavg_start",
+      (calibDrift > CalibDriftMax) -> "calib_drift")
+      .collect { case (true, r) => r }
+    val contended = contendedReasons.nonEmpty
+    val reasonsJson = contendedReasons.map("\"" + _ + "\"").mkString("[", ",", "]")
     val preflightJson =
-      s"""{"start":${preStart.json},"end":${preEnd.json},"contended":$contended}"""
+      s"""{"start":${preStart.json},"end":${preEnd.json},""" +
+        s""""calib_drift":${f3(calibDrift)},"reasons":$reasonsJson,""" +
+        s""""contended":$contended}"""
     val json =
-      s"""{"detail":$detail,"runs":$Runs,"queries":$qs,"stream":$streamJson,"skipped_quadratic":$skippedJson,"quad_cap_vectors":$KnnQuadCap,"n_vectors":$nVec,"preflight":$preflightJson,"sf":"$sfDir","metric":"total","unit":"sec","failed":$failed,"value":${f3(total)}}"""
+      s"""{"detail":$detail,"runs":$Runs,"queries":$qs,"stream":$streamJson,"skipped_quadratic":$skippedJson,"skipped_output_law":$skippedOutputJson,"quad_cap_vectors":$KnnQuadCap,"n_vectors":$nVec,"preflight":$preflightJson,"sf":"$sfDir","metric":"total","unit":"sec","failed":$failed,"value":${f3(total)}}"""
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"skipped_quadratic":$skippedJson,"contended":$contended,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"skipped_quadratic":$skippedJson,"skipped_output_law":$skippedOutputJson,"contended":$contended,"sf":"$sfDir"}"""
     // belt and braces for the driver handoff: the line on stdout (the
     // contract) AND the same JSON at a fixed path, immune to interleaved
     // log lines or tail truncation

@@ -274,6 +274,297 @@ case class MatVecQ(mat: Expression, vec: Expression)
     copy(mat = newLeft, vec = newRight)
 }
 
+/** Bounded top-k nearest-centroid selection in ONE codegen'd kernel
+  * (SURVEY §2.5 #41/41f): for a quantized vector `vec` against a foldable
+  * centroid matrix `mat` (rows indexed by cid), return the cids of the
+  * `k` nearest rows by squared distance, ascending, cid as the
+  * tie-break — exactly the head of
+  * `array_sort(transform(cents, c -> struct(dist, cid)))` and, at k = 1,
+  * exactly `array_min(...).cid`. The distance ranked is
+  * `‖c‖² − 2·⟨vec, c⟩`: the per-row `‖vec‖²` shift is constant across
+  * centroids, so ordering AND ties are bit-identical to the full
+  * `‖vec‖² + ‖c‖² − 2·⟨vec, c⟩` form (exact long arithmetic throughout).
+  *
+  * Why an Expression and not `transform` + `array_sort`/`array_min`:
+  * higher-order functions evaluate their lambda INTERPRETED per element —
+  * at K = ⌈6·√n⌉ lists that is K boxed struct allocations + an
+  * interpreted dot per row, then a full K·log K sort to keep 1–32 heads
+  * (measured ~22 % of the sf10 bench wall across the IVF family). Here
+  * the model folds once into a primitive long[][] (+ precomputed row
+  * norms) in the codegen references array — the [[MatVecQ]] rule — and
+  * the per-row work is K primitive dots + a bounded insertion into k
+  * slots, inside whole-stage codegen. (The round-5 MatVecQ-inside-lambda
+  * rewrite was 6× SLOWER because element_at over the kernel output
+  * re-evaluated per lambda element; this form has no lambda at all.)
+  *
+  * Null vec → null; vec length ≠ model width → null (the [[MatVecQ]]
+  * malformed-vector rule). `k` must be a foldable positive int; fewer
+  * than k centroids return all of them, an empty model returns an empty
+  * array.
+  */
+case class CentTopKQ(mat: Expression, vec: Expression, k: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+
+  override def first: Expression = mat
+  override def second: Expression = vec
+  override def third: Expression = k
+  override def inputTypes =
+    Seq(ArrayType(ArrayType(LongType)), ArrayType(LongType),
+      org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  /** Folded model + per-row squared norms, shared by every row (forced
+    * while building the codegen references array — before any row runs —
+    * so a malformed foldable argument fails at plan time, not mid-task).
+    */
+  @transient private lazy val model: Array[Array[Long]] = {
+    require(mat.foldable, "graft_cent_topk: matrix argument must be foldable")
+    val raw = mat.eval()
+    if (raw == null) Array.empty
+    else {
+      val m = raw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val rows = Array.tabulate(m.numElements())(j => m.getArray(j).toLongArray())
+      require(rows.isEmpty || rows.forall(_.length == rows(0).length),
+        "graft_cent_topk: matrix rows must have uniform length")
+      rows
+    }
+  }
+  @transient private lazy val norms: Array[Long] =
+    model.map(_.map(x => x * x).sum)
+  @transient private lazy val dim: Int =
+    if (model.isEmpty) 0 else model(0).length
+  @transient private lazy val kVal: Int = {
+    require(k.foldable, "graft_cent_topk: k must be foldable")
+    val v = k.eval().asInstanceOf[Int]
+    require(v >= 1, s"graft_cent_topk: k must be >= 1, got $v")
+    v
+  }
+
+  override protected def nullSafeEval(matV: Any, vecV: Any, kV: Any): Any = {
+    val x = vecV.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (model.nonEmpty && x.numElements() != dim) null
+    else {
+      val bd = new Array[Long](kVal)
+      val bc = new Array[Int](kVal)
+      var filled = 0
+      var j = 0
+      while (j < model.length) {
+        val row = model(j)
+        var acc = 0L
+        var i = 0
+        while (i < row.length) { acc += row(i) * x.getLong(i); i += 1 }
+        val dist = norms(j) - 2L * acc
+        if (filled < kVal || dist < bd(filled - 1)) {
+          var p = if (filled < kVal) filled else kVal - 1
+          while (p > 0 && dist < bd(p - 1)) {
+            bd(p) = bd(p - 1); bc(p) = bc(p - 1); p -= 1
+          }
+          bd(p) = dist; bc(p) = j
+          if (filled < kVal) filled += 1
+        }
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        java.util.Arrays.copyOf(bc, filled))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("centTopkModel", model, "long[][]")
+    val normsRef = ctx.addReferenceObj("centTopkNorms", norms, "long[]")
+    // per-task scratch slots (k longs + k ints), not per-row allocations
+    val bd = ctx.addMutableState("long[]", "centTopkBd",
+      v => s"$v = new long[$kVal];")
+    val bc = ctx.addMutableState("int[]", "centTopkBc",
+      v => s"$v = new int[$kVal];")
+    nullSafeCodeGen(ctx, ev, (_, b, _) => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc")
+      val dist = ctx.freshName("dist")
+      val row = ctx.freshName("row")
+      val filled = ctx.freshName("filled")
+      s"""
+         |if ($modelRef.length > 0 && $b.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $filled = 0;
+         |  for (int $j = 0; $j < $modelRef.length; $j++) {
+         |    long[] $row = $modelRef[$j];
+         |    long $acc = 0L;
+         |    for (int $i = 0; $i < $row.length; $i++) {
+         |      $acc += $row[$i] * $b.getLong($i);
+         |    }
+         |    long $dist = $normsRef[$j] - 2L * $acc;
+         |    if ($filled < $kVal || $dist < $bd[$filled - 1]) {
+         |      int $p = ($filled < $kVal) ? $filled : $kVal - 1;
+         |      for (; $p > 0 && $dist < $bd[$p - 1]; $p--) {
+         |        $bd[$p] = $bd[$p - 1]; $bc[$p] = $bc[$p - 1];
+         |      }
+         |      $bd[$p] = $dist; $bc[$p] = $j;
+         |      if ($filled < $kVal) $filled++;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |    java.util.Arrays.copyOf($bc, $filled));
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): CentTopKQ =
+    copy(mat = newFirst, vec = newSecond, k = newThird)
+}
+
+/** Product-quantization encoder in ONE codegen'd kernel (SURVEY §2.5
+  * #41e): for a quantized vector against a foldable 3-level codebook
+  * `cents[block][code][dim]`, return
+  * `struct(codes: array<int>, n2pq: long)` — per block, the code of the
+  * nearest codeword to that block's coordinate slice of the vector
+  * (squared distance, smaller code as the tie-break — the same exact-long
+  * `‖c‖² − 2·⟨sub, c⟩` ranking as [[CentTopKQ]], the block-constant
+  * `‖sub‖²` dropped), plus the reconstruction's exact squared norm
+  * `Σ_j ‖c_{j,code_j}‖²` (blocks are orthogonal coordinate slices, so
+  * the sum IS the reconstructed vector's norm). Replaces a nested
+  * `transform(sequence(...), j -> array_min(transform(...)))` whose
+  * lambdas evaluated INTERPRETED per (block × codeword) with boxed
+  * structs and per-block array slices, plus a second interpreted
+  * `aggregate` for the norm.
+  *
+  * Null vec → null; vec length ≠ blocks·subdim → null. Codebook must be
+  * foldable and rectangular (uniform codes per block, uniform dims per
+  * codeword) — enforced at plan time. An empty codebook has width 0, so
+  * every non-empty vector mismatches → null (callers guard emptiness).
+  */
+case class PqCodesQ(cents: Expression, vec: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def left: Expression = cents
+  override def right: Expression = vec
+  override def inputTypes =
+    Seq(ArrayType(ArrayType(ArrayType(LongType))), ArrayType(LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("codes",
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
+      nullable = false),
+    org.apache.spark.sql.types.StructField("n2pq", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  /** Folded codebook [block][code][dim] + per-codeword squared norms
+    * [block][code] (forced while building the codegen references array —
+    * a malformed foldable codebook fails at plan time).
+    */
+  @transient private lazy val book: Array[Array[Array[Long]]] = {
+    require(cents.foldable, "graft_pq_codes: codebook argument must be foldable")
+    val raw = cents.eval()
+    if (raw == null) Array.empty
+    else {
+      val m = raw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val blocks = Array.tabulate(m.numElements()) { j =>
+        val b = m.getArray(j)
+        Array.tabulate(b.numElements())(c => b.getArray(c).toLongArray())
+      }
+      require(blocks.forall(b => b.length == blocks(0).length &&
+        b.forall(_.length == blocks(0)(0).length)),
+        "graft_pq_codes: codebook must be rectangular")
+      blocks
+    }
+  }
+  @transient private lazy val norms: Array[Array[Long]] =
+    book.map(_.map(_.map(x => x * x).sum))
+  @transient private lazy val subDim: Int =
+    if (book.isEmpty) 0 else book(0)(0).length
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (x.numElements() != book.length * subDim) null
+    else {
+      val codes = new Array[Int](book.length)
+      var n2pq = 0L
+      var j = 0
+      while (j < book.length) {
+        val block = book(j)
+        val off = j * subDim
+        var best = 0L
+        var bestC = -1
+        var c = 0
+        while (c < block.length) {
+          val cw = block(c)
+          var acc = 0L
+          var i = 0
+          while (i < subDim) { acc += cw(i) * x.getLong(off + i); i += 1 }
+          val dist = norms(j)(c) - 2L * acc
+          if (bestC < 0 || dist < best) { best = dist; bestC = c }
+          c += 1
+        }
+        codes(j) = bestC
+        n2pq += norms(j)(bestC)
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes), n2pq)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bookRef = ctx.addReferenceObj("pqBook", book, "long[][][]")
+    val normsRef = ctx.addReferenceObj("pqNorms", norms, "long[][]")
+    nullSafeCodeGen(ctx, ev, (_, b) => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val dist = ctx.freshName("dist")
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      val block = ctx.freshName("block")
+      val cw = ctx.freshName("cw")
+      val codes = ctx.freshName("codes")
+      val n2pq = ctx.freshName("n2pq")
+      s"""
+         |if ($b.numElements() != $bookRef.length * $subDim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $codes = new int[$bookRef.length];
+         |  long $n2pq = 0L;
+         |  for (int $j = 0; $j < $bookRef.length; $j++) {
+         |    long[][] $block = $bookRef[$j];
+         |    int $off = $j * $subDim;
+         |    long $best = 0L;
+         |    int $bestC = -1;
+         |    for (int $c = 0; $c < $block.length; $c++) {
+         |      long[] $cw = $block[$c];
+         |      long $acc = 0L;
+         |      for (int $i = 0; $i < $subDim; $i++) {
+         |        $acc += $cw[$i] * $b.getLong($off + $i);
+         |      }
+         |      long $dist = $normsRef[$j][$c] - 2L * $acc;
+         |      if ($bestC < 0 || $dist < $best) { $best = $dist; $bestC = $c; }
+         |    }
+         |    $codes[$j] = $bestC;
+         |    $n2pq += $normsRef[$j][$bestC];
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] {
+         |      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($codes),
+         |      java.lang.Long.valueOf($n2pq) });
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqCodesQ =
+    copy(cents = newLeft, vec = newRight)
+}
+
 /** Repeated-character-run detector (SURVEY §2.3 #26): true iff the string
   * contains ≥ [[RepeatedRun.MinRun]] CONSECUTIVE occurrences of one
   * enumerated ASCII character — exactly the language of the oracle's
@@ -459,7 +750,13 @@ object GraftFunctions {
         arity("graft_bloom_contains", 2)(c => BloomContains(c(0), c(1)))),
       (FunctionIdentifier("graft_repeated_run"),
         info("graft_repeated_run", classOf[RepeatedRun]),
-        arity("graft_repeated_run", 1)(c => RepeatedRun(c.head))))
+        arity("graft_repeated_run", 1)(c => RepeatedRun(c.head))),
+      (FunctionIdentifier("graft_cent_topk"),
+        info("graft_cent_topk", classOf[CentTopKQ]),
+        arity("graft_cent_topk", 3)(c => CentTopKQ(c(0), c(1), c(2)))),
+      (FunctionIdentifier("graft_pq_codes"),
+        info("graft_pq_codes", classOf[PqCodesQ]),
+        arity("graft_pq_codes", 2)(c => PqCodesQ(c(0), c(1)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

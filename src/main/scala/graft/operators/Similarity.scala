@@ -673,6 +673,24 @@ object Similarity {
         .select("doc_id", "fp")
     }
 
+  /** Cheap LOWER bound on [[qDedupSimhash]]'s emitted pair count: the
+    * Hamming-0 term Σ_fp m·(m−1)/2 over exact-fingerprint group sizes —
+    * one narrow groupBy over the fingerprint cache, no pair join. At
+    * sf10 this term alone is ~1.5e9 of the measured 2.065e9 total
+    * (`Diag pairs`), so it is the right trigger for the output-law
+    * bench skip policy: when even the exact-duplicate floor exceeds the
+    * cap, the flood is certain. m·(m−1) is always even, so DIV 2 is
+    * exact.
+    */
+  private[graft] def simhashPairFloorEstimate(s: SparkSession,
+      d: String): Long = {
+    val r = simhashFingerprints(s, d).groupBy("fp")
+      .agg(count(lit(1)).as("m"))
+      .agg(sum(expr("m * (m - 1) DIV 2")).as("p"))
+      .collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** SimHash near-dup pairs (Hamming ≤ 3), band-joined over DISTINCT
     * fingerprints.
     *
@@ -1197,24 +1215,38 @@ object Similarity {
     * kernel is reused across models/SFs — the previous form inlined
     * K×dim literal nodes and recompiled per model.
     */
-  private def centDists(model: Array[(Int, Array[Long], Long)], qv: Column,
-      n2: Column): Column = {
-    // NOTE (measured, round 5): leave this as the per-centroid DotQ
-    // transform. The "obvious" MatVecQ rewrite (all K dots in one kernel,
-    // then index into the result array inside the transform lambda) is
-    // 6× SLOWER at K = ⌈6·√n⌉ — Spark does not hoist loop-invariant
-    // subtrees out of higher-order-function lambdas, so the element_at
-    // over the kernel's output re-evaluates per element. The transform
-    // form evaluates each centroid's dot exactly once.
-    val cents = typedlit(model.toSeq.map { case (cid, c, n2c) =>
-      (cid, c.toSeq, n2c)
-    })
-    transform(cents, c =>
-      struct(
-        (n2 + c.getField("_3") - lit(2L) *
-          call_function("graft_dot_q", qv, c.getField("_2"))).as("dist"),
-        c.getField("_1").as("cid")))
+  /** The cids of qv's `k` nearest centroids, ascending by (squared
+    * distance, cid) — the r12 bounded-selection replacement for the
+    * centDists `transform` + `array_min`/`slice(array_sort(...))` forms
+    * that every argmin/probe site used through r11. Bit-identical by
+    * construction — [[graft.functions.CentTopKQ]] ranks
+    * `‖c‖² − 2·⟨qv, c⟩`, the same exact-long distance minus the per-row
+    * constant `‖qv‖²`, with the same cid tie-break — and ~K× cheaper in
+    * constants: higher-order functions evaluate their lambda INTERPRETED
+    * per element, so the old form paid K boxed structs + an interpreted
+    * dot per row, then a full K-sort to keep ≤ 32 heads (measured ~22 %
+    * of the sf10 bench wall across the IVF family). The kernel is K
+    * primitive dots + a k-slot insertion inside whole-stage codegen.
+    * (History: the round-5 MatVecQ-inside-lambda attempt was 6× SLOWER
+    * than the transform form because Spark does not hoist loop-invariant
+    * subtrees out of lambda bodies — the dedicated expression sidesteps
+    * lambdas entirely.) Model rows ship once as a codegen reference
+    * object (the [[graft.functions.MatVecQ]] typedlit rule); cid = row index,
+    * which the model array satisfies by construction (asserted here — a
+    * permuted model would silently mis-assign).
+    */
+  private def centTopK(model: Array[(Int, Array[Long], Long)], qv: Column,
+      k: Int): Column = {
+    require(model.iterator.zipWithIndex.forall { case ((cid, _, _), i) => cid == i },
+      "centTopK: model rows must be indexed by cid")
+    call_function("graft_cent_topk",
+      typedlit(model.toSeq.map(_._2.toSeq)), qv, lit(k))
   }
+
+  /** k = 1 [[centTopK]]: the nearest-centroid cid (int). */
+  private def centArgmin(model: Array[(Int, Array[Long], Long)],
+      qv: Column): Column =
+    element_at(centTopK(model, qv, 1), 1)
 
   private[graft] def ivfModel(s: SparkSession, d: String): Array[(Int, Array[Long], Long)] =
     ivfModelK(s, d, IvfK)
@@ -1239,9 +1271,7 @@ object Similarity {
         // one Lloyd pass: nearest-seed assignment, exact per-position
         // integer means (sum/count in longs, floor division)
         val refined = q
-          .withColumn("cid",
-            array_min(centDists(seedModel, col("qv"), col("n2")))
-              .getField("cid"))
+          .withColumn("cid", centArgmin(seedModel, col("qv")))
           .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
           .groupBy("cid", "pos")
           .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("c"))
@@ -1272,9 +1302,7 @@ object Similarity {
     val model = ivfModelK(s, d, k)
     materialized(s, d, cacheKey) {
       quantized(s, d).filter(col("qv").isNotNull)
-        .withColumn("cid",
-          array_min(centDists(model, col("qv"), col("n2")))
-            .getField("cid"))
+        .withColumn("cid", centArgmin(model, col("qv")))
         .select("vec_id", "cid")
     }
   }
@@ -1300,9 +1328,7 @@ object Similarity {
     newVecs.select(col("vec_id"),
         expr(QuantizeExpr).as("qv"))
       .filter(col("qv").isNotNull)
-      .withColumn("n2", call_function("graft_dot_q", col("qv"), col("qv")))
-      .withColumn("cid",
-        array_min(centDists(model, col("qv"), col("n2"))).getField("cid"))
+      .withColumn("cid", centArgmin(model, col("qv")))
       .select("vec_id", "cid")
   }
 
@@ -1390,15 +1416,13 @@ object Similarity {
           lit(1).as("rank"), lit(0.0).as("cosine"))
     } else {
       val assigned = ivfAssigned(s, d)
-      // nprobe nearest lists per query: sort the K (dist, cid) structs,
-      // keep the head — no window needed for a K-element array. A query
-      // with a null vector has no meaningful probes: drop it here (the
-      // assignment side already does), or it would emit null-cosine rows
+      // nprobe nearest lists per query: bounded top-nprobe selection over
+      // the K centroids — no sort, no window. A query with a null vector
+      // has no meaningful probes: drop it here (the assignment side
+      // already does), or it would emit null-cosine rows
       val qprobe = q.filter(queryFilter && col("qv").isNotNull)
         .select(col("vec_id").as("query_id"),
-          explode(slice(
-            array_sort(centDists(model, col("qv"), col("n2"))),
-            1, IvfProbe).getField("cid")).as("cid"))
+          explode(centTopK(model, col("qv"), IvfProbe)).as("cid"))
       val candIds = assigned.join(broadcast(qprobe), Seq("cid"))
         .filter(col("vec_id") =!= col("query_id"))
         .select("query_id", "vec_id").distinct()
@@ -1529,27 +1553,6 @@ object Similarity {
   private val pqModels = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Array[Array[(Array[Long], Long)]]]
 
-  /** The codebook as one typedlit constant (codegen reference object —
-    * the [[centDists]] rule): Seq over blocks of Seq of (k, cent, n2c).
-    */
-  private def pqCents(model: Array[Array[(Array[Long], Long)]]): Column =
-    typedlit(model.toSeq.map(_.toSeq.zipWithIndex.map {
-      case ((c, n2c), k) => (k, c.toSeq, n2c)
-    }))
-
-  /** Per-block argmin code for sub-vector `sub` of block `j` (0-based):
-    * rank by n2c − 2·⟨sub, cent⟩ — the squared distance minus the
-    * block-constant ‖sub‖², so the argmin (and its smallest-k
-    * tie-break via lexicographic struct ordering) is unchanged and the
-    * per-row norm never computes.
-    */
-  private def pqArgmin(cents: Column, j: Column, sub: Column): Column =
-    array_min(transform(element_at(cents, j + 1), c =>
-      struct(
-        (c.getField("_3") - lit(2L) *
-          call_function("graft_dot_q", sub, c.getField("_2"))).as("d"),
-        c.getField("_1").as("k")))).getField("k")
-
   private[graft] def pqModel(s: SparkSession, d: String)
       : Array[Array[(Array[Long], Long)]] =
     pqModels.getOrElseUpdate((s, d), {
@@ -1566,15 +1569,21 @@ object Similarity {
               (c, c.map(x => x * x).sum)
             }
           }
-        val cents = pqCents(seedModel)
         // one Lloyd pass, all blocks in one job: nearest-seed code per
-        // (vector, block), exact per-position integer means
+        // (vector, block) — all PqBlocks argmins in one codegen'd
+        // kernel call ([[graft.functions.PqCodesQ]]) — then exact
+        // per-position integer means. The posexplode generator child
+        // stays the INLINE slice transform (the CLAUDE.md generator
+        // rule); the codes array rides alongside as a plain projection
         val refined = q
-          .select(posexplode(expr(
+          .withColumn("codes", call_function("graft_pq_codes",
+            typedlit(seedModel.toSeq.map(_.toSeq.map(_._1.toSeq))),
+            col("qv")).getField("codes"))
+          .select(col("codes"), posexplode(expr(
             s"transform(sequence(0, ${PqBlocks - 1}), " +
               s"j -> slice(qv, j * $PqSubDim + 1, $PqSubDim))"))
             .as(Seq("j", "sub")))
-          .withColumn("code", pqArgmin(cents, col("j"), col("sub")))
+          .withColumn("code", element_at(col("codes"), col("j") + 1))
           .select(col("j"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
           .groupBy("j", "code", "pos")
           .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("c"))
@@ -1602,25 +1611,17 @@ object Similarity {
     */
   private[graft] def pqCodesFrame(s: SparkSession, d: String): DataFrame = {
     val model = pqModel(s, d)
-    // the LUT stride is the ACTUAL per-block code count — a corpus with
-    // fewer than PqCodes vectors trains a narrower codebook (the
-    // ivfModelK seeds-short contract), and a hard-coded 16 would read
-    // the wrong block's norms (and overrun under ANSI)
-    val k = model(0).length
     materialized(s, d, "pq_codes") {
       GraftFunctions.register(s)
-      val cents = pqCents(model)
-      val n2lut = typedlit(model.toSeq.flatMap(_.toSeq.map(_._2)))
+      // one codegen'd kernel per row: all PqBlocks argmins + the exact
+      // reconstruction norm ([[graft.functions.PqCodesQ]]) — replaces a
+      // nested transform/array_min whose lambdas ran interpreted per
+      // (block × codeword) plus a second interpreted aggregate for n2pq
       quantized(s, d).filter(col("qv").isNotNull)
-        .withColumn("codes",
-          transform(sequence(lit(0), lit(PqBlocks - 1)), j =>
-            pqArgmin(cents, j,
-              slice(col("qv"), j * lit(PqSubDim) + 1, lit(PqSubDim)))))
-        .withColumn("n2pq",
-          aggregate(sequence(lit(0), lit(PqBlocks - 1)), lit(0L),
-            (acc, j) => acc + element_at(n2lut,
-              j * lit(k) + element_at(col("codes"), j + 1) + 1)))
-        .select("vec_id", "codes", "n2pq")
+        .withColumn("enc", call_function("graft_pq_codes",
+          typedlit(model.toSeq.map(_.toSeq.map(_._1.toSeq))), col("qv")))
+        .select(col("vec_id"), col("enc.codes").as("codes"),
+          col("enc.n2pq").as("n2pq"))
     }
   }
 
@@ -1900,9 +1901,7 @@ object Similarity {
     val assigned = ivfAssignedK(s, d, k, "ivf_assign_knn")
     val probes = q.filter(col("qv").isNotNull)
       .select(col("vec_id").as("query_id"),
-        explode(slice(
-          array_sort(centDists(model, col("qv"), col("n2"))),
-          1, KnnIvfProbe).getField("cid")).as("cid"))
+        explode(centTopK(model, col("qv"), KnnIvfProbe)).as("cid"))
     // a vector occupies ONE primary list and the probed lists are
     // distinct, so each (query, vec) pair joins at most once — no
     // distinct pass needed. Both sides shuffle narrow rows on cid
@@ -1974,9 +1973,7 @@ object Similarity {
       .filter(candidateFilter)
     val probes = q.filter(queryFilter && col("qv").isNotNull)
       .select(col("vec_id").as("query_id"),
-        explode(slice(
-          array_sort(centDists(model, col("qv"), col("n2"))),
-          1, math.min(nprobe, k)).getField("cid")).as("cid"))
+        explode(centTopK(model, col("qv"), math.min(nprobe, k))).as("cid"))
     // a vector occupies ONE list and the probed lists are distinct, so
     // each (query, vec) pair joins at most once — no distinct pass
     val probeSide = if (broadcastProbes) broadcast(probes) else probes

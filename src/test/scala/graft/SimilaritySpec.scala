@@ -13,6 +13,56 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cent-topk kernel: head of the full (dist, cid) sort, ties to smaller cid") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // rows 1 and 3 are identical → equal distance to every vector: the
+    // tie must resolve to the smaller cid, in every position of the list
+    val mat = Array(
+      Array(3L, -1L, 2L), Array(0L, 5L, 1L), Array(-2L, 4L, 7L),
+      Array(3L, -1L, 2L), Array(1L, 1L, 1L), Array(9L, 0L, -3L))
+    val vecs = Seq(
+      (1L, Array(2L, 3L, 5L)), (2L, Array(-4L, 0L, 1L)),
+      (3L, Array(0L, 0L, 0L)), (4L, Array(3L, -1L, 2L)))
+    for (k <- Seq(1, 2, 3, 6, 10)) { // 10 > K: must return all 6
+      val got = vecs.toDF("id", "v")
+        .select(col("id"),
+          call_function("graft_cent_topk", typedlit(mat), col("v"), lit(k)))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      val expect = vecs.map { case (id, v) =>
+        val n2 = v.map(x => x * x).sum
+        id -> mat.zipWithIndex.map { case (c, cid) =>
+          (n2 + c.map(x => x * x).sum -
+            2L * c.zip(v).map { case (a, b) => a * b }.sum, cid)
+        }.sorted.take(k).map(_._2).toList
+      }.toMap
+      assert(got == expect, s"k=$k: $got vs $expect")
+    }
+  }
+
+  test("cent-topk kernel: null vec, length mismatch, null/empty model") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val mat = Array(Array(1L, 2L), Array(3L, 4L))
+    val rows = Seq(
+      (1, Option(Array(1L, 1L))),
+      (2, Option(Array(1L, 1L, 1L))), // width mismatch -> null
+      (3, Option.empty[Array[Long]])) // null vec -> null
+      .toDF("id", "v")
+      .select(col("id"),
+        call_function("graft_cent_topk", typedlit(mat), col("v"), lit(2)).as("t"),
+        call_function("graft_cent_topk",
+          lit(null).cast("array<array<bigint>>"), col("v"), lit(2)).as("nm"),
+        call_function("graft_cent_topk",
+          typedlit(Array.empty[Array[Long]]), col("v"), lit(2)).as("em"))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[Int](1).toList == List(0, 1))
+    assert(rows(1).isNullAt(1), "vec wider than model rows must yield null")
+    assert(rows(2).isNullAt(1), "null vec must yield null")
+    assert(rows(0).isNullAt(2), "foldable null model must yield null, not NPE")
+    assert(rows(0).getSeq[Int](3).isEmpty, "empty model must yield empty list")
+  }
+
   test("incremental minhash: pairs(old ∪ new) = pairs(old) ∪ increment(old, new)") {
     // split the corpus into an "existing lake" and a "daily increment";
     // the incremental path must produce exactly the full-corpus pair set
