@@ -102,6 +102,7 @@ object Diag {
         val fp = operators.Similarity.withSimhashFp(
           Tables.documents(spark, sfDir)).select("doc_id", "fp")
         val n = fp.count()
+        if (n == 0) { println("[diag] empty corpus — no pairs"); return }
         val groups = fp.groupBy("fp").agg(count(lit(1)).as("m")).persist()
         val d = groups.count()
         val samePairs = groups.agg(sum(expr("m * (m - 1) div 2")))
@@ -116,10 +117,17 @@ object Diag {
         val exactKeys = operators.Similarity
           .simhashHalfKeys(dfp, probe = false)
           .select(col("fp").as("fp_b"), col("hk"))
+        // same fp-count gate as the production path it models (r11
+        // advice: an unconditional hint would OOM the driver at
+        // web-scale D where the real join ships unhinted)
+        val gatedKeys =
+          if (d <= operators.Similarity.SimhashHalfBroadcastMaxFps)
+            broadcast(exactKeys)
+          else exactKeys
         val fpPairs = operators.Similarity
           .simhashHalfKeys(dfp, probe = true)
           .select(col("fp").as("fp_a"), col("hk"))
-          .join(broadcast(exactKeys), Seq("hk"))
+          .join(gatedKeys, Seq("hk"))
           .filter(col("fp_a") < col("fp_b"))
           .select("fp_a", "fp_b").distinct()
           .withColumn("h",
@@ -133,6 +141,7 @@ object Diag {
         println(s"[diag] hamming-1..3 fp pairs: ${cross.getLong(0)}, " +
           s"their doc-grain expansion: ${cross.getLong(1)}")
         println(s"[diag] TOTAL emitted pairs: ${samePairs + cross.getLong(1)}")
+        groups.unpersist()
 
       case "semdecon" =>
         // recall study of the r11 IVF-rerouted q_decontaminate_semantic

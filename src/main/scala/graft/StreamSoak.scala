@@ -37,17 +37,25 @@ import org.apache.spark.sql.functions._
   * whole-store rate the r7 layout paid.
   *
   * Usage: StreamSoak <sfDir> [triggers=50] [rowsPerTrigger=400]
-  *   [sink=curation_loop]
-  * Prints ONE JSON line (also written to /tmp/soak.json) with the
-  * per-trigger seconds and the [[Bench.preflight]] load fingerprint.
+  *   [sink=curation_loop] [compactAfter=0]
+  * `compactAfter=N` > 0 runs [[graft.sources.Store.compact]] over every
+  * keyed store of the sink between triggers N and N+1 (compact to a
+  * side directory, swap in — the deployment cadence §8 asserts), so one
+  * series answers whether the O(files)=O(triggers) parquet-footer term
+  * RESETS at a compaction and the residual slope is the band join's
+  * semantic store-linear term alone. Prints ONE JSON line (also written
+  * to /tmp/soak.json) with the per-trigger seconds, the compaction
+  * point/cost if any, and the [[Bench.preflight]] load fingerprint.
   */
 object StreamSoak {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: StreamSoak <sfDir> [triggers] [rows] [sink]")
+    require(args.nonEmpty,
+      "usage: StreamSoak <sfDir> [triggers] [rows] [sink] [compactAfter]")
     val sfDir = args(0)
     val triggers = if (args.length > 1) args(1).toInt else 50
     val rowsPerTrigger = if (args.length > 2) args(2).toInt else 400
     val sink = if (args.length > 3) args(3) else "curation_loop"
+    val compactAfter = if (args.length > 4) args(4).toInt else 0
 
     val preStart = Bench.preflight()
     System.err.println(s"[soak] preflight start: ${preStart.json}")
@@ -73,13 +81,34 @@ object StreamSoak {
 
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
     val docs = mem.toDF().toDF("doc_id", "ts", "text")
-    val writer = sink match {
+    val (writer, storePaths) = sink match {
       case "curation_loop" =>
-        streaming.IngestStream.curationLoop(
-          docs, tmp("fp"), tmp("lake"), tmp("audit"))
+        val (fp, lake, audit) = (tmp("fp"), tmp("lake"), tmp("audit"))
+        (streaming.IngestStream.curationLoop(docs, fp, lake, audit),
+          Seq(fp, lake, audit))
       case "neardup_sink" =>
-        streaming.IngestStream.neardupSink(docs, tmp("nd"), tmp("surv"))
+        val (nd, surv) = (tmp("nd"), tmp("surv"))
+        (streaming.IngestStream.neardupSink(docs, nd, surv), Seq(nd, surv))
       case other => sys.error(s"unknown sink $other")
+    }
+    // compact-and-swap between triggers: no trigger is mid-flight (the
+    // loop drives processAllAvailable synchronously) and every store
+    // read is a fresh per-trigger spark.read, so replacing a directory's
+    // files between triggers is exactly the offline-cadence deployment
+    var compactSec = -1.0
+    def compactStores(): Unit = {
+      val t0 = System.nanoTime()
+      storePaths.foreach { p =>
+        val files = sources.Store.compact(spark, p, p + "_c")
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(hp, true)
+        fs.rename(new org.apache.hadoop.fs.Path(p + "_c"), hp)
+        System.err.println(s"[soak] compacted $p -> $files files")
+      }
+      compactSec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[soak] compaction after trigger $compactAfter: " +
+        f"$compactSec%.3f s")
     }
     val q = writer.start()
     val perTrigger =
@@ -90,6 +119,7 @@ object StreamSoak {
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[soak] trigger ${t + 1}/$triggers: $dt%.3f s" +
           f" (${rowsPerTrigger / dt}%.0f rows/s)")
+        if (compactAfter > 0 && t + 1 == compactAfter) compactStores()
         dt
       } finally q.stop()
 
@@ -101,6 +131,7 @@ object StreamSoak {
     val json =
       s"""{"metric":"stream_soak","sink":"$sink","sf":"$sfDir"""" +
         s""","triggers":$triggers,"rows_per_trigger":$rowsPerTrigger""" +
+        s""","compact_after":$compactAfter,"compact_sec":${f3(compactSec)}""" +
         s""","per_trigger_sec":[${perTrigger.map(f3).mkString(",")}]""" +
         s""","preflight":{"start":${preStart.json},"end":${preEnd.json}""" +
         s""","contended":$contended}}"""

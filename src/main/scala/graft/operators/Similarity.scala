@@ -651,6 +651,21 @@ object Similarity {
     */
   private[graft] val SimhashHalfBroadcastMaxFps = 4000000L
 
+  /** Separate, LOWER gate for the doc-grain member-map broadcasts of
+    * [[qDedupSimhash]]'s expansion joins (r11 advice): the plan carries
+    * up to three member-map HashedRelations CONCURRENTLY (same-fp +
+    * both cross-fp sides) alongside the exact-key relation, and a
+    * HashedRelation costs several× its 16 B/row raw bytes — sharing the
+    * 4M exact-key gate would let the three maps alone reach GB scale on
+    * the executors and driver. 1M docs ≈ 16 MB raw / tens of MB hashed
+    * per map — three of them comfortably inside any executor. Above the
+    * gate the expansion joins ship unhinted (AQE size-decides); at that
+    * corpus scale the pair-flood materializer is the wrong consumer
+    * anyway (clusters are the lake-scale contract — see the operator
+    * doc).
+    */
+  private[graft] val SimhashMemberBroadcastMaxDocs = 1000000L
+
   private[graft] def simhashHalfKeys(fp: DataFrame, probe: Boolean): DataFrame = {
     val lo = col("fp").bitwiseAND(lit(0xffffffffL))
     val hi = shiftrightunsigned(col("fp"), 32)
@@ -751,7 +766,7 @@ object Similarity {
     // pair-flood materializer is the wrong consumer anyway (clusters —
     // [[qDedupClusters]] — are the lake-scale contract).
     def gatedM(df: DataFrame): DataFrame =
-      if (nFp <= SimhashHalfBroadcastMaxFps) broadcast(df) else df
+      if (nFp <= SimhashMemberBroadcastMaxDocs) broadcast(df) else df
     // hamming-0: all pairs within an identical-fp group (pure expansion)
     val same = m.as("x").join(gatedM(m.as("y")),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))

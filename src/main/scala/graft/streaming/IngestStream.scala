@@ -166,7 +166,7 @@ object IngestStream {
     * at all, the canonical "enrich events with reference data" shape.
     */
   def enrichWithHistory(events: Dataset[Event], history: DataFrame): DataFrame =
-    events.toDF.join(broadcast(history), Seq("event_type"), "left")
+    events.toDF().join(broadcast(history), Seq("event_type"), "left")
 
   /** Streaming per-(run, app) health — the monitor running in the
     * reference's continuous mode (SURVEY #15c's twin): day-tumbling
@@ -201,9 +201,9 @@ object IngestStream {
   }
 
   def appHealth(events: Dataset[Event]): DataFrame = {
-    requireUtc(events.toDF, "appHealth")
+    requireUtc(events.toDF(), "appHealth")
     graft.operators.Ingest.healthStatusSelect(
-      graft.operators.Ingest.runCounts(events.toDF,
+      graft.operators.Ingest.runCounts(events.toDF(),
           window(col("ts"), "1 day"), col("event_type").as("app_id"))
         .withColumn("run_id", date_format(col("window.start"), "yyyy-MM-dd"))
         .drop("window"))
