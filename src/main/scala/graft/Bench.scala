@@ -92,6 +92,23 @@ object Bench {
     */
   private[graft] val CalibDriftMax = 1.25
 
+  /** The throttle-aware contended verdict over a (start, end) preflight
+    * pair — ONE spelling shared by Bench and StreamSoak so the two
+    * artifact kinds cannot stamp differently (§6). Returns the bit and
+    * the named reasons that tripped it.
+    */
+  private[graft] def contendedVerdict(start: Preflight,
+      end: Preflight): (Boolean, Seq[String]) = {
+    val calibDrift = if (start.calibMs > 0) end.calibMs / start.calibMs else -1.0
+    val reasons = Seq(
+      !start.certifiedClean -> "other_jvms_start",
+      !end.certifiedClean -> "other_jvms_end",
+      (start.loadavg1 > LoadavgIdleMax) -> "loadavg_start",
+      (calibDrift > CalibDriftMax) -> "calib_drift")
+      .collect { case (true, r) => r }
+    (reasons.nonEmpty, reasons)
+  }
+
   private[graft] def preflight(): Preflight = {
     import scala.jdk.CollectionConverters._
     val ancestors = {
@@ -378,13 +395,7 @@ object Bench {
     System.err.println(s"[bench] preflight end: ${preEnd.json}")
     val calibDrift =
       if (preStart.calibMs > 0) preEnd.calibMs / preStart.calibMs else -1.0
-    val contendedReasons = Seq(
-      !preStart.certifiedClean -> "other_jvms_start",
-      !preEnd.certifiedClean -> "other_jvms_end",
-      (preStart.loadavg1 > LoadavgIdleMax) -> "loadavg_start",
-      (calibDrift > CalibDriftMax) -> "calib_drift")
-      .collect { case (true, r) => r }
-    val contended = contendedReasons.nonEmpty
+    val (contended, contendedReasons) = contendedVerdict(preStart, preEnd)
     val reasonsJson = contendedReasons.map("\"" + _ + "\"").mkString("[", ",", "]")
     val preflightJson =
       s"""{"start":${preStart.json},"end":${preEnd.json},""" +

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * IS the join cost, so a slow measured entry can be attributed to a
   * specific hot-key distribution instead of argued about.
   *
-  * Usage: runMain graft.Diag <simhash|halfjoin|halves|lsh|semdecon|pairs> <sfDir>
+  * Usage: runMain graft.Diag
+  *   <simhash|halfjoin|halves|lsh|semdecon|pairs|pointgate> <sfDir>
   *
   *  - `simhash`: distinct-fingerprint count vs corpus size (the r8
   *    rewrite's "D is vocabulary-bound" premise, checkable), then per
@@ -28,6 +29,9 @@ import org.apache.spark.sql.functions._
   *  - `pairs`: output decomposition of q_dedup_simhash (same-fp pairs,
   *    cross-fp expansion, total emitted) from group-size aggregations —
   *    the entry's Θ(emitted-pairs) cost model, without materializing it.
+  *  - `pointgate`: walls of BOTH probe paths of the IVF point shortlist
+  *    (broadcast-gated vs shuffled fallback) on the eval slice, with an
+  *    output-identity check.
   */
 object Diag {
   def main(args: Array[String]): Unit = {
@@ -178,6 +182,40 @@ object Diag {
           f"$nExFlag%d, flagged by operator: $hit%d → recall = " +
           f"${if (nExFlag == 0) 1.0 else hit.toDouble / nExFlag}%.3f; " +
           f"false positives: $falsePos%d; mean max-cosine shortfall = $meanShort%.4f")
+
+      case "pointgate" =>
+        // both probe paths of the IVF point shortlist at this SF: the
+        // broadcast gate (|queries| ≤ SemanticEvalBroadcastMaxDocs, the
+        // production held-out-suite case) vs the shuffled fallback a
+        // corpus-scale query side takes. Same query slice, same
+        // candidate filter — the outputs must be identical row sets
+        // (checked via count + order-independent hash sum); the walls
+        // pin the fallback's price (r11 verdict item 6: the gate beyond
+        // the broadcast bound had no measurement).
+        val isEval = operators.Text.evalSlice(col("vec_id"))
+        def shortlist(bcast: Boolean) =
+          operators.Similarity.annIvfShortlistPoint(spark, sfDir,
+            isEval, candidateFilter = not(isEval), broadcastProbes = bcast)
+        // prepay the shared model + assignment caches so neither leg is
+        // charged the one-time build
+        shortlist(bcast = true).write.format("noop").mode("overwrite").save()
+        def leg(bcast: Boolean): Double = {
+          val t0 = System.nanoTime()
+          shortlist(bcast).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val tB = leg(bcast = true)
+        val tS = leg(bcast = false)
+        def sig(bcast: Boolean): (Long, Long) = {
+          val r = shortlist(bcast).agg(count(lit(1)),
+            sum(hash(col("query_id"), col("vec_id")).cast("long"))).head()
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
+        val (sb, ss) = (sig(true), sig(false))
+        println(s"[diag] shortlist rows: broadcast=${sb._1} shuffled=${ss._1}" +
+          s", identical=${sb == ss}")
+        println(f"[diag] wall (model/assign prebuilt): broadcast $tB%.2f s, " +
+          f"shuffled $tS%.2f s")
 
       case "lsh" =>
         val b = operators.Similarity.lshBuckets(spark, sfDir)

@@ -125,7 +125,9 @@ object StreamSoak {
 
     val preEnd = Bench.preflight()
     System.err.println(s"[soak] preflight end: ${preEnd.json}")
-    val contended = !preStart.certifiedClean || !preEnd.certifiedClean
+    // the same throttle-aware verdict the bench stamps (§6) — a soak
+    // artifact must not certify clean under conditions a bench would flag
+    val (contended, contendedReasons) = Bench.contendedVerdict(preStart, preEnd)
     def f3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val json =
@@ -134,7 +136,8 @@ object StreamSoak {
         s""","compact_after":$compactAfter,"compact_sec":${f3(compactSec)}""" +
         s""","per_trigger_sec":[${perTrigger.map(f3).mkString(",")}]""" +
         s""","preflight":{"start":${preStart.json},"end":${preEnd.json}""" +
-        s""","contended":$contended}}"""
+        s""","reasons":${contendedReasons.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},"contended":$contended}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/soak.json"), json)
     catch { case _: Exception => () }

@@ -654,6 +654,138 @@ object RepeatedRun {
   }
 }
 
+/** Both corpus token-budget counters in ONE byte scan (SURVEY §2.5 #44):
+  * `struct(n_ws: int, n_bpe: int)` over a string —
+  *
+  *  - `n_ws` = the whitespace token count, exactly
+  *    `size(split(trim(text), '[ \\t\\n\\r\\f]+'))` with the empty-trim
+  *    → 0 special case (Python str.split semantics as spelled by the
+  *    engine-shared [[graft.operators.Text.wordCount]]): space-only trim
+  *    (Spark/DuckDB `trim` strips 0x20 only), then split-with-empties —
+  *    the count is (whitespace runs inside the trimmed region) + 1, so a
+  *    leading `\t` after trim still contributes the leading empty part
+  *    both regex engines keep.
+  *  - `n_bpe` = the BPE-ish segmentation count, exactly
+  *    `regexp_count(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\n\\r\\f]')`:
+  *    one token per ASCII-letter RUN, per digit, and per other
+  *    non-whitespace CODE POINT (both java.util.regex and DuckDB's RE2
+  *    match a negated class per code point, which a UTF-8 scan counts as
+  *    leading bytes — continuation bytes 0x80–0xBF never start a token).
+  *
+  * The alternation branches are disjoint character sets, so the regex's
+  * leftmost-longest walk and this single-pass scan count identical
+  * tokens. Why an Expression: the regex forms cost a per-row NFA walk
+  * plus (for n_ws) materializing every split token into an array just to
+  * take its size — q_token_count was the second-steepest non-output-law
+  * bench entry at sf10 (53.5 s, exponent 1.31) for what is one O(bytes)
+  * scan. Results stay oracle-hash-checked against the unchanged DuckDB
+  * regex SQL, and a spec pins kernel ≡ regex forms on the real corpus +
+  * crafted edges.
+  */
+case class TokenCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_ws",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_bpe",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bs = input.asInstanceOf[UTF8String].getBytes
+    // n_bpe over the FULL string
+    var bpe = 0
+    var inLetter = false
+    var i = 0
+    while (i < bs.length) {
+      val b = bs(i) & 0xff
+      if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) {
+        if (!inLetter) { bpe += 1; inLetter = true }
+      } else {
+        inLetter = false
+        if (b >= '0' && b <= '9') bpe += 1
+        else if (b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f') ()
+        else if (b < 0x80) bpe += 1        // other ASCII symbol
+        else if (b >= 0xc0) bpe += 1       // UTF-8 leading byte = one code point
+        // else continuation byte: part of an already-counted code point
+      }
+      i += 1
+    }
+    // n_ws over the space-trimmed region
+    var lo = 0
+    var hi = bs.length - 1
+    while (lo <= hi && bs(lo) == ' ') lo += 1
+    while (hi >= lo && bs(hi) == ' ') hi -= 1
+    var ws = 0
+    if (lo <= hi) {
+      ws = 1
+      var inWs = false
+      var j = lo
+      while (j <= hi) {
+        val b = bs(j) & 0xff
+        val isWs = b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+        if (isWs && !inWs) ws += 1
+        inWs = isWs
+        j += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(ws, bpe)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bs = ctx.freshName("bs")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val bpe = ctx.freshName("bpe")
+      val ws = ctx.freshName("ws")
+      val inLetter = ctx.freshName("inLetter")
+      val inWs = ctx.freshName("inWs")
+      val isWs = ctx.freshName("isWs")
+      s"""
+         |byte[] $bs = $c.getBytes();
+         |int $bpe = 0;
+         |boolean $inLetter = false;
+         |for (int $i = 0; $i < $bs.length; $i++) {
+         |  int $b = $bs[$i] & 0xff;
+         |  if (($b >= 'a' && $b <= 'z') || ($b >= 'A' && $b <= 'Z')) {
+         |    if (!$inLetter) { $bpe++; $inLetter = true; }
+         |  } else {
+         |    $inLetter = false;
+         |    if ($b >= '0' && $b <= '9') { $bpe++; }
+         |    else if ($b == ' ' || $b == '\\t' || $b == '\\n' || $b == '\\r' || $b == '\\f') { }
+         |    else if ($b < 0x80 || $b >= 0xc0) { $bpe++; }
+         |  }
+         |}
+         |int $lo = 0;
+         |int $hi = $bs.length - 1;
+         |while ($lo <= $hi && $bs[$lo] == ' ') $lo++;
+         |while ($hi >= $lo && $bs[$hi] == ' ') $hi--;
+         |int $ws = 0;
+         |if ($lo <= $hi) {
+         |  $ws = 1;
+         |  boolean $inWs = false;
+         |  for (int $j = $lo; $j <= $hi; $j++) {
+         |    int $b = $bs[$j] & 0xff;
+         |    boolean $isWs = $b == ' ' || $b == '\\t' || $b == '\\n'
+         |      || $b == '\\r' || $b == '\\f';
+         |    if ($isWs && !$inWs) $ws++;
+         |    $inWs = $isWs;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { java.lang.Integer.valueOf($ws), java.lang.Integer.valueOf($bpe) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+}
+
 /** Bloom-filter membership test against a FOLDABLE serialized
   * `org.apache.spark.util.sketch.BloomFilter` (BinaryType literal): the
   * map-side prefilter of the scale-adaptive joins. A bloom over K items at
@@ -756,7 +888,10 @@ object GraftFunctions {
         arity("graft_cent_topk", 3)(c => CentTopKQ(c(0), c(1), c(2)))),
       (FunctionIdentifier("graft_pq_codes"),
         info("graft_pq_codes", classOf[PqCodesQ]),
-        arity("graft_pq_codes", 2)(c => PqCodesQ(c(0), c(1)))))
+        arity("graft_pq_codes", 2)(c => PqCodesQ(c(0), c(1)))),
+      (FunctionIdentifier("graft_token_counts"),
+        info("graft_token_counts", classOf[TokenCounts]),
+        arity("graft_token_counts", 1)(c => TokenCounts(c.head))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -356,11 +356,18 @@ object TextOps {
        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\n\\r\\f]')) AS n_tokens_bpe
        |FROM documents ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
+    // one codegen'd byte scan for both counts ([[graft.functions
+    // .TokenCounts]]) — replaces a per-row regex NFA walk plus a full
+    // split-array materialization taken only for its size; the DuckDB
+    // oracle keeps the regex spelling, so every Verify run re-proves the
+    // kernel ≡ regex equivalence corpus-wide (TextOpsSpec pins it
+    // against the Spark regex forms and crafted edges too)
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d).select(
       col("doc_id"),
-      Text.wordCount(col("text")).as("n_tokens_ws"),
-      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\n\\r\\f]"))
-        .as("n_tokens_bpe"))
+      call_function("graft_token_counts", col("text")).as("tc"))
+      .select(col("doc_id"), col("tc.n_ws").as("n_tokens_ws"),
+        col("tc.n_bpe").as("n_tokens_bpe"))
       .orderBy("doc_id")
   }
 

@@ -112,6 +112,31 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(2).isNullAt(1), "null vec must yield null")
   }
 
+  test("token-counts kernel: identical to the regex forms on corpus + crafted edges") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val crafted = Seq(
+      "", " ", "   ", "\t", " \t ", "a", " a ", "a b", "  a  b  ",
+      "a\tb\nc", "tab\tonly", "\ta", "a\t", "ab12cd", "1 22 333",
+      "héllo wörld", "日本語 テスト",
+      "é", "𝄞 note", // 𝄞: a supplementary code point
+      "a!b?c", "!!!", "a  -  b", "line1\r\nline2vt", "ﬁß")
+    val docs = Tables.documents(spark, sfDir).select(col("text"))
+      .unionByName(crafted.toDF("text"))
+    val bad = docs.select(
+        call_function("graft_token_counts", col("text")).as("tc"),
+        col("text"),
+        graft.operators.Text.wordCount(col("text")).as("ws"),
+        regexp_count(col("text"),
+          lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\n\\r\\f]")).as("bpe"))
+      .filter(col("tc.n_ws") =!= col("ws") || col("tc.n_bpe") =!= col("bpe"))
+    assert(bad.count() == 0,
+      s"kernel/regex divergence:\n${bad.limit(5).collect().mkString("\n")}")
+    val nullRow = Seq(Option.empty[String]).toDF("text")
+      .select(call_function("graft_token_counts", col("text"))).head()
+    assert(nullRow.isNullAt(0), "null text must yield null counts")
+  }
+
   test("foldable NULL model arguments: null result under codegen, no NPE") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
