@@ -60,6 +60,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_ann_ivf").contains("BroadcastHashJoin"))
   }
 
+  test("token counting runs the byte-scan kernel, not the regex forms") {
+    // the r12 kernel is ~20× the regex path at sf10 — a revert to
+    // regexp_count / split-for-size must fail here, not in a bench
+    val p = plan("q_token_count")
+    assert(p.contains("graft_token_counts") || p.contains("tokencounts"),
+      "q_token_count must run the TokenCounts kernel:\n" + p)
+    assert(!p.contains("regexp_count") && !p.contains("RegExpCount"),
+      "regex tokenizer resurfaced in q_token_count:\n" + p)
+  }
+
+  test("ivf assignment and probes run the bounded-selection kernel, not array_sort") {
+    // the r12 centTopK kernel retired the interpreted per-centroid
+    // lambdas (~22% of the r11 sf10 wall); a revert to
+    // transform+array_min/array_sort over the centroid table must fail
+    // here. q_ann_ivf's plan embeds both the assignment build and the
+    // probe side.
+    val p = plan("q_ann_ivf")
+    assert(p.contains("centtopkq") || p.contains("graft_cent_topk")
+      || p.contains("CentTopKQ"),
+      "IVF paths must run the CentTopKQ kernel:\n" + p)
+    assert(!p.contains("array_sort") && !p.contains("sort_array"),
+      "full-K sort resurfaced in the IVF probe path:\n" + p)
+  }
+
   test("simhash half-probe join broadcasts its exact-key side under the gate") {
     // the rewrite's premise — the 66·D probe rows never shuffle — holds
     // only while the 2·D exact-key side is the hinted build side; a lost
