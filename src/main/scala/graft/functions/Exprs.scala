@@ -654,8 +654,10 @@ object RepeatedRun {
   }
 }
 
-/** Both corpus token-budget counters in ONE byte scan (SURVEY §2.5 #44):
-  * `struct(n_ws: int, n_bpe: int)` over a string —
+/** The corpus token-budget and quality counters in ONE byte scan
+  * (SURVEY §2.5 #44 / §2.3 quality family):
+  * `struct(n_ws: int, n_bpe: int, n_punct: int, n_upper: int)` over a
+  * string —
   *
   *  - `n_ws` = the whitespace token count, exactly
   *    `size(split(trim(text), '[ \\t\\n\\r\\f]+'))` with the empty-trim
@@ -671,6 +673,12 @@ object RepeatedRun {
   *    non-whitespace CODE POINT (both java.util.regex and DuckDB's RE2
   *    match a negated class per code point, which a UTF-8 scan counts as
   *    leading bytes — continuation bytes 0x80–0xBF never start a token).
+  *  - `n_punct` = exactly
+  *    `regexp_count(text, '[^a-zA-Z0-9 \\t\\n\\r\\f]')`: one per
+  *    non-alphanumeric non-whitespace CODE POINT (the punctuation-ratio
+  *    numerator of the quality score).
+  *  - `n_upper` = exactly `regexp_count(text, '[A-Z]')` (the caps-ratio
+  *    numerator) — ASCII-only by the quality contract.
   *
   * The alternation branches are disjoint character sets, so the regex's
   * leftmost-longest walk and this single-pass scan count identical
@@ -690,24 +698,31 @@ case class TokenCounts(child: Expression)
     org.apache.spark.sql.types.StructField("n_ws",
       org.apache.spark.sql.types.IntegerType, nullable = false),
     org.apache.spark.sql.types.StructField("n_bpe",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_punct",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_upper",
       org.apache.spark.sql.types.IntegerType, nullable = false)))
 
   override protected def nullSafeEval(input: Any): Any = {
     val bs = input.asInstanceOf[UTF8String].getBytes
-    // n_bpe over the FULL string
+    // n_bpe / n_punct / n_upper over the FULL string
     var bpe = 0
+    var punct = 0
+    var upper = 0
     var inLetter = false
     var i = 0
     while (i < bs.length) {
       val b = bs(i) & 0xff
       if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) {
         if (!inLetter) { bpe += 1; inLetter = true }
+        if (b <= 'Z' && b >= 'A') upper += 1
       } else {
         inLetter = false
         if (b >= '0' && b <= '9') bpe += 1
         else if (b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f') ()
-        else if (b < 0x80) bpe += 1        // other ASCII symbol
-        else if (b >= 0xc0) bpe += 1       // UTF-8 leading byte = one code point
+        else if (b < 0x80) { bpe += 1; punct += 1 } // other ASCII symbol
+        else if (b >= 0xc0) { bpe += 1; punct += 1 } // UTF-8 leading byte
         // else continuation byte: part of an already-counted code point
       }
       i += 1
@@ -730,7 +745,7 @@ case class TokenCounts(child: Expression)
         j += 1
       }
     }
-    org.apache.spark.sql.catalyst.InternalRow(ws, bpe)
+    org.apache.spark.sql.catalyst.InternalRow(ws, bpe, punct, upper)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -742,6 +757,8 @@ case class TokenCounts(child: Expression)
       val lo = ctx.freshName("lo")
       val hi = ctx.freshName("hi")
       val bpe = ctx.freshName("bpe")
+      val punct = ctx.freshName("punct")
+      val upper = ctx.freshName("upper")
       val ws = ctx.freshName("ws")
       val inLetter = ctx.freshName("inLetter")
       val inWs = ctx.freshName("inWs")
@@ -749,16 +766,19 @@ case class TokenCounts(child: Expression)
       s"""
          |byte[] $bs = $c.getBytes();
          |int $bpe = 0;
+         |int $punct = 0;
+         |int $upper = 0;
          |boolean $inLetter = false;
          |for (int $i = 0; $i < $bs.length; $i++) {
          |  int $b = $bs[$i] & 0xff;
          |  if (($b >= 'a' && $b <= 'z') || ($b >= 'A' && $b <= 'Z')) {
          |    if (!$inLetter) { $bpe++; $inLetter = true; }
+         |    if ($b >= 'A' && $b <= 'Z') { $upper++; }
          |  } else {
          |    $inLetter = false;
          |    if ($b >= '0' && $b <= '9') { $bpe++; }
          |    else if ($b == ' ' || $b == '\\t' || $b == '\\n' || $b == '\\r' || $b == '\\f') { }
-         |    else if ($b < 0x80 || $b >= 0xc0) { $bpe++; }
+         |    else if ($b < 0x80 || $b >= 0xc0) { $bpe++; $punct++; }
          |  }
          |}
          |int $lo = 0;
@@ -771,18 +791,203 @@ case class TokenCounts(child: Expression)
          |  boolean $inWs = false;
          |  for (int $j = $lo; $j <= $hi; $j++) {
          |    int $b = $bs[$j] & 0xff;
-         |    boolean $isWs = $b == ' ' || $b == '\\t' || $b == '\\n'
-         |      || $b == '\\r' || $b == '\\f';
+         |    // single line: Spark's Block formatter re-strips '|' margins,
+         |    // so a continuation line starting with || loses its operator
+         |    boolean $isWs = $b == ' ' || $b == '\\t' || $b == '\\n' || $b == '\\r' || $b == '\\f';
          |    if ($isWs && !$inWs) $ws++;
          |    $inWs = $isWs;
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[] { java.lang.Integer.valueOf($ws), java.lang.Integer.valueOf($bpe) });
+         |  new Object[] { java.lang.Integer.valueOf($ws), java.lang.Integer.valueOf($bpe),
+         |    java.lang.Integer.valueOf($punct), java.lang.Integer.valueOf($upper) });
        """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+}
+
+/** Per-list stopword-hit counts over an already-LOWERCASED string in one
+  * byte scan (SURVEY §2.3 lang-ID / quality family): for a foldable
+  * `lists` argument (array of word lists, each word nonempty [a-z]+),
+  * returns `array<int>` where element l is exactly
+  * `regexp_count(' ' || regexp_replace(lowered, '[^a-z]+', ' ') || ' ',
+  * ' (w_l1|w_l2|…) ')` — the engine-shared padded-stopword-density rule.
+  *
+  * Equivalence: in the padded form, tokens are maximal [a-z] runs with
+  * single-space boundaries (the replace collapses every non-[a-z] run,
+  * the concat pads the ends), and the pattern ` (w…) ` consumes BOTH
+  * spaces, so of two ADJACENT stopword tokens only the first matches
+  * (the second lost its leading space). That is precisely an
+  * alternating walk over the [a-z]-run token stream: a token counts
+  * for list l iff it equals one of l's words AND the previous token did
+  * not count for l. Prefix/suffix containment can't false-match (the
+  * trailing-space requirement forces whole-token equality), and both
+  * engines' regexes agree because only exact token matches succeed
+  * (leftmost-first vs leftmost-longest is moot). Taking the LOWERED
+  * string as input (not lowering inside) keeps Spark's ICU `lower()`
+  * upstream and shared — the kernel replaces only the regexp_replace
+  * materialization and the per-list NFA walks.
+  *
+  * Null lowered → null; a foldable null/empty lists argument folds to
+  * zero lists (empty result array).
+  */
+case class StopCounts(lowered: Expression, lists: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def left: Expression = lowered
+  override def right: Expression = lists
+  override def inputTypes =
+    Seq(StringType, ArrayType(ArrayType(StringType)))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  /** Folded word lists as byte arrays (forced while building the codegen
+    * references array — malformed words fail at plan time).
+    */
+  @transient private lazy val words: Array[Array[Array[Byte]]] = {
+    require(lists.foldable, "graft_stop_counts: lists argument must be foldable")
+    val raw = lists.eval()
+    if (raw == null) Array.empty
+    else {
+      val m = raw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      Array.tabulate(m.numElements()) { l =>
+        val ws = m.getArray(l)
+        Array.tabulate(ws.numElements()) { w =>
+          val bytes = ws.getUTF8String(w).getBytes
+          require(bytes.nonEmpty && bytes.forall(b => b >= 'a' && b <= 'z'),
+            "graft_stop_counts: words must be nonempty [a-z]+")
+          bytes
+        }
+      }
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      StopCounts.walk(a.asInstanceOf[UTF8String].getBytes, words))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the walk is list-count-dependent control flow — ship the folded
+    // word table as the reference object and call the ONE shared static
+    // walk, so the codegen and interpreted paths execute the same
+    // bytecode and cannot drift. The walk is a tight primitive loop
+    // either way; the win over the regex form is skipping the padded-
+    // string materialization and the per-list NFA walks.
+    val wordsRef = ctx.addReferenceObj("stopWords", words, "byte[][][]")
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.StopCounts.walk($a.getBytes(), $wordsRef));")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StopCounts =
+    copy(lowered = newLeft, lists = newRight)
+}
+
+object StopCounts {
+  /** The alternating padded-token walk (see the class doc for the
+    * regex-equivalence argument) — static so the interpreted and codegen
+    * paths run the same bytecode. Public for generated code only.
+    */
+  def walk(bs: Array[Byte], words: Array[Array[Array[Byte]]]): Array[Int] = {
+    val n = words.length
+    val counts = new Array[Int](n)
+    val avail = new Array[Boolean](n)
+    java.util.Arrays.fill(avail, true)
+    var i = 0
+    var done = false
+    while (!done) {
+      // find the next [a-z] run [i, j)
+      while (i < bs.length && !(bs(i) >= 'a' && bs(i) <= 'z')) i += 1
+      if (i >= bs.length) done = true
+      else {
+        var j = i
+        while (j < bs.length && bs(j) >= 'a' && bs(j) <= 'z') j += 1
+        var l = 0
+        while (l < n) {
+          var matched = false
+          if (avail(l)) {
+            val ws = words(l)
+            var w = 0
+            while (!matched && w < ws.length) {
+              val word = ws(w)
+              if (word.length == j - i) {
+                var k = 0
+                while (k < word.length && word(k) == bs(i + k)) k += 1
+                matched = k == word.length
+              }
+              w += 1
+            }
+            if (matched) counts(l) += 1
+          }
+          avail(l) = !matched
+          l += 1
+        }
+        i = j
+      }
+    }
+    counts
+  }
+}
+
+/** CJK-presence probe (SURVEY §2.3 lang-ID): true iff the string contains
+  * a code point in [U+4E00, U+9FFF] — exactly `rlike '[一-鿿]'` (both
+  * engines' regex classes range over code points), as a byte scan with
+  * early exit: only 3-byte UTF-8 sequences with leading byte 0xE4–0xE9
+  * can encode the range, so ASCII-heavy corpora scan at memory speed.
+  */
+case class CjkProbe(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bs = input.asInstanceOf[UTF8String].getBytes
+    var i = 0
+    while (i < bs.length) {
+      val b = bs(i) & 0xff
+      if (b >= 0xe4 && b <= 0xe9 && i + 2 < bs.length) {
+        val cp = ((b & 0x0f) << 12) | ((bs(i + 1) & 0x3f) << 6) | (bs(i + 2) & 0x3f)
+        if (cp >= 0x4e00 && cp <= 0x9fff) return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bs = ctx.freshName("bs")
+      val b = ctx.freshName("b")
+      val b1 = ctx.freshName("b1")
+      val b2 = ctx.freshName("b2")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val found = ctx.freshName("found")
+      // the code-point assembly is split into named intermediates: Janino
+      // misparses a parenthesized array-index/mask term followed by a
+      // shift inside an | chain as a cast ("expression is not a type")
+      s"""
+         |byte[] $bs = $c.getBytes();
+         |boolean $found = false;
+         |for (int $i = 0; $i < $bs.length && !$found; $i++) {
+         |  int $b = $bs[$i] & 0xff;
+         |  if ($b >= 0xe4 && $b <= 0xe9 && $i + 2 < $bs.length) {
+         |    int $b1 = $bs[$i + 1] & 0x3f;
+         |    int $b2 = $bs[$i + 2] & 0x3f;
+         |    int $cp = (($b & 0x0f) << 12) + ($b1 << 6) + $b2;
+         |    if ($cp >= 0x4e00 && $cp <= 0x9fff) { $found = true; }
+         |  }
+         |}
+         |${ev.value} = $found;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CjkProbe =
     copy(child = newChild)
 }
 
@@ -891,7 +1096,13 @@ object GraftFunctions {
         arity("graft_pq_codes", 2)(c => PqCodesQ(c(0), c(1)))),
       (FunctionIdentifier("graft_token_counts"),
         info("graft_token_counts", classOf[TokenCounts]),
-        arity("graft_token_counts", 1)(c => TokenCounts(c.head))))
+        arity("graft_token_counts", 1)(c => TokenCounts(c.head))),
+      (FunctionIdentifier("graft_stop_counts"),
+        info("graft_stop_counts", classOf[StopCounts]),
+        arity("graft_stop_counts", 2)(c => StopCounts(c(0), c(1)))),
+      (FunctionIdentifier("graft_cjk"),
+        info("graft_cjk", classOf[CjkProbe]),
+        arity("graft_cjk", 1)(c => CjkProbe(c.head))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -73,6 +73,9 @@ object TextOps {
     "de" -> Seq("der", "die", "und", "ist", "das", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une"))
 
+  /** [[stopwords]] exposed for the kernel-equivalence spec. */
+  private[graft] def stopwordLists: Seq[(String, Seq[String])] = stopwords
+
   private def stopPattern(ws: Seq[String]) = s" (${ws.mkString("|")}) "
 
   /** Shared language-ID fragments — ONE spelling of the padding, the CJK
@@ -110,18 +113,25 @@ object TextOps {
     * an error.
     */
   private def withLangSignals(df: DataFrame): DataFrame = {
-    val reserved = "cjk" +: "padded" +: stopwords.map { case (l, _) => s"s_$l" }
+    val reserved = "cjk" +: "padded" +: "sc_all" +:
+      stopwords.map { case (l, _) => s"s_$l" }
     require(!df.columns.exists(reserved.contains),
       s"withLangSignals reserves columns $reserved")
-    val padded = concat(lit(" "),
-      regexp_replace(lower(col("text")), "[^a-z]+", " "), lit(" "))
+    // one byte-scan kernel for all four per-list counts over the ICU-
+    // lowered text (graft_stop_counts — exactly the padded regexp_count
+    // per its scaladoc; lower() stays the engine's own, shared with the
+    // r11-and-earlier form) + the CJK range probe. Replaces the padded-
+    // string materialization and four per-list NFA walks per row; the
+    // DuckDB oracle keeps the regex spelling, so the hash gate re-proves
+    // the kernel every Verify.
+    GraftFunctions.register(df.sparkSession)
     var out = df
-      .withColumn("cjk", col("text").rlike("[一-鿿]"))
-      .withColumn("padded", padded)
-    for ((l, ws) <- stopwords)
-      out = out.withColumn(s"s_$l",
-        regexp_count(col("padded"), lit(stopPattern(ws))))
-    out
+      .withColumn("cjk", call_function("graft_cjk", col("text")))
+      .withColumn("sc_all", call_function("graft_stop_counts",
+        lower(col("text")), typedlit(stopwords.map(_._2))))
+    for (((l, _), idx) <- stopwords.zipWithIndex)
+      out = out.withColumn(s"s_$l", element_at(col("sc_all"), idx + 1))
+    out.drop("sc_all")
   }
 
   /** The deterministic argmax prediction over [[withLangSignals]]'
@@ -129,7 +139,7 @@ object TextOps {
     * nothing hits or the text is null.
     */
   private def langPredCol: Column =
-    when(col("padded").isNull, "und")
+    when(col("text").isNull, "und")
       .when(col("cjk"), "zh")
       .when(col("s_en") === 0 && col("s_es") === 0 &&
         col("s_de") === 0 && col("s_fr") === 0, "und")
@@ -314,27 +324,32 @@ object TextOps {
     */
   private[graft] def qualityScored(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val padded = concat(lit(" "),
-      regexp_replace(lower(col("text")), "[^a-z]+", " "), lit(" "))
+    // the three regex counters (stopword density numerator, punct/caps
+    // numerators + the whitespace-token denominator) now come from two
+    // byte-scan kernels — graft_stop_counts over the ICU-lowered text and
+    // graft_token_counts over the raw text — with the DuckDB oracle
+    // keeping the regex spelling (the hash gate re-proves kernel ≡ regex
+    // every Verify; TextOpsSpec pins the Spark-side equivalence too).
+    // Both kernel structs ride as working columns so each evaluates once
+    // per row (the two-stage-projection rule: CollapseProject keeps a
+    // non-cheap alias referenced more than once split — inlining would
+    // re-run the kernels per consumer expression).
+    GraftFunctions.register(docs.sparkSession)
+    val reserved = Seq("q_tc", "q_sc")
+    require(!docs.columns.exists(reserved.contains),
+      s"qualityScored reserves columns $reserved")
     val lenScore = least(lit(1.0), length(col("text")) / 500.0)
     val stopScore = when(trim(col("text")) === "", 0.0)
       .otherwise(least(lit(1.0),
-        lit(5.0) * regexp_count(padded, lit(stopPattern(stopwords.head._2)))
-          / size(split(trim(col("text")), "[ \\t\\n\\r\\f]+"))))
+        lit(5.0) * element_at(col("q_sc"), 1) / col("q_tc.n_ws")))
     val punct = when(length(col("text")) === 0, 0.0)
-      .otherwise(regexp_count(col("text"), lit("[^a-zA-Z0-9 \\t\\n\\r\\f]")).cast("double")
-        / length(col("text")))
+      .otherwise(col("q_tc.n_punct").cast("double") / length(col("text")))
     val caps = when(length(col("text")) === 0, 0.0)
-      .otherwise(regexp_count(col("text"), lit("[A-Z]")).cast("double")
-        / length(col("text")))
-    // two-stage projection: the weighted sum reads the ALIASED ratio
-    // columns, so each regex ratio is evaluated once per row. Inlining the
-    // ratio expressions into the sum (one flat select) duplicates every
-    // regexp_count — Catalyst does not CSE across the duplicated aliases
-    // here and the query pays ~2× the regex cost (measured 1.5 s → 0.8 s
-    // at sf0.1). CollapseProject keeps the split because the aliases are
-    // referenced more than once and are not cheap.
+      .otherwise(col("q_tc.n_upper").cast("double") / length(col("text")))
     docs
+      .withColumn("q_tc", call_function("graft_token_counts", col("text")))
+      .withColumn("q_sc", call_function("graft_stop_counts",
+        lower(col("text")), typedlit(Seq(stopwords.head._2))))
       .withColumn("len_score", lenScore)
       .withColumn("stop_score", stopScore)
       .withColumn("punct_ratio", punct)
@@ -343,6 +358,7 @@ object TextOps {
         lit(0.4) * col("len_score") + lit(0.3) * col("stop_score")
           + lit(0.15) * (lit(1.0) - col("punct_ratio"))
           + lit(0.15) * (lit(1.0) - col("caps_ratio")))
+      .drop("q_tc", "q_sc")
   }
 
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation

@@ -128,13 +128,54 @@ class TextOpsSpec extends SparkSpec {
         col("text"),
         graft.operators.Text.wordCount(col("text")).as("ws"),
         regexp_count(col("text"),
-          lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\n\\r\\f]")).as("bpe"))
-      .filter(col("tc.n_ws") =!= col("ws") || col("tc.n_bpe") =!= col("bpe"))
+          lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\n\\r\\f]")).as("bpe"),
+        regexp_count(col("text"),
+          lit("[^a-zA-Z0-9 \\t\\n\\r\\f]")).as("punct"),
+        regexp_count(col("text"), lit("[A-Z]")).as("upper"))
+      .filter(col("tc.n_ws") =!= col("ws") || col("tc.n_bpe") =!= col("bpe")
+        || col("tc.n_punct") =!= col("punct")
+        || col("tc.n_upper") =!= col("upper"))
     assert(bad.count() == 0,
       s"kernel/regex divergence:\n${bad.limit(5).collect().mkString("\n")}")
     val nullRow = Seq(Option.empty[String]).toDF("text")
       .select(call_function("graft_token_counts", col("text"))).head()
     assert(nullRow.isNullAt(0), "null text must yield null counts")
+  }
+
+  test("stop-counts + cjk kernels: identical to the padded regex forms") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // adjacent stopwords exercise the alternating space-consumption rule
+    // (" the and the " counts the,the — 'and' lost its leading space);
+    // prefix/suffix traps (them/band/a), digits-splitting, CJK boundary
+    // code points (U+4DFF just below, U+4E00/U+9FFF in, U+A000 above)
+    val crafted = Seq(
+      "", " ", "the", " the ", "the and the the", "the the the",
+      "them and band", "a a a a", "to2to", "of-of", "THE AND", "The",
+      "isof", "a", "la de que", "der die und das", "le la les et",
+      "㝿 text", "一", "鿿", "ꀀ", "mix 一 the and", "el y la y el",
+      "a1a2a3", "...", "und?und!und")
+    val lists = graft.operators.TextOps.stopwordLists
+    val pattern = (ws: Seq[String]) => s" (${ws.mkString("|")}) "
+    val padded = concat(lit(" "),
+      regexp_replace(lower(col("text")), "[^a-z]+", " "), lit(" "))
+    val docs = Tables.documents(spark, sfDir).select(col("text"))
+      .unionByName(crafted.toDF("text"))
+    var q = docs.select(
+      col("text"),
+      call_function("graft_stop_counts", lower(col("text")),
+        typedlit(lists.map(_._2))).as("sc"),
+      call_function("graft_cjk", col("text")).as("ck"),
+      col("text").rlike("[一-鿿]").as("ck_re"),
+      padded.as("padded"))
+    for (((l, ws), i) <- lists.zipWithIndex)
+      q = q.withColumn(s"re_$l", regexp_count(col("padded"), lit(pattern(ws))))
+        .withColumn(s"k_$l", element_at(col("sc"), i + 1))
+    val bad = q.filter(
+      lists.map { case (l, _) => col(s"k_$l") =!= col(s"re_$l") }
+        .reduce(_ || _) || col("ck") =!= col("ck_re"))
+    assert(bad.count() == 0,
+      s"stop/cjk kernel divergence:\n${bad.limit(5).collect().mkString("\n")}")
   }
 
   test("foldable NULL model arguments: null result under codegen, no NPE") {
