@@ -9,9 +9,21 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object Text {
 
-  /** Word count matching Python's str.split() (empty → 0). */
-  def wordCount(c: Column): Column =
-    when(trim(c) === "", 0).otherwise(size(split(trim(c), "[ \\t\\n\\r\\f]+")))
+  /** Word count matching Python's str.split() (empty → 0) — the
+    * [[graft.functions.TokenCounts]] byte-scan kernel's n_ws field
+    * (spec-pinned ≡ the r11-and-earlier
+    * `when(trim(c) === "", 0).otherwise(size(split(trim(c), ws+)))`
+    * regex form, which materialized every split token into an array
+    * only to take its size). Built as a direct Catalyst expression so
+    * callers need no function-registry session handle.
+    */
+  def wordCount(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.GetStructField(
+        graft.functions.TokenCounts(GraftSqlBridge.expression(c)),
+        0, Some("n_ws")))
+  }
 
   private val AsciiUpper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
   private val AsciiLower = "abcdefghijklmnopqrstuvwxyz"

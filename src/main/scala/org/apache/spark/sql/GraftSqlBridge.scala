@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => 
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Column ⇄ Expression for building graft's native expressions without
+    * a function-registry session handle (classic.ExpressionUtils is
+    * `private[sql]`).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

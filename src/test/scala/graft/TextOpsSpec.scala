@@ -126,7 +126,11 @@ class TextOpsSpec extends SparkSpec {
     val bad = docs.select(
         call_function("graft_token_counts", col("text")).as("tc"),
         col("text"),
-        graft.operators.Text.wordCount(col("text")).as("ws"),
+        // the regex form wordCount REPLACED — spelled inline so the pin
+        // stays independent of the kernel under test
+        when(trim(col("text")) === "", 0)
+          .otherwise(size(split(trim(col("text")), "[ \\t\\n\\r\\f]+")))
+          .as("ws"),
         regexp_count(col("text"),
           lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\n\\r\\f]")).as("bpe"),
         regexp_count(col("text"),
