@@ -99,12 +99,26 @@ object StreamSoak {
     def compactStores(): Unit = {
       val t0 = System.nanoTime()
       storePaths.foreach { p =>
-        val files = sources.Store.compact(spark, p, p + "_c")
         val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(hp, true)
-        fs.rename(new org.apache.hadoop.fs.Path(p + "_c"), hp)
-        System.err.println(s"[soak] compacted $p -> $files files")
+        // a sink may not have written this store yet — compacting a
+        // nonexistent path would throw on schema inference; skip it
+        if (!fs.exists(hp)) {
+          System.err.println(s"[soak] skip compact (not yet written): $p")
+        } else {
+          val files = sources.Store.compact(spark, p, p + "_c")
+          // rename the live dir ASIDE before swapping in the compacted
+          // copy: a crash between a delete and the rename would destroy
+          // the store mid-soak; with the aside order every intermediate
+          // state keeps a complete copy on disk
+          val old = new org.apache.hadoop.fs.Path(p + "_old")
+          fs.delete(old, true)
+          require(fs.rename(hp, old), s"compact swap: rename aside failed for $p")
+          require(fs.rename(new org.apache.hadoop.fs.Path(p + "_c"), hp),
+            s"compact swap: rename in failed for $p")
+          fs.delete(old, true)
+          System.err.println(s"[soak] compacted $p -> $files files")
+        }
       }
       compactSec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[soak] compaction after trigger $compactAfter: " +

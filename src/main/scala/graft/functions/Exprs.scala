@@ -470,6 +470,11 @@ case class PqCodesQ(cents: Expression, vec: Expression)
         val b = m.getArray(j)
         Array.tabulate(b.numElements())(c => b.getArray(c).toLongArray())
       }
+      // a zero-codeword first block would make the rectangularity
+      // predicate itself throw a raw AIOOBE (blocks(0)(0)) — guard the
+      // shape explicitly so future callers get the intended message
+      require(blocks.isEmpty || blocks(0).nonEmpty,
+        "graft_pq_codes: codebook blocks must have at least one codeword")
       require(blocks.forall(b => b.length == blocks(0).length &&
         b.forall(_.length == blocks(0)(0).length)),
         "graft_pq_codes: codebook must be rectangular")
@@ -830,8 +835,9 @@ case class TokenCounts(child: Expression)
   * upstream and shared — the kernel replaces only the regexp_replace
   * materialization and the per-list NFA walks.
   *
-  * Null lowered → null; a foldable null/empty lists argument folds to
-  * zero lists (empty result array).
+  * Null lowered → null; a null lists argument yields a NULL result
+  * (BinaryExpression null propagation short-circuits before this class
+  * sees it) — only an empty list LITERAL yields an empty array.
   */
 case class StopCounts(lowered: Expression, lists: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -1049,6 +1055,412 @@ case class BloomContains(bloom: Expression, item: Expression)
   * [[graft.plans.GraftExtensions]] consumes the same [[GraftFunctions.all]]
   * list for the session-build path, so the two cannot drift.
   */
+/** Shared byte-scan core of [[PiiCounts]] / [[PiiRedact]] — ONE
+  * implementation serving BOTH eval paths: `nullSafeEval` calls it and
+  * `doGenCode` emits a static call to the same methods, so an interpreted
+  * fallback cannot silently diverge or decelerate (the `||`-margin trap
+  * class is structurally impossible here: no per-byte logic lives in
+  * generated strings).
+  *
+  * Implements the four PII patterns (TextOps.PiiEmail/PiiIpv4/PiiPhone/
+  * PiiIdRun — ASCII-class, backref/lookahead-free) and their
+  * most-specific-first alternation as deterministic linear scans.
+  * Equivalence to Java-regex leftmost-first semantics (shared with RE2 —
+  * pinned cross-engine by TextOpsSpec's DuckDB-verified crafted corpus),
+  * pattern by pattern:
+  *
+  * EMAIL `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}`: '@' is not a
+  * local char, so the greedy local+ at start s is exactly the maximal
+  * local run from s, which matches iff it is nonempty and followed by
+  * '@'; every start inside a failed run fails identically (same run end),
+  * so candidate starts are one per local run (or `pos` itself mid-run).
+  * After '@', greedy domain+ with backtracking picks the LARGEST q with
+  * text[q]='.' followed by ≥2 alphas; because '.' and alpha are domain
+  * chars, both the dot search and the alpha run are bounded by the
+  * maximal domain run — the scan iterates q from the run end downward,
+  * first hit wins, match ends at the end of that alpha run. On domain
+  * failure the next candidate start is the byte after '@' (domain chars
+  * ⊂ local chars, so new local runs inside the failed domain are tried,
+  * exactly as the regex engine does).
+  *
+  * IPV4 `\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b`: Java's \b without
+  * UNICODE_CHARACTER_CLASS is NOT the ASCII \w class — Pattern's Bound
+  * node tests `ch == '_' || Character.isLetterOrDigit(ch)`, so 'é' or a
+  * fullwidth digit adjacent to a run suppresses the boundary where RE2's
+  * ASCII \b would not. The kernel reproduces the JAVA semantics it
+  * replaces (the non-regression contract; the spec compares against the
+  * regex forms value-for-value): a boundary byte ≥ 0x80 is decoded
+  * (backward to its lead byte for the preceding side) and classified
+  * with Character.isLetterOrDigit; a malformed sequence decodes the way
+  * String conversion would — U+FFFD, non-word. The cross-engine
+  * divergence class (non-ASCII letter/digit touching a digit run) is
+  * unreachable in the oracle corpus (digit-free), identical to the
+  * pre-kernel state. A match forces every group to be a MAXIMAL
+  * digit run of length 1–3 (a longer run cannot backtrack into a '.' and
+  * a shorter prefix is followed by a digit, failing either the literal
+  * dot or the final \b), the first preceded by non-word/start and the
+  * last followed by non-word/end. Starts inside a run fail \b, so
+  * candidates are run starts only.
+  *
+  * ID-RUN `\b\d{13,19}\b`: a maximal digit run of length 13–19 with
+  * non-word on both sides; a 20+ run matches NOTHING (every {13..19}
+  * prefix is followed by a digit, failing \b) — the bounded-run
+  * rejection the crafted spec pins.
+  *
+  * PHONE `\+?\d[\d() -]{6,}\d`: from first digit p, the phone-char
+  * region ends at the first non-phone byte e; greedy {6,} backtracks to
+  * the LAST digit q in [p+7, e-1] (the final `\d` cannot sit at e since
+  * digits are phone chars); if p is directly preceded by '+' at or after
+  * the scan start, the match begins at the '+' (the engine tries that
+  * start first). If the first digit of a region fails, every later digit
+  * start in the same region sees a subset window [p'+7, e-1] and fails
+  * too, so the scan skips to e — linear overall.
+  *
+  * ALTERNATION email|ipv4|idrun|phone (the redaction pass): the engine
+  * takes the smallest matching start, branch order breaking start ties.
+  * The merge keeps one cached next-match per branch, recomputed only
+  * when the consumed position passes its start (each branch's scan
+  * pointer is monotone ⇒ O(4·len) per document), replaces each match
+  * with `[PII]` and counts it. Matched spans are pure ASCII, so byte
+  * lengths equal char lengths and the redacted string is built by
+  * verbatim copy of the unmatched (possibly multibyte) gaps — a match
+  * can never split a code point.
+  */
+object PiiKernel {
+  @inline private def dig(b: Int): Boolean = b >= '0' && b <= '9'
+  @inline private def alpha(b: Int): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+  @inline private def word(b: Int): Boolean = alpha(b) || dig(b) || b == '_'
+  @inline private def local(b: Int): Boolean =
+    alpha(b) || dig(b) || b == '.' || b == '_' || b == '%' || b == '+' || b == '-'
+  @inline private def domc(b: Int): Boolean =
+    alpha(b) || dig(b) || b == '.' || b == '-'
+  @inline private def phc(b: Int): Boolean =
+    dig(b) || b == '(' || b == ')' || b == ' ' || b == '-'
+  @inline private def at(bs: Array[Byte], i: Int): Int = bs(i) & 0xff
+  @inline private def pack(s: Int, e: Int): Long = (s.toLong << 32) | e.toLong
+
+  /** Decode the code point whose UTF-8 sequence starts at i; -1 on a
+    * malformed/truncated sequence (what String conversion turns into
+    * U+FFFD — non-word either way).
+    */
+  private def cpAt(bs: Array[Byte], i: Int): Int = {
+    val n = bs.length
+    val b0 = at(bs, i)
+    val len =
+      if (b0 < 0x80) 1
+      else if (b0 >= 0xc2 && b0 <= 0xdf) 2
+      else if (b0 >= 0xe0 && b0 <= 0xef) 3
+      else if (b0 >= 0xf0 && b0 <= 0xf4) 4
+      else return -1
+    if (i + len > n) return -1
+    var cp = b0 & (0xff >> (len + 1))
+    var k = 1
+    while (k < len) {
+      val c = at(bs, i + k)
+      if ((c & 0xc0) != 0x80) return -1
+      cp = (cp << 6) | (c & 0x3f)
+      k += 1
+    }
+    if (len == 1) b0 else cp
+  }
+
+  /** Java Pattern Bound.isWord WITHOUT UNICODE_CHARACTER_CLASS:
+    * `ch == '_' || Character.isLetterOrDigit(ch)` — Unicode-letter-aware
+    * even though \w is ASCII (the documented Java inconsistency the
+    * kernel must reproduce).
+    */
+  @inline private def wordCp(cp: Int): Boolean =
+    cp >= 0 && (cp == '_' || Character.isLetterOrDigit(cp))
+
+  /** Is the code point ENDING at byte i-1 a \b word char? (false at i=0) */
+  private def wordBefore(bs: Array[Byte], i: Int): Boolean = {
+    if (i <= 0) false
+    else {
+      val b = at(bs, i - 1)
+      if (b < 0x80) word(b)
+      else {
+        var s = i - 1
+        var k = 0
+        while (s > 0 && (at(bs, s) & 0xc0) == 0x80 && k < 3) { s -= 1; k += 1 }
+        // the decoded sequence must end exactly at i, else it is the kind
+        // of malformed run String conversion replaces with U+FFFD
+        val cp = cpAt(bs, s)
+        val len = if (cp < 0) -1
+          else if (cp < 0x80) 1 else if (cp < 0x800) 2
+          else if (cp < 0x10000) 3 else 4
+        len == i - s && wordCp(cp)
+      }
+    }
+  }
+
+  /** Is the code point STARTING at byte i a \b word char? (false at end) */
+  private def wordAt(bs: Array[Byte], i: Int): Boolean = {
+    if (i >= bs.length) false
+    else {
+      val b = at(bs, i)
+      if (b < 0x80) word(b) else wordCp(cpAt(bs, i))
+    }
+  }
+
+  /** Leftmost email match with start ≥ from, packed (start<<32|end); -1 if none. */
+  private def nextEmail(bs: Array[Byte], from: Int): Long = {
+    val n = bs.length
+    var s = from
+    while (s < n) {
+      if (!local(at(bs, s))) s += 1
+      else {
+        var j = s
+        while (j < n && local(at(bs, j))) j += 1
+        if (j < n && at(bs, j) == '@') {
+          val m = j + 1
+          var e = m
+          while (e < n && domc(at(bs, e))) e += 1
+          if (e > m) {
+            var q = e - 1
+            while (q >= m + 1) {
+              if (at(bs, q) == '.') {
+                var r = q + 1
+                while (r < e && alpha(at(bs, r))) r += 1
+                if (r - (q + 1) >= 2) return pack(s, r)
+              }
+              q -= 1
+            }
+          }
+          s = j + 1 // domain failed: retry from the byte after '@'
+        } else s = j // run not followed by '@': every start inside fails
+      }
+    }
+    -1L
+  }
+
+  /** IPv4 match at exactly s (caller checked \b before s); end or -1. */
+  private def ipv4At(bs: Array[Byte], s: Int): Int = {
+    val n = bs.length
+    var p = s
+    var g = 0
+    while (g < 4) {
+      if (p >= n || !dig(at(bs, p))) return -1
+      var l = 0
+      while (p + l < n && dig(at(bs, p + l))) l += 1
+      if (l > 3) return -1
+      if (g < 3) {
+        if (p + l >= n || at(bs, p + l) != '.') return -1
+        p = p + l + 1
+      } else {
+        if (wordAt(bs, p + l)) return -1
+        return p + l
+      }
+      g += 1
+    }
+    -1 // unreachable
+  }
+
+  private def nextIpv4(bs: Array[Byte], from: Int): Long = {
+    val n = bs.length
+    var s = from
+    while (s < n) {
+      if (!dig(at(bs, s))) s += 1
+      else if (wordBefore(bs, s)) {
+        while (s < n && dig(at(bs, s))) s += 1 // \b fails for the whole run
+      } else {
+        val e = ipv4At(bs, s)
+        if (e > 0) return pack(s, e)
+        while (s < n && dig(at(bs, s))) s += 1 // run starts a failed match
+      }
+    }
+    -1L
+  }
+
+  private def nextIdRun(bs: Array[Byte], from: Int): Long = {
+    val n = bs.length
+    var s = from
+    while (s < n) {
+      if (!dig(at(bs, s))) s += 1
+      else {
+        val predOk = !wordBefore(bs, s)
+        var e = s
+        while (e < n && dig(at(bs, e))) e += 1
+        if (predOk && e - s >= 13 && e - s <= 19 && !wordAt(bs, e))
+          return pack(s, e)
+        s = e
+      }
+    }
+    -1L
+  }
+
+  private def nextPhone(bs: Array[Byte], from: Int): Long = {
+    val n = bs.length
+    var s = from
+    while (s < n) {
+      if (!dig(at(bs, s))) s += 1
+      else {
+        val p = s
+        var e = p + 1
+        while (e < n && phc(at(bs, e))) e += 1
+        var q = e - 1
+        while (q >= p + 7 && !dig(at(bs, q))) q -= 1
+        if (q >= p + 7) {
+          val start = if (p - 1 >= from && at(bs, p - 1) == '+') p - 1 else p
+          return pack(start, q + 1)
+        }
+        s = e // every later digit start in this region sees a subset window
+      }
+    }
+    -1L
+  }
+
+  private def next(which: Int, bs: Array[Byte], from: Int): Long = which match {
+    case 0 => nextEmail(bs, from)
+    case 1 => nextIpv4(bs, from)
+    case 2 => nextIdRun(bs, from)
+    case _ => nextPhone(bs, from)
+  }
+
+  private def countOf(bs: Array[Byte], which: Int): Int = {
+    var pos = 0
+    var c = 0
+    var m = next(which, bs, pos)
+    while (m != -1L) {
+      c += 1
+      pos = (m & 0xffffffffL).toInt
+      m = next(which, bs, pos)
+    }
+    c
+  }
+
+  /** PiiAll alternation scan. Returns (nMatches<<32 | deltaChars); when
+    * `out` is non-null additionally writes the redacted bytes (redacted
+    * length = bs.length − delta, always ≤ bs.length since every matched
+    * span is ≥ 6 bytes and `[PII]` is 5).
+    */
+  private def merge(bs: Array[Byte], out: Array[Byte]): Long = {
+    val n = bs.length
+    var pos = 0
+    var outLen = 0
+    var delta = 0
+    var nm = 0
+    // cached next match per branch: -2 = stale, -1 = exhausted
+    var em = -2L; var ip = -2L; var id = -2L; var ph = -2L
+    var done = false
+    while (!done) {
+      if (em != -1L && (em == -2L || (em >>> 32).toInt < pos)) em = nextEmail(bs, pos)
+      if (ip != -1L && (ip == -2L || (ip >>> 32).toInt < pos)) ip = nextIpv4(bs, pos)
+      if (id != -1L && (id == -2L || (id >>> 32).toInt < pos)) id = nextIdRun(bs, pos)
+      if (ph != -1L && (ph == -2L || (ph >>> 32).toInt < pos)) ph = nextPhone(bs, pos)
+      var best = em // strict < keeps branch priority on equal starts
+      if (ip != -1L && (best == -1L || (ip >>> 32) < (best >>> 32))) best = ip
+      if (id != -1L && (best == -1L || (id >>> 32) < (best >>> 32))) best = id
+      if (ph != -1L && (best == -1L || (ph >>> 32) < (best >>> 32))) best = ph
+      if (best == -1L) done = true
+      else {
+        val s = (best >>> 32).toInt
+        val e = (best & 0xffffffffL).toInt
+        if (out != null) {
+          System.arraycopy(bs, pos, out, outLen, s - pos)
+          outLen += s - pos
+          out(outLen) = '['; out(outLen + 1) = 'P'; out(outLen + 2) = 'I'
+          out(outLen + 3) = 'I'; out(outLen + 4) = ']'
+          outLen += 5
+        }
+        delta += (e - s) - 5
+        nm += 1
+        pos = e
+      }
+    }
+    if (out != null) System.arraycopy(bs, pos, out, outLen, n - pos)
+    (nm.toLong << 32) | (delta.toLong & 0xffffffffL)
+  }
+
+  /** struct(n_email, n_ipv4, n_phone, n_idrun, n_pii, n_redactions,
+    * redact_delta) — the counts half; no output string is built.
+    */
+  def counts(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bs = s.getBytes
+    val e = countOf(bs, 0)
+    val i = countOf(bs, 1)
+    val d = countOf(bs, 2) // id-run before phone: the PiiAll branch order
+    val p = countOf(bs, 3)
+    val m = merge(bs, null)
+    org.apache.spark.sql.catalyst.InternalRow(
+      e, i, p, d, e + i + p + d, (m >>> 32).toInt, m & 0xffffffffL)
+  }
+
+  /** struct(clean, n_redactions) — the rewrite half. */
+  def redact(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bs = s.getBytes
+    val out = new Array[Byte](bs.length)
+    val m = merge(bs, out)
+    val delta = (m & 0xffffffffL).toInt
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromBytes(out, 0, bs.length - delta), (m >>> 32).toInt)
+  }
+}
+
+/** PII counts in one kernel pass (SURVEY §2.4 #44e/#44j, the q_doc_features
+  * residual named by the r12 bench): struct(n_email, n_ipv4, n_phone,
+  * n_idrun, n_pii, n_redactions, redact_delta) ≡ the four
+  * `regexp_count(text, P)` columns, their sum, `regexp_count(text,
+  * PiiAll)`, and `length(text) − length(regexp_replace(text, PiiAll,
+  * '[PII]'))` — see [[PiiKernel]] for the per-pattern equivalence
+  * arguments. Null text → null struct (regexp_count's null propagation).
+  */
+case class PiiCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = {
+    val it = org.apache.spark.sql.types.IntegerType
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_email", it, nullable = false),
+      org.apache.spark.sql.types.StructField("n_ipv4", it, nullable = false),
+      org.apache.spark.sql.types.StructField("n_phone", it, nullable = false),
+      org.apache.spark.sql.types.StructField("n_idrun", it, nullable = false),
+      org.apache.spark.sql.types.StructField("n_pii", it, nullable = false),
+      org.apache.spark.sql.types.StructField("n_redactions", it, nullable = false),
+      org.apache.spark.sql.types.StructField("redact_delta", LongType,
+        nullable = false)))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PiiKernel.counts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // the kernel lives in ONE scala object; generated code calls its
+    // static forwarder, so codegen and interpreted eval share every byte
+    // of the scan (and the Block-formatter margin trap has no surface)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PiiKernel.counts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiCounts =
+    copy(child = newChild)
+}
+
+/** PII redaction rewrite in one kernel pass (SURVEY §2.4 #44j):
+  * struct(clean, n_redactions) ≡ (`regexp_replace(text, PiiAll, '[PII]')`,
+  * `regexp_count(text, PiiAll)`) — the alternation scan of [[PiiKernel]]
+  * run once per row with the output buffer attached. Null text → null.
+  */
+case class PiiRedact(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("clean", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_redactions",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    PiiKernel.redact(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PiiKernel.redact($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiRedact =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   private def info(name: String, clazz: Class[_]) =
     new ExpressionInfo(clazz.getCanonicalName, name)
@@ -1102,7 +1514,13 @@ object GraftFunctions {
         arity("graft_stop_counts", 2)(c => StopCounts(c(0), c(1)))),
       (FunctionIdentifier("graft_cjk"),
         info("graft_cjk", classOf[CjkProbe]),
-        arity("graft_cjk", 1)(c => CjkProbe(c.head))))
+        arity("graft_cjk", 1)(c => CjkProbe(c.head))),
+      (FunctionIdentifier("graft_pii_counts"),
+        info("graft_pii_counts", classOf[PiiCounts]),
+        arity("graft_pii_counts", 1)(c => PiiCounts(c.head))),
+      (FunctionIdentifier("graft_pii_redact"),
+        info("graft_pii_redact", classOf[PiiRedact]),
+        arity("graft_pii_redact", 1)(c => PiiRedact(c.head))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

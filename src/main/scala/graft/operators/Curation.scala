@@ -254,7 +254,7 @@ object Curation {
     val flagged = TextOps.blocklistFlags(docs)
       .select(col("text"), col("blocked"),
         Text.wordCount(col("text")).as("toks"),
-        TextOps.piiCols(col("text")).take(4).reduce(_ + _).as("npii"))
+        TextOps.nPiiCol(s, col("text")).as("npii"))
     // counts coalesce to 0 on the empty lake (sums over zero rows are
     // NULL) — the release-gate decidability rule, and what makes the
     // "zero counts and NULL rates" empty-lake contract above true
@@ -440,7 +440,7 @@ object Curation {
     val flagged = TextOps.blocklistFlags(docs)
       .select(col("text"), col("blocked"), col("source"),
         Text.wordCount(col("text")).as("toks"),
-        TextOps.piiCols(col("text")).take(4).reduce(_ + _).as("npii"))
+        TextOps.nPiiCol(s, col("text")).as("npii"))
     // empty-lake sums coalesce to 0: a NULL count makes the integer
     // gate comparison NULL and the pass column undecidable
     val a1 = flagged.agg(

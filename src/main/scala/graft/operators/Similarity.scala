@@ -1258,10 +1258,15 @@ object Similarity {
       typedlit(model.toSeq.map(_._2.toSeq)), qv, lit(k))
   }
 
-  /** k = 1 [[centTopK]]: the nearest-centroid cid (int). */
+  /** k = 1 [[centTopK]]: the nearest-centroid cid (int). try_element_at
+    * so an empty model yields null (the pre-kernel array_min behavior)
+    * instead of an ANSI INVALID_ARRAY_INDEX — unreachable for current
+    * callers (empty model ⇒ empty row stream) but a foreign-vector
+    * caller against a possibly-empty model must get the null.
+    */
   private def centArgmin(model: Array[(Int, Array[Long], Long)],
       qv: Column): Column =
-    element_at(centTopK(model, qv, 1), 1)
+    try_element_at(centTopK(model, qv, 1), lit(1))
 
   private[graft] def ivfModel(s: SparkSession, d: String): Array[(Int, Array[Long], Long)] =
     ivfModelK(s, d, IvfK)

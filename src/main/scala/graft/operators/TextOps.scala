@@ -106,14 +106,16 @@ object TextOps {
       |       WHEN s_de >= s_fr THEN 'de'
       |       ELSE 'fr' END""".stripMargin
 
-  /** ADDS cjk, padded and the per-list s_xx score columns to any frame
-    * with a `text` column; input columns ride along. The working columns
-    * are reserved (the hashRank/withSimhashFp contract): withColumn
-    * would silently REPLACE a same-named caller column — wrong data, not
-    * an error.
+  /** ADDS cjk and the per-list s_xx score columns (via a transient
+    * sc_all array) to any frame with a `text` column; input columns ride
+    * along. A `padded` column is NOT created since the r12 kernels —
+    * only the DuckDB oracle still names its padded CTE column that way.
+    * The working columns are reserved (the hashRank/withSimhashFp
+    * contract): withColumn would silently REPLACE a same-named caller
+    * column — wrong data, not an error.
     */
   private def withLangSignals(df: DataFrame): DataFrame = {
-    val reserved = "cjk" +: "padded" +: "sc_all" +:
+    val reserved = "cjk" +: "sc_all" +:
       stopwords.map { case (l, _) => s"s_$l" }
     require(!df.columns.exists(reserved.contains),
       s"withLangSignals reserves columns $reserved")
@@ -902,19 +904,43 @@ object TextOps {
     */
   private[graft] val PiiAll = s"$PiiEmail|$PiiIpv4|$PiiIdRun|$PiiPhone"
 
-  /** Per-document PII hit counts + redaction length delta — the shared
-    * projection of [[qPiiScan]] and the crafted-string spec. NULL text
-    * yields NULL counts/delta (both engines), which the rollup's
-    * CASE/SUM semantics then treat identically.
+  /** One `graft_pii_counts` kernel call as a struct column — the r13
+    * byte-scan replacement for the four per-row regex NFA walks plus the
+    * alternation replace (q_doc_features' named 40.1 s sf10 residual).
+    * The DuckDB oracles keep the regex spelling, so every Verify
+    * re-proves kernel ≡ RE2; [[functions.PiiKernel]] carries the
+    * per-pattern equivalence arguments. NULL text → NULL struct →
+    * NULL fields (regexp_count's null propagation, which the rollups'
+    * CASE/SUM semantics then treat identically).
     */
-  private[graft] def piiCols(
-      text: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
-    regexp_count(text, lit(PiiEmail)).as("n_email"),
-    regexp_count(text, lit(PiiIpv4)).as("n_ipv4"),
-    regexp_count(text, lit(PiiPhone)).as("n_phone"),
-    regexp_count(text, lit(PiiIdRun)).as("n_idrun"),
-    (length(text) - length(regexp_replace(text, PiiAll, "[PII]")))
-      .cast("long").as("redact_delta"))
+  private[graft] def piiStruct(s: SparkSession,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    graft.functions.GraftFunctions.register(s)
+    call_function("graft_pii_counts", text)
+  }
+
+  /** n_email + n_ipv4 + n_phone + n_idrun as ONE kernel subtree (the
+    * categories overlap by design — this is the sum of the four counts,
+    * not distinct matches; the kernel's n_pii field, so consumers that
+    * only need the total never duplicate the scan).
+    */
+  private[graft] def nPiiCol(s: SparkSession,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    piiStruct(s, text).getField("n_pii")
+
+  /** Per-document PII hit counts + redaction length delta — the shared
+    * projection of [[qPiiScan]] and the crafted-string spec, now field
+    * extractions of [[piiStruct]]. Callers projecting several of these
+    * into ONE select should materialize the struct first (the two-stage
+    * rule) so the kernel runs once per row.
+    */
+  private[graft] def piiCols(s: SparkSession,
+      text: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val k = piiStruct(s, text)
+    Seq("n_email", "n_ipv4", "n_phone", "n_idrun")
+      .map(f => k.getField(f).as(f)) :+
+      k.getField("redact_delta").as("redact_delta")
+  }
 
   /** PII exposure scan + redaction accounting (the privacy-filter stage of
     * a training-data pipeline — the one curation pass between dedup and
@@ -961,7 +987,15 @@ object TextOps {
        |  CAST(SUM(redact_delta) AS BIGINT) AS redact_chars
        |FROM p GROUP BY 1 ORDER BY source""".stripMargin
   ) { (s, d) =>
-    val p = Tables.documents(s, d).select(col("source") +: piiCols(col("text")): _*)
+    // two-stage (the qualityScored rule): materialize the kernel struct
+    // once, then extract — five field references of one attribute, not
+    // five kernel subtrees
+    val p = Tables.documents(s, d)
+      .select(col("source"), piiStruct(s, col("text")).as("pii"))
+      .select(col("source"), col("pii.n_email").as("n_email"),
+        col("pii.n_ipv4").as("n_ipv4"), col("pii.n_phone").as("n_phone"),
+        col("pii.n_idrun").as("n_idrun"),
+        col("pii.redact_delta").as("redact_delta"))
     def docsWith(c: String) = sum(when(col(c) > 0, 1).otherwise(0))
       .cast("long").as(s"docs_${c.stripPrefix("n_")}")
     p.groupBy("source")
@@ -1067,18 +1101,19 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     // two-stage projection (the qualityScored rule): three consumers
-    // reference the redacted string — inlining the replace would run the
-    // 4-branch alternation kernel 3× per row (Catalyst does not CSE the
-    // duplicated regex aliases — measured on the quality ratios)
+    // reference the redacted string — materialize the graft_pii_redact
+    // struct once (kernel alternation scan runs ONCE per row where the
+    // regex form paid the NFA alternation twice: count + replace)
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
-        regexp_replace(col("text"), PiiAll, "[PII]").as("clean"))
+        call_function("graft_pii_redact", col("text")).as("r"))
       .select(col("doc_id"),
-        regexp_count(col("text"), lit(PiiAll)).as("n_redactions"),
-        (length(col("text")) - length(col("clean"))).cast("long")
+        col("r.n_redactions").as("n_redactions"),
+        (length(col("text")) - length(col("r.clean"))).cast("long")
           .as("redact_delta"),
-        length(col("clean")).as("clean_len"),
-        md5(col("clean")).as("clean_hash"))
+        length(col("r.clean")).as("clean_len"),
+        md5(col("r.clean")).as("clean_hash"))
       .orderBy("doc_id")
   }
 
@@ -2409,7 +2444,7 @@ object TextOps {
     val base = withLangSignals(
       qualityScored(blocklistFlags(Tables.documents(s, d))))
     // the four PII counters summed — null text propagates NULL (unassessed)
-    val nPii = piiCols(col("text")).take(4).reduce(_ + _)
+    val nPii = nPiiCol(s, col("text"))
     base.select(col("doc_id"), col("quality_score"),
       col("n_tok").as("n_tokens"), col("n_blocked"), col("blocked"),
       langPredCol.as("lang_pred"),

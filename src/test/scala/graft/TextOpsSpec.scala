@@ -373,7 +373,7 @@ class TextOpsSpec extends SparkSpec {
       ("mixed: a@b.de from 8.8.8.8 phone +49 171 2345678 card 5500005555555559",
         1, 1, 2, 1, 24))
     val got = cases.map(_._1).toDF("text")
-      .select(col("text") +: graft.operators.TextOps.piiCols(col("text")): _*)
+      .select(col("text") +: graft.operators.TextOps.piiCols(spark, col("text")): _*)
       .collect().map(r => r.getAs[String]("text") ->
         (r.getAs[Int]("n_email"), r.getAs[Int]("n_ipv4"),
           r.getAs[Int]("n_phone"), r.getAs[Int]("n_idrun"),
@@ -382,9 +382,79 @@ class TextOpsSpec extends SparkSpec {
       assert(got(t) == ((e, i, p, d, delta.toLong)),
         s"kernel mismatch on '$t': got ${got(t)}, DuckDB says ($e,$i,$p,$d,$delta)")
     val nulls = Seq(Option.empty[String]).toDF("text")
-      .select(graft.operators.TextOps.piiCols(col("text")): _*).collect()(0)
+      .select(graft.operators.TextOps.piiCols(spark, col("text")): _*).collect()(0)
     assert((0 until 5).forall(nulls.isNullAt),
       "null text must yield null counts/delta (the rollup's CASE handles it)")
+  }
+
+  test("pii kernel ≡ the Java regex forms on the corpus + crafted edges") {
+    // The token-kernel precedent: the DuckDB-pinned spec above fixes the
+    // cross-engine truth on six strings; THIS one pins kernel ≡ the exact
+    // Spark regex forms it replaced, value-for-value and byte-for-byte
+    // (redacted string included), on the real corpus plus adversarial
+    // edges — domain backtracking past non-alpha tails, chained '@'s,
+    // word-boundary and overlong-group ipv4 rejections, multibyte
+    // boundaries, plus-phone starts, 13/19/20-digit run edges.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val crafted = Seq(
+      "a@b.ccc.d-ee tail", "a@b.cc@d.ee chain", "x@@y.zz double-at",
+      "a@b.c short-tld", "no@dot", "трём@пример.рф non-ascii",
+      "padded.email+tag@sub.domain-x.org!", "a+b@c.dd plus-local",
+      "a@b.co.uk multi-dot", "A@B.DE upper",
+      "1.2.3.4567 overlong last group", "1234.5.6.7 overlong first",
+      "_1.2.3.4 word-bound", "1.2.3.4a trailing word",
+      "é1.2.3.4 multibyte boundary", "1.2.3.4é trailing multibyte letter",
+      "ヴ1.2.3.4 katakana word char", "½1.2.3.4 non-word multibyte",
+      "٣1.2.3.4 arabic-indic digit is \\b-word", "𝕏1.2.3.4 supplementary letter",
+      "é9999999999999 multibyte id-run bound", "ip 010.001.000.255 padded",
+      "1.2.3.4.5 five groups", "10.0.0.1. trailing dot",
+      "+123456789 plus-phone", "+ 12345678 split-plus",
+      "(555) 1234567 paren-start", "phone 123-456-7890.",
+      "12345678901234567890123 23-digit run", "9999999999999 exactly 13",
+      "9999999999999999999 exactly 19", "99999999999999999999 exactly 20",
+      "id 1234567890123456.", "4111 1111 1111 1111 spaced card",
+      "x.1234567890123.y dotted id-run", "", " ", "[PII] already",
+      "mixed: a@b.de from 8.8.8.8 phone +49 171 2345678 card 5500005555555559")
+    val corpus = Tables.documents(spark, sfDir).select("text")
+      .where(col("text").isNotNull).as[String].collect().toSeq
+    val rows = (crafted ++ corpus).toDF("text")
+      .select(col("text"),
+        call_function("graft_pii_counts", col("text")).as("k"),
+        call_function("graft_pii_redact", col("text")).as("r"),
+        regexp_count(col("text"), lit(TextOps.PiiEmail)).as("x_email"),
+        regexp_count(col("text"), lit(TextOps.PiiIpv4)).as("x_ipv4"),
+        regexp_count(col("text"), lit(TextOps.PiiPhone)).as("x_phone"),
+        regexp_count(col("text"), lit(TextOps.PiiIdRun)).as("x_idrun"),
+        regexp_count(col("text"), lit(TextOps.PiiAll)).as("x_n"),
+        regexp_replace(col("text"), TextOps.PiiAll, "[PII]").as("x_clean"))
+      .collect()
+    assert(rows.length >= crafted.length, "corpus must be non-empty")
+    rows.foreach { row =>
+      val t = row.getAs[String]("text")
+      val k = row.getStruct(row.fieldIndex("k"))
+      val r = row.getStruct(row.fieldIndex("r"))
+      val xClean = row.getAs[String]("x_clean")
+      assert(k.getAs[Int]("n_email") == row.getAs[Int]("x_email"),
+        s"n_email drift on '$t'")
+      assert(k.getAs[Int]("n_ipv4") == row.getAs[Int]("x_ipv4"),
+        s"n_ipv4 drift on '$t'")
+      assert(k.getAs[Int]("n_phone") == row.getAs[Int]("x_phone"),
+        s"n_phone drift on '$t'")
+      assert(k.getAs[Int]("n_idrun") == row.getAs[Int]("x_idrun"),
+        s"n_idrun drift on '$t'")
+      assert(k.getAs[Int]("n_pii") == row.getAs[Int]("x_email") +
+        row.getAs[Int]("x_ipv4") + row.getAs[Int]("x_phone") +
+        row.getAs[Int]("x_idrun"), s"n_pii drift on '$t'")
+      assert(k.getAs[Int]("n_redactions") == row.getAs[Int]("x_n"),
+        s"n_redactions drift on '$t'")
+      assert(k.getAs[Long]("redact_delta") == (t.length - xClean.length).toLong,
+        s"redact_delta drift on '$t'")
+      assert(r.getAs[String]("clean") == xClean,
+        s"redacted string drift on '$t': got '${r.getAs[String]("clean")}'")
+      assert(r.getAs[Int]("n_redactions") == row.getAs[Int]("x_n"),
+        s"redact-side n_redactions drift on '$t'")
+    }
   }
 
   test("blocklist counting is token-exact, including adjacent blocked words") {
