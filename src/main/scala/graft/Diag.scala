@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
   *  - `pointgate`: walls of BOTH probe paths of the IVF point shortlist
   *    (broadcast-gated vs shuffled fallback) on the eval slice, with an
   *    output-identity check.
+  *  - `storagetier`: the q_knn_join_ivf cache-tier A/B (r12 verdict item
+  *    6): times the query with its MEMORY_AND_DISK index caches (a)
+  *    freshly built and memory-resident — the subset-study condition;
+  *    (b) LRU-evicted to the disk tier by a pinned filler frame sized to
+  *    the unified storage maximum — the full-protocol condition, where
+  *    ~55 intervening entries hold the pool; (c) re-promoted after the
+  *    filler releases (reads re-cache disk blocks into a free memory
+  *    tier) — the re-pin deployment. getRDDStorageInfo tier sums are
+  *    printed at each step so the eviction is evidence, not assumption.
   */
 object Diag {
   def main(args: Array[String]): Unit = {
@@ -239,8 +248,44 @@ object Diag {
         loads.orderBy(col("m").desc).limit(12).collect().foreach(r =>
           println(s"[diag]   table ${r.get(0)} bucket ${r.get(1)}: ${r.getLong(2)}"))
 
+      case "storagetier" =>
+        val q = SparkEntry.queries("q_knn_join_ivf")
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          q(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def tiers(tag: String): Unit = {
+          val inf = spark.sparkContext.getRDDStorageInfo
+          println(f"[diag] $tag: cached RDDs ${inf.length}%d, " +
+            f"mem ${inf.map(_.memSize).sum / 1e9}%.2f GB, " +
+            f"disk ${inf.map(_.diskSize).sum / 1e9}%.2f GB")
+        }
+        run() // prepay the index builds — the subset protocol's prebuild step
+        tiers("post-build")
+        val tA = run()
+        // pin a filler sized to the unified storage maximum
+        // ((heap − 300 MB) · 0.6): LRU evicts every index block to its
+        // disk tier, and while the filler stays persisted re-promotion
+        // on read cannot allocate — the protocol-position state
+        val poolBytes = (Runtime.getRuntime.maxMemory - (300L << 20)) * 6 / 10
+        val filler = spark.range(poolBytes / 1024)
+          .select(col("id"), lit("x" * 512).as("pad1"), lit("y" * 512).as("pad2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        filler.count()
+        tiers("post-evict")
+        val tB = run()
+        tiers("post-B")
+        filler.unpersist(blocking = true)
+        run() // untimed: reads re-promote disk blocks into the freed memory
+        tiers("post-repin")
+        val tC = run()
+        println(f"[diag] storagetier q_knn_join_ivf: memory-resident $tA%.1f s" +
+          f", disk-tier $tB%.1f s, re-pinned $tC%.1f s")
+
       case other =>
-        sys.error(s"unknown mode $other (simhash|halfjoin|halves|lsh|semdecon|pairs)")
+        sys.error(s"unknown mode $other " +
+          "(simhash|halfjoin|halves|lsh|semdecon|pairs|pointgate|storagetier)")
     }
     spark.stop()
   }

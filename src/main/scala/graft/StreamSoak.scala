@@ -39,13 +39,16 @@ import org.apache.spark.sql.functions._
   * Usage: StreamSoak <sfDir> [triggers=50] [rowsPerTrigger=400]
   *   [sink=curation_loop] [compactAfter=0]
   * `compactAfter=N` > 0 runs [[graft.sources.Store.compact]] over every
-  * keyed store of the sink between triggers N and N+1 (compact to a
-  * side directory, swap in — the deployment cadence §8 asserts), so one
-  * series answers whether the O(files)=O(triggers) parquet-footer term
-  * RESETS at a compaction and the residual slope is the band join's
-  * semantic store-linear term alone. Prints ONE JSON line (also written
-  * to /tmp/soak.json) with the per-trigger seconds, the compaction
-  * point/cost if any, and the [[Bench.preflight]] load fingerprint.
+  * keyed store of the sink every N triggers (compact to a side
+  * directory, rename-aside swap — the deployment CADENCE §8 asserts;
+  * r12 measured the single-compaction reset, r13's cadence run compares
+  * slopes ACROSS epochs), so the series answers whether the
+  * O(files)=O(triggers) parquet-footer term resets at each compaction
+  * and the residual slope is the band join's semantic store-linear term
+  * alone (constant across epochs) rather than renewed footer growth.
+  * Prints ONE JSON line (also written to /tmp/soak.json) with the
+  * per-trigger seconds, the compaction points/costs if any, and the
+  * [[Bench.preflight]] load fingerprint.
   */
 object StreamSoak {
   def main(args: Array[String]): Unit = {
@@ -95,8 +98,8 @@ object StreamSoak {
     // loop drives processAllAvailable synchronously) and every store
     // read is a fresh per-trigger spark.read, so replacing a directory's
     // files between triggers is exactly the offline-cadence deployment
-    var compactSec = -1.0
-    def compactStores(): Unit = {
+    val compactions = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def compactStores(afterTrigger: Int): Unit = {
       val t0 = System.nanoTime()
       storePaths.foreach { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
@@ -120,9 +123,10 @@ object StreamSoak {
           System.err.println(s"[soak] compacted $p -> $files files")
         }
       }
-      compactSec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[soak] compaction after trigger $compactAfter: " +
-        f"$compactSec%.3f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      compactions += ((afterTrigger, sec))
+      System.err.println(f"[soak] compaction after trigger $afterTrigger: " +
+        f"$sec%.3f s")
     }
     val q = writer.start()
     val perTrigger =
@@ -133,7 +137,12 @@ object StreamSoak {
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[soak] trigger ${t + 1}/$triggers: $dt%.3f s" +
           f" (${rowsPerTrigger / dt}%.0f rows/s)")
-        if (compactAfter > 0 && t + 1 == compactAfter) compactStores()
+        // CADENCE (r13, soak round 3): compact every compactAfter
+        // triggers, not once — the two-epoch slope comparison needs
+        // repeated epochs; skip the pointless compaction after the final
+        // trigger
+        if (compactAfter > 0 && (t + 1) % compactAfter == 0 &&
+          t + 1 < triggers) compactStores(t + 1)
         dt
       } finally q.stop()
 
@@ -147,7 +156,9 @@ object StreamSoak {
     val json =
       s"""{"metric":"stream_soak","sink":"$sink","sf":"$sfDir"""" +
         s""","triggers":$triggers,"rows_per_trigger":$rowsPerTrigger""" +
-        s""","compact_after":$compactAfter,"compact_sec":${f3(compactSec)}""" +
+        s""","compact_after":$compactAfter""" +
+        s""","compact_points":${compactions.map(_._1).mkString("[", ",", "]")}""" +
+        s""","compact_sec":${compactions.map(c => f3(c._2)).mkString("[", ",", "]")}""" +
         s""","per_trigger_sec":[${perTrigger.map(f3).mkString(",")}]""" +
         s""","preflight":{"start":${preStart.json},"end":${preEnd.json}""" +
         s""","reasons":${contendedReasons.map("\"" + _ + "\"")

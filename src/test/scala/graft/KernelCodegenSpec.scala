@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CI guard for the silent interpreted-fallback class (r12 verdict item
+  * 5): Spark compiles a kernel's generated code with Janino at runtime,
+  * and a malformed code string (the `||`-margin trap) only produces a
+  * WARN before falling back to interpreted eval — tests stay green while
+  * the kernel runs 10× slow. This spec Janino-compiles an UnsafeProjection
+  * over ONE exemplar of every registered graft function (bypassing
+  * `CodeGeneratorWithInterpretedFallback`, so a compile error FAILS
+  * instead of falling back), then evaluates it on a sample row so the
+  * compiled path actually executes. A kernel added to GraftFunctions
+  * without an exemplar here fails the coverage test by name.
+  */
+class KernelCodegenSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def ref(dt: DataType, ord: Int = 0): Expression =
+    BoundReference(ord, dt, nullable = true)
+  private val str = ref(StringType)
+  private val vecL = ref(ArrayType(LongType))
+
+  private val matLit = Literal.create(
+    Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)), ArrayType(ArrayType(LongType)))
+  private val bookLit = Literal.create(
+    Seq(Seq(Seq(1L, 2L), Seq(3L, 4L)), Seq(Seq(5L, 6L), Seq(7L, 8L))),
+    ArrayType(ArrayType(ArrayType(LongType))))
+  private val listsLit = Literal.create(
+    Seq(Seq("the", "and"), Seq("der", "und")), ArrayType(ArrayType(StringType)))
+  private val bloomLit = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(16, 0.01)
+    bf.putString("alpha")
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    Literal.create(bos.toByteArray, BinaryType)
+  }
+
+  /** (input row types, exemplar) per registered function name. */
+  private val exemplars: Map[String, (Seq[Any], Expression)] = {
+    def utf8(s: String) = UTF8String.fromString(s)
+    def arr(xs: Long*) = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(xs.toArray)
+    val text = Seq[Any](utf8("the quick brown fox, id 4111111111111111"))
+    Map(
+      "graft_dot_q" -> ((Seq(arr(1L, 2L, 3L), arr(4L, 5L, 6L)),
+        DotQ(vecL, ref(ArrayType(LongType), 1)))),
+      "graft_rolling_hash" -> ((text, RollingHash(str))),
+      "graft_simhash64" -> ((Seq(arr(1L, 2L, 3L)), SimHash64(vecL))),
+      "graft_matvec_q" -> ((Seq(arr(1L, 2L, 3L)), MatVecQ(matLit, vecL))),
+      "graft_bloom_contains" -> ((text, BloomContains(bloomLit, str))),
+      "graft_repeated_run" -> ((text, RepeatedRun(str))),
+      "graft_cent_topk" -> ((Seq(arr(1L, 2L, 3L)),
+        CentTopKQ(matLit, vecL, Literal(2)))),
+      "graft_pq_codes" -> ((Seq(arr(1L, 2L, 3L, 4L)), PqCodesQ(bookLit, vecL))),
+      "graft_token_counts" -> ((text, TokenCounts(str))),
+      "graft_stop_counts" -> ((text, StopCounts(str, listsLit))),
+      "graft_cjk" -> ((text, CjkProbe(str))),
+      "graft_pii_counts" -> ((text, PiiCounts(str))),
+      "graft_pii_redact" -> ((text, PiiRedact(str))))
+  }
+
+  test("exemplar list covers every registered graft function") {
+    val registered = GraftFunctions.all.map(_._1.funcName).toSet
+    assert(exemplars.keySet == registered,
+      s"missing exemplars: ${registered -- exemplars.keySet}; " +
+        s"stale exemplars: ${exemplars.keySet -- registered}")
+  }
+
+  test("every kernel codegen-compiles and runs compiled (no fallback)") {
+    exemplars.toSeq.sortBy(_._1).foreach { case (name, (input, e)) =>
+      val proj =
+        try GenerateUnsafeProjection.generate(Seq(e))
+        catch {
+          case t: Throwable =>
+            fail(s"$name failed Janino compilation (would run INTERPRETED " +
+              s"in production with only a WARN): $t")
+        }
+      val out = proj(InternalRow.fromSeq(input))
+      assert(out.numFields == 1, s"$name: unexpected output arity")
+    }
+  }
+}

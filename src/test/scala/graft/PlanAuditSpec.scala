@@ -360,16 +360,68 @@ class PlanAuditSpec extends SparkSpec {
       "a document-grain window crept into the KS plan:\n" + p)
   }
 
-  test("pii redact: the alternation replace kernel evaluates once per row") {
+  test("pii redact: the alternation kernel evaluates once per row") {
     // three consumers (delta, len, hash) read the redacted string; the
-    // two-stage projection keeps ONE regexp_replace in the plan —
-    // Catalyst does not CSE duplicated regex aliases (measured on the
-    // quality ratios), so a flattened select silently pays 3x
+    // two-stage projection keeps ONE graft_pii_redact kernel in the
+    // plan — Catalyst does not CSE duplicated heavy aliases (measured on
+    // the quality ratios), so a flattened select silently pays 3x; and a
+    // revert to the regexp_replace/regexp_count forms is a ~10x bench
+    // regression that must fail HERE (the r12 silent-fallback class)
     val p = plan("q_pii_redact")
-    val replaces = "regexp_replace".r.findAllIn(p).length
-    assert(replaces == 1,
-      s"expected ONE redaction kernel in the plan, found $replaces:\n" + p)
+    val kernels = "piiredact".r.findAllIn(p.toLowerCase).length
+    assert(kernels == 1,
+      s"expected ONE redaction kernel in the plan, found $kernels:\n" + p)
+    assert(!p.contains("regexp_replace") && !p.contains("RegExpReplace")
+      && !p.contains("regexp_count") && !p.contains("RegExpCount"),
+      "regex redaction forms resurfaced in q_pii_redact:\n" + p)
     assert(p.split("\n").count(_.contains("Scan parquet")) == 1)
+  }
+
+  test("pii counts run the byte-scan kernel in scan, doc-features and gates") {
+    // the r13 PiiCounts kernel retired q_doc_features' named 40.1 s sf10
+    // residual; a revert of ANY consumer to the 4-pattern regexp_count
+    // chain must fail here, not in a bench
+    Seq("q_pii_scan", "q_doc_features", "q_release_gate").foreach { q =>
+      val p = plan(q)
+      assert(p.toLowerCase.contains("piicounts"),
+        s"$q must run the PiiCounts kernel:\n" + p)
+      assert(!p.contains("regexp_count") && !p.contains("RegExpCount"),
+        s"regex PII forms resurfaced in $q:\n" + p)
+    }
+    // the scan's two-stage projection keeps the kernel single-evaluated
+    val scan = plan("q_pii_scan").toLowerCase
+    assert("piicounts".r.findAllIn(scan).length == 1,
+      "q_pii_scan must evaluate the counts kernel once:\n" + scan)
+  }
+
+  test("lang-id and quality score run the stop-counts kernels, not regex chains") {
+    // r12 verdict gap: only 2 of 5 kernel sites were plan-guarded; a
+    // revert of these to the padded-regex forms passes every oracle and
+    // only shows as a 10x bench delta
+    val lang = plan("q_lang_id")
+    assert(lang.toLowerCase.contains("stopcounts"),
+      "q_lang_id must run the StopCounts kernel:\n" + lang)
+    assert(lang.toLowerCase.contains("cjkprobe"),
+      "q_lang_id must run the CjkProbe kernel:\n" + lang)
+    val qual = plan("q_quality_score")
+    assert(qual.toLowerCase.contains("stopcounts"),
+      "q_quality_score must run the StopCounts kernel:\n" + qual)
+    Seq("q_lang_id" -> lang, "q_quality_score" -> qual).foreach { case (q, p) =>
+      assert(!p.contains("regexp_count") && !p.contains("RegExpCount")
+        && !p.contains("regexp_replace") && !p.contains("RegExpReplace"),
+        s"padded-regex chain resurfaced in $q:\n" + p)
+    }
+  }
+
+  test("pq encoder runs the per-block argmin kernel, not HOF lambdas") {
+    // q_ann_pq's plan embeds the codes build (the cache child plan); the
+    // only transform( allowed is the cheap float->long quantization —
+    // an array_min(transform(...)) encoder revert must fail here
+    val p = plan("q_ann_pq")
+    assert(p.toLowerCase.contains("pqcodesq"),
+      "PQ paths must run the PqCodesQ encoder kernel:\n" + p)
+    assert(!p.contains("array_min"),
+      "interpreted per-block argmin lambdas resurfaced in the PQ encoder:\n" + p)
   }
 
   test("pq ann: LUTs broadcast; the ADC sweep reads the narrow codes index") {

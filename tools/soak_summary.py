@@ -40,6 +40,29 @@ def main():
     print(f"growth last/first quartile: {mean(last_q)/mean(first_q):.2f}x")
     print(f"ls slope: {slope*1000:.1f} ms/trigger "
           f"({slope*1000/ (mean(body)*1000) * 100:.2f}%/trigger of mean)")
+    # cadence runs (r13): per-epoch means + LS slopes between compactions —
+    # a constant cross-epoch slope is the band join's semantic store-linear
+    # term; a rising one would be renewed footer growth
+    pts = d.get("compact_points") or []
+    if pts:
+        bounds = [0] + list(pts) + [n]
+        for k in range(len(bounds) - 1):
+            lo, hi = bounds[k], bounds[k + 1]
+            seg = xs[max(lo, 1):hi]  # drop only the global warmup trigger
+            if len(seg) < 3:
+                continue
+            sm = len(seg)
+            smx = (sm - 1) / 2
+            smy = mean(seg)
+            snum = sum((i - smx) * (y - smy) for i, y in enumerate(seg))
+            sden = sum((i - smx) ** 2 for i in range(sm))
+            sslope = snum / sden if sden else 0.0
+            print(f"epoch {k+1} (t{lo+1}-t{hi}): mean {smy:.3f} s, "
+                  f"slope {sslope*1000:.1f} ms/trigger")
+        csec = d.get("compact_sec")
+        if isinstance(csec, list):
+            print(f"compactions at {pts}: " +
+                  ", ".join(f"{c:.1f}s" for c in csec))
     pf = d.get("preflight", {})
     print(f"preflight contended={pf.get('contended')}")
     dec = max(1, n // 10)
