@@ -260,17 +260,29 @@ object Diag {
           println(f"[diag] $tag: cached RDDs ${inf.length}%d, " +
             f"mem ${inf.map(_.memSize).sum / 1e9}%.2f GB, " +
             f"disk ${inf.map(_.diskSize).sum / 1e9}%.2f GB")
+          inf.sortBy(-_.memSize).foreach(r =>
+            println(f"[diag]   rdd ${r.id}%d mem ${r.memSize / 1e6}%.1f MB " +
+              f"disk ${r.diskSize / 1e6}%.1f MB parts ${r.numCachedPartitions}%d " +
+              s"'${r.name}'"))
         }
         run() // prepay the index builds — the subset protocol's prebuild step
         tiers("post-build")
         val tA = run()
+        val tA2 = run() // second timed pass: separates steady-state from
+                        // post-build residue (the first A/B run measured a
+                        // 62.7 vs 33.4 ordering artifact, not a tier)
         // pin a filler sized to the unified storage maximum
         // ((heap − 300 MB) · 0.6): LRU evicts every index block to its
         // disk tier, and while the filler stays persisted re-promotion
-        // on read cannot allocate — the protocol-position state
+        // on read cannot allocate — the protocol-position state. The pad
+        // must be INCOMPRESSIBLE: the columnar cache run-length-encodes a
+        // constant string to nothing (the first A/B's filler cached 0.04
+        // GB and evicted nothing) — per-row digests defeat it.
         val poolBytes = (Runtime.getRuntime.maxMemory - (300L << 20)) * 6 / 10
         val filler = spark.range(poolBytes / 1024)
-          .select(col("id"), lit("x" * 512).as("pad1"), lit("y" * 512).as("pad2"))
+          .select(col("id"),
+            repeat(md5(col("id").cast("string")), 16).as("pad1"),
+            repeat(sha2(col("id").cast("string"), 256), 8).as("pad2"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         filler.count()
         tiers("post-evict")
@@ -280,8 +292,8 @@ object Diag {
         run() // untimed: reads re-promote disk blocks into the freed memory
         tiers("post-repin")
         val tC = run()
-        println(f"[diag] storagetier q_knn_join_ivf: memory-resident $tA%.1f s" +
-          f", disk-tier $tB%.1f s, re-pinned $tC%.1f s")
+        println(f"[diag] storagetier q_knn_join_ivf: memory-resident $tA%.1f" +
+          f"/$tA2%.1f s, disk-tier $tB%.1f s, re-pinned $tC%.1f s")
 
       case other =>
         sys.error(s"unknown mode $other " +
