@@ -1055,6 +1055,125 @@ case class BloomContains(bloom: Expression, item: Expression)
   * [[graft.plans.GraftExtensions]] consumes the same [[GraftFunctions.all]]
   * list for the session-build path, so the two cannot drift.
   */
+/** Token + blocklist-membership counts in one byte scan (SURVEY §2.4 #43h
+  * blocklist filter; shared by q_blocklist_scan, q_doc_features,
+  * q_datacard and q_release_gate through TextOps.blocklistFlags): for a
+  * foldable word list, returns struct(n_tok, n_blocked) ≡
+  * (`size(filter(split(norm, ' '), t -> t <> ''))`,
+  *  `size(filter(split(norm, ' '), t -> t IN (words)))`)
+  * where norm is the canonical Text.norm
+  * (`regexp_replace(translate(trim(text), A-Z, a-z), '[ \t\n\r\f]+', ' ')`).
+  *
+  * Equivalence: norm's collapse maps every maximal [ \t\n\r\f]+ run to one
+  * space, so split-on-space tokens ≠ '' are exactly the maximal non-ws
+  * runs of the folded text; trim only strips leading/trailing SPACES,
+  * whose split artifacts are empty tokens the filter drops — so the scan
+  * can walk the RAW bytes: find maximal non-ws runs, fold A-Z→a-z per
+  * byte during comparison (translate is ASCII-only by the Text.norm
+  * contract; non-ASCII bytes pass through both sides untouched), count
+  * every run and the runs byte-equal to a word. Replaces one regex NFA
+  * walk, a per-row token-array materialization and TWO interpreted HOF
+  * lambda filters. Null text → null struct (split(null) → null → the
+  * sizes are null under sizeOfNull=false, same propagation). The walk is
+  * a shared static method (the [[PiiKernel]] rule): codegen emits a call
+  * to the same bytecode the interpreted twin runs.
+  */
+case class BlockCounts(text: Expression, words: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def left: Expression = text
+  override def right: Expression = words
+  override def inputTypes = Seq(StringType, ArrayType(StringType))
+  override def dataType: DataType = {
+    val it = org.apache.spark.sql.types.IntegerType
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_tok", it, nullable = false),
+      org.apache.spark.sql.types.StructField("n_blocked", it, nullable = false)))
+  }
+  override def nullable: Boolean = true
+
+  /** Folded word list as byte arrays (forced while building the codegen
+    * references array — a malformed foldable list fails at plan time).
+    */
+  @transient private lazy val wordBytes: Array[Array[Byte]] = {
+    require(words.foldable, "graft_block_counts: words argument must be foldable")
+    val raw = words.eval()
+    if (raw == null) Array.empty
+    else {
+      val m = raw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      Array.tabulate(m.numElements()) { w =>
+        val bytes = m.getUTF8String(w).getBytes
+        require(bytes.nonEmpty, "graft_block_counts: words must be nonempty")
+        bytes
+      }
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val packed = BlockCounts.walk(a.asInstanceOf[UTF8String].getBytes, wordBytes)
+    org.apache.spark.sql.catalyst.InternalRow(
+      (packed >>> 32).toInt, (packed & 0xffffffffL).toInt)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wordsRef = ctx.addReferenceObj("blockWords", wordBytes, "byte[][]")
+    val packed = ctx.freshName("packed")
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"""
+         |long $packed = graft.functions.BlockCounts.walk($a.getBytes(), $wordsRef);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { java.lang.Integer.valueOf((int) ($packed >>> 32)),
+         |    java.lang.Integer.valueOf((int) $packed) });
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BlockCounts =
+    copy(text = newLeft, words = newRight)
+}
+
+object BlockCounts {
+  /** The fold-compare token walk (see the class doc) — static so the
+    * interpreted and codegen paths run the same bytecode. Returns
+    * (n_tok << 32) | n_blocked. Public for generated code only.
+    */
+  def walk(bs: Array[Byte], words: Array[Array[Byte]]): Long = {
+    @inline def ws(c: Int): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+    var tok = 0
+    var blocked = 0
+    var i = 0
+    while (i < bs.length) {
+      if (ws(bs(i) & 0xff)) i += 1
+      else {
+        var j = i
+        while (j < bs.length && !ws(bs(j) & 0xff)) j += 1
+        tok += 1
+        var w = 0
+        var hit = false
+        while (!hit && w < words.length) {
+          val word = words(w)
+          if (word.length == j - i) {
+            var k = 0
+            var ok = true
+            while (ok && k < word.length) {
+              var c = bs(i + k) & 0xff
+              if (c >= 'A' && c <= 'Z') c += 32
+              ok = (word(k) & 0xff) == c
+              k += 1
+            }
+            hit = ok
+          }
+          w += 1
+        }
+        if (hit) blocked += 1
+        i = j
+      }
+    }
+    (tok.toLong << 32) | (blocked.toLong & 0xffffffffL)
+  }
+}
+
 /** Shared byte-scan core of [[PiiCounts]] / [[PiiRedact]] — ONE
   * implementation serving BOTH eval paths: `nullSafeEval` calls it and
   * `doGenCode` emits a static call to the same methods, so an interpreted
@@ -1520,7 +1639,10 @@ object GraftFunctions {
         arity("graft_pii_counts", 1)(c => PiiCounts(c.head))),
       (FunctionIdentifier("graft_pii_redact"),
         info("graft_pii_redact", classOf[PiiRedact]),
-        arity("graft_pii_redact", 1)(c => PiiRedact(c.head))))
+        arity("graft_pii_redact", 1)(c => PiiRedact(c.head))),
+      (FunctionIdentifier("graft_block_counts"),
+        info("graft_block_counts", classOf[BlockCounts]),
+        arity("graft_block_counts", 2)(c => BlockCounts(c(0), c(1)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -489,7 +489,11 @@ object TextOps {
   ) { (s, d) =>
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        size(filter(split(norm, " "), t => t =!= "")).cast("long").as("n_tok"))
+        // ≡ size(filter(split(norm, " "), _ =!= "")): the ASCII fold
+        // never touches the whitespace class, so the folded text's
+        // maximal non-ws runs are the raw text's — the TokenCounts
+        // kernel counts them in one byte scan (r13; oracle unchanged)
+        Text.wordCount(col("text")).cast("long").as("n_tok"))
       .withColumn("blk", expr(s"doc_id DIV $PackBlock"))
     // level 1: prefix-sum within (source, block) — parallel over blocks
     val wBlk = Window.partitionBy("source", "blk").orderBy("doc_id")
@@ -1179,12 +1183,19 @@ object TextOps {
     */
   private[graft] def blocklistFlags(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val words = split(norm, " ")
+    // one graft_block_counts byte scan replaces the norm regex collapse,
+    // the per-row token-array materialization and TWO interpreted HOF
+    // filter lambdas (r13; the kernel scaladoc carries the norm/split
+    // equivalence argument — the DuckDB oracles keep the list_filter
+    // spelling, so every Verify re-proves it)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .withColumn("n_tok", size(filter(words, t => t =!= "")).cast("long"))
-      .withColumn("n_blocked",
-        size(filter(words, t => t.isin(Blocklist: _*))).cast("long"))
+      .withColumn("bc",
+        call_function("graft_block_counts", col("text"), typedlit(Blocklist)))
+      .withColumn("n_tok", col("bc.n_tok").cast("long"))
+      .withColumn("n_blocked", col("bc.n_blocked").cast("long"))
       .withColumn("blocked", col("n_blocked") * 20 > col("n_tok"))
+      .drop("bc")
   }
 
   /** Training-mix table (the data-mixing stage of corpus assembly — Pile/

@@ -62,7 +62,9 @@ class KernelCodegenSpec extends org.scalatest.funsuite.AnyFunSuite {
       "graft_stop_counts" -> ((text, StopCounts(str, listsLit))),
       "graft_cjk" -> ((text, CjkProbe(str))),
       "graft_pii_counts" -> ((text, PiiCounts(str))),
-      "graft_pii_redact" -> ((text, PiiRedact(str))))
+      "graft_pii_redact" -> ((text, PiiRedact(str))),
+      "graft_block_counts" -> ((text, BlockCounts(str,
+        Literal.create(Seq("slow", "big", "merge"), ArrayType(StringType))))))
   }
 
   test("exemplar list covers every registered graft function") {

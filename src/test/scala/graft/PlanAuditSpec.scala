@@ -413,6 +413,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("blocklist counting runs the block-counts kernel, no HOF lambdas") {
+    // the r13 kernel replaced norm-regex + token-array + two interpreted
+    // filter lambdas in blocklistFlags; a revert passes every oracle and
+    // only shows as a bench delta — ban the lambda marker outright in
+    // the four consumers (their remaining regexp_replace uses are the
+    // content-hash norm, a different and legitimate site)
+    Seq("q_blocklist_scan", "q_doc_features", "q_datacard",
+      "q_release_gate").foreach { q =>
+      val p = plan(q).toLowerCase
+      assert(p.contains("blockcounts"),
+        s"$q must run the BlockCounts kernel:\n" + p)
+      assert(!p.contains("lambdafunction"),
+        s"interpreted HOF lambdas resurfaced in $q:\n" + p)
+    }
+    // q_seq_pack's n_tok rides the TokenCounts kernel, not split+filter
+    val sp = plan("q_seq_pack").toLowerCase
+    assert(sp.contains("tokencounts") && !sp.contains("lambdafunction"),
+      "q_seq_pack must count tokens via the kernel:\n" + sp)
+  }
+
   test("pq encoder runs the per-block argmin kernel, not HOF lambdas") {
     // q_ann_pq's plan embeds the codes build (the cache child plan); the
     // only transform( allowed is the cheap float->long quantization —

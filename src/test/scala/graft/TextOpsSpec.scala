@@ -457,6 +457,40 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("block-counts kernel ≡ the split+filter forms on corpus + crafted edges") {
+    // the r13 kernel replaced norm-regex + token-array + two HOF lambda
+    // filters; this pins kernel ≡ those exact forms value-for-value,
+    // null/empty/whitespace-only and case-fold edges included
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val crafted = Seq(
+      "slow slow BIG  merge", "SLOW\tbig\nMERGE", " \t ", "", "one",
+      "slowx big-ish mergers", "снег slow 雪 big", "slow.big,merge",
+      "  slow  ", "ab slow") // \x0B is NOT in the ws class
+    val corpus = Tables.documents(spark, sfDir).select("text")
+      .where(col("text").isNotNull).as[String].collect().toSeq
+    val words = split(graft.operators.Text.norm(col("text")), " ")
+    val rows = (crafted ++ corpus).toDF("text")
+      .select(col("text"),
+        call_function("graft_block_counts", col("text"),
+          typedlit(TextOps.Blocklist)).as("k"),
+        size(filter(words, t => t =!= "")).as("x_tok"),
+        size(filter(words, t => t.isin(TextOps.Blocklist: _*))).as("x_blocked"))
+      .collect()
+    rows.foreach { row =>
+      val t = row.getAs[String]("text")
+      val k = row.getStruct(row.fieldIndex("k"))
+      assert(k.getAs[Int]("n_tok") == row.getAs[Int]("x_tok"),
+        s"n_tok drift on '$t'")
+      assert(k.getAs[Int]("n_blocked") == row.getAs[Int]("x_blocked"),
+        s"n_blocked drift on '$t'")
+    }
+    val nulls = Seq(Option.empty[String]).toDF("text")
+      .select(call_function("graft_block_counts", col("text"),
+        typedlit(TextOps.Blocklist)).as("k")).collect()(0)
+    assert(nulls.isNullAt(0), "null text must yield a null struct")
+  }
+
   test("blocklist counting is token-exact, including adjacent blocked words") {
     import spark.implicits._
     // " slow slow " under the padded-regex technique counts 1 (the match
