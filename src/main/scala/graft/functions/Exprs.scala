@@ -1260,8 +1260,12 @@ object PiiKernel {
   @inline private def pack(s: Int, e: Int): Long = (s.toLong << 32) | e.toLong
 
   /** Decode the code point whose UTF-8 sequence starts at i; -1 on a
-    * malformed/truncated sequence (what String conversion turns into
-    * U+FFFD — non-word either way).
+    * malformed/truncated/non-shortest-form/surrogate/out-of-range
+    * sequence (everything String conversion turns into U+FFFD —
+    * non-word either way). The shortest-form check matters: an overlong
+    * encoding like E0 80 B0 would otherwise decode to '0' (a word char)
+    * where the regex path sees U+FFFD, flipping a trailing `\b` after a
+    * digit run (the r13 advice case 'x 1.2.3.4'+E0 80 B0).
     */
   private def cpAt(bs: Array[Byte], i: Int): Int = {
     val n = bs.length
@@ -1281,7 +1285,14 @@ object PiiKernel {
       cp = (cp << 6) | (c & 0x3f)
       k += 1
     }
-    if (len == 1) b0 else cp
+    if (len == 1) b0
+    // reject what java.nio's UTF-8 decoder rejects: overlong forms
+    // (canonical length < consumed bytes; the 2-byte floor is already
+    // guaranteed by b0 ≥ 0xc2), CESU-8 surrogate halves, and cp beyond
+    // U+10FFFF (reachable via b0 = 0xf4)
+    else if (len == 3 && (cp < 0x800 || (cp >= 0xd800 && cp <= 0xdfff))) -1
+    else if (len == 4 && (cp < 0x10000 || cp > 0x10ffff)) -1
+    else cp
   }
 
   /** Java Pattern Bound.isWord WITHOUT UNICODE_CHARACTER_CLASS:
@@ -1302,8 +1313,11 @@ object PiiKernel {
         var s = i - 1
         var k = 0
         while (s > 0 && (at(bs, s) & 0xc0) == 0x80 && k < 3) { s -= 1; k += 1 }
-        // the decoded sequence must end exactly at i, else it is the kind
-        // of malformed run String conversion replaces with U+FFFD
+        // the decoded sequence must end exactly at i: cpAt's shortest-form
+        // rejection is NOT enough here, because the backward scan can land
+        // on an earlier VALID lead byte when the byte at i-1 is a stray
+        // continuation (e.g. C3 A9 80 — cpAt(s) decodes 'é' but the stray
+        // 0x80 ending at i-1 is U+FFFD in the regex path)
         val cp = cpAt(bs, s)
         val len = if (cp < 0) -1
           else if (cp < 0x80) 1 else if (cp < 0x800) 2

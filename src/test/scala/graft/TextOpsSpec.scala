@@ -457,6 +457,46 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("pii kernel ≡ regex on malformed UTF-8 (overlong/surrogate/stray bytes)") {
+    // The r13 advice case: a UTF8String can carry arbitrary bytes, and the
+    // kernel scans BYTES while the regex path scans the STRING conversion
+    // (malformed sequences → U+FFFD, non-word). cpAt must therefore reject
+    // everything java.nio's decoder rejects — overlong forms, CESU-8
+    // surrogate halves, cp > U+10FFFF — or a trailing \b after a digit run
+    // diverges ('x 1.2.3.4'+E0 80 B0: overlong '0' would read as a word
+    // char → kernel 0 vs regex 1). Also pins the stray-continuation case
+    // that wordBefore's length check (NOT cpAt) guards.
+    import java.nio.charset.StandardCharsets.UTF_8
+    import org.apache.spark.unsafe.types.UTF8String
+    def b(s: String): Array[Byte] = s.getBytes(UTF_8)
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "overlong-'0' after ipv4" -> (b("x 1.2.3.4") ++ Array(0xe0, 0x80, 0xb0).map(_.toByte)),
+      "overlong-'0' before ipv4" -> (Array(0xe0, 0x80, 0xb0).map(_.toByte) ++ b("1.2.3.4 x")),
+      "surrogate half after ipv4" -> (b("ip 1.2.3.4") ++ Array(0xed, 0xa0, 0x81).map(_.toByte)),
+      "cp>U+10FFFF after id-run" -> (b("9999999999999") ++ Array(0xf4, 0x90, 0x80, 0x80).map(_.toByte)),
+      "overlong-'y' 4-byte after digits" -> (b("1234567890123") ++ Array(0xf0, 0x80, 0x81, 0xb9).map(_.toByte)),
+      "stray continuation after é before ipv4" ->
+        (b("é") ++ Array(0x80).map(_.toByte) ++ b("1.2.3.4")),
+      "truncated lead after ipv4" -> (b("8.8.8.8") ++ Array(0xc3).map(_.toByte)),
+      "overlong '@' splits email" ->
+        (b("a") ++ Array(0xc0, 0xc0).map(_.toByte) ++ b("a@b.co")))
+    val pats = Seq(TextOps.PiiEmail, TextOps.PiiIpv4, TextOps.PiiPhone,
+      TextOps.PiiIdRun, TextOps.PiiAll).map(java.util.regex.Pattern.compile)
+    def nMatches(p: java.util.regex.Pattern, s: String): Int = {
+      val m = p.matcher(s); var c = 0; while (m.find()) c += 1; c
+    }
+    for ((name, bytes) <- cases) {
+      val decoded = new String(bytes, UTF_8) // malformed → U+FFFD, like Spark's regex path
+      val exp = pats.map(nMatches(_, decoded))
+      val row = graft.functions.PiiKernel.counts(UTF8String.fromBytes(bytes))
+      val got = Seq(row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(5))
+      assert(got == exp,
+        s"kernel/regex drift on malformed case '$name': kernel $got vs regex $exp")
+      val red = graft.functions.PiiKernel.redact(UTF8String.fromBytes(bytes))
+      assert(red.getInt(1) == exp.last, s"redact-side match-count drift on '$name'")
+    }
+  }
+
   test("block-counts kernel ≡ the split+filter forms on corpus + crafted edges") {
     // the r13 kernel replaced norm-regex + token-array + two HOF lambda
     // filters; this pins kernel ≡ those exact forms value-for-value,
