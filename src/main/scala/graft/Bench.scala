@@ -155,7 +155,27 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_PREFLIGHT").contains("strict"))
         sys.error("preflight strict: refusing to bench on an uncertified host")
     }
+    CodegenGuard.install()
     val spark = Sessions.buildDefault()
+
+    // storage-pool stamp (r13 verdict item 4): the q_knn_join_ivf history
+    // (47 → 124.6 → 44.8 → 17.2 s across four plan-identical runs) took
+    // three rounds and a dedicated diag to explain because no artifact
+    // recorded whether the MEMORY_AND_DISK index caches were actually
+    // memory-resident when each entry started. One getRDDStorageInfo
+    // summary (cached bytes in memory / on disk) is recorded at the start
+    // of every similarity-family entry and after the shared builds, and
+    // emitted as `storage_mem_bytes` in the JSON — the next cache-tier
+    // swing is diagnosable from the artifact alone.
+    val storageStamps = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    def stampStorage(label: String): Unit =
+      try {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        storageStamps(label) = (infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
+      } catch { case _: Throwable => () }
+    val simNames: Set[String] =
+      try operators.Similarity.all.map(_.name).toSet
+      catch { case _: Throwable => Set.empty }
 
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
@@ -323,7 +343,9 @@ object Bench {
         .filterNot(q => skippedQuadratic.contains(q._1))
         .filterNot(q => skippedOutputLaw.contains(q._1))
         .filter(q => only.isEmpty || only(q._1))
+    stampStorage("after_builds")
     val results = timed.zipWithIndex.map { case ((name, _), i) =>
+      if (simNames(name)) stampStorage(name)
       val ts = Seq.fill(Runs)(timeOnce(name))
       val r =
         if (ts.exists(_ < 0)) (name, -1.0, -1.0)
@@ -401,10 +423,18 @@ object Bench {
       s"""{"start":${preStart.json},"end":${preEnd.json},""" +
         s""""calib_drift":${f3(calibDrift)},"reasons":$reasonsJson,""" +
         s""""contended":$contended}"""
+    // the fallback count rides the artifact (see CodegenGuard: a kernel
+    // silently running interpreted must never hide inside a slow number);
+    // the lines themselves go to stderr for diagnosis
+    val codegenFallbacks = CodegenGuard.report("bench")
+    val storageJson = storageStamps
+      .map { case (k, (mem, disk)) =>
+        s"\"" + k + s"\":{\"mem\":$mem,\"disk\":$disk}"
+      }.mkString("{", ",", "}")
     val json =
-      s"""{"detail":$detail,"runs":$Runs,"queries":$qs,"stream":$streamJson,"skipped_quadratic":$skippedJson,"skipped_output_law":$skippedOutputJson,"quad_cap_vectors":$KnnQuadCap,"n_vectors":$nVec,"preflight":$preflightJson,"sf":"$sfDir","metric":"total","unit":"sec","failed":$failed,"value":${f3(total)}}"""
+      s"""{"detail":$detail,"runs":$Runs,"queries":$qs,"stream":$streamJson,"storage_mem_bytes":$storageJson,"skipped_quadratic":$skippedJson,"skipped_output_law":$skippedOutputJson,"quad_cap_vectors":$KnnQuadCap,"n_vectors":$nVec,"preflight":$preflightJson,"codegen_fallbacks":$codegenFallbacks,"sf":"$sfDir","metric":"total","unit":"sec","failed":$failed,"value":${f3(total)}}"""
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"skipped_quadratic":$skippedJson,"skipped_output_law":$skippedOutputJson,"contended":$contended,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"skipped_quadratic":$skippedJson,"skipped_output_law":$skippedOutputJson,"contended":$contended,"codegen_fallbacks":$codegenFallbacks,"sf":"$sfDir"}"""
     // belt and braces for the driver handoff: the line on stdout (the
     // contract) AND the same JSON at a fixed path, immune to interleaved
     // log lines or tail truncation

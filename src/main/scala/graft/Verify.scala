@@ -14,6 +14,7 @@ object Verify {
     val (excl, incl) = args.drop(2).partition(_.startsWith("-"))
     val only = incl.toSet
     val excluded = excl.map(_.drop(1)).toSet
+    CodegenGuard.install()
     val spark = Sessions.buildDefault()
     Warm.icu(spark)
     new java.io.File(outDir).mkdirs()
@@ -43,5 +44,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // the in-context fallback gate (r13 verdict item 3): every registered
+    // query just ran — if ANY tripped a codegen fallback, fail the whole
+    // run loudly instead of leaving a WARN in a log nobody reads
+    if (CodegenGuard.report("verify") > 0) sys.exit(2)
   }
 }
