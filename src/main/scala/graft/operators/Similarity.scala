@@ -93,7 +93,8 @@ object Similarity {
       timed("build_ngram_postings")(shingles(s, d)),
       timed("build_ngram_pairs")(keptPairStats(s, d)),
       timed("build_simhash_fp")(simhashFingerprints(s, d)),
-      timed("build_dedup_clusters")(dedupClusterLabels(s, d)))
+      timed("build_dedup_clusters")(dedupClusterLabels(s, d)),
+      timed("build_ngram_clusters")(ngramClusterLabels(s, d)))
   }
 
   /** The 3-gram shingle-array expression over a token column `w` — the
@@ -2343,9 +2344,15 @@ object Similarity {
     * are [[qNgramJaccard]]'s own (shared [[keptPairStats]] table — the
     * pair graph is a cache read in the bench).
     */
-  val qDedupClustersNgram: Q = Q(
-    "q_dedup_clusters_ngram",
-    s"""WITH RECURSIVE $shinglesSql,
+  /** The shared DuckDB CTE chain deriving min-label component labels over
+    * the exact n-gram Jaccard pair graph (τ=0.5, df-capped) — the common
+    * prefix of every *_ngram oracle: [[qDedupClustersNgram]]'s rosters
+    * plus the r13-promoted survivor/weights anchors read different tails
+    * off the SAME `labels` relation, so the closure the oracles verify is
+    * one spelling, not three.
+    */
+  private lazy val ngramClosureSql: String =
+    s"""$shinglesSql,
        |hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > $StopShingleDf),
        |kept AS (SELECT doc_id, sh FROM sh
        |         WHERE sh NOT IN (SELECT sh FROM hot)),
@@ -2365,17 +2372,34 @@ object Similarity {
        |  SELECT s, s FROM edges
        |  UNION
        |  SELECT e.t, w.label FROM walk w JOIN edges e ON e.s = w.id),
-       |labels AS (SELECT id, MIN(label) AS label FROM walk GROUP BY id)
+       |labels AS (SELECT id, MIN(label) AS label FROM walk GROUP BY id)""".stripMargin
+
+  /** The τ-filtered undirected n-gram Jaccard pair graph (one row per
+    * id_a < id_b pair) — [[keptPairStats]]' cache read, shared by the
+    * three *_ngram closure consumers.
+    */
+  private[graft] def ngramPairs(s: SparkSession, d: String): DataFrame =
+    keptPairStats(s, d).filter(col("id_a") < col("id_b"))
+      .filter((col("x").cast("double") / (col("na") + col("nb") - col("x")))
+        >= 0.5)
+      .select("id_a", "id_b")
+
+  /** Min-label component labels over [[ngramPairs]], memoized+materialized
+    * like [[dedupClusterLabels]] — clusters/survivors/weights each read
+    * the closure as a cache hit instead of re-running pointer jumping.
+    */
+  private[graft] def ngramClusterLabels(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "ngram_cluster_labels")(components(ngramPairs(s, d)))
+
+  val qDedupClustersNgram: Q = Q(
+    "q_dedup_clusters_ngram",
+    s"""WITH RECURSIVE $ngramClosureSql
        |SELECT label AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_members,
        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
        |FROM labels GROUP BY label HAVING COUNT(*) > 1
        |ORDER BY keep_id""".stripMargin
   ) { (s, d) =>
-    val pairs = keptPairStats(s, d).filter(col("id_a") < col("id_b"))
-      .filter((col("x").cast("double") / (col("na") + col("nb") - col("x")))
-        >= 0.5)
-      .select("id_a", "id_b")
-    components(pairs)
+    ngramClusterLabels(s, d)
       .groupBy(col("label").as("keep_id"))
       .agg(count(lit(1)).as("n_members"),
         array_join(sort_array(collect_list(col("id"))), ",").as("members"))
@@ -2402,14 +2426,41 @@ object Similarity {
     * non-keepers: at 100 TB the label table is the small side of the join
     * and the corpus streams through unbuffered.
     */
-  val qDedupSurvivors: Q = Q.rowsOnly("q_dedup_survivors") { (s, d) =>
-    val labels = dedupClusterLabels(s, d)
+  /** The survivor ALGORITHM over any (id, label) component table — ONE
+    * spelling read by both graphs: the MinHash entry ([[qDedupSurvivors]],
+    * rows-only — xxhash64 permutations are not SQL-expressible) and the
+    * exact n-gram entry ([[qDedupSurvivorsNgram]], hash-green against the
+    * WITH RECURSIVE closure oracle), so the oracle anchors the exact code
+    * path the MinHash entry runs — the [[qDedupClustersNgram]] precedent
+    * extended to the survivor family (r13 verdict item 6).
+    */
+  private[graft] def survivorsOverLabels(
+      s: SparkSession, d: String, labels: DataFrame): DataFrame = {
     val nonKeepers = labels.filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
     Tables.documents(s, d).select("doc_id")
       .join(nonKeepers, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
+
+  val qDedupSurvivors: Q = Q.rowsOnly("q_dedup_survivors") { (s, d) =>
+    survivorsOverLabels(s, d, dedupClusterLabels(s, d))
+  }
+
+  /** Near-dup survivor corpus over the EXACT n-gram pair graph, with a
+    * cell-exact DuckDB oracle: the same [[survivorsOverLabels]] anti-join
+    * over [[ngramClusterLabels]], the oracle recomputing the closure with
+    * the shared WITH RECURSIVE walk and dropping non-keepers. Anchors the
+    * keep-min-id survivor rule cross-engine at the algorithm level (the
+    * MinHash entry stays spec-pinned on its own graph).
+    */
+  val qDedupSurvivorsNgram: Q = Q(
+    "q_dedup_survivors_ngram",
+    s"""WITH RECURSIVE $ngramClosureSql
+       |SELECT d.doc_id FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT id FROM labels WHERE id <> label)
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) => survivorsOverLabels(s, d, ngramClusterLabels(s, d)) }
 
   /** Broadcast gate for the survivor/funnel family's cluster-member-
     * derived tables (member roster, keeper table, non-keeper table): on
@@ -2545,12 +2596,15 @@ object Similarity {
     * web corpora must not force a driver-bomb hint); the corpus left-join
     * streams unbuffered.
     */
-  private[graft] def dedupWeightsFrame(
-      s: SparkSession, d: String,
+  /** The weights ALGORITHM over any (id, label) component table — like
+    * [[survivorsOverLabels]], one spelling for both graphs so the n-gram
+    * oracle anchors the code path the MinHash entry runs.
+    */
+  private[graft] def weightsOverLabels(
+      s: SparkSession, d: String, labelTable: DataFrame,
       broadcastMaxRows: Long = MemberBroadcastMaxRows): DataFrame = {
     import graft.functions.Det.exactDiv
-    val labels = dedupClusterLabels(s, d)
-      .select(col("id").as("doc_id"), col("label"))
+    val labels = labelTable.select(col("id").as("doc_id"), col("label"))
     val nMembers = labels.count()
     def gated(df: DataFrame): DataFrame =
       if (nMembers <= broadcastMaxRows) broadcast(df) else df
@@ -2566,9 +2620,37 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  private[graft] def dedupWeightsFrame(
+      s: SparkSession, d: String,
+      broadcastMaxRows: Long = MemberBroadcastMaxRows): DataFrame =
+    weightsOverLabels(s, d, dedupClusterLabels(s, d), broadcastMaxRows)
+
   val qDedupWeights: Q = Q.rowsOnly("q_dedup_weights") { (s, d) =>
     dedupWeightsFrame(s, d)
   }
+
+  /** Soft-dedup weights over the EXACT n-gram pair graph, with a
+    * cell-exact DuckDB oracle: the same [[weightsOverLabels]] pipeline
+    * over [[ngramClusterLabels]]; the oracle recomputes the closure via
+    * the shared WITH RECURSIVE walk, sizes each component, and emits the
+    * identical 1/|cluster| half-up-4dp weighting ([[graft.functions.Det
+    * .exactDivSql]] on both engines). Anchors the weight arithmetic and
+    * singleton totality cross-engine (r13 verdict item 6).
+    */
+  val qDedupWeightsNgram: Q = Q(
+    "q_dedup_weights_ngram",
+    s"""WITH RECURSIVE $ngramClosureSql,
+       |sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |          FROM labels GROUP BY label)
+       |SELECT d.doc_id,
+       |  COALESCE(l.label, d.doc_id) AS cluster_id,
+       |  CAST(COALESCE(s2.cluster_size, 1) AS BIGINT) AS cluster_size,
+       |  ${graft.functions.Det.exactDivSql("1", "COALESCE(s2.cluster_size, 1)", 4)} AS weight
+       |FROM documents d
+       |LEFT JOIN labels l ON l.id = d.doc_id
+       |LEFT JOIN sizes s2 ON s2.label = l.label
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) => weightsOverLabels(s, d, ngramClusterLabels(s, d)) }
 
   /** k-NN label propagation (rows-only; spec pins accuracy ≥ 0.9 AND
     * exact agreement with a driver brute-force recompute of the same
@@ -2711,7 +2793,7 @@ object Similarity {
     qCosineTopk, qAnnLsh, qAnnIvf, qAnnPq, qAnnHealth, qEmbedClusters, qKnnJoin, qKnnJoinIvf,
     qKnnGraph,
     qDedupClusters, qDedupClustersNgram, qNeardupCrossSource, qDedupSurvivors,
-    qDedupSurvivorsBest, qDedupWeights,
+    qDedupSurvivorsNgram, qDedupSurvivorsBest, qDedupWeights, qDedupWeightsNgram,
     qLabelCentroids, qDecontaminateSemantic, qLabelPropagate,
     qDiverseSample)
 }
