@@ -54,14 +54,16 @@ object Bench {
     * artifact can be produced under a policy, not just a convention.
     */
   private[graft] final case class Preflight(otherJvms: Option[Seq[Long]],
-      loadavg1: Double, calibMs: Double) {
+      loadavg1: Double, calibMs: Double,
+      stealTicks: Long = -1L, totalTicks: Long = -1L) {
     // None = the process scan itself failed: the host state is UNKNOWN,
     // which must read differently from certified-clean (`other_jvms":-1`
     // in the JSON) and must NOT certify the artifact (r9 ADVICE: a
     // swallowed scan failure previously read as an idle host)
     def json: String =
       s"""{"other_jvms":${otherJvms.map(_.size).getOrElse(-1)},""" +
-        s""""loadavg1":$loadavg1,"calib_ms":${calibMs.round}}"""
+        s""""loadavg1":$loadavg1,"calib_ms":${calibMs.round},""" +
+        s""""steal_ticks":$stealTicks,"total_ticks":$totalTicks}"""
     def certifiedClean: Boolean = otherJvms.exists(_.isEmpty)
   }
 
@@ -92,6 +94,17 @@ object Bench {
     */
   private[graft] val CalibDriftMax = 1.25
 
+  /** Hypervisor steal share of the whole run window above this trips the
+    * contended bit (r14: a 2.8×-inflated sf10 run stamped CLEAN — start
+    * loadavg 0.21, calib 570→574 ms — because both existing gates are
+    * POINT samples at the run's ends, and this VM's steal windows are
+    * mid-run and multi-minute; the verify skill has warned about exactly
+    * these spikes since r13. The cumulative /proc/stat steal counter
+    * differenced start→end covers the WHOLE window, so a throttle window
+    * that ends before the run does can no longer hide).
+    */
+  private[graft] val StealMaxShare = 0.05
+
   /** The throttle-aware contended verdict over a (start, end) preflight
     * pair — ONE spelling shared by Bench and StreamSoak so the two
     * artifact kinds cannot stamp differently (§6). Returns the bit and
@@ -104,9 +117,22 @@ object Bench {
       !start.certifiedClean -> "other_jvms_start",
       !end.certifiedClean -> "other_jvms_end",
       (start.loadavg1 > LoadavgIdleMax) -> "loadavg_start",
-      (calibDrift > CalibDriftMax) -> "calib_drift")
+      (calibDrift > CalibDriftMax) -> "calib_drift",
+      (stealShare(start, end) > StealMaxShare) -> "steal_mid_run")
       .collect { case (true, r) => r }
     (reasons.nonEmpty, reasons)
+  }
+
+  /** Hypervisor steal share of the (start, end) window: Δsteal/Δtotal
+    * over the cumulative /proc/stat counters; -1 when either sample
+    * failed (unknown ≠ clean, but an unreadable /proc/stat — non-Linux —
+    * must not flag every artifact, so -1 does not trip the verdict; the
+    * JSON still shows the -1 samples).
+    */
+  private[graft] def stealShare(start: Preflight, end: Preflight): Double = {
+    val dTotal = end.totalTicks - start.totalTicks
+    if (start.totalTicks < 0 || end.totalTicks < 0 || dTotal <= 0) -1.0
+    else (end.stealTicks - start.stealTicks).toDouble / dTotal
   }
 
   private[graft] def preflight(): Preflight = {
@@ -134,7 +160,15 @@ object Bench {
       try java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Exception => -1.0 }
-    Preflight(jvms, load, calibMs())
+    // cumulative CPU ticks: "cpu u nice sys idle iowait irq sirq steal ..."
+    val (steal, totalT) =
+      try {
+        val f = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/stat"))
+          .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+        (f(7), f.sum)
+      } catch { case _: Exception => (-1L, -1L) }
+    Preflight(jvms, load, calibMs(), steal, totalT)
   }
 
   def main(args: Array[String]): Unit = {
@@ -421,8 +455,9 @@ object Bench {
     val reasonsJson = contendedReasons.map("\"" + _ + "\"").mkString("[", ",", "]")
     val preflightJson =
       s"""{"start":${preStart.json},"end":${preEnd.json},""" +
-        s""""calib_drift":${f3(calibDrift)},"reasons":$reasonsJson,""" +
-        s""""contended":$contended}"""
+        s""""calib_drift":${f3(calibDrift)},""" +
+        s""""steal_share":${f3(stealShare(preStart, preEnd))},""" +
+        s""""reasons":$reasonsJson,"contended":$contended}"""
     // the fallback count rides the artifact (see CodegenGuard: a kernel
     // silently running interpreted must never hide inside a slow number);
     // the lines themselves go to stderr for diagnosis
