@@ -207,6 +207,32 @@ object Bench {
         val infos = spark.sparkContext.getRDDStorageInfo
         storageStamps(label) = (infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
       } catch { case _: Throwable => () }
+
+    // disk-IO stamp (r14): this host ALSO has mid-run windows where the
+    // shared storage's write throughput collapses ~10× (raw 750 MB/s
+    // healthy vs ~80 MB/s with avg write await >100 ms inside a window)
+    // — shuffle-heavy entries inflate 5–15× while CPU-bound ones are
+    // untouched, and the windows move between runs, which is invisible
+    // to every CPU-side gate. Each timed entry carries the write volume
+    // and mean write-IO latency it actually saw (cumulative
+    // /proc/diskstats deltas over whole physical disks), so a poisoned
+    // entry names itself in the artifact (w_await_ms in the tens+ = the
+    // window) and cross-run minima selection is auditable.
+    def diskSnap(): Option[(Long, Long, Long)] = // (wios, wsectors, wticks)
+      try {
+        val rows = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/diskstats"))
+          .linesIterator.map(_.trim.split("\\s+")).filter(f => f.length >= 11 &&
+            f(2).matches("(vd|sd|xvd)[a-z]|nvme\\d+n\\d+")).toSeq
+        if (rows.isEmpty) None
+        else Some((rows.map(_(7).toLong).sum, rows.map(_(9).toLong).sum,
+          rows.map(_(10).toLong).sum))
+      } catch { case _: Exception => None }
+    def diskDelta(a: Option[(Long, Long, Long)], b: Option[(Long, Long, Long)])
+        : Option[(Double, Double)] = // (MB written, mean await ms/IO)
+      for ((i0, s0, t0) <- a; (i1, s1, t1) <- b) yield
+        ((s1 - s0) / 2048.0,
+          if (i1 > i0) (t1 - t0).toDouble / (i1 - i0) else 0.0)
     val simNames: Set[String] =
       try operators.Similarity.all.map(_.name).toSet
       catch { case _: Throwable => Set.empty }
@@ -378,9 +404,12 @@ object Bench {
         .filterNot(q => skippedOutputLaw.contains(q._1))
         .filter(q => only.isEmpty || only(q._1))
     stampStorage("after_builds")
+    val diskStamps = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = timed.zipWithIndex.map { case ((name, _), i) =>
       if (simNames(name)) stampStorage(name)
+      val d0 = diskSnap()
       val ts = Seq.fill(Runs)(timeOnce(name))
+      diskDelta(d0, diskSnap()).foreach(diskStamps(name) = _)
       val r =
         if (ts.exists(_ < 0)) (name, -1.0, -1.0)
         else {
@@ -390,8 +419,10 @@ object Bench {
       // progress line per COMPLETED entry: a multi-hour large-SF study
       // that dies (OOM, host kill) keeps its partial measurements on
       // stderr instead of losing everything to the JSON-at-end contract
+      val io = diskStamps.get(name)
+        .map { case (mb, aw) => f" w_mb=$mb%.0f w_await=$aw%.1fms" }.getOrElse("")
       System.err.println(
-        f"[bench] ${i + 1}/${timed.size} $name min=${r._2}%.3f med=${r._3}%.3f")
+        f"[bench] ${i + 1}/${timed.size} $name min=${r._2}%.3f med=${r._3}%.3f$io")
       r
     }
 
@@ -411,7 +442,10 @@ object Bench {
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val detail = (builds.map { case (k, v) => (k, v, v) } ++ results)
       .map { case (k, mn, md) =>
-        s"\"" + k + "\":{\"min\":" + f3(mn) + ",\"med\":" + f3(md) + "}"
+        val io = diskStamps.get(k).map { case (mb, aw) =>
+          ",\"w_mb\":" + f3(mb) + ",\"w_await_ms\":" + f3(aw)
+        }.getOrElse("")
+        s"\"" + k + "\":{\"min\":" + f3(mn) + ",\"med\":" + f3(md) + io + "}"
       }.mkString("{", ",", "}")
     // headline per-entry numbers are the MINIMA; build entries ride the
     // same map so the driver's per-query listing shows them
