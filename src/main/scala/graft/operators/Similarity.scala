@@ -50,6 +50,8 @@ object Similarity {
     ivfModels.clear()
     pqModels.clear()
     lshBitsCache.clear()
+    quantizedCounts.clear()
+    geomStats.clear()
   }
 
   /** Build every shared similarity index for (session, dir) in dependency
@@ -83,9 +85,14 @@ object Similarity {
       timed("build_pq_codes")(
         if (pqModel(s, d).nonEmpty) pqCodesFrame(s, d) else ()),
       timed("build_knn_ivf_assign") {
-        val n = quantized(s, d).filter(col("qv").isNotNull).count()
+        val n = nQuantized(s, d)
         if (n > 0) ivfAssignedK(s, d, knnIvfK(n), "ivf_assign_knn") else ()
       },
+      // the geometry-dispatch probe model, paid once as its own named
+      // entry (the ivfModel convention) instead of inside every
+      // q_knn_graph run — and the bench's own quadratic-skip policy
+      // reads the same memo
+      timed("build_knn_geometry")(knnGeometryStats(s, d)),
       timed("build_shingle_cache")(docShingleHashes(s, d)),
       timed("build_minhash_bands")(minhashBands(s, d)),
       timed("build_minhash_candidates")(minhashCandidates(s, d)),
@@ -237,10 +244,10 @@ object Similarity {
        |WHERE CAST(x AS DOUBLE) / (ca.n + cb.n - x) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
   ) { (s, d) =>
-    // the id_a < id_b half of the SHARED directed pair-stats table —
-    // x/na/nb are direction-independent, so the corpus pays the
+    // the SHARED undirected pair-stats table (already id_a < id_b grain)
+    // — x/na/nb are direction-independent, so the corpus pays the
     // shingle-keyed candidate join once across both n-gram operators
-    keptPairStats(s, d).filter(col("id_a") < col("id_b"))
+    keptPairStats(s, d)
       .select(col("id_a"), col("id_b"),
         (col("x").cast("double") / (col("na") + col("nb") - col("x")))
           .as("jaccard"))
@@ -290,7 +297,7 @@ object Similarity {
        |WHERE CAST(x AS DOUBLE) / ca.n >= $ContainmentTau
        |ORDER BY id_a, id_b""".stripMargin
   ) { (s, d) =>
-    keptPairStats(s, d)
+    keptPairStatsDirected(s, d)
       .select(col("id_a"), col("id_b"), col("na").as("n_grams_a"),
         col("x").as("n_shared"),
         (col("x").cast("double") / col("na")).as("containment"))
@@ -298,18 +305,40 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
-  /** The df-capped DIRECTED pair statistics (id_a ≠ id_b with the
-    * shared-shingle count x and both cardinalities) — materialized ONCE
-    * and read by BOTH n-gram join operators: [[qNgramContainment]]
-    * directly, [[qNgramJaccard]] as its id_a < id_b half (x/na/nb are
-    * direction-independent). Before this the two operators each ran the
-    * full shingle-keyed candidate join (~1.9 s each at sf0.1); the
-    * shared table pays it once, and the pair table itself is small by
-    * the [[StopShingleDf]] bound (C(cap,2) pairs per shingle type).
+  /** The df-capped UNDIRECTED pair statistics (one row per id_a < id_b
+    * pair with the shared-shingle count x and both cardinalities) —
+    * materialized ONCE and read by BOTH n-gram join operators:
+    * [[qNgramJaccard]] directly, [[qNgramContainment]] through the lazy
+    * mirrored view [[keptPairStatsDirected]]. Before this the two
+    * operators each ran the full shingle-keyed candidate join (~1.9 s
+    * each at sf0.1); the shared table pays it once, and the pair table
+    * itself is small by the [[StopShingleDf]] bound (C(cap,2) pairs per
+    * shingle type).
+    *
+    * r14: the materialized grain switched from DIRECTED (a ≠ b, both
+    * orders) to UNDIRECTED (a < b) — x, na, nb are direction-independent,
+    * so the directed view is the union with the (id_b, id_a, x, nb, na)
+    * mirror, a map-side projection over the cache. The self-join's
+    * a < b predicate emits HALF the pre-aggregation rows of a ≠ b
+    * (guide §2.3: shuffle/aggregate fewer bytes — 2.32M → 1.16M rows
+    * at sf0.1), the pair aggregate and both cardinality joins process
+    * half the rows, and the cached table halves.
     */
   private def keptPairStats(s: SparkSession, d: String): DataFrame =
     materialized(s, d, "shingle_pair_stats")(
-      shinglePairStats(keptShingles(s, d), directed = true))
+      shinglePairStats(keptShingles(s, d), directed = false))
+
+  /** The DIRECTED (a ≠ b, both orders) view over [[keptPairStats]]:
+    * cache ∪ mirror. Row-for-row equal to the old directed
+    * materialization because x(a,b) = x(b,a) and na/nb swap with the
+    * endpoints.
+    */
+  private def keptPairStatsDirected(s: SparkSession, d: String): DataFrame = {
+    val und = keptPairStats(s, d)
+    und.unionByName(und.select(col("id_b").as("id_a"),
+      col("id_a").as("id_b"), col("x"), col("nb").as("na"),
+      col("na").as("nb")))
+  }
 
   /** The df-capped shingle index feeding [[qNgramJaccard]] (package-
     * visible for the pair-count-bound spec). The df aggregate partial-
@@ -1095,6 +1124,20 @@ object Similarity {
   private def bankDots(bits: Int): Column =
     call_function("graft_matvec_q", typedlit(hyperplanesFor(bits)), col("qv"))
 
+  /** Memoized non-null (indexed) vector count per (session, dir) — the
+    * similarity family's n. Six operators consult it per invocation
+    * (budget/K laws, empty-lake gates, the geometry dispatch), each
+    * re-running a count job off the materialized quantized cache that
+    * repeats every bench run (r14, guide §1.2: don't re-compute what a
+    * model-sized memo already holds). Model-class metadata like
+    * [[lshBitsCache]]; [[clearIndexCache]] forgets it with the rest.
+    */
+  private val quantizedCounts =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private[graft] def nQuantized(s: SparkSession, d: String): Long =
+    quantizedCounts.getOrElseUpdate((s, d),
+      quantized(s, d).filter(col("qv").isNotNull).count())
+
   /** Bucket width for (session, dir) = [[lshBitsFor]] of the indexed
     * (non-null) vector count, memoized beside the index it shapes (the
     * count is a cheap job off the materialized quantized cache);
@@ -1103,8 +1146,7 @@ object Similarity {
   private val lshBitsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
   private def lshBits(s: SparkSession, d: String): Int =
-    lshBitsCache.getOrElseUpdate((s, d),
-      lshBitsFor(quantized(s, d).filter(col("qv").isNotNull).count()))
+    lshBitsCache.getOrElseUpdate((s, d), lshBitsFor(nQuantized(s, d)))
 
   // materialized: the probe side and the corpus side both read the
   // bucket table, and the 256 hyperplane dots per vector should run
@@ -1912,8 +1954,7 @@ object Similarity {
     * the sub-√n per-query candidate bound directly.
     */
   private[graft] def knnIvfCandidates(s: SparkSession, d: String): DataFrame =
-    knnIvfCandidatesN(s, d,
-      quantized(s, d).filter(col("qv").isNotNull).count())
+    knnIvfCandidatesN(s, d, nQuantized(s, d))
 
   private def knnIvfCandidatesN(s: SparkSession, d: String, n: Long): DataFrame = {
     val q = quantized(s, d)
@@ -1984,7 +2025,7 @@ object Similarity {
       nprobe: Int = PointIvfProbe): DataFrame = {
     GraftFunctions.register(s)
     val q = quantized(s, d)
-    val n = q.filter(col("qv").isNotNull).count()
+    val n = nQuantized(s, d)
     if (n == 0)
       return q.filter(lit(false))
         .select(col("vec_id").as("query_id"), col("vec_id"))
@@ -2035,10 +2076,10 @@ object Similarity {
   val qKnnJoinIvf: Q = Q.rowsOnly("q_knn_join_ivf") { (s, d) =>
     GraftFunctions.register(s)
     val q = quantized(s, d)
-    // emptiness probe = one count off the materialized quantized cache —
-    // NOT ivfModel(s, d).isEmpty, which would train the fixed-IvfK model
-    // this operator never uses (a full Lloyd pass paid purely as a test)
-    val n = q.filter(col("qv").isNotNull).count()
+    // emptiness probe = the memoized count off the materialized quantized
+    // cache — NOT ivfModel(s, d).isEmpty, which would train the fixed-IvfK
+    // model this operator never uses (a full Lloyd pass paid purely as a test)
+    val n = nQuantized(s, d)
     if (n == 0) {
       // day-one empty lake: keep the schema, emit no rows
       q.filter(lit(false))
@@ -2101,7 +2142,21 @@ object Similarity {
     t - (2.30753 + 0.27061 * t) / (1.0 + 0.99229 * t + 0.04481 * t * t)
   }
 
-  private[graft] def knnGeometryStats(s: SparkSession, d: String): (Double, Double, Double) = {
+  /** Memoized [[knnGeometryStats]] per (session, dir) — the probe is a
+    * corpus-geometry MODEL (three scalars), the same class as the IVF
+    * centroids / PQ codebook / [[lshBitsCache]]: deterministic from the
+    * corpus, model-sized, and consulted by every [[knnGraph]] invocation
+    * plus the bench's quadratic-skip policy. Re-running the S·n probe
+    * join per call re-measured an unchanged corpus (r14, guide §1.2);
+    * [[clearIndexCache]] forgets it with the rest.
+    */
+  private val geomStats = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Double, Double, Double)]
+
+  private[graft] def knnGeometryStats(s: SparkSession, d: String): (Double, Double, Double) =
+    geomStats.getOrElseUpdate((s, d), knnGeometryStatsUncached(s, d))
+
+  private[graft] def knnGeometryStatsUncached(s: SparkSession, d: String): (Double, Double, Double) = {
     GraftFunctions.register(s)
     val q = quantized(s, d).filter(col("qv").isNotNull)
     // deterministic spread sample: hash-order the ids (a lowest-id or
@@ -2159,11 +2214,11 @@ object Similarity {
 
   private[graft] def knnGeometryIsClustered(s: SparkSession, d: String): Boolean = {
     val (top5, p90, p50) = knnGeometryStats(s, d)
-    // n drives the null's order-statistic level; a cache read off the
-    // materialized quantized frame. Tiny corpora route to the collision
-    // path unconditionally — at n < 50 both paths are trivial and the
-    // null model's tail quantile is meaningless.
-    val n = quantized(s, d).filter(col("qv").isNotNull).count()
+    // n drives the null's order-statistic level; the memoized count off
+    // the materialized quantized frame. Tiny corpora route to the
+    // collision path unconditionally — at n < 50 both paths are trivial
+    // and the null model's tail quantile is meaningless.
+    val n = nQuantized(s, d)
     if (n < 50) return false
     val sigma = math.max((p90 - p50) / zUpper(0.1), 1e-9)
     (top5 - p50) > KnnNullFactor * sigma * zUpper(2.5 / n)
@@ -2379,7 +2434,7 @@ object Similarity {
     * three *_ngram closure consumers.
     */
   private[graft] def ngramPairs(s: SparkSession, d: String): DataFrame =
-    keptPairStats(s, d).filter(col("id_a") < col("id_b"))
+    keptPairStats(s, d)
       .filter((col("x").cast("double") / (col("na") + col("nb") - col("x")))
         >= 0.5)
       .select("id_a", "id_b")
