@@ -937,14 +937,21 @@ object Similarity {
     val q = quantized(s, d)
     val queries = q.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"), col("n2").as("n2q"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    q.crossJoin(broadcast(queries))
+    // bounded-heap top-5 per query (the qKnnJoinIvf composition, r14):
+    // the corpus-wide scored frame never passes a full partition sort —
+    // the rank window then runs over ≤5 rows per key. Same rows as the
+    // oracle's row_number form: top-5 under (cosine DESC, neighbor_id)
+    // is exactly the rank ≤ 5 set, and the tiny window re-derives rank
+    // under the identical order.
+    val scored = q.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(call_function("graft_dot_q", col("qq"), col("qv")),
           col("n2q"), col("n2")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    TopK.perKey(scored, Seq("query_id"), "cosine", "neighbor_id", 5)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
       .select("query_id", "neighbor_id", "rank", "cosine")
       .orderBy("query_id", "rank")
   }
@@ -1099,13 +1106,16 @@ object Similarity {
       .join(broadcast(q.filter(queryFilter).select(
         col("vec_id").as("query_id"), col("qv").as("qq"), col("n2").as("n2q"))),
         "query_id")
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    candidates
+    // bounded-heap top-5 per query + ≤5-row rank window (the qKnnJoinIvf
+    // composition, r14) — no full sort of the candidate set
+    val scored = candidates
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(call_function("graft_dot_q", col("qq"), col("qv")),
           col("n2q"), col("n2")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    TopK.perKey(scored, Seq("query_id"), "cosine", "neighbor_id", 5)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
       .select("query_id", "neighbor_id", "rank", "cosine")
       .orderBy("query_id", "rank")
   }
@@ -1494,13 +1504,16 @@ object Similarity {
         .join(broadcast(q.filter(queryFilter && col("qv").isNotNull).select(
           col("vec_id").as("query_id"), col("qv").as("qq"), col("n2").as("n2q"))),
           "query_id")
-      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-      candidates
+      // bounded-heap top-5 per query + ≤5-row rank window (the
+      // qKnnJoinIvf composition, r14) — no full sort of the candidates
+      val scored = candidates
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           cosine(call_function("graft_dot_q", col("qq"), col("qv")),
             col("n2q"), col("n2")).as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+      TopK.perKey(scored, Seq("query_id"), "cosine", "neighbor_id", 5)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("cosine").desc, col("neighbor_id"))))
         .select("query_id", "neighbor_id", "rank", "cosine")
         .orderBy("query_id", "rank")
     }
@@ -1753,14 +1766,15 @@ object Similarity {
           (col("sdot").cast("double") /
             (sqrt(col("n2q").cast("double")) * sqrt(col("n2pq").cast("double"))))
             .as("approx"))
-      val wS = Window.partitionBy("query_id")
-        .orderBy(col("approx").desc, col("vec_id"))
-      val shortlist = approx.withColumn("rk", row_number().over(wS))
-        .filter(col("rk") <= PqShortlist).select("query_id", "vec_id")
-      // exact re-rank of the shortlist from the full quantized vectors
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      shortlist
+      // bounded-heap shortlist: the full ADC sweep never passes a
+      // partition sort — top-[[PqShortlist]] per query under
+      // (approx DESC, vec_id), the window form's exact row set (r14)
+      val shortlist = TopK.perKey(approx, Seq("query_id"), "approx",
+        "vec_id", PqShortlist).select("query_id", "vec_id")
+      // exact re-rank of the shortlist from the full quantized vectors —
+      // bounded-heap top-5 + ≤5-row rank window (the qKnnJoinIvf
+      // composition)
+      val rescored = shortlist
         .join(q.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
         .join(broadcast(q.filter(col("vec_id") < 10 && col("qv").isNotNull)
           .select(col("vec_id").as("query_id"), col("qv").as("qq"),
@@ -1768,8 +1782,10 @@ object Similarity {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           cosine(call_function("graft_dot_q", col("qq"), col("qv")),
             col("n2q"), col("n2")).as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+      TopK.perKey(rescored, Seq("query_id"), "cosine", "neighbor_id", 5)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("cosine").desc, col("neighbor_id"))))
         .select("query_id", "neighbor_id", "rank", "cosine")
         .orderBy("query_id", "rank")
     }
@@ -2166,18 +2182,29 @@ object Similarity {
         col("n2").as("n2q"))
       .orderBy(xxhash64(col("query_id").cast("string")), col("query_id"))
       .limit(KnnProbeQueries)
+    // ONE action over ONE computed scored frame (r14, guide §1.2): the
+    // bulk percentiles and the top-5 mean previously ran as two driver
+    // actions, each re-computing the S·n probe join; the scored frame
+    // persists for the two aggregate subtrees and both land in a single
+    // 1×1 cross-joined head()
     val scored = q.join(broadcast(sample),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(call_function("graft_dot_q", col("qq"), col("qv")),
           col("n2q"), col("n2")).as("c"))
-    val bulk = scored.agg(expr(
-      "percentile_approx(c, array(0.5, 0.9), 10000)").as("p")).head()
-    if (bulk.isNullAt(0)) return (0.0, 0.0, 0.0) // empty/degenerate corpus
-    val ps = bulk.getSeq[Double](0)
-    val top5 = TopK.perKey(scored, Seq("query_id"), "c", "vec_id", 5)
-      .agg(avg(col("c"))).head().getDouble(0)
-    (top5, ps(1), ps(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val row = scored.agg(expr(
+          "percentile_approx(c, array(0.5, 0.9), 10000)").as("p"))
+        .crossJoin(TopK.perKey(scored, Seq("query_id"), "c", "vec_id", 5)
+          .agg(avg(col("c")).as("t5")))
+        .head()
+      if (row.isNullAt(0)) (0.0, 0.0, 0.0) // empty/degenerate corpus
+      else {
+        val ps = row.getSeq[Double](0)
+        (row.getDouble(1), ps(1), ps(0))
+      }
+    } finally { scored.unpersist(); () }
   }
 
   /** Corpus-wide k-NN graph with EXECUTABLE geometry dispatch — the §4.10
@@ -2756,12 +2783,11 @@ object Similarity {
         cosine(call_function("graft_dot_q", col("qq"), col("qv")),
           col("n2q"), col("n2")).as("cosine"),
         col("vec_id"))
-    // top-5 labeled neighbors per held vector: per-query sets are
-    // budget-bounded, so the rank window partitions stay narrow
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id"))
-    val top = rescored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    // top-5 labeled neighbors per held vector — bounded-heap selection
+    // (r14): the vote only needs the top-5 ROW SET, never a rank, so
+    // TopK.perKey replaces the rank window outright (same rows: top-5
+    // under (cosine DESC, vec_id) is exactly the rk ≤ 5 set)
+    val top = TopK.perKey(rescored, Seq("query_id"), "cosine", "vec_id", 5)
     // majority vote: struct max is lexicographic — most votes wins, a
     // vote tie breaks to the SMALLEST label via the negated field
     val votes = top.groupBy("query_id", "label")
