@@ -586,6 +586,33 @@ object Bench {
     val evSentinel = Event(Long.MaxValue - 1,
       java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), 0L, "sentinel", 0.0)
 
+    // Streaming state-store partitioning, sized to per-trigger volume
+    // (r14, guide §2.1/§2.3 applied to micro-batches): a stateful op
+    // commits one state-delta file PER STATE PARTITION PER TRIGGER, and
+    // `spark.sql.shuffle.partitions` at stream start fixes that count
+    // for the query's lifetime. Inheriting the batch default (= core
+    // count) gave 32 near-empty state commits + 32 scheduled tasks per
+    // stateful op per trigger for 1.25k-row triggers — measured 1.9×
+    // slower on the exact-dedup front and 2.5× on the health sink than
+    // volume-sized state (A/B in OPTIMIZATION_r14.md). The rule — one
+    // state partition per ~5k rows/trigger, clamped to [1, cores] — is
+    // the deployment rule (state partitions track arrival rate, and a
+    // real high-rate deployment derives MORE than a core-count constant,
+    // not fewer); SPARK_GRAFT_STREAM_PARTITIONS overrides for studies.
+    // Results are partitioning-independent (state keying is by hash,
+    // unchanged); only the commit/task fan-out changes.
+    val streamPartsOverride = sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0)
+    def streamParts(rowsPerTrigger: Int): Int =
+      streamPartsOverride.getOrElse(math.max(1, math.min(
+        spark.sparkContext.defaultParallelism, rowsPerTrigger / 5000 + 1)))
+    def withStreamParts[T](n: Int)(body: => T): T = {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, prev)
+    }
+
     def tmp(n: String): String =
       java.nio.file.Files.createTempDirectory(s"graft_bs_$n").toString
     def quarters[T](xs: Seq[T]): Seq[Seq[T]] = {
@@ -631,27 +658,29 @@ object Bench {
         (name, evRows.length.toLong, -1.0)
       }
     }
+    val docParts = streamParts(math.max(1, docRows.length / 4))
+    val evParts = streamParts(math.max(1, evRows.length / 4))
     Seq(
-      timeDocSink("stream_dedupe_content")(docs =>
+      withStreamParts(docParts)(timeDocSink("stream_dedupe_content")(docs =>
         IngestStream.dedupeContent(docs).writeStream
-          .format("noop").outputMode("append")),
-      timeDocSink("stream_curation_gate")(docs =>
+          .format("noop").outputMode("append"))),
+      withStreamParts(docParts)(timeDocSink("stream_curation_gate")(docs =>
         IngestStream.curationGate(docs).writeStream
-          .format("noop").outputMode("append")),
-      timeDocSink("stream_neardup_sink")(docs =>
-        IngestStream.neardupSink(docs, tmp("ndstore"), tmp("ndsurv"))),
-      timeDocSink("stream_curation_loop")(docs =>
+          .format("noop").outputMode("append"))),
+      withStreamParts(docParts)(timeDocSink("stream_neardup_sink")(docs =>
+        IngestStream.neardupSink(docs, tmp("ndstore"), tmp("ndsurv")))),
+      withStreamParts(docParts)(timeDocSink("stream_curation_loop")(docs =>
         IngestStream.curationLoop(docs, tmp("clfp"), tmp("cllake"),
-          tmp("claudit"))),
-      timeEventSink("stream_alerts_sink")(ev =>
+          tmp("claudit")))),
+      withStreamParts(evParts)(timeEventSink("stream_alerts_sink")(ev =>
         IngestStream.alertsSink(
           ev.toDF().withColumn("props", lit("{}"))
             .select("event_id", "ts", "props"),
-          tmp("almet"), tmp("alout"))),
-      timeEventSink("stream_drift_sink")(ev =>
-        IngestStream.driftSink(ev, tmp("drcnt"), tmp("drout"))),
-      timeEventSink("stream_health_sink")(ev =>
+          tmp("almet"), tmp("alout")))),
+      withStreamParts(evParts)(timeEventSink("stream_drift_sink")(ev =>
+        IngestStream.driftSink(ev, tmp("drcnt"), tmp("drout")))),
+      withStreamParts(evParts)(timeEventSink("stream_health_sink")(ev =>
         IngestStream.healthReportSink(
-          IngestStream.appHealth(IngestStream.dedupe(ev)), tmp("hrout"))))
+          IngestStream.appHealth(IngestStream.dedupe(ev)), tmp("hrout")))))
   }
 }
