@@ -1594,6 +1594,388 @@ case class PiiRedact(child: Expression)
     copy(child = newChild)
 }
 
+/** Static core of [[NormText]] — the canonical content normalization
+  * `regexp_replace(translate(trim(text), 'A-Z', 'a-z'), '[ \t\n\r\f]+', ' ')`
+  * fused into ONE byte scan with one output allocation (r14, guide §1.2
+  * per-task work: the regex form paid a per-row NFA walk plus two
+  * intermediate string materializations — trim and translate — on the
+  * shared front of EVERY content-keyed operator: the md5 dedup family,
+  * the shingle/minhash builds, tokenization, fingerprints; measured
+  * 0.94 s vs 0.24 s baseline per 50k-doc scan at sf1).
+  *
+  * Equivalence argument, step by step over the composed pipeline:
+  *  - `trim` strips 0x20 ONLY (UTF8String.trim — the engine-verified
+  *    contract the TokenCounts kernel already pins); the kernel's lo/hi
+  *    clamp is that exact rule.
+  *  - `translate('A'..'Z' → 'a'..'z')` is a 1:1 single-byte ASCII map:
+  *    it never creates, destroys or moves whitespace, so it commutes
+  *    with the collapse and folds into the same pass. Multi-byte UTF-8
+  *    units have the high bit set on every byte, so the `'A' <= b <= 'Z'`
+  *    test (signed bytes — lead/continuation bytes are negative) can
+  *    never touch them.
+  *  - `regexp_replace('[ \t\n\r\f]+', ' ')` rewrites each maximal run of
+  *    exactly {0x20, 0x09, 0x0A, 0x0D, 0x0C} to one 0x20 anywhere in the
+  *    string (the class is pure ASCII, so the regex engine's code-point
+  *    walk and a byte walk agree on valid UTF-8); runs at the ends
+  *    survive as single leading/trailing spaces because the trim before
+  *    it strips spaces only — the kernel emits exactly that.
+  * Null propagates (all three wrapped functions are null-intolerant).
+  * Malformed-UTF-8 caveat (the PiiKernel convention): the regex path
+  * round-trips through java.lang.String and rewrites malformed bytes to
+  * U+FFFD; the kernel passes non-ASCII bytes through untouched. Valid
+  * UTF-8 — every lake this engine reads or writes — is byte-identical,
+  * and the spec pins kernel ≡ regex form on corpus + crafted edges.
+  */
+object NormKernel {
+  def norm(s: UTF8String): UTF8String = {
+    val bs = s.getBytes
+    var lo = 0
+    var hi = bs.length - 1
+    while (lo <= hi && bs(lo) == ' ') lo += 1
+    while (hi >= lo && bs(hi) == ' ') hi -= 1
+    if (lo > hi) return UTF8String.EMPTY_UTF8
+    val out = new Array[Byte](hi - lo + 1)
+    var n = 0
+    var inWs = false
+    var i = lo
+    while (i <= hi) {
+      val b = bs(i)
+      val isWs = b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+      if (isWs) {
+        if (!inWs) { out(n) = ' '; n += 1 }
+        inWs = true
+      } else {
+        inWs = false
+        out(n) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+        n += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, n)
+  }
+}
+
+/** The shared content normalization as one kernel pass (see [[NormKernel]]
+  * for the equivalence argument). Registered as `graft_norm`; built
+  * directly by [[graft.operators.Text.norm]] so every consumer — batch
+  * and streaming — switches with the definition.
+  */
+case class NormText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    NormKernel.norm(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // ONE scala object serves both eval paths (the PiiKernel convention):
+    // generated code calls the static core, so codegen and interpreted
+    // eval share every byte of the scan
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NormKernel.norm($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormText =
+    copy(child = newChild)
+}
+
+/** Static core of [[JsonIntField]] — strict single-pass extraction of one
+  * integral top-level field from a JSON payload, replacing TWO Jackson
+  * parses per row in q_props_extract (the duplicate-key map parse plus
+  * the typed struct parse — measured 2.7 s EACH per 1M-event scan at
+  * sf1, the query's entire cost).
+  *
+  * Contract (pinned empirically against the exact `when(dup-keys, null)
+  * .otherwise(from_json(struct<k:int>).k)` form it replaces, payload
+  * class by payload class — see the JsonIntKernel spec):
+  *  - null / not-JSON / non-object top level (array, scalar) → null;
+  *  - a valid object with ANY duplicated top-level key → null (keys
+  *    compared DECODED: `"k"` duplicates `"k"`);
+  *  - else the target key's value if it is an integral JSON number in
+  *    Int32 range — floats (1e2, 7.0), strings ("7"), booleans, null,
+  *    nested values, overflow (2147483648) and missing keys → null.
+  *    Key match is exact and case-sensitive (probed: from_json struct
+  *    fields do not case-fold).
+  * Acceptance grammar = RFC 8259 plus Spark's Jackson defaults, probed
+  * one by one on this Spark build: single-quoted strings PARSE
+  * (allowSingleQuotes=true); NaN / Infinity / -Infinity parse as
+  * non-integral numbers (allowNonNumericNumbers=true — the doc stays
+  * valid, the field reads null); leading zeros (017), a leading '+',
+  * raw control bytes inside strings, non-standard escapes, trailing
+  * commas, and a BOM prefix are all INVALID (whole payload → null);
+  * content after the first complete value is IGNORED (Jackson reads one
+  * value and from_json never looks past it — probed: '{"k": 7} x'
+  * parses). Nesting beyond 1000 levels is invalid (Jackson's
+  * StreamReadConstraints default). Whitespace between tokens is
+  * {space, \t, \n, \r}.
+  *
+  * Skipped values only need VALIDATION, not materialization, so nested
+  * objects/arrays cost a bounded walk and the whole extraction is one
+  * O(bytes) pass with zero allocation on the fast path (keys allocate
+  * only their decoded forms for the duplicate check).
+  */
+object JsonIntKernel {
+  private val MaxDepth = 1000
+
+  def eval(json: UTF8String, key: UTF8String): java.lang.Integer = {
+    val p = new Parser(json.getBytes)
+    p.run(key.toString)
+  }
+
+  private final class Parser(bs: Array[Byte]) {
+    private var i = 0
+    private val n = bs.length
+    private var bad = false
+
+    private def fail(): Unit = { bad = true; i = n }
+
+    private def skipWs(): Unit = {
+      while (i < n && (bs(i) == ' ' || bs(i) == '\t' || bs(i) == '\n' ||
+        bs(i) == '\r')) i += 1
+    }
+
+    /** Decoded string at an opening quote; null on malformed. Raw UTF-8
+      * segments decode with java.lang.String's U+FFFD replacement — the
+      * same form Jackson sees, because from_json parses the UTF8String's
+      * own toString.
+      */
+    private def parseString(): String = {
+      val q = bs(i)
+      i += 1
+      val sb = new java.lang.StringBuilder()
+      var seg = i // start of the current raw (escape-free) segment
+      def flush(): Unit =
+        if (i > seg) {
+          sb.append(new String(bs, seg, i - seg,
+            java.nio.charset.StandardCharsets.UTF_8)); ()
+        }
+      while (i < n) {
+        val b = bs(i)
+        if (b == q) {
+          flush(); i += 1
+          return sb.toString
+        } else if (b == '\\') {
+          flush()
+          if (i + 1 >= n) { fail(); return null }
+          bs(i + 1) match {
+            case '"' => sb.append('"'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case '/' => sb.append('/'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'u' =>
+              if (i + 5 >= n) { fail(); return null }
+              var cp = 0
+              var j = i + 2
+              while (j < i + 6) {
+                val h = bs(j)
+                val d =
+                  if (h >= '0' && h <= '9') h - '0'
+                  else if (h >= 'a' && h <= 'f') h - 'a' + 10
+                  else if (h >= 'A' && h <= 'F') h - 'A' + 10
+                  else -1
+                if (d < 0) { fail(); return null }
+                cp = (cp << 4) | d
+                j += 1
+              }
+              sb.append(cp.toChar); i += 6
+            case _ => fail(); return null // non-standard escape: invalid
+          }
+          seg = i
+        } else if ((b & 0xff) < 0x20) {
+          fail(); return null // raw control char: allowUnquotedControlChars=false
+        } else i += 1
+      }
+      fail(); null // unterminated
+    }
+
+    /** Validates one value; when `capture`, returns the integral Int32
+      * value or null (null also for valid-but-non-integral). Callers
+      * check `bad` for document validity.
+      */
+    private def parseValue(depth: Int, capture: Boolean): java.lang.Integer = {
+      if (depth > MaxDepth) { fail(); return null }
+      if (i >= n) { fail(); return null }
+      bs(i) match {
+        case '{' =>
+          i += 1; skipWs()
+          if (i < n && bs(i) == '}') { i += 1; return null }
+          var more = true
+          while (more && !bad) {
+            skipWs()
+            if (i >= n || (bs(i) != '"' && bs(i) != '\'')) { fail(); return null }
+            parseString()
+            if (bad) return null
+            skipWs()
+            if (i >= n || bs(i) != ':') { fail(); return null }
+            i += 1; skipWs()
+            parseValue(depth + 1, capture = false)
+            if (bad) return null
+            skipWs()
+            if (i < n && bs(i) == ',') i += 1
+            else if (i < n && bs(i) == '}') { i += 1; more = false }
+            else { fail(); return null }
+          }
+          null
+        case '[' =>
+          i += 1; skipWs()
+          if (i < n && bs(i) == ']') { i += 1; return null }
+          var more = true
+          while (more && !bad) {
+            skipWs()
+            parseValue(depth + 1, capture = false)
+            if (bad) return null
+            skipWs()
+            if (i < n && bs(i) == ',') i += 1
+            else if (i < n && bs(i) == ']') { i += 1; more = false }
+            else { fail(); return null }
+          }
+          null
+        case '"' | '\'' => parseString(); null
+        case 't' => literal("true"); null
+        case 'f' => literal("false"); null
+        case 'n' => literal("null"); null
+        case 'N' => literal("NaN"); null // allowNonNumericNumbers
+        case 'I' => literal("Infinity"); null
+        case '-' if i + 1 < n && bs(i + 1) == 'I' =>
+          i += 1; literal("Infinity"); null
+        case b if b == '-' || (b >= '0' && b <= '9') => parseNumber(capture)
+        case _ => fail(); null
+      }
+    }
+
+    private def literal(lit: String): Unit = {
+      var j = 0
+      while (j < lit.length) {
+        if (i >= n || bs(i) != lit.charAt(j)) { fail(); return }
+        i += 1; j += 1
+      }
+    }
+
+    /** Strict JSON number; returns the Int32 value when `capture` and the
+      * token is integral in range, else null.
+      */
+    private def parseNumber(capture: Boolean): java.lang.Integer = {
+      val neg = bs(i) == '-'
+      if (neg) i += 1
+      if (i >= n || bs(i) < '0' || bs(i) > '9') { fail(); return null }
+      // int part: single 0, or [1-9][0-9]* (leading zeros invalid —
+      // allowNumericLeadingZeros=false, probed)
+      var acc = 0L
+      var digits = 0
+      if (bs(i) == '0') {
+        i += 1; digits = 1
+        if (i < n && bs(i) >= '0' && bs(i) <= '9') { fail(); return null }
+      } else {
+        while (i < n && bs(i) >= '0' && bs(i) <= '9') {
+          if (digits < 19) acc = acc * 10 + (bs(i) - '0')
+          digits += 1
+          i += 1
+        }
+      }
+      var integral = true
+      if (i < n && bs(i) == '.') {
+        integral = false
+        i += 1
+        if (i >= n || bs(i) < '0' || bs(i) > '9') { fail(); return null }
+        while (i < n && bs(i) >= '0' && bs(i) <= '9') i += 1
+      }
+      if (i < n && (bs(i) == 'e' || bs(i) == 'E')) {
+        integral = false
+        i += 1
+        if (i < n && (bs(i) == '+' || bs(i) == '-')) i += 1
+        if (i >= n || bs(i) < '0' || bs(i) > '9') { fail(); return null }
+        while (i < n && bs(i) >= '0' && bs(i) <= '9') i += 1
+      }
+      if (!capture || !integral || digits > 10) return null
+      val v = if (neg) -acc else acc
+      if (v < Int.MinValue || v > Int.MaxValue) null
+      else java.lang.Integer.valueOf(v.toInt)
+    }
+
+    def run(key: String): java.lang.Integer = {
+      skipWs()
+      if (i >= n || bs(i) != '{') return null
+      // top-level object: collect decoded keys, capture the target field
+      i += 1; skipWs()
+      val keys = new java.util.ArrayList[String]()
+      var kVal: java.lang.Integer = null
+      if (i < n && bs(i) == '}') i += 1
+      else {
+        var more = true
+        while (more && !bad) {
+          skipWs()
+          if (i >= n || (bs(i) != '"' && bs(i) != '\'')) { fail(); return null }
+          val k = parseString()
+          if (bad) return null
+          keys.add(k)
+          skipWs()
+          if (i >= n || bs(i) != ':') { fail(); return null }
+          i += 1; skipWs()
+          val v = parseValue(1, capture = k == key)
+          if (bad) return null
+          if (k == key) kVal = v
+          skipWs()
+          if (i < n && bs(i) == ',') i += 1
+          else if (i < n && bs(i) == '}') { i += 1; more = false }
+          else { fail(); return null }
+        }
+      }
+      // NO trailing-content check: Jackson reads ONE value and from_json
+      // never looks past it (probed: '{"k": 7} x' parses, k = 7)
+      if (bad) return null
+      // duplicate top-level keys → null by the dup-instance contract
+      var a = 0
+      while (a < keys.size) {
+        var b = a + 1
+        while (b < keys.size) {
+          if (keys.get(a) == keys.get(b)) return null
+          b += 1
+        }
+        a += 1
+      }
+      kVal
+    }
+  }
+}
+
+/** Strict integral top-level JSON field extraction as one kernel pass
+  * (see [[JsonIntKernel]] for the contract and its empirical pins).
+  * `graft_json_int(json, key)` — key must be foldable.
+  */
+case class JsonIntField(json: Expression, key: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(key.foldable, "graft_json_int: key argument must be foldable")
+
+  override def left: Expression = json
+  override def right: Expression = key
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(j: Any, k: Any): Any =
+    JsonIntKernel.eval(j.asInstanceOf[UTF8String], k.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (j, k) => {
+      val tmp = ctx.freshName("jsonInt")
+      s"""
+         |java.lang.Integer $tmp = graft.functions.JsonIntKernel.eval($j, $k);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.intValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JsonIntField =
+    copy(json = newLeft, key = newRight)
+}
+
 object GraftFunctions {
   private def info(name: String, clazz: Class[_]) =
     new ExpressionInfo(clazz.getCanonicalName, name)
@@ -1656,7 +2038,13 @@ object GraftFunctions {
         arity("graft_pii_redact", 1)(c => PiiRedact(c.head))),
       (FunctionIdentifier("graft_block_counts"),
         info("graft_block_counts", classOf[BlockCounts]),
-        arity("graft_block_counts", 2)(c => BlockCounts(c(0), c(1)))))
+        arity("graft_block_counts", 2)(c => BlockCounts(c(0), c(1)))),
+      (FunctionIdentifier("graft_norm"),
+        info("graft_norm", classOf[NormText]),
+        arity("graft_norm", 1)(c => NormText(c.head))),
+      (FunctionIdentifier("graft_json_int"),
+        info("graft_json_int", classOf[JsonIntField]),
+        arity("graft_json_int", 2)(c => JsonIntField(c(0), c(1)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

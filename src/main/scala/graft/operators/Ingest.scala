@@ -534,21 +534,20 @@ object Ingest {
        |      FROM events)
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   ) { (s, d) =>
-    // from_json to a MAP preserves duplicate entries, so a key list whose
-    // distinct size shrinks IS the duplicate detector; the typed value
-    // still comes from the strict struct parse
-    val pkeys = map_keys(from_json(col("props"),
-      org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType,
+    // ONE kernel pass (graft.functions.JsonIntKernel, r14) — replaces TWO
+    // Jackson parses per row: the dup-key MAP parse plus the typed STRUCT
+    // parse (measured 2.7 s each per 1M-event scan at sf1, the query's
+    // whole cost). The kernel's contract — dup-key → NULL, strict
+    // integral-only typing, Jackson-defaults acceptance grammar — is
+    // pinned payload-class-by-payload-class against the exact two-parse
+    // form it replaces (JsonIntKernel spec + the crafted-lake props spec)
+    import org.apache.spark.sql.GraftSqlBridge
+    val k = GraftSqlBridge.column(graft.functions.JsonIntField(
+      GraftSqlBridge.expression(col("props")),
+      org.apache.spark.sql.catalyst.expressions.Literal.create("k",
         org.apache.spark.sql.types.StringType)))
     Tables.events(s, d)
-      .select(col("event_type"),
-        when(size(pkeys) =!= size(array_distinct(pkeys)), lit(null))
-          .otherwise(from_json(col("props"),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("k",
-                org.apache.spark.sql.types.IntegerType))))
-            .getField("k")).as("k"))
+      .select(col("event_type"), k.as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         min("k").cast("long").as("min_k"), max("k").cast("long").as("max_k"),

@@ -45,7 +45,20 @@ private[graft] object Text {
     * that wants full folding plugs one pinned ICU-versioned fold into
     * BOTH sides — the contract stays "one spelling, two engines".
     */
-  def norm(c: Column): Column =
+  def norm(c: Column): Column = {
+    // ONE kernel pass (graft.functions.NormKernel, r14) — replaces
+    // regexp_replace(translate(trim(c), A-Z, a-z), '[ \t\n\r\f]+', ' '):
+    // byte-identical on valid UTF-8 (equivalence argument + spec pin at
+    // the kernel), built directly so callers need no registry handle
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.functions.NormText(GraftSqlBridge.expression(c)))
+  }
+
+  /** The pre-kernel regex spelling of [[norm]] (spec use: the kernel's
+    * equivalence pin compares against this exact form).
+    */
+  private[graft] def normRegex(c: Column): Column =
     regexp_replace(translate(trim(c), AsciiUpper, AsciiLower),
       "[ \\t\\n\\r\\f]+", " ")
 

@@ -452,4 +452,62 @@ class IngestSpec extends SparkSpec {
     // the real stream is continuous -> the good-news empty certificate
     assert(Ingest.qCoverageGaps.run(spark, sfDir).count() == 0L)
   }
+
+  test("json-int kernel ≡ the two-parse from_json form, payload class by class") {
+    // q_props_extract's r14 kernel replaces `when(dup-keys, null)
+    // .otherwise(from_json(struct<k:int>).k)` — TWO Jackson parses per
+    // row. This pins kernel ≡ that exact form on every payload class the
+    // engines' contract names (IngestSpec's crafted-lake list) PLUS the
+    // acceptance-grammar edges of Spark's Jackson defaults, probed one by
+    // one on this build: single quotes, NaN/Infinity, leading zeros, BOM,
+    // raw control chars, escape-decoded duplicate keys, case-sensitive
+    // field match, trailing garbage, overflow, whitespace classes.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val crafted: Seq[String] = Seq(
+      """{"k": 7}""", """{"K": 7}""", """{'k': 7}""", """{'k': 7, "k": 8}""",
+      """{"k": 017}""", """{"k": 00}""", """{"k": -0}""", """{"k": +7}""",
+      """{"k": NaN}""", """{"j": NaN, "k": 7}""", """{"k": Infinity}""",
+      """{"k": -Infinity}""", """{"k": 1e2}""", """{"k": 7.0}""",
+      """{"k": 2147483648}""", """{"k": -2147483648}""", """{"k": 2147483647}""",
+      """{"k": 123456789012345678901234567890}""", """{"k": 1.5e-3}""",
+      """[{"k": 5}]""", """[1, 2]""", """17""", """"k"""", "true", "null",
+      """{"k": 7} """, "\t\n\r {\"k\": 7} \r\n", "\f{\"k\": 7}", "{\"k\":\f7}",
+      """{"k"  :  7  }""", """{"k": 7} x""", """{"k": 1}{"k": 2}""",
+      """{"k": 1, "k": 2}""", """{"\u006b": 1, "k": 2}""", """{"a": 1, "a": 2, "k": 9}""",
+      """{"a": [1, {"b": 2}], "k": 9}""", """{"a": {"x": 1, "x": 2}, "k": 9}""",
+      """{"a": 1,}""", """{"k" 7}""", """{,}""", """{}""", """{"k": }""",
+      """{"k": "7"}""", """{"k": true}""", """{"k": false}""", """{"k": null}""",
+      """{"k": -}""", """{"k": --1}""", """{"k": 1-}""",
+      """{"a": "x\ty", "k": 7}""", "{\"a\": \"x\ny\", \"k\": 7}",
+      """{"a": "q\zq", "k": 7}""", """{"a": "\u00e9", "k": 7}""",
+      """{"a": "\ud83d\ude00", "k": 7}""", """{"a": "\ud800", "k": 7}""",
+      "{\"caf\u00e9\": 1, \"caf\\u00e9\": 2, \"k\": 3}",
+      """{"": 1, "k": 4}""", """{"": 1, "": 2, "k": 4}""",
+      "\ufeff{\"k\": 7}", """{"k": 7, "nested": {"k": 99}}""",
+      """{"nested": {"k": 99}}""", "", " ", "not json", """{"a/b": 1, "a\/b": 2, "k": 5}""",
+      "{\"k\": 7, \"s\": '\\u0041'}", """{"k": Infinity, "k": 2}""",
+      null)
+    val corpus = Tables.events(spark, sfDir).select("props")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    val pkeys = map_keys(from_json(col("props"), MapType(StringType, StringType)))
+    val oldForm = when(size(pkeys) =!= size(array_distinct(pkeys)), lit(null))
+      .otherwise(from_json(col("props"),
+        StructType(Seq(StructField("k", IntegerType)))).getField("k"))
+    graft.functions.GraftFunctions.register(spark)
+    val rows = (crafted ++ corpus).toDF("props")
+      .select(col("props"),
+        call_function("graft_json_int", col("props"), lit("k")).as("kernel"),
+        oldForm.as("old"))
+      .collect()
+    assert(rows.length >= crafted.length)
+    rows.foreach { r =>
+      val p = if (r.isNullAt(0)) "NULL"
+        else r.getString(0).replace("\n", "\\n").replace("\ufeff", "<BOM>")
+      val k = if (r.isNullAt(1)) null else r.get(1)
+      val o = if (r.isNullAt(2)) null else r.get(2)
+      assert(k == o, s"json-int drift on <$p>: kernel=$k old=$o")
+    }
+  }
 }

@@ -64,7 +64,11 @@ class KernelCodegenSpec extends org.scalatest.funsuite.AnyFunSuite {
       "graft_pii_counts" -> ((text, PiiCounts(str))),
       "graft_pii_redact" -> ((text, PiiRedact(str))),
       "graft_block_counts" -> ((text, BlockCounts(str,
-        Literal.create(Seq("slow", "big", "merge"), ArrayType(StringType))))))
+        Literal.create(Seq("slow", "big", "merge"), ArrayType(StringType))))),
+      "graft_norm" -> ((Seq[Any](utf8("  The\tQuick \n Brown  ")),
+        NormText(str))),
+      "graft_json_int" -> ((Seq[Any](utf8("""{"a": [1, {"x": 2}], "k": 37}""")),
+        JsonIntField(str, Literal.create("k", StringType)))))
   }
 
   test("exemplar list covers every registered graft function") {

@@ -699,6 +699,39 @@ class PlanAuditSpec extends SparkSpec {
       "the five integer sums must partial-aggregate map-side:\n" + p)
   }
 
+  test("props extraction runs the json-int kernel, not Jackson parses") {
+    // the r14 kernel replaced TWO from_json Jackson parses per event
+    // (measured 2.7 s each per 1M-event scan at sf1 — the query's whole
+    // cost); a revert passes every oracle and only shows as a bench
+    // delta, so the Jackson marker is banned here
+    val p = plan("q_props_extract")
+    assert(p.toLowerCase.contains("jsonintfield"),
+      "q_props_extract must run the JsonIntField kernel:\n" + p)
+    assert(!p.contains("from_json") && !p.contains("JsonToStructs"),
+      "Jackson parses resurfaced in q_props_extract:\n" + p)
+  }
+
+  test("content normalization runs the norm kernel across the dedup family") {
+    // Text.norm is the shared front of every content-keyed operator; the
+    // r14 kernel replaced its regexp_replace(translate(trim)) chain
+    // (measured 0.94 vs 0.24 s per 50k-doc scan at sf1). These consumers
+    // have NO other regex in their plans, so the marker ban is exact; a
+    // revert re-pays a per-row NFA walk on every md5/shingle path.
+    Seq("q_dedup_exact", "q_source_dedup", "q_line_dedup", "q_fingerprint")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.toLowerCase.contains("normtext"),
+          s"$q must run the NormText kernel:\n" + p)
+      }
+    // these three have NO other regex in their plans, so the ban is exact
+    // (q_fingerprint legitimately keeps its own '[^ -~]' printable filter)
+    Seq("q_dedup_exact", "q_source_dedup", "q_line_dedup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("regexp_replace") && !p.contains("RegExpReplace"),
+        s"the regex norm chain resurfaced in $q:\n" + p)
+    }
+  }
+
   test("hot expressions stay inside whole-stage codegen") {
     // execute first: codegen spans only appear in the finalized AQE plan
     val df = SparkEntry.queries("q_quality_score")(spark, sfDir)

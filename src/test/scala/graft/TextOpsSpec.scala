@@ -1217,4 +1217,45 @@ class TextOpsSpec extends SparkSpec {
     assert(one.head.isNullAt(one.head.fieldIndex("ks_drift")),
       "a single-source corpus has no rest-of-corpus: KS must be NULL, not 0")
   }
+
+  test("norm kernel ≡ the trim+translate+regexp_replace form on corpus + crafted edges") {
+    // Text.norm is the shared front of EVERY content-keyed operator (md5
+    // dedup, shingles, minhash, tokenization, fingerprints, the streaming
+    // gate) — the r14 kernel must be byte-identical to the regex spelling
+    // it replaced, which the DuckDB oracles still mirror. Crafted edges:
+    // trim-vs-collapse interaction at the ends (trim strips 0x20 ONLY, so
+    // an end tab survives trim and collapses to a KEPT space), each class
+    // member alone and in mixed runs, the \v exclusion (0x0B is NOT in
+    // the class and must survive), non-ASCII passthrough incl.
+    // supplementary planes, NBSP (U+00A0 is not collapsed), and empties.
+    import spark.implicits._
+    val crafted = Seq(
+      "", " ", "   ", "a", "A", " a ", "  A  B  ",
+      "\ta\t", "\t x \n", "a\tb", "a\nb", "a\rb", "a\fb", "ab",
+      "a \t\n\r\f b", "\t\t", "\n\n\n", " \t ", "\f\f",
+      "MiXeD CaSe WoRdS", "ABCXYZ abcxyz 0129 _-!",
+      "é À Ü ß", "ヴィクター  ユーゴー", "x y", "😀  😀",
+      "á combining", "İ dotted-I passthrough",
+      "ends with tab\t", "\fstarts with ff", "many   spaces   inside",
+      "CRLF\r\nline", "null-ish NUL   byte", "∂f/∂x ≠ 0")
+    val corpus = Tables.documents(spark, sfDir).select("text")
+      .where(col("text").isNotNull).as[String].collect().toSeq
+    val rows = (crafted ++ corpus).toDF("text")
+      .select(col("text"),
+        graft.operators.Text.norm(col("text")).as("kernel"),
+        graft.operators.Text.normRegex(col("text")).as("regex"))
+      .collect()
+    assert(rows.length >= crafted.length)
+    rows.foreach { r =>
+      assert(r.getAs[String]("kernel") == r.getAs[String]("regex"),
+        s"norm drift on '${r.getAs[String]("text")}': " +
+          s"kernel='${r.getAs[String]("kernel")}' regex='${r.getAs[String]("regex")}'")
+    }
+    // null propagates like the regex form
+    val nullRow = Seq[Option[String]](None).toDF("text")
+      .select(graft.operators.Text.norm(col("text")).as("k"),
+        graft.operators.Text.normRegex(col("text")).as("x")).collect()(0)
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1),
+      "null text must norm to null on both forms")
+  }
 }
