@@ -1680,6 +1680,160 @@ case class NormText(child: Expression)
     copy(child = newChild)
 }
 
+/** Static core of [[GramHashes]] — positional word-n-gram xxhash64 arrays
+  * over a string, in ONE pass with no per-position string materialization
+  * (r14, guide §1.2 per-task work). Replaces the
+  * `transform(sequence(0, size(w)-n), i -> xxhash64(concat_ws(' ',
+  * get(w,i)..get(w,i+n-1))))` spelling over `w = split(text, ' ')`
+  * (keepEmpty) or `w = filter(split(text, ' '), t -> t <> '')`
+  * (dropEmpty), which materialized the token array plus one concatenated
+  * string per position just to hash it.
+  *
+  * Equivalence argument: `split(s, ' ')` segments s at EVERY 0x20, so
+  * consecutive split tokens are separated by exactly one space and
+  * `concat_ws(' ', w[i..j])` (empties included — concat_ws keeps empty
+  * strings) is EXACTLY the byte substring of s from start(w_i) to
+  * end(w_j). The keepEmpty grams therefore hash in place over the input
+  * bytes — zero copies, any input. With dropEmpty, the same substring
+  * identity holds whenever no EMPTY token sits strictly between two kept
+  * tokens (i.e. no two consecutive spaces and gram doesn't span a
+  * leading/trailing space) — true for every whitespace-collapsed
+  * ([[NormKernel]]) input, which is what all consumers feed; inputs that
+  * violate it take a scratch-buffer join path that reproduces
+  * filter+concat_ws byte-for-byte. xxhash64(string) is
+  * XXH64(bytes, seed 42) — the hash of the same bytes is the same long,
+  * so consumers' values (and their DuckDB string-gram oracles) are
+  * bit-identical. Null text → null (split's propagation).
+  */
+object GramHashKernel {
+  private val Seed = 42L // Spark's xxhash64 seed
+
+  def hashes(s: UTF8String, n: Int, keepEmpty: Boolean)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    // token boundaries at every 0x20: starts/ends as offsets into s
+    var nTok = 1
+    var i = 0
+    while (i < len) { if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    var p = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') {
+        starts(t) = p; ends(t) = i; t += 1; p = i + 1
+      }
+      i += 1
+    }
+    // dropEmpty: keep non-empty segments; substring identity holds iff
+    // kept neighbors are exactly one byte apart (no interior empties)
+    var kept = starts
+    var keptEnds = ends
+    var m = nTok
+    if (!keepEmpty) {
+      val ks = new Array[Int](nTok)
+      val ke = new Array[Int](nTok)
+      m = 0
+      t = 0
+      while (t < nTok) {
+        if (ends(t) > starts(t)) { ks(m) = starts(t); ke(m) = ends(t); m += 1 }
+        t += 1
+      }
+      kept = ks; keptEnds = ke
+    }
+    val nGrams = m - n + 1
+    if (nGrams <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    var contiguous = true
+    if (!keepEmpty) {
+      t = 1
+      while (t < m && contiguous) {
+        if (kept(t) != keptEnds(t - 1) + 1) contiguous = false
+        t += 1
+      }
+    }
+    val out = new Array[Long](nGrams)
+    if (keepEmpty || contiguous) {
+      // every gram IS a substring of s: hash in place
+      var g = 0
+      while (g < nGrams) {
+        val a = kept(g)
+        val b = keptEnds(g + n - 1)
+        out(g) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + a, b - a, Seed)
+        g += 1
+      }
+    } else {
+      // weird (non-collapsed) input: join kept tokens with single spaces
+      // into a scratch buffer — the filter+concat_ws bytes exactly
+      var maxLen = 0
+      var g = 0
+      while (g < nGrams) {
+        var bl = n - 1
+        var j = g
+        while (j < g + n) { bl += keptEnds(j) - kept(j); j += 1 }
+        if (bl > maxLen) maxLen = bl
+        g += 1
+      }
+      val scratch = new Array[Byte](maxLen)
+      g = 0
+      while (g < nGrams) {
+        var w = 0
+        var j = g
+        while (j < g + n) {
+          if (j > g) { scratch(w) = ' '; w += 1 }
+          val tl = keptEnds(j) - kept(j)
+          org.apache.spark.unsafe.Platform.copyMemory(base, off + kept(j),
+            scratch, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + w, tl)
+          w += tl
+          j += 1
+        }
+        out(g) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(scratch,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, w, Seed)
+        g += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Positional word-n-gram hash array (see [[GramHashKernel]]):
+  * `graft_gram_hashes(text, n, keepEmpty)` ≡ the xxhash64-of-concat_ws
+  * forms over split tokens, element-for-element. n and keepEmpty must be
+  * foldable.
+  */
+case class GramHashes(text: Expression, n: Expression, keepEmpty: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+
+  require(n.foldable && keepEmpty.foldable,
+    "graft_gram_hashes: n and keepEmpty must be foldable")
+
+  override def first: Expression = text
+  override def second: Expression = n
+  override def third: Expression = keepEmpty
+  override def inputTypes = Seq(StringType,
+    org.apache.spark.sql.types.IntegerType,
+    org.apache.spark.sql.types.BooleanType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(t: Any, nn: Any, ke: Any): Any =
+    GramHashKernel.hashes(t.asInstanceOf[UTF8String],
+      nn.asInstanceOf[Int], ke.asInstanceOf[Boolean])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, nn, ke) =>
+      s"${ev.value} = graft.functions.GramHashKernel.hashes($t, $nn, $ke);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): GramHashes = copy(text = f, n = s, keepEmpty = t)
+}
+
 /** Static core of [[JsonIntField]] — strict single-pass extraction of one
   * integral top-level field from a JSON payload, replacing TWO Jackson
   * parses per row in q_props_extract (the duplicate-key map parse plus
@@ -2044,7 +2198,10 @@ object GraftFunctions {
         arity("graft_norm", 1)(c => NormText(c.head))),
       (FunctionIdentifier("graft_json_int"),
         info("graft_json_int", classOf[JsonIntField]),
-        arity("graft_json_int", 2)(c => JsonIntField(c(0), c(1)))))
+        arity("graft_json_int", 2)(c => JsonIntField(c(0), c(1)))),
+      (FunctionIdentifier("graft_gram_hashes"),
+        info("graft_gram_hashes", classOf[GramHashes]),
+        arity("graft_gram_hashes", 3)(c => GramHashes(c(0), c(1), c(2)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

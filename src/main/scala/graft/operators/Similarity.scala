@@ -104,30 +104,12 @@ object Similarity {
       timed("build_ngram_clusters")(ngramClusterLabels(s, d)))
   }
 
-  /** The 3-gram shingle-array expression over a token column `w` — the
-    * ONE textual definition both the explode path and the per-row hash
-    * path compile, so tokenization cannot drift between them.
-    *
-    * get() (null past the end) makes the lambda TOTAL — on a short array
-    * sequence(0, size-3) turns descending and a bare ANSI index lookup
-    * throws if the expression is ever evaluated before the size guard.
-    */
-  private val ShingleArrExpr =
-    "transform(sequence(0, size(w)-3), " +
-      "i -> concat_ws(' ', get(w, i), get(w, i+1), get(w, i+2)))"
-
-  /** Tokenized docs (doc_id, w) with the ≥3-token filter applied — the
-    * shared front of every shingle consumer.
-    */
-  private def tokenized(docs: DataFrame): DataFrame =
-    docs
-      // small single-file inputs scan as ONE partition; spread the rows so
-      // per-row shingling runs at full parallelism (at lake scale the scan
-      // is already multi-split and this is a cheap no-op guard against
-      // tiny-file skew)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), split(Text.norm(col("text")), " ").as("w"))
-      .filter(size(col("w")) >= 3)
+  // (r14) The 3-gram string-array expression over split tokens and its
+  // `tokenized` front are retired: [[shingleHashesOf]] computes the same
+  // hashes in one GramHashKernel pass. The historical
+  // InferFiltersFromGenerate hazard note lives on at shingleHashesOf and
+  // in CLAUDE.md (the explode consumers read a materialized cache, where
+  // inferred generator predicates land on the InMemoryRelation).
 
   /** Distinct shingle POSTINGS per document as (doc_id, sh_h) — the
     * inverted index the exact n-gram Jaccard join consumes. Derived by
@@ -464,12 +446,26 @@ object Similarity {
   /** Per-doc shingle-hash arrays for an arbitrary (doc_id, text) frame —
     * the DataFrame-parameterized core [[docShingleHashes]] memoizes per
     * dir, and the incremental path feeds with just the new slice.
-    * Compiles the same [[ShingleArrExpr]] as the explode path, so the
-    * tokenization cannot drift between consumers.
+    *
+    * r14: ONE kernel pass ([[graft.functions.GramHashKernel]],
+    * keepEmpty = the split-without-filter tokenization this pipeline has
+    * always used) replaces tokenize → 3-gram string array → per-element
+    * xxhash64 — bit-identical hash values (the kernel hashes the same
+    * bytes with the same seed), no token array or per-shingle string
+    * materialized. The `size(hs) > 0` filter is exactly the old
+    * `size(w) >= 3` doc filter: grams ≥ 1 ⇔ split tokens ≥ 3.
     */
-  private def shingleHashesOf(docs: DataFrame): DataFrame =
-    tokenized(docs).select(col("doc_id"),
-      expr(s"transform($ShingleArrExpr, x -> xxhash64(x))").as("hs"))
+  private def shingleHashesOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val hs = GraftSqlBridge.column(graft.functions.GramHashes(
+      GraftSqlBridge.expression(Text.norm(col("text"))),
+      Literal(3), Literal(true)))
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+  }
 
   /** Banded MinHash signatures of a shingle-hash frame: per-row minhash i
     * = min over the doc's shingle hashes of xxhash64(i, h) — bit-identical

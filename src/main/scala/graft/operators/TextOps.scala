@@ -1976,18 +1976,29 @@ object TextOps {
     */
   private def dupSpanCounts(docs: DataFrame): DataFrame = {
     // round-robin spread: the single-file testdata scan's parallelism
-    // guard (a multi-split lake scan replaces it), as in qDecontaminate
-    val toks = docs
+    // guard (a multi-split lake scan replaces it), as in qDecontaminate.
+    // r14: the tokenize → 5-gram concat → xxhash64 chain is ONE
+    // GramHashKernel pass (dropEmpty = the filtered-split tokenization
+    // this table has always used) — bit-identical hashes, no token array
+    // or per-position string; an empty hash array (< 5 tokens) explodes
+    // to zero rows exactly like the old size(w) >= 5 filter. The array
+    // expression stays INLINE in the generator (CLAUDE.md invariant).
+    docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      // phantom ""-token guard: see qRepetitionStats
-      .select(col("doc_id"), filter(split(norm, " "), t => t =!= "").as("w"))
-    val pos = toks.filter(size(col("w")) >= DupSpanN)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-5), i -> xxhash64(concat_ws(' ', " +
-          "get(w, i), get(w, i+1), get(w, i+2), get(w, i+3), get(w, i+4))))"))
-        .as("h"))
-    pos.groupBy("doc_id", "h").agg(count(lit(1)).as("m"))
+      .select(col("doc_id"), explode(gramHashes(norm, DupSpanN)).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** dropEmpty positional gram hashes of a text column (see
+    * [[graft.functions.GramHashKernel]]) — built directly, no registry
+    * handle needed.
+    */
+  private def gramHashes(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    GraftSqlBridge.column(graft.functions.GramHashes(
+      GraftSqlBridge.expression(text), Literal(n), Literal(false)))
   }
 
   /** Bench hook: materialize the dup-span gram counts for (s, d) so the
@@ -2099,14 +2110,15 @@ object TextOps {
       .filter(col("text").isNotNull)
       // phantom ""-token guard: see qRepetitionStats
       .select(col("doc_id"), filter(split(norm, " "), t => t =!= "").as("w"))
-    // positioned gram hashes: array expr INLINE in the generator
-    // (CLAUDE.md invariant), get() so index lambdas never run unguarded
-    val grams = toks.filter(size(col("w")) >= DupSpanN)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-5), i -> struct(i AS i, " +
-          "xxhash64(concat_ws(' ', get(w, i), get(w, i+1), get(w, i+2), " +
-          "get(w, i+3), get(w, i+4))) AS h))")).as("g"))
-      .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"))
+    // positioned gram hashes: ONE GramHashKernel pass (r14 — bit-identical
+    // to the old per-position concat_ws+xxhash64 lambda), posexplode
+    // carries the position; array expr INLINE in the generator
+    // (CLAUDE.md invariant); empty arrays (< DupSpanN tokens) explode to
+    // zero rows like the old size(w) >= DupSpanN filter
+    val grams = docs.repartition(s.sparkContext.defaultParallelism)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(gramHashes(norm, DupSpanN)).as(Seq("i", "h")))
     val covered = grams.join(dup, "h")
       .select(col("doc_id"),
         explode(expr(s"sequence(i, i + ${DupSpanN - 1})")).as("pos"))

@@ -68,7 +68,9 @@ class KernelCodegenSpec extends org.scalatest.funsuite.AnyFunSuite {
       "graft_norm" -> ((Seq[Any](utf8("  The\tQuick \n Brown  ")),
         NormText(str))),
       "graft_json_int" -> ((Seq[Any](utf8("""{"a": [1, {"x": 2}], "k": 37}""")),
-        JsonIntField(str, Literal.create("k", StringType)))))
+        JsonIntField(str, Literal.create("k", StringType)))),
+      "graft_gram_hashes" -> ((text,
+        GramHashes(str, Literal(3), Literal(false)))))
   }
 
   test("exemplar list covers every registered graft function") {

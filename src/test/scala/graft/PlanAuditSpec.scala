@@ -473,11 +473,12 @@ class PlanAuditSpec extends SparkSpec {
     val df = SparkEntry.queries("q_dup_spans")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // the gram array must stay INLINE in the generator (xxhash64 inside
-    // explode) — a named projected column triggers the
-    // InferFiltersFromGenerate re-evaluation hazard (CLAUDE.md)
+    // the gram array must stay INLINE in the generator (the GramHashes
+    // kernel inside explode, r14 — previously the xxhash64 lambda) — a
+    // named projected column triggers the InferFiltersFromGenerate
+    // re-evaluation hazard (CLAUDE.md)
     val gen = p.split("\n").filter(_.contains("Generate"))
-    assert(gen.exists(_.contains("xxhash64")),
+    assert(gen.exists(_.toLowerCase.contains("gramhashes")),
       "gram hashes must be built inside the generator:\n" + p)
     // the shipped default is the AQE-skew-splittable df JOIN-BACK — a
     // hot-gram window partition cannot be skew-split, so no window may
@@ -502,9 +503,10 @@ class PlanAuditSpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     // positioned gram hashes must stay INLINE in the generator (the
-    // InferFiltersFromGenerate re-evaluation hazard — CLAUDE.md)
+    // GramHashes kernel, r14 — the InferFiltersFromGenerate
+    // re-evaluation hazard, CLAUDE.md)
     assert(p.split("\n").filter(_.contains("Generate"))
-      .exists(_.contains("xxhash64")),
+      .exists(_.toLowerCase.contains("gramhashes")),
       "gram hashes must be built inside the generator:\n" + p)
     // a boilerplate gram is a hot key: the dup decision joins back on
     // the gram hash (AQE-skew-splittable) — no window may touch grams

@@ -1258,4 +1258,54 @@ class TextOpsSpec extends SparkSpec {
     assert(nullRow.isNullAt(0) && nullRow.isNullAt(1),
       "null text must norm to null on both forms")
   }
+
+  test("gram-hash kernel ≡ the split+concat_ws+xxhash64 forms, both token modes") {
+    // GramHashes replaces the per-position string-gram lambdas in the
+    // shingle cache (keepEmpty over split), the dup-span table and the
+    // substring-dedup positioned grams (dropEmpty over filtered split).
+    // Crafted edges: leading/trailing/interior space runs (where the
+    // dropEmpty substring identity breaks and the scratch path must
+    // reproduce filter+concat bytes), exactly-n and n-1 token counts,
+    // multibyte tokens, empties.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val crafted = Seq(
+      "a b c d e f", "a b c", "a b", "a", "",
+      " a b c d e", "a b c d e ", " a b c d e ",
+      "a  b c d e f", "a   b  c d e f g", "  ", "a  b",
+      "é ヴ 😀 x y z", "one two three four five six seven",
+      "tab\tis not a separator here", "x y z w v u t s r q")
+    // raw corpus text (tabs/newlines are NOT split separators — the
+    // kernel must agree on arbitrary input, not just normalized)
+    val corpus = Tables.documents(spark, sfDir).select("text")
+      .where(col("text").isNotNull).as[String].collect().toSeq
+    def oldKeep(n: Int) = expr(
+      s"transform(sequence(0, size(w)-$n), i -> xxhash64(concat_ws(' ', " +
+        (0 until n).map(j => s"get(w, i+$j)").mkString(", ") + ")))")
+    for (n <- Seq(2, 3, 5)) {
+      val rows = (crafted ++ corpus).toDF("text")
+        .select(col("text"),
+          call_function("graft_gram_hashes", col("text"), lit(n), lit(true)).as("k_keep"),
+          call_function("graft_gram_hashes", col("text"), lit(n), lit(false)).as("k_drop"),
+          split(col("text"), " ").as("w"))
+        .select(col("text"), col("k_keep"), col("k_drop"),
+          when(size(col("w")) >= n, oldKeep(n)).otherwise(expr("array()")).as("x_keep"),
+          col("w"))
+        .select(col("text"), col("k_keep"), col("k_drop"), col("x_keep"))
+        .collect()
+      val dropRows = (crafted ++ corpus).toDF("text")
+        .select(col("text"),
+          filter(split(col("text"), " "), t => t =!= "").as("w"))
+        .select(col("text"),
+          when(size(col("w")) >= n, oldKeep(n)).otherwise(expr("array()")).as("x_drop"))
+        .collect().map(r => r.getAs[String]("text") -> r.getSeq[Long](1)).toMap
+      rows.foreach { r =>
+        val t = r.getAs[String]("text")
+        assert(r.getSeq[Long](1) == r.getSeq[Long](3),
+          s"keepEmpty gram drift on '$t' n=$n")
+        assert(r.getSeq[Long](2) == dropRows(t),
+          s"dropEmpty gram drift on '$t' n=$n")
+      }
+    }
+  }
 }
