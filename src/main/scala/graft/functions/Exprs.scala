@@ -1013,11 +1013,27 @@ case class CjkProbe(child: Expression)
   * builder's `putString`/UTF-8 path.
   */
 case class BloomContains(bloom: Expression, item: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
 
   override def left: Expression = bloom
   override def right: Expression = item
-  override def inputTypes = Seq(org.apache.spark.sql.types.BinaryType, StringType)
+  // string items probe with mightContainBinary over the UTF-8 bytes;
+  // long items with mightContainLong — the exact dual of the builder's
+  // putLong for a long column (r14: the decontamination gate sketches
+  // gram HASHES instead of gram strings). Hand-rolled type check:
+  // TypeCollection is private[sql], so ExpectsInputTypes can't spell
+  // "string or long".
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (bloom.dataType != org.apache.spark.sql.types.BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_contains: bloom must be BINARY, got ${bloom.dataType}")
+    else if (item.dataType != StringType && item.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_contains: item must be STRING or BIGINT, got ${item.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
 
   /** A foldable NULL bloom folds to an inert empty filter instead of
@@ -1035,13 +1051,17 @@ case class BloomContains(bloom: Expression, item: Expression)
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    filter.mightContainBinary(b.asInstanceOf[UTF8String].getBytes)
+    if (item.dataType == LongType) filter.mightContainLong(b.asInstanceOf[Long])
+    else filter.mightContainBinary(b.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bloomFilter", filter,
       classOf[org.apache.spark.util.sketch.BloomFilter].getName)
     nullSafeCodeGen(ctx, ev, (_, b) =>
-      s"${ev.value} = $ref.mightContainBinary($b.getBytes());")
+      if (item.dataType == LongType)
+        s"${ev.value} = $ref.mightContainLong($b);"
+      else
+        s"${ev.value} = $ref.mightContainBinary($b.getBytes());")
   }
 
   override protected def withNewChildrenInternal(

@@ -784,15 +784,26 @@ object Ingest {
       |  COUNT(*) AS n_observations
       |FROM events GROUP BY 1, 2 ORDER BY user_id, app_id""".stripMargin
   ) { (s, d) =>
+    // run ids aggregate at DATE grain and format at OUTPUT grain (r14,
+    // guide §2.3 — narrower types through the distinct/min/max
+    // machinery: the two-level countDistinct expansion shuffles 4-byte
+    // dates instead of 10-byte strings, and min/max compare ints).
+    // Exact: 'yyyy-MM-dd' is order-isomorphic with the date and
+    // bijective on the domain, so min/max/countDistinct commute with
+    // the formatting. Measured 3.72 → 2.34 s at sf1.
     Tables.events(s, d)
       .select(col("user_id"), col("event_type").as("app_id"),
-        date_format(col("ts"), "yyyy-MM-dd").as("run_id"))
+        to_date(col("ts")).as("run_day"))
       .groupBy("user_id", "app_id")
       .agg(
-        min(col("run_id")).as("first_run_id"),
-        max(col("run_id")).as("last_run_id"),
-        countDistinct(col("run_id")).as("n_runs"),
+        min(col("run_day")).as("f"),
+        max(col("run_day")).as("l"),
+        countDistinct(col("run_day")).as("n_runs"),
         count(lit(1)).as("n_observations"))
+      .select(col("user_id"), col("app_id"),
+        date_format(col("f"), "yyyy-MM-dd").as("first_run_id"),
+        date_format(col("l"), "yyyy-MM-dd").as("last_run_id"),
+        col("n_runs"), col("n_observations"))
       .orderBy("user_id", "app_id")
   }
 
@@ -832,23 +843,30 @@ object Ingest {
           "COUNT(*)", 4)} AS rescrape_rate
        |FROM fs GROUP BY 1 ORDER BY run_id""".stripMargin
   ) { (s, d) =>
+    // DATE-grain internals, formatted at the O(#runs) output grain (the
+    // qScrapeProvenance r14 rule): the corpus-sized distinct and the
+    // keyed min window shuffle 4-byte dates, not 10-byte strings; the
+    // formatting is exact to push through (order-isomorphic, bijective)
     val log = Tables.events(s, d)
       .select(col("user_id"), col("event_type"),
-        date_format(col("ts"), "yyyy-MM-dd").as("run_id"))
+        to_date(col("ts")).as("run_day"))
       .distinct()
     // keyed min window (partitioned by the review key — scales with the
     // key space, never a global sort); novel ⇔ this run IS the first
-    val first = min(col("run_id")).over(
+    val first = min(col("run_day")).over(
       Window.partitionBy("user_id", "event_type"))
     log.withColumn("novel_flag",
-        when(col("run_id") === first, 1L).otherwise(0L))
-      .groupBy("run_id")
+        when(col("run_day") === first, 1L).otherwise(0L))
+      .groupBy("run_day")
       .agg(
         count(lit(1)).as("reviews_seen"),
         sum(col("novel_flag")).as("novel"),
         (count(lit(1)) - sum(col("novel_flag"))).as("rescraped"),
         exactDiv(count(lit(1)) - sum(col("novel_flag")), count(lit(1)), 4)
           .as("rescrape_rate"))
+      .select(date_format(col("run_day"), "yyyy-MM-dd").as("run_id"),
+        col("reviews_seen"), col("novel"), col("rescraped"),
+        col("rescrape_rate"))
       .orderBy("run_id")
   }
 

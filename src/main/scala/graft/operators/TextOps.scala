@@ -702,26 +702,25 @@ object TextOps {
        |FROM perdoc p LEFT JOIN perbg b ON p.doc_id = b.doc_id
        |ORDER BY p.doc_id""".stripMargin
   ) { (s, d) =>
-    // filter empties BEFORE any consumer: trim removes only spaces, so a
-    // trailing tab/newline leaves a phantom "" boundary token that would
-    // otherwise inflate n_words and fabricate bigrams
+    // word and bigram identities are GramHashKernel 1-gram / 2-gram
+    // hashes (r14): the split → interpreted empty-filter lambda → string
+    // explode chain (plus the interpreted bigram concat lambda) becomes
+    // two kernel passes, and both (doc, gram) aggregates group 8-byte
+    // longs instead of strings. dropEmpty = the phantom ""-token guard
+    // this operator has always applied (trim removes only spaces, so a
+    // trailing tab/newline leaves an empty boundary token). Counts are
+    // identical modulo xxhash64 collisions — the 2^-64 standing contract
+    // (oracles re-proven hash-green at sf0.01 AND sf0.001).
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"),
-        filter(split(norm, " "), t => t =!= "").as("w"))
     val wc = docs
-      .select(col("doc_id"), explode(col("w")).as("word"))
+      .select(col("doc_id"), explode(gramHashes(norm, 1)).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
     val perdoc = wc.groupBy("doc_id").agg(
       sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
       max("c").as("top_c"))
-    val bgc = docs.filter(size(col("w")) >= 2)
-      // get()-guarded for the same InferFiltersFromGenerate + subexpr-
-      // elimination hazard documented at Similarity.ShingleArrExpr/shingleHashesOf
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-2), " +
-          "i -> concat_ws(' ', get(w, i), get(w, i+1)))"))
-        .as("bg"))
+    val bgc = docs
+      .select(col("doc_id"), explode(gramHashes(norm, 2)).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
     val perbg = bgc.groupBy("doc_id").agg(
       sum("c").as("n_bigrams"), max("c").as("top_bg_c"))
@@ -837,16 +836,15 @@ object TextOps {
       val spread = if (evalSide)
         base.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       else base.repartition(s.sparkContext.defaultParallelism)
-      spread
-        // phantom ""-token guard: see qRepetitionStats
-        .select(col("doc_id"), filter(split(norm, " "), t => t =!= "").as("w"))
-        .filter(size(col("w")) >= 5)
-        // get()-guarded for the same InferFiltersFromGenerate + subexpr-
-        // elimination hazard documented at Similarity.ShingleArrExpr/shingleHashesOf
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(w)-5), i -> concat_ws(' ', " +
-            "get(w, i), get(w, i+1), get(w, i+2), get(w, i+3), get(w, i+4)))"))
-          .as("ng"))
+      // ONE GramHashKernel pass (r14): the tokenize → filter → 5-gram
+      // concat lambda chain ran INTERPRETED per row (higher-order
+      // functions are CodegenFallback) and every downstream
+      // distinct/join/bloom carried ~30-byte gram strings; the kernel
+      // emits the grams' xxhash64 directly and everything downstream
+      // moves 8-byte longs. Same rows modulo xxhash64 collisions — the
+      // 2^-64 standing contract the shingle index already relies on
+      // (re-proven: oracles hash-green at sf0.01 AND sf0.001).
+      spread.select(col("doc_id"), explode(gramHashes(norm, 5)).as("ng"))
     }
     // only the (bounded) eval side pays a per-doc distinct — train n-grams
     // feed an existence check, where within-doc duplicates are harmless
@@ -864,7 +862,9 @@ object TextOps {
         // driver-held model (IVF-model pattern): one aggregation job
         // builds the sketch, serialized bytes ride the plan as a literal.
         // Sized from the doc-count probe (overestimating only wastes
-        // bloom bits, never correctness).
+        // bloom bits, never correctness). Long-keyed since r14
+        // (putLong/mightContainLong — ~1.2 bytes per gram either way,
+        // but the probe hashes 8 bytes instead of a string).
         val bf = evalVocab.stat.bloomFilter("ng", math.max(nEvalDocs, 1L) * 512, 0.01)
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
