@@ -203,8 +203,9 @@ object Diag {
         // the broadcast bound had no measurement).
         val isEval = operators.Text.evalSlice(col("vec_id"))
         def shortlist(bcast: Boolean) =
-          operators.Similarity.annIvfShortlistPoint(spark, sfDir,
+          operators.Similarity.annIvfScoredPoint(spark, sfDir,
             isEval, candidateFilter = not(isEval), broadcastProbes = bcast)
+            .select("query_id", "vec_id")
         // prepay the shared model + assignment caches so neither leg is
         // charged the one-time build
         shortlist(bcast = true).write.format("noop").mode("overwrite").save()

@@ -85,8 +85,11 @@ object Similarity {
       timed("build_pq_codes")(
         if (pqModel(s, d).nonEmpty) pqCodesFrame(s, d) else ()),
       timed("build_knn_ivf_assign") {
+        // r15: the knn-K index materializes LIST-RESIDENT (vectors on the
+        // list rows — see ivfMembersKnnK); same assignment pass, same
+        // bench entry name so round-over-round comparison holds
         val n = nQuantized(s, d)
-        if (n > 0) ivfAssignedK(s, d, knnIvfK(n), "ivf_assign_knn") else ()
+        if (n > 0) ivfMembersKnnK(s, d, knnIvfK(n)) else ()
       },
       // the geometry-dispatch probe model, paid once as its own named
       // entry (the ivfModel convention) instead of inside every
@@ -1812,7 +1815,7 @@ object Similarity {
     * collision-count shortlist, and a contaminated flag at τ =
     * [[SemanticTau]].
     *
-    * Scale shape (r11 — rerouted through [[annIvfShortlistPoint]]):
+    * Scale shape (r11 — rerouted through [[annIvfScoredPoint]]):
     * queries are the eval slice only and candidates are train-only —
     * the candidateFilter restricts the IVF assignment side BEFORE the
     * list join, so eval–eval neighbors never reach the exact pass. The
@@ -1839,17 +1842,12 @@ object Similarity {
     // decontaminate eval-count pattern)
     val nEval = q.filter(isEval && col("qv").isNotNull).count()
     val small = nEval <= SemanticEvalBroadcastMaxDocs
-    val candIds = annIvfShortlistPoint(s, d, queryFilter = isEval,
-      candidateFilter = not(isEval), broadcastProbes = small)
-    val evalVecs = q.filter(isEval && col("qv").isNotNull)
-      .select(col("vec_id").as("query_id"), col("qv").as("qq"), col("n2").as("n2q"))
-    val rescored = candIds
-      .join(q.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
-      .join(if (small) broadcast(evalVecs) else evalVecs, "query_id")
-      .select(col("query_id"),
-        cosine(call_function("graft_dot_q", col("qq"), col("qv")),
-          col("n2q"), col("n2")).as("cosine"),
-        col("vec_id"))
+    // r15: the shortlist arrives already scored inside the list-join
+    // stage (annIvfScoredPoint — vectors never cross an exchange); the
+    // per-query rollup below is the first and only shuffle, and it
+    // map-side-combines narrow (query_id, cosine, vec_id) rows
+    val rescored = annIvfScoredPoint(s, d, queryFilter = isEval,
+        candidateFilter = not(isEval), broadcastProbes = small)
       // struct max is lexicographic: the per-query maximum cosine, ties
       // broken deterministically by the larger neighbor id
       .groupBy("query_id").agg(
@@ -1961,32 +1959,72 @@ object Similarity {
     math.max(IvfK, math.ceil(6.0 * math.sqrt(n.toDouble)).toInt)
   private[graft] val KnnIvfProbe = 3
 
+  /** The knn-K IVF index in LIST-RESIDENT form: (cid, vec_id, label, qv,
+    * n2) — the member vectors live WITH their inverted list, the layout a
+    * production IVF index writes (FAISS stores vectors/codes inside the
+    * lists for exactly this reason). r15: every consumer used to derive
+    * candidate-ID pairs from a narrow (vec_id, cid) assignment and then
+    * join the 500-byte vectors back on — first by vec_id, then by
+    * query_id — so the Θ(n^1.5) candidate stream crossed an exchange
+    * CARRYING the vector payload (guide §8's anti-pattern; measured
+    * 30.3 s of the 36.6 s sf10 q_knn_join_ivf wall). With the vectors
+    * resident in the list, the list join streams members once, scores in
+    * the SAME stage, and only narrow (query_id, neighbor_id, cosine)
+    * rows ever reach an exchange. Cache bytes: n·(dim·8 + ~24) — the
+    * same rows the quantized cache already holds, reordered by list;
+    * at lake scale this is the written index, not a new cost.
+    * Bench prepays it under the historical `build_knn_ivf_assign` name.
+    */
+  private[graft] def ivfMembersKnnK(s: SparkSession, d: String,
+      k: Int): DataFrame = {
+    val model = ivfModelK(s, d, k)
+    materialized(s, d, "ivf_members_knn") {
+      quantized(s, d).filter(col("qv").isNotNull)
+        .withColumn("cid", centArgmin(model, col("qv")))
+        .select("cid", "vec_id", "label", "qv", "n2")
+    }
+  }
+
   /** The preconditioned path's candidate pairs (query_id, vec_id):
-    * probes ⋈ assignment on cid — package-visible so the spec asserts
+    * probes ⋈ member lists on cid — package-visible so the spec asserts
     * the sub-√n per-query candidate bound directly.
     */
   private[graft] def knnIvfCandidates(s: SparkSession, d: String): DataFrame =
-    knnIvfCandidatesN(s, d, nQuantized(s, d))
+    knnIvfScoredN(s, d, nQuantized(s, d))
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
 
-  private def knnIvfCandidatesN(s: SparkSession, d: String, n: Long): DataFrame = {
+  /** Scored candidates of the IVF-preconditioned k-NN self-join:
+    * (cid, query_id, neighbor_id, cosine). The probe side carries its
+    * OWN query vector into the cid join (nprobe·n vector rows — linear),
+    * the member side is the list-resident index, and the cosine is
+    * computed inside the list-join stage — the exchanges downstream of
+    * this frame see only narrow scored rows, never a vector (§8: decide
+    * with small rows after moving the heavy bytes once). `cid` is kept
+    * so the per-query top-k can fold FIRST at (cid, query) grain on the
+    * join's existing cid partitioning — no exchange — leaving ≤
+    * KnnIvfProbe·k rows per query for the global cut.
+    */
+  private def knnIvfScoredN(s: SparkSession, d: String, n: Long): DataFrame = {
     val q = quantized(s, d)
     val k = knnIvfK(n)
     val model = ivfModelK(s, d, k)
-    val assigned = ivfAssignedK(s, d, k, "ivf_assign_knn")
+    val members = ivfMembersKnnK(s, d, k)
     val probes = q.filter(col("qv").isNotNull)
-      .select(col("vec_id").as("query_id"),
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+        col("n2").as("n2q"),
         explode(centTopK(model, col("qv"), KnnIvfProbe)).as("cid"))
     // a vector occupies ONE primary list and the probed lists are
     // distinct, so each (query, vec) pair joins at most once — no
-    // distinct pass needed. Both sides shuffle narrow rows on cid
-    // (probes: nprobe·n rows; assignment: n rows — both linear).
-    assigned.join(probes, Seq("cid"))
+    // distinct pass needed.
+    members.join(probes, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id")
+      .select(col("cid"), col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(call_function("graft_dot_q", col("qq"), col("qv")),
+          col("n2q"), col("n2")).as("cosine"))
   }
 
   /** Probed-list count of the POINT-QUERY IVF shortlist
-    * ([[annIvfShortlistPoint]]) — far wider than the self-join's
+    * ([[annIvfScoredPoint]]) — far wider than the self-join's
     * [[KnnIvfProbe]] = 3 because its consumers are high-stakes gates
     * (a missed contamination ships a tainted eval member; a missed
     * labeled neighbor mis-votes a queue routing) and their query sets
@@ -2017,7 +2055,7 @@ object Similarity {
     * 9-bit-bucket collision volume ran 2.4× above the √n-bucket model,
     * while [[qKnnJoinIvf]] measured 1.15 on the same decade with the
     * same K = ⌈6·√n⌉ coarse quantizer this shortlist reuses (the
-    * `ivf_assign_knn` materialized cache and the memoized model are
+    * `ivf_members_knn` list-resident cache and the memoized model are
     * SHARED — one training pass serves the self-join and both point
     * gates).
     *
@@ -2031,7 +2069,7 @@ object Similarity {
     * reach the exact pass. Null-vector queries have no list distances:
     * dropped here, reported unassessed by the consumers.
     */
-  private[graft] def annIvfShortlistPoint(s: SparkSession, d: String,
+  private[graft] def annIvfScoredPoint(s: SparkSession, d: String,
       queryFilter: Column, candidateFilter: Column = lit(true),
       broadcastProbes: Boolean = true,
       nprobe: Int = PointIvfProbe): DataFrame = {
@@ -2040,20 +2078,46 @@ object Similarity {
     val n = nQuantized(s, d)
     if (n == 0)
       return q.filter(lit(false))
-        .select(col("vec_id").as("query_id"), col("vec_id"))
+        .select(col("vec_id").as("query_id"), col("vec_id"),
+          col("label"), lit(0.0).as("cosine"))
     val k = knnIvfK(n)
     val model = ivfModelK(s, d, k)
-    val assigned = ivfAssignedK(s, d, k, "ivf_assign_knn")
-      .filter(candidateFilter)
-    val probes = q.filter(queryFilter && col("qv").isNotNull)
-      .select(col("vec_id").as("query_id"),
-        explode(centTopK(model, col("qv"), math.min(nprobe, k))).as("cid"))
+    // list-resident members (r15): the candidate vector is already ON
+    // the list row, so the shortlist scores inside the list-join stage
+    // and emits narrow (query_id, vec_id, label, cosine) rows — the old
+    // ID-only shortlist re-attached vectors by joining the corpus on
+    // vec_id, shuffling the Θ(|queries|·√n) candidate stream (measured
+    // 7.6 s of q_decontaminate_semantic's 9.5 s sf10 wall in that join).
+    val members = ivfMembersKnnK(s, d, k).filter(candidateFilter)
+    val queries = q.filter(queryFilter && col("qv").isNotNull)
+    val scoreCol = cosine(call_function("graft_dot_q", col("qq"), col("qv")),
+      col("n2q"), col("n2")).as("cosine")
     // a vector occupies ONE list and the probed lists are distinct, so
     // each (query, vec) pair joins at most once — no distinct pass
-    val probeSide = if (broadcastProbes) broadcast(probes) else probes
-    assigned.join(probeSide, Seq("cid"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id")
+    if (broadcastProbes) {
+      // small query slice (the production case — held-out suites): the
+      // (query_id, cid) probes AND the query vectors broadcast; members
+      // stream through both map-side joins, nothing shuffles at all
+      val probes = queries.select(col("vec_id").as("query_id"),
+        explode(centTopK(model, col("qv"), math.min(nprobe, k))).as("cid"))
+      val qvecs = queries.select(col("vec_id").as("query_id"),
+        col("qv").as("qq"), col("n2").as("n2q"))
+      members.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(broadcast(qvecs), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"), col("label"), scoreCol)
+    } else {
+      // huge query slice: probes carry their own query vector into the
+      // cid exchange — |queries|·nprobe vector rows, a factor n/K
+      // FEWER heavy rows than letting the candidate stream cross an
+      // exchange with vectors attached
+      val probes = queries.select(col("vec_id").as("query_id"),
+        col("qv").as("qq"), col("n2").as("n2q"),
+        explode(centTopK(model, col("qv"), math.min(nprobe, k))).as("cid"))
+      members.join(probes, Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("label"), scoreCol)
+    }
   }
 
   /** IVF-PRECONDITIONED ANN k-NN self-join (rows-only; spec pins recall
@@ -2098,14 +2162,20 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
           lit(1).as("rank"), lit(0.0).as("cosine"))
     } else {
-      val scored = knnIvfCandidatesN(s, d, n)
-        .join(q.select(col("vec_id"), col("qv"), col("n2")), "vec_id")
-        .join(q.select(col("vec_id").as("query_id"), col("qv").as("qq"),
-          col("n2").as("n2q")), "query_id")
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          cosine(call_function("graft_dot_q", col("qq"), col("qv")),
-            col("n2q"), col("n2")).as("cosine"))
-      TopK.perKey(scored, Seq("query_id"), "cosine", "neighbor_id", 5)
+      // r15: scoring happens inside the list join (vectors never cross an
+      // exchange — see knnIvfScoredN), and the top-5 folds in TWO levels:
+      // first at (cid, query) grain, which the list join's existing cid
+      // hash partitioning already satisfies (ClusteredDistribution over a
+      // SUPERSET of the partitioning keys — no exchange), so the global
+      // per-query cut exchanges at most KnnIvfProbe·5 rows per query —
+      // Θ(n) narrow rows where the candidate stream is Θ(n^1.5). Exact:
+      // a (query, neighbor) pair exists in exactly one cid (one primary
+      // list, distinct probes), and top-5 under (cosine DESC, id ASC) of
+      // a union is contained in the union of per-part top-5s.
+      val scored = knnIvfScoredN(s, d, n)
+      val local = TopK.perKey(scored, Seq("cid", "query_id"),
+        "cosine", "neighbor_id", 5)
+      TopK.perKey(local, Seq("query_id"), "cosine", "neighbor_id", 5)
         .withColumn("rank", row_number().over(
           Window.partitionBy("query_id")
             .orderBy(col("cosine").desc, col("neighbor_id"))))
@@ -2745,7 +2815,7 @@ object Similarity {
     * the label).
     *
     * Scale shape — identical to [[qDecontaminateSemantic]]'s (r11:
-    * both rerouted through [[annIvfShortlistPoint]]): queries are the
+    * both rerouted through [[annIvfScoredPoint]]): queries are the
     * held slice only, candidates labeled-only (candidateFilter on the
     * IVF assignment side, so held–held neighbors never reach the exact
     * pass), probe rows broadcast while the held slice is small
@@ -2766,19 +2836,13 @@ object Similarity {
     val isHeld = Text.evalSlice(col("vec_id"))
     val nHeld = q.filter(isHeld && col("qv").isNotNull).count()
     val small = nHeld <= SemanticEvalBroadcastMaxDocs
-    val candIds = annIvfShortlistPoint(s, d, queryFilter = isHeld,
-      candidateFilter = not(isHeld), broadcastProbes = small)
-    val heldVecs = q.filter(isHeld && col("qv").isNotNull)
-      .select(col("vec_id").as("query_id"), col("qv").as("qq"),
-        col("n2").as("n2q"))
-    val rescored = candIds
-      .join(q.select(col("vec_id"), col("qv"), col("n2"), col("label")),
-        "vec_id")
-      .join(if (small) broadcast(heldVecs) else heldVecs, "query_id")
-      .select(col("query_id"), col("label"),
-        cosine(call_function("graft_dot_q", col("qq"), col("qv")),
-          col("n2q"), col("n2")).as("cosine"),
-        col("vec_id"))
+    // r15: the shortlist arrives already scored (and label-carrying)
+    // from the list-resident index — annIvfScoredPoint scores inside
+    // the list join, so only narrow (query_id, label, cosine, vec_id)
+    // rows reach the bounded-heap cut below
+    val rescored = annIvfScoredPoint(s, d, queryFilter = isHeld,
+        candidateFilter = not(isHeld), broadcastProbes = small)
+      .select(col("query_id"), col("label"), col("cosine"), col("vec_id"))
     // top-5 labeled neighbors per held vector — bounded-heap selection
     // (r14): the vote only needs the top-5 ROW SET, never a rank, so
     // TopK.perKey replaces the rank window outright (same rows: top-5
