@@ -586,32 +586,13 @@ object Bench {
     val evSentinel = Event(Long.MaxValue - 1,
       java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), 0L, "sentinel", 0.0)
 
-    // Streaming state-store partitioning, sized to per-trigger volume
-    // (r14, guide §2.1/§2.3 applied to micro-batches): a stateful op
-    // commits one state-delta file PER STATE PARTITION PER TRIGGER, and
-    // `spark.sql.shuffle.partitions` at stream start fixes that count
-    // for the query's lifetime. Inheriting the batch default (= core
-    // count) gave 32 near-empty state commits + 32 scheduled tasks per
-    // stateful op per trigger for 1.25k-row triggers — measured 1.9×
-    // slower on the exact-dedup front and 2.5× on the health sink than
-    // volume-sized state (A/B in OPTIMIZATION_r14.md). The rule — one
-    // state partition per ~5k rows/trigger, clamped to [1, cores] — is
-    // the deployment rule (state partitions track arrival rate, and a
-    // real high-rate deployment derives MORE than a core-count constant,
-    // not fewer); SPARK_GRAFT_STREAM_PARTITIONS overrides for studies.
-    // Results are partitioning-independent (state keying is by hash,
-    // unchanged); only the commit/task fan-out changes.
-    val streamPartsOverride = sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")
-      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0)
-    def streamParts(rowsPerTrigger: Int): Int =
-      streamPartsOverride.getOrElse(math.max(1, math.min(
-        spark.sparkContext.defaultParallelism, rowsPerTrigger / 5000 + 1)))
-    def withStreamParts[T](n: Int)(body: => T): T = {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, n.toString)
-      try body finally spark.conf.set(key, prev)
-    }
+    // Streaming state-store partitioning sized to per-trigger volume —
+    // the rule ships WITH the sinks (r15, r14 verdict item 3:
+    // [[graft.streaming.IngestStream.statePartitionsFor]] — rationale
+    // and the measured 1.9–2.5× A/B live there); the bench only derives
+    // each section's rows-per-trigger and delegates.
+    def withStreamParts[T](rowsPerTrigger: Int)(body: => T): T =
+      IngestStream.withStatePartitions(spark, rowsPerTrigger)(body)
 
     def tmp(n: String): String =
       java.nio.file.Files.createTempDirectory(s"graft_bs_$n").toString
@@ -658,8 +639,8 @@ object Bench {
         (name, evRows.length.toLong, -1.0)
       }
     }
-    val docParts = streamParts(math.max(1, docRows.length / 4))
-    val evParts = streamParts(math.max(1, evRows.length / 4))
+    val docParts = math.max(1, docRows.length / 4)
+    val evParts = math.max(1, evRows.length / 4)
     Seq(
       withStreamParts(docParts)(timeDocSink("stream_dedupe_content")(docs =>
         IngestStream.dedupeContent(docs).writeStream

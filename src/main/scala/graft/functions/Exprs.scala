@@ -1729,7 +1729,15 @@ object GramHashKernel {
   private val Seed = 42L // Spark's xxhash64 seed
 
   def hashes(s: UTF8String, n: Int, keepEmpty: Boolean)
-      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      raw(s, n, keepEmpty))
+
+  /** The hash array as a bare Array[Long] — for kernel callers
+    * ([[RepStatsKernel]]) that sort/scan it in place without the
+    * ArrayData wrapper.
+    */
+  def raw(s: UTF8String, n: Int, keepEmpty: Boolean): Array[Long] = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val len = s.numBytes
@@ -1765,9 +1773,7 @@ object GramHashKernel {
       kept = ks; keptEnds = ke
     }
     val nGrams = m - n + 1
-    if (nGrams <= 0)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array.empty[Long])
+    if (nGrams <= 0) return Array.empty[Long]
     var contiguous = true
     if (!keepEmpty) {
       t = 1
@@ -1818,7 +1824,7 @@ object GramHashKernel {
         g += 1
       }
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    out
   }
 }
 
@@ -2150,6 +2156,301 @@ case class JsonIntField(json: Expression, key: Expression)
     copy(json = newLeft, key = newRight)
 }
 
+/** Static core of [[MinhashBands]] — banded MinHash signatures of a
+  * shingle-hash array in ONE primitive pass (r15, guide §1.2). Replaces
+  * the `transform(sequence(0, K-1), i -> array_min(transform(hs, h ->
+  * xxhash64(i, h))))` + per-band `xxhash64(sig[4b], ..)` spelling, whose
+  * nested higher-order lambdas evaluate INTERPRETED (HOFs are
+  * CodegenFallback) and materialize a boxed K-long signature array per
+  * document.
+  *
+  * Bit-identity argument: Spark's `xxhash64(i, h)` with i: INT, h: LONG
+  * folds XXH64.hashInt(i, 42) then XXH64.hashLong(h, ·) — this kernel
+  * calls the SAME static functions in the same order, with the hashInt
+  * prefix precomputed once per i (it is constant across rows). The band
+  * hash folds hashLong over the [[rows]] signature minima from seed 42,
+  * exactly `xxhash64(sig[rb], .., sig[rb+rows-1])`. Empty hs: the old
+  * form's array_min over an empty transform is NULL per lane, and
+  * XxHash64 skips null children, so every band hashes to the bare seed —
+  * reproduced explicitly. Output values (and the band join/oracle
+  * behavior downstream) are bit-for-bit the r2 aggregate form's.
+  */
+object MinhashBandKernel {
+  private val Seed = 42L
+  @volatile private var seedCache: (Int, Array[Long]) = (0, Array.empty)
+  private def seeds(k: Int): Array[Long] = {
+    val c = seedCache
+    if (c._1 == k) c._2
+    else {
+      val a = Array.tabulate(k)(i =>
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, Seed))
+      seedCache = (k, a)
+      a
+    }
+  }
+
+  def bands(hs: org.apache.spark.sql.catalyst.util.ArrayData, k: Int,
+      rows: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val nBands = k / rows
+    val n = hs.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill(nBands)(Seed))
+    val s = seeds(k)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, s(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var acc = Seed
+      var r = 0
+      while (r < rows) {
+        acc = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(sig(rows * b + r), acc)
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Banded MinHash signature hashes (see [[MinhashBandKernel]]):
+  * `graft_minhash_bands(hs, k, rows)` ≡ the nested-transform spelling,
+  * element-for-element. k and rows must be foldable, rows must divide k.
+  */
+case class MinhashBands(hs: Expression, k: Expression, rows: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+
+  require(k.foldable && rows.foldable,
+    "graft_minhash_bands: k and rows must be foldable")
+
+  override def first: Expression = hs
+  override def second: Expression = k
+  override def third: Expression = rows
+  override def inputTypes = Seq(ArrayType(LongType),
+    org.apache.spark.sql.types.IntegerType,
+    org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any, kk: Any, rr: Any): Any =
+    MinhashBandKernel.bands(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      kk.asInstanceOf[Int], rr.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, kk, rr) =>
+      s"${ev.value} = graft.functions.MinhashBandKernel.bands($a, $kk, $rr);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): MinhashBands = copy(hs = f, k = s, rows = t)
+}
+
+/** Static core of [[RepStats]] — every per-document repetition signal of
+  * q_repetition_stats in ONE pass over the normalized text (r15, guide
+  * §2.3/§1.2): word total/distinct/top-count and bigram total/top-count.
+  * Replaces two corpus explodes + two (doc, gram) hash aggregates + one
+  * per-doc rollup join — the whole operator becomes a map-only scan
+  * (its only exchange left is the presentation sort), which also removes
+  * the 32-partition tiny-data fan-out behind the r14 driver's 32-core
+  * outlier on this entry.
+  *
+  * Identity contract: gram identities are the SAME xxhash64 values
+  * [[GramHashKernel]] produced for n=1/n=2 dropEmpty (this kernel calls
+  * it), and counting equal hashes in a sorted array is exactly the
+  * groupBy-count over those hash keys — counts identical modulo the
+  * standing 2⁻⁶⁴ collision contract. Documents with zero kept tokens
+  * produced no (doc, gram) rows and vanished from the old aggregate;
+  * consumers reproduce that by filtering n_words > 0. Single-token
+  * documents carry NULL bigram fields (the old LEFT JOIN miss).
+  */
+object RepStatsKernel {
+  def eval(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val words = GramHashKernel.raw(s, 1, keepEmpty = false)
+    val nWords = words.length.toLong
+    if (nWords == 0L) return org.apache.spark.sql.catalyst.InternalRow(
+      0L, 0L, 0L, null, null)
+    java.util.Arrays.sort(words)
+    var distinct = 0L
+    var top = 0L
+    var run = 0L
+    var i = 0
+    while (i < words.length) {
+      if (i == 0 || words(i) != words(i - 1)) { distinct += 1; run = 1 }
+      else run += 1
+      if (run > top) top = run
+      i += 1
+    }
+    if (nWords < 2L) return org.apache.spark.sql.catalyst.InternalRow(
+      nWords, distinct, top, null, null)
+    val bigrams = GramHashKernel.raw(s, 2, keepEmpty = false)
+    java.util.Arrays.sort(bigrams)
+    var topBg = 0L
+    run = 0L
+    i = 0
+    while (i < bigrams.length) {
+      if (i == 0 || bigrams(i) != bigrams(i - 1)) run = 1 else run += 1
+      if (run > topBg) topBg = run
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      nWords, distinct, top, bigrams.length.toLong, topBg)
+  }
+}
+
+/** One-pass per-document repetition stats (see [[RepStatsKernel]]):
+  * `graft_rep_stats(text)` → struct(n_words, n_distinct, top_c,
+  * n_bigrams, top_bg_c). Null text → null row (split's propagation).
+  */
+case class RepStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_words", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_c", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_bigrams", LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("top_bg_c", LongType, nullable = true)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepStatsKernel.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RepStatsKernel.eval($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}
+
+/** Static core of [[CoverMask]] — the covered-position accounting and
+  * corpus rebuild of q_substring_dedup in ONE pass over the normalized
+  * text plus the document's SORTED matched-gram start positions (r15,
+  * guide §2.3 — ship intervals, not positions). Replaces: the ×n
+  * covered-position explode + corpus-wide (doc, pos) DISTINCT, the full
+  * token posexplode (every token a row through an exchange), the
+  * (doc, pos) join of those two streams, and the collect_list +
+  * array_sort + transform rebuild aggregate.
+  *
+  * Equivalence: tokens are the dropEmpty space-split of the input (the
+  * exact tokenization [[GramHashKernel]] uses, so a gram start position
+  * p from its posexplode indexes THIS token sequence); covered =
+  * ∪ₚ [p, p+n-1], swept with one pointer over the ascending starts;
+  * n_covered = Σ merged interval lengths (every gram end < token count
+  * by construction); the rebuilt string is the surviving tokens joined
+  * by single spaces IN ORDER — byte-identical to
+  * `concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok)
+  * where uncovered)), x -> x.tok))` because the kept-token subsequence
+  * of a whitespace-collapsed input already carries single separators.
+  */
+object CoverMaskKernel {
+  def eval(s: UTF8String, ps: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    // kept-token boundaries: dropEmpty split at every 0x20 (the
+    // GramHashKernel tokenization, restated)
+    var nTok = 0
+    var p = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') {
+        if (i > p) nTok += 1
+        p = i + 1
+      }
+      i += 1
+    }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    p = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') {
+        if (i > p) { starts(t) = p; ends(t) = i; t += 1 }
+        p = i + 1
+      }
+      i += 1
+    }
+    val nPs = ps.numElements()
+    val outBytes = new Array[Byte](len)
+    var w = 0
+    var covered = 0L
+    var pi = 0
+    var curEnd = -1 // rightmost covered token index from starts seen so far
+    t = 0
+    while (t < nTok) {
+      while (pi < nPs && ps.getInt(pi) <= t) {
+        val e = ps.getInt(pi) + n - 1
+        if (e > curEnd) curEnd = e
+        pi += 1
+      }
+      if (t <= curEnd) covered += 1L
+      else {
+        if (w > 0) { outBytes(w) = ' '; w += 1 }
+        val tl = ends(t) - starts(t)
+        org.apache.spark.unsafe.Platform.copyMemory(base, off + starts(t),
+          outBytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + w, tl)
+        w += tl
+      }
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nTok.toLong, covered,
+      UTF8String.fromBytes(outBytes, 0, w))
+  }
+}
+
+/** One-pass covered-position accounting + corpus rebuild (see
+  * [[CoverMaskKernel]]): `graft_cover_mask(text, ps, n)` →
+  * struct(n_tokens, n_covered, clean). `ps` must be the ASCENDING
+  * matched-gram start positions (pass an empty array, not null, for
+  * documents with no matches); n must be foldable.
+  */
+case class CoverMask(text: Expression, ps: Expression, n: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+
+  require(n.foldable, "graft_cover_mask: n must be foldable")
+
+  override def first: Expression = text
+  override def second: Expression = ps
+  override def third: Expression = n
+  override def inputTypes = Seq(StringType,
+    ArrayType(org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_covered", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("clean", StringType, nullable = false)))
+
+  override protected def nullSafeEval(tt: Any, pp: Any, nn: Any): Any =
+    CoverMaskKernel.eval(tt.asInstanceOf[UTF8String],
+      pp.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      nn.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (tt, pp, nn) =>
+      s"${ev.value} = graft.functions.CoverMaskKernel.eval($tt, $pp, $nn);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): CoverMask = copy(text = f, ps = s, n = t)
+}
+
 object GraftFunctions {
   private def info(name: String, clazz: Class[_]) =
     new ExpressionInfo(clazz.getCanonicalName, name)
@@ -2221,7 +2522,16 @@ object GraftFunctions {
         arity("graft_json_int", 2)(c => JsonIntField(c(0), c(1)))),
       (FunctionIdentifier("graft_gram_hashes"),
         info("graft_gram_hashes", classOf[GramHashes]),
-        arity("graft_gram_hashes", 3)(c => GramHashes(c(0), c(1), c(2)))))
+        arity("graft_gram_hashes", 3)(c => GramHashes(c(0), c(1), c(2)))),
+      (FunctionIdentifier("graft_minhash_bands"),
+        info("graft_minhash_bands", classOf[MinhashBands]),
+        arity("graft_minhash_bands", 3)(c => MinhashBands(c(0), c(1), c(2)))),
+      (FunctionIdentifier("graft_rep_stats"),
+        info("graft_rep_stats", classOf[RepStats]),
+        arity("graft_rep_stats", 1)(c => RepStats(c.head))),
+      (FunctionIdentifier("graft_cover_mask"),
+        info("graft_cover_mask", classOf[CoverMask]),
+        arity("graft_cover_mask", 3)(c => CoverMask(c(0), c(1), c(2)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

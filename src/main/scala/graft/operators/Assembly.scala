@@ -186,10 +186,10 @@ object Assembly {
        |FROM p GROUP BY 1
        |ORDER BY n DESC, pair LIMIT $PairTopK""".stripMargin
   ) { (s, d) =>
-    // round-robin spread: the single-file testdata scan's parallelism
+    // doc_id-hash spread: the single-file testdata scan's parallelism
     // guard (a multi-split lake scan replaces it), as in dupSpanCounts
     val toks = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       // phantom ""-token guard: see qRepetitionStats
       .select(filter(split(Text.norm(col("text")), " "), t => t =!= "")
         .as("w"))
@@ -323,7 +323,7 @@ object Assembly {
     bpeModels.getOrElseUpdate((s, d, nMerges, maxDriverVocab), {
       // the ONE corpus pass: word-frequency table (O(vocabulary) rows)
       val vocab0 = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(explode(filter(split(Text.norm(col("text")), " "),
           t => t =!= "")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -501,7 +501,7 @@ object Assembly {
     val merges = bpeMerges(s, d, BpeMerges, BpeDriverMaxVocab)
       .sortBy(_._1).map(m => (m._2, m._3))
     val words = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("source"),
         explode(filter(split(Text.norm(col("text")), " "), t => t =!= ""))
           .as("word"))

@@ -476,14 +476,21 @@ object Similarity {
     * just computed without a groupBy. A row depends on ITS document only,
     * which is what makes the incremental path exact by construction.
     */
-  private def bandsOf(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), expr(
-        s"transform(sequence(0, ${MinhashK - 1}), i -> " +
-          "array_min(transform(hs, h -> xxhash64(i, h))))").as("sig"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${MinhashK / BandRows - 1}), b -> " +
-          s"xxhash64(${(0 until BandRows).map(r => s"sig[$BandRows*b+$r]").mkString(", ")}))"))
-        .as(Seq("band", "bhash")))
+  private def bandsOf(sh: DataFrame): DataFrame = {
+    // r15: the 32 permutation minima + 8 band hashes are ONE primitive
+    // kernel pass ([[graft.functions.MinhashBandKernel]]) — the nested
+    // transform/array_min lambdas were CodegenFallback (interpreted per
+    // element) and boxed a K-long signature array per doc; the kernel
+    // calls the same XXH64 static functions in the same fold order, so
+    // every band hash is bit-identical (build_minhash_bands sf10:
+    // 19.5 → 4.0 s). Kernel INLINE in the generator (CLAUDE.md rule).
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bands = GraftSqlBridge.column(graft.functions.MinhashBands(
+      GraftSqlBridge.expression(col("hs")),
+      Literal(MinhashK), Literal(BandRows)))
+    sh.select(col("doc_id"), posexplode(bands).as(Seq("band", "bhash")))
+  }
 
   /** Exact Jaccard verification of candidate pairs against shingle-hash
     * sets drawn from `sh` (set sizes equal the string-shingle sets modulo

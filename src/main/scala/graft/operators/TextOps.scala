@@ -26,6 +26,7 @@ object TextOps {
   private val normSql = Text.normSql
   private def norm = Text.norm(col("text"))
 
+
   /** Quality-quantization fan-out for [[qBudgetSelect]]'s two-level
     * running sum (also the [[qQualityKs]] CDF grid): rows partition into
     * ⌊q·BudgetBlocks⌋ blocks, so this bounds the level-1 parallelism.
@@ -609,7 +610,14 @@ object TextOps {
        |  PARTITION BY doc_id ORDER BY score DESC, term ASC) <= 5
        |ORDER BY doc_id, score DESC, term""".stripMargin
   ) { (s, d) =>
+    // r15: spread hashed on doc_id BEFORE the explode — the (doc, term)
+    // aggregate's ClusteredDistribution(doc_id, term) is satisfied by
+    // HashPartitioning(doc_id) (superset rule), so the exploded
+    // token-string stream never crosses an exchange at all (it used to
+    // be the operator's largest shuffle: every token occurrence as a
+    // string row, hashed on (doc_id, term)).
     val tf = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(filter(split(norm, " "), t => t =!= "")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -625,13 +633,14 @@ object TextOps {
     // rides the prepaid build_token_counts cache.
     val df = tokenCounts(Tables.documents(s, d))
       .groupBy("h").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("term").asc)
-    tf.join(df, "h")
+    // r15: bounded-heap top-5 per doc (TopK.perKey) instead of a full
+    // per-partition sort under row_number — the rn ≤ 5 row SET is
+    // exactly the top-5 under the identical (score DESC, term ASC)
+    // order, and the rank column was never emitted (the I2 precedent).
+    val scored = tf.join(df, "h")
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         expr("(tf * 1000000000) div df").as("score"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+    TopK.perKey(scored, Seq("doc_id"), "score", "term", 5)
       .select("doc_id", "term", "tf", "df", "score")
       .orderBy(col("doc_id"), col("score").desc, col("term"))
   }
@@ -702,34 +711,45 @@ object TextOps {
        |FROM perdoc p LEFT JOIN perbg b ON p.doc_id = b.doc_id
        |ORDER BY p.doc_id""".stripMargin
   ) { (s, d) =>
-    // word and bigram identities are GramHashKernel 1-gram / 2-gram
-    // hashes (r14): the split → interpreted empty-filter lambda → string
-    // explode chain (plus the interpreted bigram concat lambda) becomes
-    // two kernel passes, and both (doc, gram) aggregates group 8-byte
-    // longs instead of strings. dropEmpty = the phantom ""-token guard
-    // this operator has always applied (trim removes only spaces, so a
-    // trailing tab/newline leaves an empty boundary token). Counts are
-    // identical modulo xxhash64 collisions — the 2^-64 standing contract
-    // (oracles re-proven hash-green at sf0.01 AND sf0.001).
+    // r15: every per-doc signal comes from ONE kernel pass over the
+    // normalized text ([[graft.functions.RepStatsKernel]] — the same
+    // GramHashKernel 1-gram/2-gram hash identities the r14 form grouped,
+    // counted in a per-row sorted scan instead of two corpus-wide
+    // (doc, gram) aggregates + a rollup join). The operator is now
+    // map-only up to the presentation sort — no (doc, gram) exchanges at
+    // all, which also retires the 32-partition tiny-data fan-out behind
+    // the r14 driver's 32-core outlier on this entry. Counts identical
+    // modulo xxhash64 collisions — the 2^-64 standing contract (oracles
+    // re-proven hash-green at sf0.01 AND sf0.001). Docs with zero kept
+    // tokens never produced a (doc, gram) row, so they stay absent —
+    // filtered BEFORE the kernel on the exact zero-token predicate
+    // (norm = '' ⇔ dropEmpty split is empty ⇔ n_words = 0; null norm ⇔
+    // null text, also dropped in both engines). A filter on the kernel
+    // STRUCT FIELD instead is alias-substituted and re-sunk to the scan
+    // at fixpoint (plan-checked: `repstats(...).n_words > 0` evaluated
+    // in the pushed filter AND the projection — the CLAUDE.md
+    // column-substitution hazard; Spark 4.1 sinks it past
+    // nondeterministic project fields and conditions too). Duplicating
+    // the cheap fused NormKernel byte scan in the pushed predicate is
+    // the deliberate price of keeping the expensive kernel single.
+    // Spread HASHED on doc_id, never keyless: a keyless repartition
+    // first locally sorts its whole input (sortBeforeRepartition, guide
+    // §2.5) — measured 3.7 → 19.8 s at sf10 when this spread briefly
+    // went round-robin (the corpus text sorted in the handful of scan
+    // tasks).
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-    val wc = docs
-      .select(col("doc_id"), explode(gramHashes(norm, 1)).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
-    val perdoc = wc.groupBy("doc_id").agg(
-      sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
-      max("c").as("top_c"))
-    val bgc = docs
-      .select(col("doc_id"), explode(gramHashes(norm, 2)).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-    val perbg = bgc.groupBy("doc_id").agg(
-      sum("c").as("n_bigrams"), max("c").as("top_bg_c"))
-    perdoc.join(perbg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"), col("n_distinct"),
-        exactDiv(col("n_words") - col("n_distinct"), col("n_words"), 4)
-          .as("dup_word_frac"),
-        exactDiv(col("top_c"), col("n_words"), 4).as("top_word_frac"),
-        exactDiv(col("top_bg_c"), col("n_bigrams"), 4).as("top_bigram_frac"))
+    GraftFunctions.register(s)
+    docs
+      .filter(norm =!= "")
+      .select(col("doc_id"), call_function("graft_rep_stats", norm).as("r"))
+      .select(col("doc_id"), col("r.n_words").as("n_words"),
+        col("r.n_distinct").as("n_distinct"),
+        exactDiv(col("r.n_words") - col("r.n_distinct"),
+          col("r.n_words"), 4).as("dup_word_frac"),
+        exactDiv(col("r.top_c"), col("r.n_words"), 4).as("top_word_frac"),
+        exactDiv(col("r.top_bg_c"), col("r.n_bigrams"), 4)
+          .as("top_bigram_frac"))
       .orderBy("doc_id")
   }
 
@@ -755,7 +775,7 @@ object TextOps {
     * and the only train N-GRAMS that ever reach the distinct are the
     * ones already matching eval vocabulary — the corpus-wide n-gram
     * distinct a naive vocab-first formulation would pay never happens
-    * (the raw train doc rows do pass one round-robin spread, the
+    * (the raw train doc rows do pass one doc_id-hash spread, the
     * tiny-file guard that a multi-split lake scan replaces).
     * Zero-hit eval docs are kept with n_hits = 0 (a decontamination
     * report that silently drops the clean docs can't certify anything).
@@ -830,12 +850,12 @@ object TextOps {
       val base = Tables.documents(s, d).filter(if (evalSide) isEval else !isEval)
       // eval side clusters by doc_id (its per-doc distinct and groupBys
       // ride that partitioning); the train side needs no clustering — its
-      // round-robin spread is only the single-file parallelism guard
+      // doc_id-hash spread is only the single-file parallelism guard
       // (Similarity.tokenized's pattern: a lake-scale scan is already multi-split),
       // and the n-gram stream derived from it never shuffles
       val spread = if (evalSide)
         base.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      else base.repartition(s.sparkContext.defaultParallelism)
+      else base.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       // ONE GramHashKernel pass (r14): the tokenize → filter → 5-gram
       // concat lambda chain ran INTERPRETED per row (higher-order
       // functions are CodegenFallback) and every downstream
@@ -1975,7 +1995,7 @@ object TextOps {
     * named `build_dup_span_counts` entry.
     */
   private def dupSpanCounts(docs: DataFrame): DataFrame = {
-    // round-robin spread: the single-file testdata scan's parallelism
+    // doc_id-hash spread: the single-file testdata scan's parallelism
     // guard (a multi-split lake scan replaces it), as in qDecontaminate.
     // r14: the tokenize → 5-gram concat → xxhash64 chain is ONE
     // GramHashKernel pass (dropEmpty = the filtered-split tokenization
@@ -1984,7 +2004,8 @@ object TextOps {
     // to zero rows exactly like the old size(w) >= 5 filter. The array
     // expression stays INLINE in the generator (CLAUDE.md invariant).
     docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"), explode(gramHashes(norm, DupSpanN)).as("h"))
       .groupBy("doc_id", "h").agg(count(lit(1)).as("m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2104,44 +2125,42 @@ object TextOps {
     val dup = dupSpanCounts(docs).groupBy("h")
       .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= DupSpanMinDocs).select("h")
-    // round-robin spread: the single-file testdata scan's parallelism
-    // guard (a multi-split lake scan replaces it), as in dupSpanCounts
-    def toks = docs.repartition(s.sparkContext.defaultParallelism)
-      .filter(col("text").isNotNull)
-      // phantom ""-token guard: see qRepetitionStats
-      .select(col("doc_id"), filter(split(norm, " "), t => t =!= "").as("w"))
     // positioned gram hashes: ONE GramHashKernel pass (r14 — bit-identical
     // to the old per-position concat_ws+xxhash64 lambda), posexplode
     // carries the position; array expr INLINE in the generator
     // (CLAUDE.md invariant); empty arrays (< DupSpanN tokens) explode to
-    // zero rows like the old size(w) >= DupSpanN filter
-    val grams = docs.repartition(s.sparkContext.defaultParallelism)
+    // zero rows like the old size(w) >= DupSpanN filter.
+    // doc_id-hash spread: the single-file testdata scan's parallelism
+    // guard (a multi-split lake scan replaces it), as in dupSpanCounts
+    val grams = docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(gramHashes(norm, DupSpanN)).as(Seq("i", "h")))
-    val covered = grams.join(dup, "h")
-      .select(col("doc_id"),
-        explode(expr(s"sequence(i, i + ${DupSpanN - 1})")).as("pos"))
-      .distinct()
-      .withColumn("cv", lit(true))
-    val per = toks
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
-      .join(covered, Seq("doc_id", "pos"), "left")
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("cv"), 1L).otherwise(0L)).as("n_covered"),
-        // collect_list skips nulls → surviving tokens only; array_sort
-        // on (pos, tok) structs restores original order (qLineDedup)
-        md5(concat_ws(" ", expr(
-          "transform(array_sort(collect_list(CASE WHEN cv IS NULL THEN struct(pos, tok) END)), x -> x.tok)")))
-          .as("ch"))
-    val nT = coalesce(col("n_tokens"), lit(0L))
-    val nC = coalesce(col("n_covered"), lit(0L))
-    docs.select(col("doc_id"), col("text").isNotNull.as("has_text"))
-      .join(per, Seq("doc_id"), "left")
+    // r15 (guide §2.3 — ship intervals, not positions): the matched gram
+    // STARTS aggregate per doc (narrow longs+ints, map-side combined,
+    // ×DupSpanN fewer rows than the old covered-position explode and no
+    // corpus-wide (doc, pos) distinct), and the covered-position
+    // accounting + surviving-token rebuild run in ONE kernel pass over
+    // the normalized text ([[graft.functions.CoverMaskKernel]]) — the
+    // full token posexplode, the (doc, pos) left join and the
+    // collect_list + array_sort rebuild aggregate are gone. A
+    // boilerplate gram stays a hot JOIN key (AQE-skew-splittable), never
+    // a hot window ([[dupSpansOf]]'s rule).
+    val matchedStarts = grams.join(dup, "h")
+      .groupBy("doc_id").agg(sort_array(collect_set(col("i"))).as("ps"))
+    GraftFunctions.register(s)
+    val masked = docs
+      .join(matchedStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text").isNotNull.as("has_text"),
+        call_function("graft_cover_mask", norm,
+          coalesce(col("ps"), typedlit(Seq.empty[Int])),
+          lit(DupSpanN)).as("r"))
+    val nT = coalesce(col("r.n_tokens"), lit(0L))
+    val nC = coalesce(col("r.n_covered"), lit(0L))
+    masked
       .select(col("doc_id"), nT.as("n_tokens"), nC.as("n_covered"),
         exactDiv(nC, nT, 4).as("covered_frac"),
-        when(col("has_text"), coalesce(col("ch"), md5(lit(""))))
+        when(col("has_text"), md5(coalesce(col("r.clean"), lit(""))))
           .as("clean_hash"))
       .orderBy("doc_id")
   }
@@ -2290,9 +2309,9 @@ object TextOps {
         posexplode(split(col("text"), "\n")).as(Seq("pos", "raw")))
       .select(col("doc_id"), col("pos"), Text.norm(col("raw")).as("ln"))
       .filter(trim(col("ln")) =!= "")
-    // round-robin spread: the single-file testdata scan's parallelism
+    // doc_id-hash spread: the single-file testdata scan's parallelism
     // guard (a multi-split lake scan replaces it), as in dupSpanCounts
-    val spread = docs.repartition(s.sparkContext.defaultParallelism)
+    val spread = docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     // first occurrence per line hash: one narrow (h, doc_id, pos)
     // aggregate — struct min is lexicographic, so (doc_id, pos) argmin
     val first = lines(spread)
@@ -2408,7 +2427,8 @@ object TextOps {
     */
   private def tokenCounts(docs: DataFrame): DataFrame =
     docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"),
         explode(filter(split(norm, " "), t => t =!= "")).as("tok"))
       .groupBy(col("doc_id"), xxhash64(col("tok")).as("h"))

@@ -26,6 +26,54 @@ final case class SessionOut(user_id: Long, n_events: Long, start_us: Long,
   */
 object IngestStream {
 
+  /** Rows-per-state-partition target of [[statePartitionsFor]] — one
+    * state-store partition per ~5k rows arriving per trigger.
+    */
+  val RowsPerStatePartition = 5000
+
+  /** Streaming state-store partition count, sized to per-trigger volume
+    * (guide §2.1/§2.3 applied to micro-batches). A stateful op commits
+    * one state-delta file PER STATE PARTITION PER TRIGGER, and
+    * `spark.sql.shuffle.partitions` at stream START fixes that count for
+    * the query's lifetime. Inheriting the batch default (= core count)
+    * gives core-count near-empty state commits + as many scheduled tasks
+    * per stateful op per trigger at low arrival rates — measured 1.9×
+    * slower on the exact-dedup front and 2.5× on the health sink than
+    * volume-sized state at 1.25k-row triggers (OPTIMIZATION_r14.md A/B).
+    * The rule — one state partition per ~[[RowsPerStatePartition]]
+    * rows/trigger, clamped to [1, cores] — is the DEPLOYMENT rule: state
+    * partitions track arrival rate, and a high-rate deployment derives
+    * more than a core-count constant, never fewer. r15 (r14 verdict item
+    * 3): the rule ships HERE, beside the sinks it sizes — the bench
+    * reads it from this object, and a library consumer starting any
+    * [[IngestStream]] sink under [[withStatePartitions]] inherits the
+    * same sizing instead of the 32-near-empty-commit default.
+    * `SPARK_GRAFT_STREAM_PARTITIONS` overrides for studies. Results are
+    * partitioning-independent (state keying is by hash, unchanged); only
+    * the commit/task fan-out changes.
+    */
+  def statePartitionsFor(spark: org.apache.spark.sql.SparkSession,
+      rowsPerTrigger: Int): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0)
+      .getOrElse(math.max(1, math.min(
+        spark.sparkContext.defaultParallelism,
+        rowsPerTrigger / RowsPerStatePartition + 1)))
+
+  /** Run `body` (typically: build + start one streaming sink) with
+    * `spark.sql.shuffle.partitions` set to [[statePartitionsFor]]'s
+    * volume-sized count, restoring the previous value after — stream
+    * state partitioning is fixed at start, so the temporary setting
+    * binds only the streams started inside `body`.
+    */
+  def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession,
+      rowsPerTrigger: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitionsFor(spark, rowsPerTrigger).toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Boundary validation into the typed stream — the analog of the
     * reference scraper dropping malformed reviews before insert. `Event`
     * carries primitive fields (the hot path stays unboxed), so a row with

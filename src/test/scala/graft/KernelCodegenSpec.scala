@@ -70,7 +70,14 @@ class KernelCodegenSpec extends org.scalatest.funsuite.AnyFunSuite {
       "graft_json_int" -> ((Seq[Any](utf8("""{"a": [1, {"x": 2}], "k": 37}""")),
         JsonIntField(str, Literal.create("k", StringType)))),
       "graft_gram_hashes" -> ((text,
-        GramHashes(str, Literal(3), Literal(false)))))
+        GramHashes(str, Literal(3), Literal(false)))),
+      "graft_minhash_bands" -> ((Seq(arr(11L, 22L, 33L)),
+        MinhashBands(vecL, Literal(32), Literal(4)))),
+      "graft_rep_stats" -> ((text, RepStats(str))),
+      "graft_cover_mask" -> ((Seq[Any](utf8("a b c d e f g"),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1)),
+        null),
+        CoverMask(str, ref(ArrayType(IntegerType), 1), Literal(5)))))
   }
 
   test("exemplar list covers every registered graft function") {

@@ -135,11 +135,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!scan.contains("source") && !scan.contains("n_chars"),
       "tfidf scan not pruned: " + scan)
     // a stopword is a hot key: df must ride the AQE-skew-splittable hash
-    // JOIN, never a COUNT window over the term partition; the only
-    // window left is the per-doc top-5 rank
-    val wins = p.split("\n").filter(_.contains("windowspecdefinition"))
-    assert(wins.nonEmpty && wins.forall(_.contains("doc_id#")),
-      "hot-term window crept back into tfidf:\n" + wins.mkString("\n"))
+    // JOIN, never a COUNT window over the term partition; r15 — the
+    // per-doc top-5 is the bounded-heap exec now, so NO window survives
+    // anywhere in the plan
+    assert(p.contains("TopKPerKey"), "tfidf lost the bounded-heap top-5:\n" + p)
+    assert(!p.contains("windowspecdefinition"),
+      "a window crept back into tfidf:\n" + p)
   }
 
   test("vocab growth: pruned scans and a partial-aggregated term shuffle") {

@@ -842,4 +842,27 @@ class StreamingSpec extends SparkSpec {
     assert(viaStreamDef.length == batch.length)
     viaStreamDef.zip(batch).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
+
+  test("state-partition sizing: volume law, core clamp, conf restore (r15 — rule lives with the sinks)") {
+    import graft.streaming.IngestStream
+    val cores = spark.sparkContext.defaultParallelism
+    // one partition per ~5k rows/trigger, floor 1, clamped to cores
+    assert(IngestStream.statePartitionsFor(spark, 1) === 1)
+    assert(IngestStream.statePartitionsFor(spark, 4999) === 1)
+    assert(IngestStream.statePartitionsFor(spark, 5000) ===
+      math.min(cores, 2))
+    assert(IngestStream.statePartitionsFor(spark, 10 * 1000 * 1000) === cores)
+    // withStatePartitions applies the sized count inside and restores after
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val inside = IngestStream.withStatePartitions(spark, 1)(spark.conf.get(key))
+    assert(inside === "1")
+    assert(spark.conf.get(key) === before)
+    // a body that throws must still restore
+    intercept[RuntimeException] {
+      IngestStream.withStatePartitions(spark, 1)(
+        throw new RuntimeException("boom"))
+    }
+    assert(spark.conf.get(key) === before)
+  }
 }
